@@ -1,13 +1,366 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Numeric._
+import graft.olap.Relational
+import graft.operators.{Density, Movement, Quality, Sessionize, TimeSeries}
+import graft.dedup.{Dedup, MinHashLSH}
+import graft.text.TextFeatures
+import graft.vector.Similarity
+import graft.streaming.StreamOps
+import graft.multimodal.Binary
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * query covers. Column names are aliased identically in `queries` and
+  * `oracleSql` (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Shared epoch-second / (x, y) projection of the events table.
+    * y comes from the JSON props via regexp (identical extraction is
+    * used in the DuckDB oracle). */
+  private def eventsXY(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .withColumn("x", col("value"))
+      .withColumn("y", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the CellPhe
+    * movement-feature stage over the events table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_movement")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 relational core -------------------------------------
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(lineitem(s, d))),
+    "q03_topk_revenue" -> ((s, d) =>
+      Relational.topkRevenue(lineitem(s, d), orders(s, d), customer(s, d))),
+    "q05_local_supplier" -> ((s, d) =>
+      Relational.localSupplier(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d))),
+    "q06_filter_agg" -> ((s, d) => Relational.filterAgg(lineitem(s, d))),
+    "q_window_rank" -> ((s, d) => Relational.windowRank(orders(s, d))),
+    "q_anti_join" -> ((s, d) =>
+      Relational.customersWithoutOrders(customer(s, d), orders(s, d))),
+
+    // ---- §2.2 CellPhe pipeline operators --------------------------
+    "q_filter_min_obs" -> ((s, d) =>
+      Quality.filterSizeAndObservations(events(s, d), "user_id", col("value"), 10.0, 50L)
+        .select("event_id", "user_id", "value")),
+    "q_sessionize" -> ((s, d) =>
+      Sessionize(events(s, d), "user_id", col("event_id"), unix_timestamp(col("ts")), 21600L)
+        .select("event_id", "user_id", "session_id")),
+    "q_movement" -> ((s, d) =>
+      Movement.features(eventsXY(s, d), "user_id", col("event_id"), col("ts_s"),
+          col("x"), col("y"))
+        .select(col("event_id"), col("user_id"),
+          round(col("dis"), 4).as("dis"), round(col("trac"), 4).as("trac"),
+          round(col("d2t"), 6).as("d2t"), round(col("vel"), 6).as("vel"))),
+    "q_frame_stats" -> ((s, d) =>
+      Quality.frameStats(events(s, d).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        Seq(col("event_type"), col("day")), col("value"))),
+    "q_ts_elevation" -> ((s, d) =>
+      TimeSeries.elevation(events(s, d), "user_id", col("event_id"), col("value"))),
+    "q_ts_wavelet" -> ((s, d) =>
+      TimeSeries.haarEnergies(events(s, d), "user_id", col("event_id"), col("value"))),
+    "q_density_grid" -> ((s, d) =>
+      Density.grid(eventsXY(s, d), Seq(col("event_type")), col("x"), col("y"), 20.0, 10.0)),
+    "q_qc_track_summary" -> ((s, d) =>
+      Quality.trackSummary(events(s, d), "user_id", col("ts"), col("value"))),
+    "q_qc_duplicates" -> ((s, d) =>
+      Quality.duplicates(events(s, d), "user_id",
+        unix_timestamp(date_trunc("day", col("ts"))))),
+    "q_stream_window" -> ((s, d) => StreamOps.windowedCounts(events(s, d))),
+    "q_mm_decode" -> ((s, d) =>
+      Binary.decodeMeta(s, Binary.withPayload(documents(s, d))).toDF()),
+
+    // ---- §2.3 training-data pipeline ------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d), col("doc_id"), col("text"))),
+    "q_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(documents(s, d), col("doc_id"), col("text"), 3, 0.5, 1000L)),
+    "q_minhash_pairs" -> ((s, d) =>
+      MinHashLSH.nearDupPairs(documents(s, d), col("doc_id"), col("text"), 3, 64, 16, 0.5)),
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "q_text_tokens" -> ((s, d) =>
+      TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
+    "q_text_quality" -> ((s, d) =>
+      TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
+    "q_lang_id" -> ((s, d) =>
+      TextFeatures.langId(documents(s, d), col("doc_id"), col("text"))),
+  )
+
+  // ---- DuckDB oracle SQL -----------------------------------------
+  // Parity rules (SURVEY.md §3): decimal-cast sums, round()ed derived
+  // doubles, epoch_us(ts)//1000000 for seconds, ORDER only inside
+  // window specs, per-entity ordering by the unique event_id.
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_topk_revenue" ->
+      """SELECT l.l_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q05_local_supplier" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin,
+
+    "q06_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_filter_min_obs" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 10
+        |QUALIFY COUNT(*) OVER (PARTITION BY user_id) >= 50""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts)//1000000 AS ts_s FROM events
+        |), g AS (
+        |  SELECT event_id, user_id, ts_s,
+        |    CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |           OR ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY event_id) > 21600
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM base)
+        |SELECT event_id, user_id,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM g""".stripMargin,
+
+    "q_movement" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts)//1000000 AS ts_s, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), stepped AS (
+        |  SELECT event_id, user_id, x, y, ts_s,
+        |    FIRST_VALUE(x) OVER w AS x0, FIRST_VALUE(y) OVER w AS y0,
+        |    x - LAG(x) OVER w AS dx, CAST(y - LAG(y) OVER w AS DOUBLE) AS dy,
+        |    ts_s - LAG(ts_s) OVER w AS dt
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), st2 AS (
+        |  SELECT *, COALESCE(sqrt(dx*dx + dy*dy), 0.0) AS step,
+        |    sqrt((x-x0)*(x-x0) + CAST((y-y0)*(y-y0) AS DOUBLE)) AS dis
+        |  FROM stepped
+        |), st3 AS (
+        |  SELECT event_id, user_id, dis,
+        |    SUM(step) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trac,
+        |    0.0028 * step / CAST(COALESCE(dt, 1) AS DOUBLE) AS vel
+        |  FROM st2)
+        |SELECT event_id, user_id, ROUND(dis, 4) AS dis, ROUND(trac, 4) AS trac,
+        |  ROUND(CASE WHEN trac = 0.0 THEN 0.0 ELSE dis / trac END, 6) AS d2t,
+        |  ROUND(vel, 6) AS vel
+        |FROM st3""".stripMargin,
+
+    "q_frame_stats" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v_sum,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 4) AS v_avg,
+        |  ROUND(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+        |    - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+        |      * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 4) AS v_std,
+        |  ROUND(MIN(value), 4) AS v_min, ROUND(MAX(value), 4) AS v_max
+        |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""".stripMargin,
+
+    "q_ts_elevation" ->
+      """WITH d AS (
+        |  SELECT user_id, value AS v,
+        |    value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS dv
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_obs,
+        |  CAST(SUM(CAST(CASE WHEN dv > 0 THEN dv ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS ascent,
+        |  CAST(SUM(CAST(CASE WHEN dv < 0 THEN -dv ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS descent,
+        |  ROUND(MAX(v), 4) AS max_v, ROUND(MIN(v), 4) AS min_v,
+        |  ROUND(MAX(v) - MIN(v), 4) AS range_v
+        |FROM d GROUP BY user_id""".stripMargin,
+
+    "q_ts_wavelet" ->
+      """WITH base AS (
+        |  SELECT user_id, value AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events
+        |), lvl1 AS (
+        |  SELECT user_id, (rn - 1) // 2 AS pair, COUNT(*) AS cnt,
+        |    SUM(CASE WHEN rn % 2 = 1 THEN v ELSE -v END) / sqrt(2.0) AS d1,
+        |    SUM(v) / sqrt(2.0) AS a1
+        |  FROM base GROUP BY user_id, (rn - 1) // 2
+        |  HAVING COUNT(*) = 2
+        |), lvl2 AS (
+        |  SELECT user_id, COUNT(*) AS n_pairs_l2,
+        |    ROUND(CAST(SUM(CAST(d2 * d2 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS l2_energy
+        |  FROM (
+        |    SELECT user_id, pair // 2 AS ppair, COUNT(*) AS cnt2,
+        |      SUM(CASE WHEN pair % 2 = 0 THEN a1 ELSE -a1 END) / sqrt(2.0) AS d2
+        |    FROM lvl1 GROUP BY user_id, pair // 2 HAVING COUNT(*) = 2)
+        |  GROUP BY user_id
+        |), e1 AS (
+        |  SELECT user_id, COUNT(*) AS n_pairs_l1,
+        |    ROUND(CAST(SUM(CAST(d1 * d1 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS l1_energy
+        |  FROM lvl1 GROUP BY user_id)
+        |SELECT e1.user_id, e1.n_pairs_l1, e1.l1_energy,
+        |  COALESCE(lvl2.n_pairs_l2, 0) AS n_pairs_l2,
+        |  COALESCE(lvl2.l2_energy, 0.0) AS l2_energy
+        |FROM e1 LEFT JOIN lvl2 ON e1.user_id = lvl2.user_id""".stripMargin,
+
+    "q_density_grid" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 20.0) AS BIGINT) AS gx,
+        |  CAST(floor(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) / 10.0) AS BIGINT) AS gy,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_qc_track_summary" ->
+      """SELECT user_id, COUNT(*) AS n_obs,
+        |  MIN(epoch_us(ts)//1000000) AS first_s,
+        |  MAX(epoch_us(ts)//1000000) AS last_s,
+        |  MAX(epoch_us(ts)//1000000) - MIN(epoch_us(ts)//1000000) AS span_s,
+        |  ROUND(MIN(value), 4) AS v_min, ROUND(MAX(value), 4) AS v_max,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 4) AS v_avg
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_qc_duplicates" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts))//1000000 AS frame, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts))//1000000 AS win_start_s, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM tok, UNNEST(range(1, len(tk) - 1)) AS t(i)
+        |  WHERE len(tk) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), keep AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), post AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes s1 ON pairs.d1 = s1.doc_id
+        |JOIN sizes s2 ON pairs.d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * c.nrm) AS sim
+        |  FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+        |  ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS stop_cnt
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars_m, len(tk) AS n_tokens,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 4) AS digit_ratio,
+        |  ROUND(CAST(stop_cnt AS DOUBLE) / len(tk), 4) AS stop_ratio,
+        |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
+        |FROM t""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, x -> x IN ('the','is','and','of'))) AS s_en,
+        |    len(list_filter(tk, x -> x IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(tk, x -> x IN ('el','los','y','que'))) AS s_es,
+        |    len(list_filter(tk, x -> x IN ('der','und','die','nicht'))) AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_en, s_fr, s_es, s_de, s_zh,
+        |  CASE WHEN s_zh > 0 THEN 'zh'
+        |       WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |       ELSE 'de' END AS pred_lang
+        |FROM sc""".stripMargin,
+  )
 }

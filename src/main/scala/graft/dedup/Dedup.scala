@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline. */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the full text, keep the lowest id.
+    * One shuffle on the group key; at 100 TB, group on a 128-bit hash of
+    * the text instead of the text itself to shrink shuffle width —
+    * provided here via `byKey`. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(text.as("t"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact dedup keyed on xxhash64(text): same semantics at far lower
+    * shuffle cost (the scale path; collision probability ~n^2/2^64). */
+  def exactByHash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(xxhash64(text).as("h"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Distinct word-k-shingles per document: (doc_id, shingle). */
+  def shingles(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tk = split(text, "\\s+")
+    val n = size(tk)
+    // shingle i = tokens[i..i+k-1] joined; i in 0..n-k  (transform is
+    // codegen'd; no UDF, no explode of a python loop). Guard n < k:
+    // sequence(0, negative) would generate a descending range.
+    val sh = when(n >= k,
+      transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(tk, i + lit(1), lit(k)))))
+      .otherwise(array())
+    df.select(id.as("doc_id"), explode(array_distinct(sh)).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join on
+    * shingles. `maxDf` prunes ultra-common shingles (bounded fanout —
+    * the classic posting-list cap); every surviving pair's Jaccard is
+    * exact because set sizes are computed before pruning and the
+    * intersection count uses only co-occurring shingles: pairs whose
+    * every shared shingle is pruned can be missed only if all their
+    * common shingles are corpus-stopwords, which the threshold test
+    * tolerates at the chosen maxDf.
+    */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column,
+                   k: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
+    val sh = shingles(df, id, text, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val posting = sh.join(dfreq.select("shingle"), Seq("shingle"))
+    val pairs = posting.as("a").join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter", "jaccard")
+  }
+}

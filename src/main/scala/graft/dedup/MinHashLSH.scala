@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding near-duplicate detection — the 100 TB path.
+  *
+  * shingle -> xxhash64 -> k universal-hash permutations -> per-doc min
+  * per permutation -> band hashes -> bucket join for candidates ->
+  * exact-Jaccard verification of candidates only. Cost is linear in
+  * corpus size plus the (small) candidate set; the all-pairs join of
+  * `Dedup.jaccardPairs` is the correctness oracle at test scale.
+  *
+  * All hashing is deterministic (fixed seeds) so results are stable
+  * across runs and partitionings.
+  */
+object MinHashLSH {
+  private val Prime = 2305843009213693951L // 2^61 - 1
+
+  /** Deterministic odd multipliers/offsets for the k permutations. */
+  private def coeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = 0x9e3779b97f4a7c15L * (2L * i + 1)
+      val b = 0xc2b2ae3d27d4eb4fL * (i + 1)
+      (a | 1L, b)
+    }
+
+  /** (doc_id, minhash array of length k). */
+  def signatures(df: DataFrame, id: Column, text: Column, shingleK: Int, k: Int): DataFrame = {
+    val sh = Dedup.shingles(df, id, text, shingleK)
+      .withColumn("h", xxhash64(col("shingle")))
+    val mins = coeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Prime).as(s"m$i")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from `bands` bands of `rowsPerBand` signature rows. */
+  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws("_", b, slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))
+          .cast("array<string>"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Full pipeline: LSH candidates verified by exact Jaccard >= threshold. */
+  def nearDupPairs(df: DataFrame, id: Column, text: Column, shingleK: Int = 3,
+                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sigs = signatures(df, id, text, shingleK, k)
+    val cand = candidatePairs(sigs, bands, k / bands)
+    val sh = Dedup.shingles(df, id, text, shingleK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // verify candidates only: semi-restrict postings to candidate docs
+    val docs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val post = sh.join(docs, Seq("doc_id"))
+    val inter = post.as("a").join(post.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("d1", "d2"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+}

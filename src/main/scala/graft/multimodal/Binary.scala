@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Media metadata produced by the (stubbed) decoder. */
+case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
+                     width: Int, height: Int, n_frames: Int, checksum: Long)
+
+/** Multimodal column plumbing (reference: per-frame TIFF handling in
+  * bin/frame_features_image.py — load_image / normalise / feature
+  * extract). Images/audio/video are opaque `binary` columns with typed
+  * metadata; the decode step is a deterministic STUB (image/audio
+  * libraries are not in this container) but the Spark-side plumbing —
+  * schema, batched per-partition decode, partitioning — is real.
+  */
+object Binary {
+
+  /** Attach a binary payload column (test harness: text bytes stand in
+    * for encoded media). */
+  def withPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload", col("text").cast("binary"))
+      .withColumn("kind", lit("image/fake"))
+
+  /** Batched decode over partitions. Real decoders amortise codec init
+    * per batch exactly like this; here the decode itself is a
+    * deterministic fake (dimensions derived from byte stats).
+    * STUB: replace `fakeDecode` with a real codec when available. */
+  def decodeMeta(spark: SparkSession, df: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch "codec init" would happen here
+          batch.iterator.map { case (id, kind, bytes) => fakeDecode(id, kind, bytes) }
+        }
+      }
+  }
+
+  private def fakeDecode(id: Long, kind: String, bytes: Array[Byte]): MediaMeta = {
+    var cs = 1469598103934665603L // FNV-1a
+    var i = 0
+    while (i < bytes.length) { cs = (cs ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1 }
+    val w = 16 + math.floorMod(cs, 512).toInt
+    val h = 16 + math.floorMod(cs >> 16, 512).toInt
+    MediaMeta(id, kind, bytes.length, w, h, 1 + math.floorMod(bytes.length, 8), cs)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Numeric._
+
+/** Relational core: the substrate every CellPhe pipeline stage runs on
+  * (scan/filter/agg/join/window/topk). TPC-H-shaped so the plans are
+  * recognisable; dimension sides broadcast explicitly.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with map-side
+    * partial aggregation; single scan, filter pushed to parquet. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        davg(col("l_quantity"), 2, 4).as("avg_qty"),
+        davg(col("l_extendedprice"), 2, 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped: selective dim filters -> fact join -> agg -> top-k.
+    * Customer/orders sides are small relative to lineitem; Catalyst
+    * broadcasts below the threshold, AQE re-plans at runtime. */
+  def topkRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem.filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped multi-way join; nation/region/supplier broadcast. */
+  def localSupplier(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val r = region.filter(col("r_name") === "ASIA")
+    val dims = broadcast(
+      nation.join(r, nation("n_regionkey") === r("r_regionkey")).select("n_nationkey", "n_name"))
+    val sup = broadcast(supplier.select("s_suppkey", "s_nationkey"))
+    lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  /** TPC-H Q6-shaped: pure filter + single agg; every predicate and the
+    * two-column projection must reach the parquet scan. */
+  def filterAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+
+  /** Window functions: per-customer order rank + running spend. */
+  def windowRank(orders: DataFrame): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .withColumn("rnk", row_number().over(byPrice))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(28,2)")).over(byDate).cast("double"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "rnk", "running_spend")
+  }
+
+  /** Anti join: customers that never ordered (existence filters are
+    * semi/anti joins, never distinct-join-distinct). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+}

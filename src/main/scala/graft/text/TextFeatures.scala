@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for the training-data pipeline: token stats, quality
+  * scoring, heuristic language-ID. All pure column expressions —
+  * whole-stage-codegen friendly, no UDFs.
+  */
+object TextFeatures {
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (alpha runs / digit runs / single punctuation marks). */
+  def tokenStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(tokens(text)).as("n_ws_tokens"),
+      regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"),
+      regexp_count(text, lit("[A-Za-z]+")).as("n_alpha_tokens"),
+      round(length(regexp_replace(text, "\\s", "")).cast("double") /
+        size(tokens(text)), 4).as("avg_token_len"))
+
+  /** Quality scoring: length, punctuation/digit/stopword ratios and a
+    * boolean keep flag (the usual pre-training corpus filters). */
+  def quality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = tokens(text)
+    val nTok = size(tk).cast("double")
+    val stopCnt = size(filter(tk, t => StopWords.foldLeft(lit(false))((acc, s) => acc || t === s)))
+    df.select(
+      id.as("doc_id"),
+      length(text).as("n_chars_m"),
+      size(tk).as("n_tokens"),
+      round(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text), 4).as("punct_ratio"),
+      round(regexp_count(text, lit("[0-9]")).cast("double") / length(text), 4).as("digit_ratio"),
+      round(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
+      (size(tk) >= 5 && size(tk) <= 2000 &&
+        stopCnt.cast("double") / nTok >= 0.05).as("keep"))
+  }
+
+  /** Heuristic language-ID: marker-word scores per language with a fixed
+    * precedence order for the argmax (en > fr > es > de), plus a CJK
+    * character check for zh. Deterministic, SQL-expressible. */
+  def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = tokens(text)
+    def score(words: Seq[String]): Column =
+      size(filter(tk, t => words.foldLeft(lit(false))((acc, s) => acc || t === s)))
+    val en = score(Seq("the", "is", "and", "of"))
+    val fr = score(Seq("le", "la", "et", "les"))
+    val es = score(Seq("el", "los", "y", "que"))
+    val de = score(Seq("der", "und", "die", "nicht"))
+    val zh = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+    val best = greatest(en, fr, es, de)
+    val pred = when(zh > 0, "zh")
+      .when(best === 0, "und")
+      .when(en === best, "en")
+      .when(fr === best, "fr")
+      .when(es === best, "es")
+      .otherwise("de")
+    df.select(id.as("doc_id"), en.as("s_en"), fr.as("s_fr"), es.as("s_es"),
+      de.as("s_de"), zh.as("s_zh"), pred.as("pred_lang"))
+  }
+}
