@@ -228,31 +228,25 @@ object SparkEntry {
 
     "q_ts_wavelet" ->
       """WITH base AS (
-        |  SELECT user_id, value AS v,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-        |  FROM events
-        |), lvl1 AS (
-        |  SELECT user_id, (rn - 1) // 2 AS pair, COUNT(*) AS cnt,
-        |    SUM(CASE WHEN rn % 2 = 1 THEN v ELSE -v END) / sqrt(2.0) AS d1,
-        |    SUM(v) / sqrt(2.0) AS a1
-        |  FROM base GROUP BY user_id, (rn - 1) // 2
-        |  HAVING COUNT(*) = 2
-        |), lvl2 AS (
-        |  SELECT user_id, COUNT(*) AS n_pairs_l2,
-        |    ROUND(CAST(SUM(CAST(d2 * d2 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS l2_energy
-        |  FROM (
-        |    SELECT user_id, pair // 2 AS ppair, COUNT(*) AS cnt2,
-        |      SUM(CASE WHEN pair % 2 = 0 THEN a1 ELSE -a1 END) / sqrt(2.0) AS d2
-        |    FROM lvl1 GROUP BY user_id, pair // 2 HAVING COUNT(*) = 2)
-        |  GROUP BY user_id
-        |), e1 AS (
-        |  SELECT user_id, COUNT(*) AS n_pairs_l1,
-        |    ROUND(CAST(SUM(CAST(d1 * d1 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS l1_energy
-        |  FROM lvl1 GROUP BY user_id)
-        |SELECT e1.user_id, e1.n_pairs_l1, e1.l1_energy,
-        |  COALESCE(lvl2.n_pairs_l2, 0) AS n_pairs_l2,
-        |  COALESCE(lvl2.l2_energy, 0.0) AS l2_energy
-        |FROM e1 LEFT JOIN lvl2 ON e1.user_id = lvl2.user_id""".stripMargin,
+        |  SELECT user_id, value AS v, ROW_NUMBER() OVER w AS rn,
+        |    LEAD(value, 1) OVER w AS v1, LEAD(value, 2) OVER w AS v2,
+        |    LEAD(value, 3) OVER w AS v3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), f AS (
+        |  SELECT user_id,
+        |    CASE WHEN rn % 2 = 1 AND v1 IS NOT NULL THEN 1 ELSE 0 END AS p1,
+        |    CASE WHEN rn % 4 = 1 AND v3 IS NOT NULL THEN 1 ELSE 0 END AS p2,
+        |    (v - v1) / sqrt(2.0) AS d1,
+        |    (v + v1 - v2 - v3) / 2.0 AS d2
+        |  FROM base)
+        |SELECT user_id,
+        |  SUM(p1) AS n_pairs_l1,
+        |  COALESCE(ROUND(CAST(SUM(CASE WHEN p1 = 1 THEN CAST(d1 * d1 AS DECIMAL(28,8)) END) AS DOUBLE)
+        |    / CAST(SUM(p1) AS DOUBLE), 6), 0.0) AS l1_energy,
+        |  SUM(p2) AS n_pairs_l2,
+        |  COALESCE(ROUND(CAST(SUM(CASE WHEN p2 = 1 THEN CAST(d2 * d2 AS DECIMAL(28,8)) END) AS DOUBLE)
+        |    / CAST(SUM(p2) AS DOUBLE), 6), 0.0) AS l2_energy
+        |FROM f GROUP BY user_id""".stripMargin,
 
     "q_density_grid" ->
       """SELECT event_type,

@@ -15,23 +15,14 @@ import org.apache.spark.sql.functions._
   * across runs and partitionings.
   */
 object MinHashLSH {
-  private val Prime = 2305843009213693951L // 2^61 - 1
 
-  /** Deterministic odd multipliers/offsets for the k permutations. */
-  private def coeffs(k: Int): Seq[(Long, Long)] =
-    (0 until k).map { i =>
-      val a = 0x9e3779b97f4a7c15L * (2L * i + 1)
-      val b = 0xc2b2ae3d27d4eb4fL * (i + 1)
-      (a | 1L, b)
-    }
-
-  /** (doc_id, minhash array of length k). */
+  /** (doc_id, minhash array of length k). Permutation i is the seeded
+    * hash xxhash64(shingle, i) — k independent hash families with no
+    * modular arithmetic (Spark 4 ANSI mode forbids overflowing
+    * multiply-shift hashing). */
   def signatures(df: DataFrame, id: Column, text: Column, shingleK: Int, k: Int): DataFrame = {
     val sh = Dedup.shingles(df, id, text, shingleK)
-      .withColumn("h", xxhash64(col("shingle")))
-    val mins = coeffs(k).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % Prime).as(s"m$i")
-    }
+    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))

@@ -33,35 +33,36 @@ object TimeSeries {
   }
 
   /** Haar wavelet detail energies, levels 1-2: mean of squared detail
-    * coefficients per entity. d1_i = (v_{2i-1} - v_{2i})/sqrt(2) over
-    * the time-ordered series; level 2 runs on the level-1 approximation
-    * coefficients a1_i = (v_{2i-1} + v_{2i})/sqrt(2). Incomplete tail
-    * pairs are dropped (count = 2 guard). */
+    * coefficients per entity over the time-ordered series.
+    *   d1_i = (v_{2i-1} - v_{2i}) / sqrt(2)
+    *   d2_j = (v_{4j-3} + v_{4j-2} - v_{4j-1} - v_{4j}) / 2
+    * (the level-2 coefficient expanded through the level-1
+    * approximations). Incomplete tail blocks are dropped.
+    *
+    * Formulated with lead() so the whole computation is ONE scan, one
+    * shuffle, one window and one aggregate — a naive per-level
+    * groupBy+join duplicates the scan+window subtree. Entities with no
+    * complete pair report zero energies. */
   def haarEnergies(df: DataFrame, entity: String, ord: Column, v: Column): DataFrame = {
     val w = Window.partitionBy(col(entity)).orderBy(ord)
-    val sqrt2 = sqrt(lit(2.0))
-    val rows = df.withColumn("_v", v).withColumn("_rn", row_number().over(w))
-    val lvl1 = rows
-      .withColumn("_pair", floor((col("_rn") - 1) / 2))
-      .withColumn("_signed", when(col("_rn") % 2 === 1, col("_v")).otherwise(-col("_v")))
-      .groupBy(col(entity), col("_pair"))
-      .agg(count(lit(1)).as("_cnt"),
-        (sum(col("_signed")) / sqrt2).as("_d1"),
-        (sum(col("_v")) / sqrt2).as("_a1"))
-      .filter(col("_cnt") === 2)
-    val lvl2 = lvl1
-      .withColumn("_ppair", floor(col("_pair") / 2))
-      .withColumn("_signed2", when(col("_pair") % 2 === 0, col("_a1")).otherwise(-col("_a1")))
-      .groupBy(col(entity), col("_ppair"))
-      .agg(count(lit(1)).as("_cnt2"), (sum(col("_signed2")) / sqrt2).as("_d2"))
-      .filter(col("_cnt2") === 2)
-      .groupBy(col(entity))
-      .agg(count(lit(1)).as("n_pairs_l2"),
-        round(dsum(col("_d2") * col("_d2"), 8) / count(lit(1)), 6).as("l2_energy"))
-    val e1 = lvl1.groupBy(col(entity))
-      .agg(count(lit(1)).as("n_pairs_l1"),
-        round(dsum(col("_d1") * col("_d1"), 8) / count(lit(1)), 6).as("l1_energy"))
-    e1.join(lvl2, Seq(entity), "left")
-      .na.fill(0L, Seq("n_pairs_l2")).na.fill(0.0, Seq("l2_energy"))
+    val rows = df.withColumn("_v", v)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_v1", lead(col("_v"), 1).over(w))
+      .withColumn("_v2", lead(col("_v"), 2).over(w))
+      .withColumn("_v3", lead(col("_v"), 3).over(w))
+    val d1 = (col("_v") - col("_v1")) / sqrt(lit(2.0))
+    val d2 = (col("_v") + col("_v1") - col("_v2") - col("_v3")) / 2.0
+    val isP1 = col("_rn") % 2 === 1 && col("_v1").isNotNull
+    val isP2 = col("_rn") % 4 === 1 && col("_v3").isNotNull
+    val n1 = sum(when(isP1, 1L).otherwise(0L))
+    val n2 = sum(when(isP2, 1L).otherwise(0L))
+    rows.groupBy(col(entity))
+      .agg(
+        n1.as("n_pairs_l1"),
+        coalesce(round(sum(when(isP1, (d1 * d1).cast("decimal(28,8)"))).cast("double") /
+          n1, 6), lit(0.0)).as("l1_energy"),
+        n2.as("n_pairs_l2"),
+        coalesce(round(sum(when(isP2, (d2 * d2).cast("decimal(28,8)"))).cast("double") /
+          n2, 6), lit(0.0)).as("l2_energy"))
   }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, MinHashLSH}
+import graft.text.TextFeatures
+import graft.vector.Similarity
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per duplicate group") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, col("doc_id"), col("text"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+    val byHash = Dedup.exactByHash(df, col("doc_id"), col("text"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(byHash == got)
+  }
+
+  test("shingles: distinct k-grams, short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Dedup.shingles(df, col("doc_id"), col("text"), 3)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("jaccard pairs: identical docs have jaccard 1.0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, col("doc_id"), col("text"), 3, 0.5, 100L)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on real corpus (sf0.001)") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, 1000L)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = MinHashLSH.nearDupPairs(docs, col("doc_id"), col("text"), 3, 64, 16, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // LSH candidates are verified by exact jaccard -> lsh is a subset;
+    // with 16 bands x 4 rows recall at j>=0.5 is ~1 on this corpus.
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats on a known string") {
+    val df = Seq((1L, "Hello world, 42 times!")).toDF("doc_id", "text")
+    val r = TextFeatures.tokenStats(df, col("doc_id"), col("text"))
+      .select("n_ws_tokens", "n_bpe_tokens", "n_alpha_tokens", "avg_token_len")
+      .as[(Int, Int, Int, Double)].head()
+    // ws: [Hello, world,, 42, times!] ; bpe: Hello world , 42 times ! = 6
+    assert(r._1 == 4 && r._2 == 6 && r._3 == 3)
+    assert(r._4 == round(19.0 / 4, 4))
+  }
+
+  private def round(x: Double, n: Int): Double =
+    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("quality flags short docs") {
+    val df = Seq((1L, "too short"), (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val r = TextFeatures.quality(df, col("doc_id"), col("text"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!r(1L) && r(2L))
+  }
+
+  test("langId marks CJK as zh and marker-free text as und") {
+    val df = Seq((1L, "你好 world"), (2L, "zzz qqq"), (3L, "the cat is here"))
+      .toDF("doc_id", "text")
+    val r = TextFeatures.langId(df, col("doc_id"), col("text"))
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "zh", 2L -> "und", 3L -> "en"))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force cosine top-k ranks exact neighbours") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").select("n_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("dot/norm helpers") {
+    val df = Seq((Array(3.0f, 4.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val (d, n) = df.select(Similarity.dot(col("a"), col("b")), Similarity.norm(col("a")))
+      .as[(Double, Double)].head()
+    assert(d == 3.0 && n == 5.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("binary decode stub is deterministic with stable schema") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val out = graft.multimodal.Binary.decodeMeta(spark, graft.multimodal.Binary.withPayload(docs))
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(m => m.width >= 16 && m.height >= 16 && m.n_bytes > 0))
+    val again = graft.multimodal.Binary.decodeMeta(spark,
+      graft.multimodal.Binary.withPayload(docs)).collect()
+    assert(rows.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+class EntrySpec extends SparkSpec {
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and every oracle key has a query") {
+    SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k), k))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
+
+/** Plan-shape guards: the properties that matter at 100 TB. */
+class PlanSpec extends SparkSpec {
+  private def executed(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan
+  }
+
+  test("q06 pushes filters and prunes columns at the parquet scan") {
+    val s = executed("q06_filter_agg").toString
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("l_shipdate"), "shipdate filter not pushed")
+    // projection pruned to the referenced columns only
+    assert(!s.contains("l_orderkey"), "scan reads unneeded columns")
+  }
+
+  test("q05 broadcasts the dimension sides") {
+    val s = executed("q05_local_supplier").toString
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+  }
+
+  test("movement pipeline shuffles once (windows share the partitioning)") {
+    val s = executed("q_movement").toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
+  }
+
+  test("wavelet pipeline: one scan, one shuffle, codegen in the hot path") {
+    val df = SparkEntry.queries("q_ts_wavelet")(spark, sfDir)
+    df.collect() // finalize THIS df's adaptive plan (count() builds a new one)
+    // the adaptive toString appends "== Initial Plan ==" after the final plan
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(s).length == 1, "scan duplicated")
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 1,
+      "expected a single shuffle")
+    // codegen'd operators carry the "*(n)" stage marker in the final plan
+    assert(s.contains("*("), s.take(1500))
+  }
+}
