@@ -22,19 +22,12 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Distinct word-k-shingles per document: (doc_id, shingle). */
-  def shingles(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val tk = split(text, "\\s+")
-    val n = size(tk)
-    // shingle i = tokens[i..i+k-1] joined; i in 0..n-k  (transform is
-    // codegen'd; no UDF, no explode of a python loop). Guard n < k:
-    // sequence(0, negative) would generate a descending range.
-    val sh = when(n >= k,
-      transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(tk, i + lit(1), lit(k)))))
-      .otherwise(array())
-    df.select(id.as("doc_id"), explode(array_distinct(sh)).as("shingle"))
-      .filter(length(col("shingle")) > 0)
-  }
+  /** Distinct word-k-shingles per document: (doc_id, shingle).
+    * One-pass custom Expression (see WordShingles for why not the
+    * composable transform/slice/concat_ws formulation). */
+  def shingles(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    df.select(id.as("doc_id"),
+      explode(graft.functions.WordShingles(text, k)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join on
     * shingles. `maxDf` prunes ultra-common shingles (bounded fanout —
@@ -47,7 +40,11 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    k: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
+    // The shingle set feeds four consumers (sizes, doc-freq, both sides
+    // of the inverted-index join); without persist Spark re-shingles the
+    // corpus for each — at 100 TB that is 4 full passes.
     val sh = shingles(df, id, text, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)

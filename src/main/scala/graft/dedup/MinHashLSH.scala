@@ -20,10 +20,16 @@ object MinHashLSH {
     * hash xxhash64(shingle, i) — k independent hash families with no
     * modular arithmetic (Spark 4 ANSI mode forbids overflowing
     * multiply-shift hashing). */
-  def signatures(df: DataFrame, id: Column, text: Column, shingleK: Int, k: Int): DataFrame = {
-    val sh = Dedup.shingles(df, id, text, shingleK)
-    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
-    sh.groupBy(col("doc_id"))
+  def signatures(df: DataFrame, id: Column, text: Column, shingleK: Int, k: Int): DataFrame =
+    signaturesFromShingles(Dedup.shingles(df, id, text, shingleK), k)
+
+  def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+    // one string hash per posting; k permutations are cheap long
+    // multiplies (custom Expression — see MinHashPerms)
+    val perms = sh.withColumn("_perms",
+      graft.functions.MinHashPerms(xxhash64(col("shingle")), k))
+    val mins = (0 until k).map(i => min(element_at(col("_perms"), i + 1)).as(s"m$i"))
+    perms.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -45,9 +51,17 @@ object MinHashLSH {
   /** Full pipeline: LSH candidates verified by exact Jaccard >= threshold. */
   def nearDupPairs(df: DataFrame, id: Column, text: Column, shingleK: Int = 3,
                    k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val sigs = signatures(df, id, text, shingleK, k)
+    // shingles feed the signatures AND the verification join: persist to
+    // avoid re-shingling the corpus (see Dedup.jaccardPairs).
+    val shAll = Dedup.shingles(df, id, text, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures feed both sides of the band self-join; persist the
+    // (small: one row per doc) signature table to avoid recomputing the
+    // 64-way min-aggregate twice.
+    val sigs = signaturesFromShingles(shAll, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(sigs, bands, k / bands)
-    val sh = Dedup.shingles(df, id, text, shingleK)
+    val sh = shAll
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // verify candidates only: semi-restrict postings to candidate docs
     val docs = cand.select(col("d1").as("doc_id"))
