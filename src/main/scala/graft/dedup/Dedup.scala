@@ -45,6 +45,7 @@ object Dedup {
     // corpus for each — at 100 TB that is 4 full passes.
     val sh = shingles(df, id, text, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // materialize once; lazy persist would be computed by each branch
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)

@@ -55,11 +55,13 @@ object MinHashLSH {
     // avoid re-shingling the corpus (see Dedup.jaccardPairs).
     val shAll = Dedup.shingles(df, id, text, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shAll.count() // materialize before fan-out (see Dedup.jaccardPairs)
     // signatures feed both sides of the band self-join; persist the
     // (small: one row per doc) signature table to avoid recomputing the
     // 64-way min-aggregate twice.
     val sigs = signaturesFromShingles(shAll, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     val cand = candidatePairs(sigs, bands, k / bands)
     val sh = shAll
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
