@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Numeric._
 import graft.olap.Relational
-import graft.operators.{Density, Movement, Quality, Sessionize, TimeSeries}
+import graft.operators.{ConnectedComponents, Density, GapFill, Movement, Quality, Sessionize, TimeSeries}
 import graft.dedup.{Dedup, MinHashLSH}
 import graft.text.TextFeatures
 import graft.vector.Similarity
@@ -56,8 +56,8 @@ object SparkEntry {
       Movement.features(eventsXY(s, d), "user_id", col("event_id"), col("ts_s"),
           col("x"), col("y"))
         .select(col("event_id"), col("user_id"),
-          round(col("dis"), 4).as("dis"), round(col("trac"), 4).as("trac"),
-          round(col("d2t"), 6).as("d2t"), round(col("vel"), 6).as("vel"))),
+          cround(col("dis"), 4).as("dis"), cround(col("trac"), 4).as("trac"),
+          cround(col("d2t"), 6).as("d2t"), cround(col("vel"), 6).as("vel"))),
     "q_frame_stats" -> ((s, d) =>
       Quality.frameStats(events(s, d).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
         Seq(col("event_type"), col("day")), col("value"))),
@@ -73,6 +73,13 @@ object SparkEntry {
       Quality.duplicates(events(s, d), "user_id",
         unix_timestamp(date_trunc("day", col("ts"))))),
     "q_stream_window" -> ((s, d) => StreamOps.windowedCounts(events(s, d))),
+    "q_gap_fill" -> ((s, d) =>
+      GapFill.linear(events(s, d), "user_id",
+        expr("unix_timestamp(ts) div 3600"), col("value"))),
+    "q_connected_components" -> ((s, d) =>
+      // order/part bipartite graph from lineitem (disjoint id spaces)
+      ConnectedComponents.run(lineitem(s, d)
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")))),
     "q_mm_decode" -> ((s, d) =>
       Binary.decodeMeta(s, Binary.withPayload(documents(s, d))).toDF()),
 
@@ -87,6 +94,16 @@ object SparkEntry {
       val emb = embeddings(s, d)
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64)
+    }),
+    "q_simhash" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        graft.functions.SimHash(col("text")).as("simhash"))),
+    "q_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        graft.functions.PolyFingerprint(col("text")).as("fp"))),
     "q_text_tokens" -> ((s, d) =>
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
@@ -105,8 +122,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |  floor(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -198,20 +215,20 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trac,
         |    0.0028 * step / CAST(COALESCE(dt, 1) AS DOUBLE) AS vel
         |  FROM st2)
-        |SELECT event_id, user_id, ROUND(dis, 4) AS dis, ROUND(trac, 4) AS trac,
-        |  ROUND(CASE WHEN trac = 0.0 THEN 0.0 ELSE dis / trac END, 6) AS d2t,
-        |  ROUND(vel, 6) AS vel
+        |SELECT event_id, user_id, floor(dis * 10000.0 + 0.5) / 10000.0 AS dis, floor(trac * 10000.0 + 0.5) / 10000.0 AS trac,
+        |  floor((CASE WHEN trac = 0.0 THEN 0.0 ELSE dis / trac END) * 1000000.0 + 0.5) / 1000000.0 AS d2t,
+        |  floor(vel * 1000000.0 + 0.5) / 1000000.0 AS vel
         |FROM st3""".stripMargin,
 
     "q_frame_stats" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v_sum,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 4) AS v_avg,
-        |  ROUND(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+        |  floor(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS v_avg,
+        |  floor(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
         |    - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
         |      * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 4) AS v_std,
-        |  ROUND(MIN(value), 4) AS v_min, ROUND(MAX(value), 4) AS v_max
+        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0 AS v_std,
+        |  floor(MIN(value) * 10000.0 + 0.5) / 10000.0 AS v_min, floor(MAX(value) * 10000.0 + 0.5) / 10000.0 AS v_max
         |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
     "q_ts_elevation" ->
@@ -222,8 +239,8 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_obs,
         |  CAST(SUM(CAST(CASE WHEN dv > 0 THEN dv ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS ascent,
         |  CAST(SUM(CAST(CASE WHEN dv < 0 THEN -dv ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS descent,
-        |  ROUND(MAX(v), 4) AS max_v, ROUND(MIN(v), 4) AS min_v,
-        |  ROUND(MAX(v) - MIN(v), 4) AS range_v
+        |  floor(MAX(v) * 10000.0 + 0.5) / 10000.0 AS max_v, floor(MIN(v) * 10000.0 + 0.5) / 10000.0 AS min_v,
+        |  floor((MAX(v) - MIN(v)) * 10000.0 + 0.5) / 10000.0 AS range_v
         |FROM d GROUP BY user_id""".stripMargin,
 
     "q_ts_wavelet" ->
@@ -241,11 +258,11 @@ object SparkEntry {
         |  FROM base)
         |SELECT user_id,
         |  SUM(p1) AS n_pairs_l1,
-        |  COALESCE(ROUND(CAST(SUM(CASE WHEN p1 = 1 THEN CAST(d1 * d1 AS DECIMAL(28,8)) END) AS DOUBLE)
-        |    / CAST(SUM(p1) AS DOUBLE), 6), 0.0) AS l1_energy,
+        |  COALESCE(floor(CAST(SUM(CASE WHEN p1 = 1 THEN CAST(d1 * d1 AS DECIMAL(28,8)) END) AS DOUBLE)
+        |    / CAST(SUM(p1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l1_energy,
         |  SUM(p2) AS n_pairs_l2,
-        |  COALESCE(ROUND(CAST(SUM(CASE WHEN p2 = 1 THEN CAST(d2 * d2 AS DECIMAL(28,8)) END) AS DOUBLE)
-        |    / CAST(SUM(p2) AS DOUBLE), 6), 0.0) AS l2_energy
+        |  COALESCE(floor(CAST(SUM(CASE WHEN p2 = 1 THEN CAST(d2 * d2 AS DECIMAL(28,8)) END) AS DOUBLE)
+        |    / CAST(SUM(p2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l2_energy
         |FROM f GROUP BY user_id""".stripMargin,
 
     "q_density_grid" ->
@@ -260,8 +277,8 @@ object SparkEntry {
         |  MIN(epoch_us(ts)//1000000) AS first_s,
         |  MAX(epoch_us(ts)//1000000) AS last_s,
         |  MAX(epoch_us(ts)//1000000) - MIN(epoch_us(ts)//1000000) AS span_s,
-        |  ROUND(MIN(value), 4) AS v_min, ROUND(MAX(value), 4) AS v_max,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 4) AS v_avg
+        |  floor(MIN(value) * 10000.0 + 0.5) / 10000.0 AS v_min, floor(MAX(value) * 10000.0 + 0.5) / 10000.0 AS v_max,
+        |  floor(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS v_avg
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_qc_duplicates" ->
@@ -272,6 +289,53 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts))//1000000 AS win_start_s, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts)//1000000//3600 AS frame,
+        |    MIN(value) AS v_obs
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, MIN(frame) AS f0, MAX(frame) AS f1 FROM obs GROUP BY 1
+        |), dense AS (
+        |  SELECT user_id, UNNEST(range(f0, f1 + 1)) AS frame FROM span
+        |), j AS (
+        |  SELECT d.user_id, d.frame, o.v_obs
+        |  FROM dense d LEFT JOIN obs o ON d.user_id = o.user_id AND d.frame = o.frame
+        |), w AS (
+        |  SELECT user_id, frame, v_obs,
+        |    last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v_obs IS NOT NULL THEN frame END IGNORE NULLS) OVER wp AS pf,
+        |    first_value(v_obs IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v_obs IS NOT NULL THEN frame END IGNORE NULLS) OVER wn AS nf
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY frame ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY frame ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, frame,
+        |  floor((CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |    ELSE pv + (nv - pv) * CAST(frame - pf AS DOUBLE) / CAST(nf - pf AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0 AS v_fill,
+        |  v_obs IS NOT NULL AS is_observed
+        |FROM w""".stripMargin,
+
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+        |), h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM h, range(30) r(b) GROUP BY doc_id, b)
+        |SELECT doc_id, SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -295,7 +359,7 @@ object SparkEntry {
         |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2, inter,
-        |  ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+        |  floor(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM pairs JOIN sizes s1 ON pairs.d1 = s1.doc_id
         |JOIN sizes s2 ON pairs.d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5""".stripMargin,
@@ -320,8 +384,8 @@ object SparkEntry {
         |  len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
-        |  ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |    / len(string_split_regex(text, '\s+')), 4) AS avg_token_len
+        |  floor(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents""".stripMargin,
 
     "q_text_quality" ->
@@ -331,9 +395,9 @@ object SparkEntry {
         |      x -> x IN ('the','a','of','and','to','in','is'))) AS stop_cnt
         |  FROM documents)
         |SELECT doc_id, length(text) AS n_chars_m, len(tk) AS n_tokens,
-        |  ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text), 4) AS punct_ratio,
-        |  ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 4) AS digit_ratio,
-        |  ROUND(CAST(stop_cnt AS DOUBLE) / len(tk), 4) AS stop_ratio,
+        |  floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        |  floor(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
+        |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
 

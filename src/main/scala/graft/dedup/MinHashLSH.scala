@@ -76,9 +76,10 @@ object MinHashLSH {
     cand.join(inter, Seq("d1", "d2"))
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("_jraw", col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("_jraw") >= threshold)
+      .withColumn("jaccard", graft.functions.Numeric.cround(col("_jraw"), 6))
       .select("d1", "d2", "jaccard")
   }
 }

@@ -19,16 +19,28 @@ object Numeric {
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double")
 
+  /** Cross-engine-identical rounding of a NON-NEGATIVE double:
+    * floor(x*10^r + 0.5)/10^r in pure IEEE ops. Engine-native round()
+    * disagrees across engines on boundary values (Spark rounds the
+    * shortest decimal representation of the double, DuckDB rounds in
+    * binary), and derived values like mean-of-2 or linear interpolation
+    * between 2-decimal inputs land on boundaries constantly. The SQL
+    * mirror is `floor(x*1eR + 0.5)/1eR`. */
+  def cround(c: Column, r: Int): Column = {
+    val p = math.pow(10.0, r)
+    floor(c * p + lit(0.5)) / p
+  }
+
   /** Order-independent AVG(x) as double, rounded to `r` places. */
   def davg(c: Column, scale: Int = 4, r: Int = 4): Column =
-    round(dsum(c, scale) / count(lit(1)), r)
+    cround(dsum(c, scale) / count(lit(1)), r)
 
   /** Order-independent sample standard deviation, rounded. */
   def dstddev(c: Column, scale: Int = 4, r: Int = 4): Column = {
     val n  = count(lit(1)).cast("double")
     val s  = dsum(c, scale)
     val s2 = dsum(c * c, scale + 4)
-    round(sqrt((s2 - s * s / n) / (n - lit(1.0))), r)
+    cround(sqrt((s2 - s * s / n) / (n - lit(1.0))), r)
   }
 
   /** Epoch seconds, truncating (matches DuckDB `epoch_us(ts)//1000000`). */

@@ -31,8 +31,8 @@ object Quality {
         min(unix_timestamp(ts)).as("first_s"),
         max(unix_timestamp(ts)).as("last_s"),
         (max(unix_timestamp(ts)) - min(unix_timestamp(ts))).as("span_s"),
-        round(min(v), 4).as("v_min"),
-        round(max(v), 4).as("v_max"),
+        cround(min(v), 4).as("v_min"),
+        cround(max(v), 4).as("v_max"),
         davg(v, 4, 4).as("v_avg"))
 
   /** Duplicate detection (reference: bin/tracking_qc.qmd — multiple
@@ -51,6 +51,6 @@ object Quality {
         dsum(v, 4).as("v_sum"),
         davg(v, 4, 4).as("v_avg"),
         dstddev(v, 4, 4).as("v_std"),
-        round(min(v), 4).as("v_min"),
-        round(max(v), 4).as("v_max"))
+        cround(min(v), 4).as("v_min"),
+        cround(max(v), 4).as("v_max"))
 }

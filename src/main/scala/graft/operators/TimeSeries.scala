@@ -27,9 +27,9 @@ object TimeSeries {
         count(lit(1)).as("n_obs"),
         dsum(when(col("_d") > 0, col("_d")).otherwise(0.0), 6).as("ascent"),
         dsum(when(col("_d") < 0, -col("_d")).otherwise(0.0), 6).as("descent"),
-        round(max(col("_v")), 4).as("max_v"),
-        round(min(col("_v")), 4).as("min_v"),
-        round(max(col("_v")) - min(col("_v")), 4).as("range_v"))
+        cround(max(col("_v")), 4).as("max_v"),
+        cround(min(col("_v")), 4).as("min_v"),
+        cround(max(col("_v")) - min(col("_v")), 4).as("range_v"))
   }
 
   /** Haar wavelet detail energies, levels 1-2: mean of squared detail
@@ -59,10 +59,10 @@ object TimeSeries {
     rows.groupBy(col(entity))
       .agg(
         n1.as("n_pairs_l1"),
-        coalesce(round(sum(when(isP1, (d1 * d1).cast("decimal(28,8)"))).cast("double") /
+        coalesce(cround(sum(when(isP1, (d1 * d1).cast("decimal(28,8)"))).cast("double") /
           n1, 6), lit(0.0)).as("l1_energy"),
         n2.as("n_pairs_l2"),
-        coalesce(round(sum(when(isP2, (d2 * d2).cast("decimal(28,8)"))).cast("double") /
+        coalesce(cround(sum(when(isP2, (d2 * d2).cast("decimal(28,8)"))).cast("double") /
           n2, 6), lit(0.0)).as("l2_energy"))
   }
 }

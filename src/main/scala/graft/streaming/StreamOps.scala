@@ -1,8 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.Numeric._
+
+/** Row of a streaming event for stateful sessionization. */
+case class SessionEvent(user_id: Long, ts_s: Long)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start_s: Long, last_s: Long, n: Long)
+
+/** A closed session emitted once its gap elapses (or the group times out). */
+case class SessionOut(user_id: Long, session_start_s: Long,
+                      session_end_s: Long, n_events: Long)
 
 /** Structured-streaming mirrors of the batch operators. The reference
   * processes timelapses frame-by-frame (an inherently incremental
@@ -22,5 +33,52 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("v_sum"))
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n"), col("v_sum"))
+  }
+
+  /** Stateful gap-based sessionization over an unbounded stream — the
+    * open-ended form of `operators.Sessionize` (track building as
+    * streaming state). State per user is one open session; a session
+    * closes when a later event arrives past the gap, or when the
+    * processing-time timeout fires with no new data. Used with
+    * `flatMapGroupsWithState` so output is append-mode friendly.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSec: Long,
+                       timeoutMs: Long = 30000L,
+                       useTimeout: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    // useTimeout=false keeps the query finite under Trigger.AvailableNow
+    // (ProcessingTimeTimeout schedules micro-batches indefinitely) — the
+    // in-batch/cross-batch gap logic is identical either way.
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start_s, s.last_s, s.n))
+          } else {
+            val sorted = rows.map(_.ts_s).toArray.sorted
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_s <= gapSec =>
+                  cur = Some(SessionState(s.start_s, t, s.n + 1))
+                case Some(s) =>
+                  out ::= SessionOut(user, s.start_s, s.last_s, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (useTimeout) state.setTimeoutDuration(timeoutMs)
+            out.reverseIterator
+          }
+      }
   }
 }

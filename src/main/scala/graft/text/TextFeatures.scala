@@ -21,7 +21,7 @@ object TextFeatures {
       size(tokens(text)).as("n_ws_tokens"),
       regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"),
       regexp_count(text, lit("[A-Za-z]+")).as("n_alpha_tokens"),
-      round(length(regexp_replace(text, "\\s", "")).cast("double") /
+      graft.functions.Numeric.cround(length(regexp_replace(text, "\\s", "")).cast("double") /
         size(tokens(text)), 4).as("avg_token_len"))
 
   /** Quality scoring: length, punctuation/digit/stopword ratios and a
@@ -34,9 +34,9 @@ object TextFeatures {
       id.as("doc_id"),
       length(text).as("n_chars_m"),
       size(tk).as("n_tokens"),
-      round(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text), 4).as("punct_ratio"),
-      round(regexp_count(text, lit("[0-9]")).cast("double") / length(text), 4).as("digit_ratio"),
-      round(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
+      graft.functions.Numeric.cround(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text), 4).as("punct_ratio"),
+      graft.functions.Numeric.cround(regexp_count(text, lit("[0-9]")).cast("double") / length(text), 4).as("digit_ratio"),
+      graft.functions.Numeric.cround(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
       (size(tk) >= 5 && size(tk) <= 2000 &&
         stopCnt.cast("double") / nTok >= 0.05).as("keep"))
   }
