@@ -44,6 +44,16 @@ object SparkEntry {
     "q_window_rank" -> ((s, d) => Relational.windowRank(orders(s, d))),
     "q_anti_join" -> ((s, d) =>
       Relational.customersWithoutOrders(customer(s, d), orders(s, d))),
+    "q02_min_per_group" -> ((s, d) =>
+      Relational.minPricePerPart(lineitem(s, d), part(s, d))),
+    "q13_order_histogram" -> ((s, d) =>
+      Relational.orderCountHistogram(customer(s, d), orders(s, d))),
+    "q16_distinct_suppliers" -> ((s, d) =>
+      Relational.distinctSuppliersPerType(lineitem(s, d), part(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      Relational.largeOrders(lineitem(s, d), orders(s, d), 150.0)),
+    "q22_idle_customers" -> ((s, d) =>
+      Relational.idleRichCustomers(customer(s, d), orders(s, d))),
 
     // ---- §2.2 CellPhe pipeline operators --------------------------
     "q_filter_min_obs" -> ((s, d) =>
@@ -173,6 +183,47 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q02_min_per_group" ->
+      """WITH mins AS (
+        |  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_partkey, p.p_name, m.min_price, l.l_orderkey
+        |FROM lineitem l
+        |JOIN mins m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+        |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+
+    "q13_order_histogram" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q16_distinct_suppliers" ->
+      """SELECT p.p_type, p.p_brand,
+        |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt, COUNT(*) AS line_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_type, p.p_brand""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH totals AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150.0)
+        |SELECT o.o_orderkey, o.o_custkey, t.total_qty, o.o_totalprice
+        |FROM totals t JOIN orders o ON t.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c.c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, a
+        |WHERE c.c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c.c_nationkey""".stripMargin,
 
     "q_filter_min_obs" ->
       """SELECT event_id, user_id, value FROM events

@@ -95,4 +95,61 @@ object Relational {
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
+
+  /** TPC-H Q2-shaped min-per-group + achiever join: cheapest price per
+    * part, keeping every lineitem that achieves it. The min table is an
+    * aggregate of the fact itself — broadcast after aggregation. */
+  def minPricePerPart(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val mins = lineitem.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    lineitem.join(mins, Seq("l_partkey"))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .join(broadcast(part.select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("min_price"), col("l_orderkey"))
+  }
+
+  /** TPC-H Q13-shaped: orders-per-customer distribution including
+    * zero-order customers (left join, count non-null, then histogram). */
+  def orderCountHistogram(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(customer("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q16-shaped: distinct-count aggregate (suppliers per part
+    * type/brand). countDistinct expands to a two-phase aggregate. */
+  def distinctSuppliersPerType(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.join(broadcast(part.select("p_partkey", "p_type", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("line_cnt"))
+
+  /** TPC-H Q18-shaped: orders whose total quantity exceeds a threshold
+    * (aggregate + having + join back for order attributes). */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame, minQty: Double): DataFrame = {
+    val totals = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(28,2)")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    totals.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("total_qty"),
+        col("o_totalprice"))
+  }
+
+  /** TPC-H Q22-shaped: scalar subquery (corpus-wide average) + anti
+    * join, aggregated per nation. The scalar is an order-independent
+    * decimal-exact average so the comparison is cross-engine stable. */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(28,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    customer.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(28,2)")).cast("double").as("totacctbal"))
+  }
 }

@@ -47,17 +47,19 @@ object ConnectedComponents {
     var e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint()
+    // convergence: edge set stable. Order-independent, overflow-free
+    // signature: count + xor of edge hashes (edges are distinct). The
+    // previous round's signature is carried over, not recomputed.
+    def signature(df: DataFrame) =
+      df.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+    var prevSig = signature(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // convergence: edge set stable. Order-independent, overflow-free
-      // signature: count + xor of edge hashes (edges are distinct).
-      def signature(df: DataFrame) =
-        df.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
       val sig = signature(next)
-      val prevSig = signature(e)
       converged = sig == prevSig
+      prevSig = sig
       e = next
       i += 1
     }
