@@ -75,6 +75,11 @@ object SparkEntry {
       TimeSeries.elevation(events(s, d), "user_id", col("event_id"), col("value"))),
     "q_ts_wavelet" -> ((s, d) =>
       TimeSeries.haarEnergies(events(s, d), "user_id", col("event_id"), col("value"))),
+    "q_ts_autocorr" -> ((s, d) =>
+      TimeSeries.lag1Autocorr(events(s, d), "user_id", col("event_id"), col("value"))),
+    "q_qc_cells_per_frame" -> ((s, d) =>
+      Quality.cellsPerFrame(events(s, d), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd"))),
     "q_density_grid" -> ((s, d) =>
       Density.grid(eventsXY(s, d), Seq(col("event_type")), col("x"), col("y"), 20.0, 10.0)),
     "q_qc_track_summary" -> ((s, d) =>
@@ -315,6 +320,32 @@ object SparkEntry {
         |  COALESCE(floor(CAST(SUM(CASE WHEN p2 = 1 THEN CAST(d2 * d2 AS DECIMAL(28,8)) END) AS DOUBLE)
         |    / CAST(SUM(p2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l2_energy
         |FROM f GROUP BY user_id""".stripMargin,
+
+    "q_ts_autocorr" ->
+      """WITH p AS (
+        |  SELECT user_id, value AS x,
+        |    LEAD(value) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+        |  FROM events QUALIFY y IS NOT NULL
+        |), s AS (
+        |  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  floor((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS autocorr_lag1
+        |FROM s""".stripMargin,
+
+    "q_qc_cells_per_frame" ->
+      """WITH pf AS (
+        |  SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS frame, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT grp, COUNT(*) AS n_frames, MIN(n) AS min_n,
+        |  median(n) AS median_n, MAX(n) AS max_n
+        |FROM pf GROUP BY grp""".stripMargin,
 
     "q_density_grid" ->
       """SELECT event_type,

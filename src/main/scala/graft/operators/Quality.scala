@@ -42,6 +42,19 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Cells-per-frame distribution (reference: segmentation_qc.qmd —
+    * "cell counts per frame" table: n frames, min/median/max of the
+    * per-frame count). Median over INTEGER counts is cross-engine exact
+    * ((a+b)/2 of integers has no rounding ambiguity). */
+  def cellsPerFrame(df: DataFrame, group: Column, frame: Column): DataFrame =
+    df.groupBy(group.as("grp"), frame.as("frame"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("n")).as("min_n"),
+        expr("percentile(n, 0.5)").as("median_n"),
+        max(col("n")).as("max_n"))
+
   /** Grouped descriptive stats (reference: segmentation_qc.qmd area
     * stats + CellPhe static intensity summaries). */
   def frameStats(df: DataFrame, keys: Seq[Column], v: Column): DataFrame =

@@ -32,6 +32,27 @@ object TimeSeries {
         cround(max(col("_v")) - min(col("_v")), 4).as("range_v"))
   }
 
+  /** Lag-1 autocorrelation per entity (trajectory persistence — the
+    * CellPhe time-series family summarises how strongly consecutive
+    * frame features correlate). Pearson r between (x_t, x_{t+1}) from
+    * order-independent decimal-exact sums; cross-engine stable. */
+  def lag1Autocorr(df: DataFrame, entity: String, ord: Column, v: Column): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(ord)
+    val paired = df.withColumn("_x", v)
+      .withColumn("_y", lead(col("_x"), 1).over(w))
+      .filter(col("_y").isNotNull)
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(col("_x"), 6); val sy = dsum(col("_y"), 6)
+    val sxx = dsum(col("_x") * col("_x"), 8); val syy = dsum(col("_y") * col("_y"), 8)
+    val sxy = dsum(col("_x") * col("_y"), 8)
+    val cov = sxy - sx * sy / n
+    val varx = sxx - sx * sx / n
+    val vary = syy - sy * sy / n
+    paired.groupBy(col(entity))
+      .agg(n.cast("long").as("n_pairs"),
+        cround(cov / sqrt(varx * vary), 6).as("autocorr_lag1"))
+  }
+
   /** Haar wavelet detail energies, levels 1-2: mean of squared detail
     * coefficients per entity over the time-ordered series.
     *   d1_i = (v_{2i-1} - v_{2i}) / sqrt(2)
