@@ -97,6 +97,7 @@ object SparkEntry {
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")))),
     "q_mm_decode" -> ((s, d) =>
       Binary.decodeMeta(s, Binary.withPayload(documents(s, d))).toDF()),
+    "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
 
     // ---- §2.3 training-data pipeline ------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -320,6 +321,62 @@ object SparkEntry {
         |  COALESCE(floor(CAST(SUM(CASE WHEN p2 = 1 THEN CAST(d2 * d2 AS DECIMAL(28,8)) END) AS DOUBLE)
         |    / CAST(SUM(p2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l2_energy
         |FROM f GROUP BY user_id""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, value,
+        |    value AS x, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events WHERE value >= 10
+        |  QUALIFY COUNT(*) OVER (PARTITION BY user_id) >= 50
+        |), stepped AS (
+        |  SELECT event_id, user_id, value, x, y,
+        |    FIRST_VALUE(x) OVER w AS x0, FIRST_VALUE(y) OVER w AS y0,
+        |    x - LAG(x) OVER w AS dx, CAST(y - LAG(y) OVER w AS DOUBLE) AS dy
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), mv AS (
+        |  SELECT user_id, event_id,
+        |    sqrt((x-x0)*(x-x0) + CAST((y-y0)*(y-y0) AS DOUBLE)) AS dis,
+        |    SUM(COALESCE(sqrt(dx*dx + dy*dy), 0.0)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trac
+        |  FROM stepped
+        |), track AS (
+        |  SELECT user_id, COUNT(*) AS n_obs,
+        |    floor(MAX(trac) * 10000.0 + 0.5) / 10000.0 AS total_path,
+        |    floor(MAX(dis) * 10000.0 + 0.5) / 10000.0 AS max_displacement
+        |  FROM mv GROUP BY user_id
+        |), ed AS (
+        |  SELECT user_id, value AS v,
+        |    value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS dv
+        |  FROM f
+        |), elev AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN dv > 0 THEN dv ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS ascent,
+        |    CAST(SUM(CAST(CASE WHEN dv < 0 THEN -dv ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS descent,
+        |    floor((MAX(v) - MIN(v)) * 10000.0 + 0.5) / 10000.0 AS range_v
+        |  FROM ed GROUP BY user_id
+        |), wb AS (
+        |  SELECT user_id, value AS v, ROW_NUMBER() OVER w AS rn,
+        |    LEAD(value, 1) OVER w AS v1, LEAD(value, 2) OVER w AS v2,
+        |    LEAD(value, 3) OVER w AS v3
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), wf AS (
+        |  SELECT user_id,
+        |    CASE WHEN rn % 2 = 1 AND v1 IS NOT NULL THEN 1 ELSE 0 END AS p1,
+        |    CASE WHEN rn % 4 = 1 AND v3 IS NOT NULL THEN 1 ELSE 0 END AS p2,
+        |    (v - v1) / sqrt(2.0) AS d1, (v + v1 - v2 - v3) / 2.0 AS d2
+        |  FROM wb
+        |), wave AS (
+        |  SELECT user_id,
+        |    COALESCE(floor(CAST(SUM(CASE WHEN p1 = 1 THEN CAST(d1 * d1 AS DECIMAL(28,8)) END) AS DOUBLE)
+        |      / CAST(SUM(p1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l1_energy,
+        |    COALESCE(floor(CAST(SUM(CASE WHEN p2 = 1 THEN CAST(d2 * d2 AS DECIMAL(28,8)) END) AS DOUBLE)
+        |      / CAST(SUM(p2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l2_energy
+        |  FROM wf GROUP BY user_id)
+        |SELECT t.user_id, t.n_obs, t.total_path, t.max_displacement,
+        |  e.ascent, e.descent, e.range_v, w.l1_energy, w.l2_energy
+        |FROM track t
+        |JOIN elev e ON t.user_id = e.user_id
+        |JOIN wave w ON t.user_id = w.user_id""".stripMargin,
 
     "q_ts_autocorr" ->
       """WITH p AS (
