@@ -114,6 +114,8 @@ object SparkEntry {
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64)
     }),
+    "q_simhash_pairs" -> ((s, d) =>
+      graft.dedup.SimHashDedup.nearDupPairs(documents(s, d), col("doc_id"), col("text"))),
     "q_simhash" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         graft.functions.SimHash(col("text")).as("simhash"))),

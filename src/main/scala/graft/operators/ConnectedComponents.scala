@@ -46,6 +46,7 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     var e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+      .distinct() // raw edge lists (e.g. order-part lines) carry duplicates
       .localCheckpoint()
     // convergence: edge set stable. Order-independent, overflow-free
     // signature: count + xor of edge hashes (edges are distinct). The

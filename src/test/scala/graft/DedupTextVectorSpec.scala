@@ -46,6 +46,31 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SimHashDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("banded simhash pairs == brute-force hamming filter (sf0.001)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.dedup.SimHashDedup.nearDupPairs(docs, col("doc_id"), col("text"), 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val fps = docs.select(col("doc_id"),
+        graft.functions.SimHash(col("text")).as("fp"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (d1, f1) <- fps; (d2, f2) <- fps
+      if d1 < d2 && java.lang.Long.bitCount(f1 ^ f2) <= 3
+    } yield (d1, d2)).toSet
+    assert(got == brute) // pigeonhole banding is exact for hamming <= bands-1
+    info(s"${got.size} simhash near-dup pairs")
+  }
+
+  test("HammingDistance expression") {
+    val r = Seq((0x0FL, 0x00L)).toDF("a", "b")
+      .select(graft.functions.HammingDistance(col("a"), col("b"))).as[Int].head()
+    assert(r == 4)
+  }
+}
+
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
