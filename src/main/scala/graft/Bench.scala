@@ -24,7 +24,11 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators persist reused subtrees; drop them so queries are
+        // timed independently and memory pressure doesn't accumulate
+        spark.catalog.clearCache()
+        dt
       }
       name -> times.min
     }.toMap

@@ -27,6 +27,8 @@ object ConnectedComponents {
     both.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
+      // dedupe before smallStar: hub nodes in the bipartite graphs this
+      // serves generate many duplicate (v, m) pairs per round
       .distinct()
   }
 
