@@ -98,6 +98,11 @@ object SparkEntry {
     "q_mm_decode" -> ((s, d) =>
       Binary.decodeMeta(s, Binary.withPayload(documents(s, d))).toDF()),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
+    "q_ml_classify" -> ((s, d) =>
+      graft.ml.Models.classifyEmbeddings(embeddings(s, d)
+        .withColumn("label", (element_at(col("embedding"), 1) > 0.0f).cast("int")))),
+    "q_ml_cluster" -> ((s, d) =>
+      graft.ml.Models.clusterEmbeddings(embeddings(s, d), 10)),
 
     // ---- §2.3 training-data pipeline ------------------------------
     "q_dedup_exact" -> ((s, d) =>
