@@ -277,7 +277,7 @@ object SparkEntry {
         |  SELECT event_id, user_id, dis,
         |    SUM(step) OVER (PARTITION BY user_id ORDER BY event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trac,
-        |    0.0028 * step / CAST(COALESCE(dt, 1) AS DOUBLE) AS vel
+        |    0.0028 * step / CAST(CASE WHEN dt IS NULL OR dt = 0 THEN 1 ELSE dt END AS DOUBLE) AS vel
         |  FROM st2)
         |SELECT event_id, user_id, floor(dis * 10000.0 + 0.5) / 10000.0 AS dis, floor(trac * 10000.0 + 0.5) / 10000.0 AS trac,
         |  floor((CASE WHEN trac = 0.0 THEN 0.0 ELSE dis / trac END) * 1000000.0 + 0.5) / 1000000.0 AS d2t,
@@ -288,10 +288,12 @@ object SparkEntry {
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v_sum,
         |  floor(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS v_avg,
-        |  floor(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
-        |    - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
-        |      * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0 AS v_std,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    floor(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+        |  END AS v_std,
         |  floor(MIN(value) * 10000.0 + 0.5) / 10000.0 AS v_min, floor(MAX(value) * 10000.0 + 0.5) / 10000.0 AS v_max
         |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
@@ -399,8 +401,10 @@ object SparkEntry {
         |    CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy
         |  FROM p GROUP BY user_id)
         |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
-        |  floor((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
-        |    * 1000000.0 + 0.5) / 1000000.0 AS autocorr_lag1
+        |  CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) > 0 THEN
+        |    floor((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS autocorr_lag1
         |FROM s""".stripMargin,
 
     "q_qc_cells_per_frame" ->

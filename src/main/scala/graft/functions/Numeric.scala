@@ -35,12 +35,14 @@ object Numeric {
   def davg(c: Column, scale: Int = 4, r: Int = 4): Column =
     cround(dsum(c, scale) / count(lit(1)), r)
 
-  /** Order-independent sample standard deviation, rounded. */
+  /** Order-independent sample standard deviation, rounded; NULL for
+    * single-row groups (ANSI mode throws on the n-1=0 divisor). */
   def dstddev(c: Column, scale: Int = 4, r: Int = 4): Column = {
     val n  = count(lit(1)).cast("double")
     val s  = dsum(c, scale)
     val s2 = dsum(c * c, scale + 4)
-    cround(sqrt((s2 - s * s / n) / (n - lit(1.0))), r)
+    when(count(lit(1)) > 1, cround(sqrt((s2 - s * s / n) / (n - lit(1.0))), r))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Epoch seconds, truncating (matches DuckDB `epoch_us(ts)//1000000`). */

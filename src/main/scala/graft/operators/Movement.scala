@@ -40,6 +40,10 @@ object Movement {
       // identical across engines, unlike a shuffled groupBy sum.
       .withColumn("trac", sum(col("_step")).over(wAll))
       .withColumn("d2t", when(col("trac") === 0.0, 0.0).otherwise(col("dis") / col("trac")))
-      .withColumn("vel", lit(framerate) * col("_step") / coalesce(col("_dt"), lit(1L)).cast("double"))
+      // dt can be 0 (same-second observations) and ANSI mode throws on
+      // double division by zero — treat both missing and zero dt as 1,
+      // like the reference does for a track's first frame
+      .withColumn("vel", lit(framerate) * col("_step") /
+        when(col("_dt").isNull || col("_dt") === 0, 1L).otherwise(col("_dt")).cast("double"))
   }
 }

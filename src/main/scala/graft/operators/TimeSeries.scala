@@ -50,7 +50,9 @@ object TimeSeries {
     val vary = syy - sy * sy / n
     paired.groupBy(col(entity))
       .agg(n.cast("long").as("n_pairs"),
-        cround(cov / sqrt(varx * vary), 6).as("autocorr_lag1"))
+        // constant series -> zero variance -> NULL (ANSI /0 guard)
+        when(varx * vary > 0, cround(cov / sqrt(varx * vary), 6))
+          .otherwise(lit(null).cast("double")).as("autocorr_lag1"))
   }
 
   /** Haar wavelet detail energies, levels 1-2: mean of squared detail
@@ -80,10 +82,12 @@ object TimeSeries {
     rows.groupBy(col(entity))
       .agg(
         n1.as("n_pairs_l1"),
-        coalesce(cround(sum(when(isP1, (d1 * d1).cast("decimal(28,8)"))).cast("double") /
-          n1, 6), lit(0.0)).as("l1_energy"),
+        // n1 = 0 guard: ANSI throws on /0; the SQL mirror's NULL
+        // numerator / 0 is NULL -> COALESCE 0 either way
+        when(n1 > 0, cround(sum(when(isP1, (d1 * d1).cast("decimal(28,8)"))).cast("double") /
+          n1, 6)).otherwise(0.0).as("l1_energy"),
         n2.as("n_pairs_l2"),
-        coalesce(cround(sum(when(isP2, (d2 * d2).cast("decimal(28,8)"))).cast("double") /
-          n2, 6), lit(0.0)).as("l2_energy"))
+        when(n2 > 0, cround(sum(when(isP2, (d2 * d2).cast("decimal(28,8)"))).cast("double") /
+          n2, 6)).otherwise(0.0).as("l2_energy"))
   }
 }

@@ -31,6 +31,20 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("l_orderkey"), "scan reads unneeded columns")
   }
 
+  test("q_filter_min_obs pushes the value predicate to the scan") {
+    val s = executed("q_filter_min_obs").toString
+    assert(s.contains("PushedFilters: [") && s.contains("GreaterThanOrEqual(value,10"), s.take(1200))
+  }
+
+  test("q01 scan reads only the referenced columns") {
+    val s = executed("q01_pricing_summary").toString
+    val scan = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    Seq("l_quantity", "l_returnflag", "l_shipdate")
+      .foreach(c => assert(scan.contains(c), s"$c missing from scan: $scan"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_tax")
+      .foreach(c => assert(!scan.contains(c), s"$c should be pruned: $scan"))
+  }
+
   test("q05 broadcasts the dimension sides") {
     val s = executed("q05_local_supplier").toString
     assert(s.contains("BroadcastHashJoin"), s.take(2000))
