@@ -29,6 +29,21 @@ class MlSpec extends SparkSpec {
   }
 }
 
+class CompactionSpec extends SparkSpec {
+  test("compaction rewrites many small files into the target count") {
+    import graft.sources.Compaction
+    val src = java.nio.file.Files.createTempDirectory("graft_small").toString
+    // simulate fine-grained ingestion: 32 small files
+    Tables.events(spark, sfDir).repartition(32).write
+      .mode("overwrite").parquet(src)
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Compaction.compact(spark.read.parquet(src), dst, targetFiles = 2)
+    val files = new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 2, s"expected 2 files, got $files")
+    assert(Compaction.read(spark, dst).count() == Tables.events(spark, sfDir).count())
+  }
+}
+
 class PartitionedSinkSpec extends SparkSpec {
   test("partitioned write prunes partitions on filtered read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
