@@ -35,6 +35,14 @@ object StreamOps {
         col("event_type"), col("n"), col("v_sum"))
   }
 
+  /** Stream-static enrichment: join a stream against a (broadcastable)
+    * static dimension — the streaming form of the reference's
+    * "attach config/metadata to every frame record" joins. Spark plans
+    * the static side per micro-batch; with a small dimension it stays a
+    * broadcast join, no stream-side shuffle. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
   /** Stateful gap-based sessionization over an unbounded stream — the
     * open-ended form of `operators.Sessionize` (track building as
     * streaming state). State per user is one open session; a session

@@ -31,4 +31,28 @@ class FileStreamSpec extends SparkSpec {
     assert(got == exp)
     assert(got.nonEmpty)
   }
+
+  test("stream-static enrichment joins a broadcast dimension per batch") {
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+      ("signup", 3.0), ("error", 0.0)).toDF("event_type", "weight")
+    val q = StreamOps.enrich(stream, dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("weight")).as("w"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.table("enrich_out").as[(String, Long, Double)].collect()
+      .map { case (k, n, w) => k -> ((n, w)) }.toMap
+    val expN = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.view.mapValues(_._1).toMap == expN)
+    assert(got("purchase")._2 == 5.0)
+  }
 }
