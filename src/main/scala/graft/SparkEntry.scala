@@ -127,6 +127,9 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         graft.functions.PolyFingerprint(col("text")).as("fp"))),
+    "q_winnow" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        explode(graft.functions.Winnow(col("text"), 8, 4)).as("fp"))),
     "q_text_tokens" -> ((s, d) =>
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
@@ -486,6 +489,17 @@ object SparkEntry {
         |  list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) - 8 + 2),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(text, CAST(i AS INT), 8), ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |  FROM documents WHERE length(text) >= 8 + 4 - 1)
+        |SELECT DISTINCT doc_id, list_min(hs[CAST(j AS INT):CAST(j AS INT)+3]) AS fp
+        |FROM g, UNNEST(range(1, len(hs) - 4 + 2)) AS t(j)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -46,6 +46,29 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winnowing guarantees shared fingerprints for shared substrings") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"another beginning $shared different end")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        explode(graft.functions.Winnow(col("text"), 8, 4)).as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // any shared substring of length >= w+k-1 = 11 shares >= 1 fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+  }
+
+  test("short documents produce no fingerprints") {
+    val df = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val n = df.select(explode(graft.functions.Winnow(col("text"), 8, 4))).count()
+    assert(n == 0)
+  }
+}
+
 class SimHashDedupSpec extends SparkSpec {
   import spark.implicits._
 
