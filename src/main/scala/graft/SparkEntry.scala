@@ -91,6 +91,19 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) =>
       GapFill.linear(events(s, d), "user_id",
         expr("unix_timestamp(ts) div 3600"), col("value"))),
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("event_id").as("sig_id"),
+          col("value").as("sig_value"))
+      operators.AsOfJoin.lastPrior(
+          ev.select("event_id", "user_id", "event_type"),
+          signups.select("user_id", "event_id", "sig_id", "sig_value"),
+          "user_id", "event_id",
+          Seq("sig_id" -> "last_signup_id", "sig_value" -> "last_signup_value"))
+        .select(col("event_id"), col("user_id"), col("last_signup_id"),
+          cround(col("last_signup_value"), 4).as("last_signup_value"))
+    }),
     "q_connected_components" -> ((s, d) =>
       // order/part bipartite graph from lineitem (disjoint id spaces)
       ConnectedComponents.run(lineitem(s, d)
@@ -489,6 +502,14 @@ object SparkEntry {
         |  list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, s.event_id AS last_signup_id,
+        |  floor(s.value * 10000.0 + 0.5) / 10000.0 AS last_signup_value
+        |FROM events e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, event_id, value FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.event_id >= s.event_id""".stripMargin,
 
     "q_winnow" ->
       """WITH g AS (

@@ -47,6 +47,37 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lastPrior attaches the most recent right row per key") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 15L))
+      .toDF("k", "ord")
+    val right = Seq((1L, 12L, "a"), (1L, 25L, "b"), (3L, 1L, "z"))
+      .toDF("k", "ord", "v")
+    val got = operators.AsOfJoin.lastPrior(left, right, "k", "ord", Seq("v" -> "v"))
+      .select("k", "ord", "v").as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, 10L, None), (1L, 20L, Some("a")),
+      (1L, 30L, Some("b")), (2L, 15L, None)))
+  }
+
+  test("equal ord matches (right sorts before left)") {
+    val left = Seq((1L, 10L)).toDF("k", "ord")
+    val right = Seq((1L, 10L, "x")).toDF("k", "ord", "v")
+    val got = operators.AsOfJoin.lastPrior(left, right, "k", "ord", Seq("v" -> "v"))
+      .select("v").as[Option[String]].head()
+    assert(got.contains("x"))
+  }
+
+  test("as-of join is a single shuffle") {
+    val df = SparkEntry.queries("q_asof_join")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 shuffle, got $n")
+  }
+}
+
 class GapFillSpec extends SparkSpec {
   import spark.implicits._
 
