@@ -27,10 +27,11 @@ object SparkEntry {
       .withColumn("x", col("value"))
       .withColumn("y", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the CellPhe
-    * movement-feature stage over the events table. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * CellPhe chain (QC filter -> movement -> trajectory features)
+    * composed as one Spark job. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_movement")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 relational core -------------------------------------
@@ -88,6 +89,9 @@ object SparkEntry {
       Quality.duplicates(events(s, d), "user_id",
         unix_timestamp(date_trunc("day", col("ts"))))),
     "q_stream_window" -> ((s, d) => StreamOps.windowedCounts(events(s, d))),
+    "q_sketch_stats" -> ((s, d) =>
+      operators.Sketches.approxStats(events(s, d), Seq(col("event_type")),
+        col("user_id"), col("value"))),
     "q_gap_fill" -> ((s, d) =>
       GapFill.linear(events(s, d), "user_id",
         expr("unix_timestamp(ts) div 3600"), col("value"))),

@@ -1,0 +1,21 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based aggregates — the constant-memory path for 100 TB QC
+  * (exact distinct counts and exact percentiles need a shuffle of every
+  * distinct value; HLL++ and the quantile sketch are one fixed-size
+  * buffer per group, merged map-side). The exact columns alongside are
+  * for spec-checked error bounds at test scale.
+  */
+object Sketches {
+  def approxStats(df: DataFrame, keys: Seq[Column], distinctOf: Column,
+                  v: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(
+        approx_count_distinct(distinctOf, rsd = 0.02).as("approx_distinct"),
+        countDistinct(distinctOf).as("exact_distinct"),
+        percentile_approx(v, array(lit(0.5), lit(0.95)), lit(10000)).as("v_quantiles"),
+        count(lit(1)).as("n"))
+}

@@ -27,6 +27,25 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL distinct within rsd bound; quantile sketch brackets the median") {
+    val ev = Tables.events(spark, sfDir)
+    val r = graft.operators.Sketches.approxStats(ev, Seq(col("event_type")),
+        col("user_id"), col("value"))
+      .select("approx_distinct", "exact_distinct", "v_quantiles")
+      .as[(Long, Long, Seq[Double])].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (approx, exact, qs) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.10,
+        s"HLL error too large: $approx vs $exact")
+      assert(qs.length == 2 && qs(0) <= qs(1))
+      assert(qs(0) > 0.0 && qs(0) < 330.0)
+    }
+  }
+}
+
 class SkewAggSpec extends SparkSpec {
   import spark.implicits._
 
