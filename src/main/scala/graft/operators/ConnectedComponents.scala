@@ -44,12 +44,29 @@ object ConnectedComponents {
     relinked.filter(col("src") =!= col("dst")).distinct()
   }
 
-  /** Run to convergence; returns (node, component). */
+  /** Run to convergence; returns (node, component). Each round the plan
+    * is truncated by re-rooting on a persisted RDD (a round's plan
+    * references its input several times, so without truncation the
+    * logical plan — and Catalyst's optimization time — grows
+    * geometrically). The previous round's blocks are freed explicitly so
+    * repeated invocations don't churn executor memory. */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct() // raw edge lists (e.g. order-part lines) carry duplicates
-      .localCheckpoint()
+    val spark = edges.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // InternalRow truncation: UnsafeRows are reused by the scanner, so
+    // copy before persisting (same trick localCheckpoint uses), but keep
+    // the block lifecycle in our hands.
+    def materialize(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy()).persist(lvl)
+      (org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, df.schema), rdd)
+    }
+
+    var (e, eRdd) = materialize(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()) // raw edge lists (e.g. order-part lines) carry duplicates
     // convergence: edge set stable. Order-independent, overflow-free
     // signature: count + xor of edge hashes (edges are distinct). The
     // previous round's signature is carried over, not recomputed.
@@ -59,11 +76,13 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val sig = signature(next)
+      val (next, nextRdd) = materialize(smallStar(largeStar(e)))
+      val sig = signature(next) // materializes `next`
+      eRdd.unpersist(blocking = false)
       converged = sig == prevSig
       prevSig = sig
       e = next
+      eRdd = nextRdd
       i += 1
     }
     // final state is a star graph: src -> component root (dst); roots
