@@ -92,6 +92,14 @@ object SparkEntry {
     "q_sketch_stats" -> ((s, d) =>
       operators.Sketches.approxStats(events(s, d), Seq(col("event_type")),
         col("user_id"), col("value"))),
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val tiers = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),
+        (150.0, 1000.0, "high")).toDF("lo", "hi", "tier")
+      operators.RangeJoin.binned(events(s, d).select("event_id", "value"),
+          tiers, col("value"), 50.0)
+        .select("event_id", "tier")
+    }),
     "q_gap_fill" -> ((s, d) =>
       GapFill.linear(events(s, d), "user_id",
         expr("unix_timestamp(ts) div 3600"), col("value"))),
@@ -459,6 +467,13 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts))//1000000 AS win_start_s, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id, t.tier
+        |FROM events e
+        |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+        |             (150.0, 1000.0, 'high')) AS t(lo, hi, tier)
+        |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin,
 
     "q_gap_fill" ->
       """WITH obs AS (

@@ -43,6 +43,15 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** Streaming exact dedup: drop repeated keys within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` bounds state — the
+    * streaming counterpart of `Dedup.exact`; at 100 TB/day the
+    * watermark IS the dedup memory budget). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful gap-based sessionization over an unbounded stream — the
     * open-ended form of `operators.Sessionize` (track building as
     * streaming state). State per user is one open session; a session

@@ -32,6 +32,24 @@ class FileStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long)]
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:01"), 1L),
+      (Timestamp.valueOf("2024-01-01 00:00:02"), 1L), // dup key
+      (Timestamp.valueOf("2024-01-01 00:00:03"), 2L))
+    val q = StreamOps.dedupStream(stream.toDF().toDF("ts", "k"), Seq("k"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(60000)) finally q.stop()
+    val keys = spark.table("dedup_out").select("k").as[Long].collect().sorted
+    assert(keys.toSeq == Seq(1L, 2L))
+  }
+
   test("stream-static enrichment joins a broadcast dimension per batch") {
     val schema = Tables.load(spark, sfDir, "events").schema
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
