@@ -55,6 +55,10 @@ object SparkEntry {
       Relational.largeOrders(lineitem(s, d), orders(s, d), 150.0)),
     "q22_idle_customers" -> ((s, d) =>
       Relational.idleRichCustomers(customer(s, d), orders(s, d))),
+    "q_rollup" -> ((s, d) => Relational.rollupCounts(events(s, d))),
+    "q_pivot" -> ((s, d) => Relational.pivotCounts(events(s, d),
+      Seq("click", "view", "purchase", "signup", "error"))),
+    "q_set_except" -> ((s, d) => Relational.clickersWithoutPurchase(events(s, d))),
 
     // ---- §2.2 CellPhe pipeline operators --------------------------
     "q_filter_min_obs" -> ((s, d) =>
@@ -467,6 +471,26 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts))//1000000 AS win_start_s, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.event_id, t.tier

@@ -96,6 +96,30 @@ object Relational {
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
 
+  /** ROLLUP: counts at (type, day), (type), and grand-total levels in
+    * one pass (NULL marks the aggregated-out level, as in SQL). */
+  def rollupCounts(events: DataFrame): DataFrame =
+    events.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Pivot: one column per event type (conditional aggregation — the
+    * portable formulation every engine shares). */
+  def pivotCounts(events: DataFrame, types: Seq[String]): DataFrame = {
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(t))
+    events.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Set difference: user-days with clicks but no purchases. */
+  def clickersWithoutPurchase(events: DataFrame): DataFrame = {
+    def userDays(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+    userDays("click").except(userDays("purchase"))
+  }
+
   /** TPC-H Q2-shaped min-per-group + achiever join: cheapest price per
     * part, keeping every lineitem that achieves it. The min table is an
     * aggregate of the fact itself — broadcast after aggregation. */
