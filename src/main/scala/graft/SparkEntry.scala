@@ -168,9 +168,11 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracle SQL -----------------------------------------
-  // Parity rules (SURVEY.md §3): decimal-cast sums, round()ed derived
-  // doubles, epoch_us(ts)//1000000 for seconds, ORDER only inside
-  // window specs, per-entity ordering by the unique event_id.
+  // Parity rules (SURVEY.md §3): decimal-cast sums for order
+  // independence; floor(x*1eR+0.5)/1eR for rounding (engine round()
+  // disagrees on boundary doubles); epoch_us(ts)//1000000 for seconds;
+  // strings not DATE/TIMESTAMP outputs; per-entity ordering by the
+  // unique event_id (never the ns-vs-µs-truncated timestamp).
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
