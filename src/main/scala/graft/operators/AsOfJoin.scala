@@ -26,6 +26,10 @@ object AsOfJoin {
     * @param payload (rightColumn, outputName) pairs to attach */
   def lastPrior(left: DataFrame, right: DataFrame, key: String, ord: String,
                 payload: Seq[(String, String)]): DataFrame = {
+    payload.foreach { case (_, out) =>
+      require(!left.columns.contains(out),
+        s"payload output column '$out' collides with a left column")
+    }
     val l = left.withColumn("_tag", lit(1))
     val r = right.select(col(key) +: col(ord) +:
         payload.map { case (in, out) => col(in).as(out) }: _*)
