@@ -148,6 +148,8 @@ object SparkEntry {
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64)
     }),
+    "q_cos_dedup" -> ((s, d) =>
+      Similarity.cosineDupPairs(embeddings(s, d), dim = 64, threshold = 0.9)),
     "q_simhash_pairs" -> ((s, d) =>
       graft.dedup.SimHashDedup.nearDupPairs(documents(s, d), col("doc_id"), col("text"))),
     "q_simhash" -> ((s, d) =>

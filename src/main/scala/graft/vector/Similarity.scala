@@ -64,6 +64,28 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — dedup by vector
+    * similarity: LSH buckets generate candidates (no all-pairs join),
+    * exact cosine verifies against the threshold. The scale counterpart
+    * of `Dedup.jaccardPairs` for embedded content. */
+  def cosineDupPairs(vecs: DataFrame, dim: Int, threshold: Double,
+                     planes: Int = 6, tables: Int = 16): DataFrame = {
+    val b = hyperplaneBuckets(vecs, dim, planes, tables)
+    val v = vecs.join(b, "vec_id")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        col("t"), col("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        col("a.embedding").as("e1"), col("b.embedding").as("e2"),
+        col("a.nrm").as("n1"), col("b.nrm").as("n2"))
+      .distinct()
+      .withColumn("sim", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("sim") >= threshold)
+      .select("d1", "d2", "sim")
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). The query side must be small; it is
     * broadcast so the corpus is scanned once with no shuffle. */

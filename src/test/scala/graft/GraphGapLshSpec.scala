@@ -101,6 +101,26 @@ class GapFillSpec extends SparkSpec {
   }
 }
 
+class CosineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted near-duplicate vectors are found; orthogonal ones are not") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0.0f) }
+    val ortho = Array.tabulate(64)(i => (if (i % 2 == 0) 1.0f else -1.0f) * math.cos(i).toFloat)
+    val vecs = Seq((1L, base), (2L, near), (3L, ortho)).toDF("vec_id", "embedding")
+    val got = graft.vector.Similarity.cosineDupPairs(vecs, 64, 0.99)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("no false positives on the real corpus at high threshold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = graft.vector.Similarity.cosineDupPairs(emb, 64, 0.9).count()
+    assert(n == 0) // max pairwise cosine in the corpus is ~0.51
+  }
+}
+
 class LshAnnSpec extends SparkSpec {
   import spark.implicits._
 
