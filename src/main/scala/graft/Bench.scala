@@ -19,22 +19,32 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).count())
     spark.range(1000000).selectExpr("sum(id)").collect()
     // steady-state timing: best of 2 runs per query (first run absorbs
-    // per-plan codegen/compile; at 100 TB amortized to nothing)
+    // per-plan codegen/compile; at 100 TB amortized to nothing).
+    // The noop sink consumes every output column, so Catalyst cannot
+    // prune the computed projections the way it can under count();
+    // failures are reported loudly (stderr + sentinel -1), never timed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH FAILURE $name: $e")
+              e.printStackTrace()
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators persist reused subtrees; drop them so queries are
         // timed independently and memory pressure doesn't accumulate
         spark.catalog.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
-      name -> times.min
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

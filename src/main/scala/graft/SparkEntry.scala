@@ -148,8 +148,14 @@ object SparkEntry {
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64)
     }),
+    // threshold 0.4 (not 0.9): the driver's embeddings are near-random
+    // 64-dim vectors (cosine ~ N(0, 1/64)); 0.4 = 3.2 sigma keeps the
+    // output a small, meaningful near-dup set that is non-empty at every
+    // driver SF (36 pairs at sf0.01). Planted-duplicate semantics are
+    // spec-verified at 0.9 in CosineDedupSpec.
     "q_cos_dedup" -> ((s, d) =>
-      Similarity.cosineDupPairs(embeddings(s, d), dim = 64, threshold = 0.9)),
+      Similarity.cosineDupPairs(embeddings(s, d), dim = 64, threshold = 0.4)
+        .withColumn("sim", graft.functions.Numeric.cround(col("sim"), 6))),
     "q_simhash_pairs" -> ((s, d) =>
       graft.dedup.SimHashDedup.nearDupPairs(documents(s, d), col("doc_id"), col("text"))),
     "q_simhash" -> ((s, d) =>
@@ -289,8 +295,8 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM base)
         |SELECT event_id, user_id,
-        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
 
     "q_movement" ->
@@ -359,10 +365,10 @@ object SparkEntry {
         |    (v + v1 - v2 - v3) / 2.0 AS d2
         |  FROM base)
         |SELECT user_id,
-        |  SUM(p1) AS n_pairs_l1,
+        |  CAST(SUM(p1) AS BIGINT) AS n_pairs_l1,
         |  COALESCE(floor(CAST(SUM(CASE WHEN p1 = 1 THEN CAST(d1 * d1 AS DECIMAL(28,8)) END) AS DOUBLE)
         |    / CAST(SUM(p1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l1_energy,
-        |  SUM(p2) AS n_pairs_l2,
+        |  CAST(SUM(p2) AS BIGINT) AS n_pairs_l2,
         |  COALESCE(floor(CAST(SUM(CASE WHEN p2 = 1 THEN CAST(d2 * d2 AS DECIMAL(28,8)) END) AS DOUBLE)
         |    / CAST(SUM(p2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS l2_energy
         |FROM f GROUP BY user_id""".stripMargin,
@@ -482,11 +488,11 @@ object SparkEntry {
 
     "q_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_set_except" ->
@@ -541,7 +547,7 @@ object SparkEntry {
         |), bits AS (
         |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
         |  FROM h, range(30) r(b) GROUP BY doc_id, b)
-        |SELECT doc_id, SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |SELECT doc_id, CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
 
     "q_fingerprint" ->

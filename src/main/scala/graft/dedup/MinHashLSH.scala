@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + LSH banding near-duplicate detection — the 100 TB path.
   *
-  * shingle -> xxhash64 -> k universal-hash permutations -> per-doc min
-  * per permutation -> band hashes -> bucket join for candidates ->
-  * exact-Jaccard verification of candidates only. Cost is linear in
-  * corpus size plus the (small) candidate set; the all-pairs join of
+  * text -> (one pass, map-only) k-permutation MinHash signature ->
+  * band hashes -> bucket join for candidates -> exact-Jaccard
+  * verification of candidates only. Cost is a single scan of the
+  * corpus for signatures (NO shuffle — see functions.MinHashSignature
+  * for why signatures are computed inside the row rather than via
+  * explode + k-column min aggregate), plus shuffles proportional to
+  * the (small) candidate set. The all-pairs inverted-index join of
   * `Dedup.jaccardPairs` is the correctness oracle at test scale.
   *
   * All hashing is deterministic (fixed seeds) so results are stable
@@ -16,31 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (doc_id, minhash array of length k). Permutation i is the seeded
-    * hash xxhash64(shingle, i) — k independent hash families with no
-    * modular arithmetic (Spark 4 ANSI mode forbids overflowing
-    * multiply-shift hashing). */
+  /** (doc_id, minhash signature of length k) — map-only. Docs with no
+    * shingles (fewer than shingleK words) produce no row. */
   def signatures(df: DataFrame, id: Column, text: Column, shingleK: Int, k: Int): DataFrame =
-    signaturesFromShingles(Dedup.shingles(df, id, text, shingleK), k)
+    df.select(id.as("doc_id"),
+        graft.functions.MinHashSignature(text, shingleK, k).as("sig"))
+      .filter(col("sig").isNotNull)
 
-  def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
-    // one string hash per posting; k permutations are cheap long
-    // multiplies (custom Expression — see MinHashPerms)
-    val perms = sh.withColumn("_perms",
-      graft.functions.MinHashPerms(xxhash64(col("shingle")), k))
-    val mins = (0 until k).map(i => min(element_at(col("_perms"), i + 1)).as(s"m$i"))
-    perms.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
-
-  /** Candidate pairs from `bands` bands of `rowsPerBand` signature rows. */
+  /** Candidate pairs from `bands` bands of `rowsPerBand` signature
+    * rows. Self-join carries (doc_id, band, hash) rows only — the
+    * signature arrays never enter the join shuffle. */
   def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws("_", b, slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))
-          .cast("array<string>"))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -51,24 +42,21 @@ object MinHashLSH {
   /** Full pipeline: LSH candidates verified by exact Jaccard >= threshold. */
   def nearDupPairs(df: DataFrame, id: Column, text: Column, shingleK: Int = 3,
                    k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    // shingles feed the signatures AND the verification join: persist to
-    // avoid re-shingling the corpus (see Dedup.jaccardPairs).
-    val shAll = Dedup.shingles(df, id, text, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shAll.count() // materialize before fan-out (see Dedup.jaccardPairs)
     // signatures feed both sides of the band self-join; persist the
-    // (small: one row per doc) signature table to avoid recomputing the
-    // 64-way min-aggregate twice.
-    val sigs = signaturesFromShingles(shAll, k)
+    // (small: one row per doc) signature table so the per-doc shingling
+    // + k-permutation pass runs once, not twice.
+    val sigs = signatures(df, id, text, shingleK, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    sigs.count() // materialize before the self-join fan-out
     val cand = candidatePairs(sigs, bands, k / bands)
-    val sh = shAll
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // verify candidates only: semi-restrict postings to candidate docs
+    // exact-Jaccard verification: shingle ONLY the candidate docs (at
+    // 100 TB the candidate set is a sliver of the corpus, so this is a
+    // semi-joined scan, not a second full shingling pass).
     val docs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val post = sh.join(docs, Seq("doc_id"))
+    val post = Dedup.shingles(df, id, text, shingleK).join(docs, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = post.as("a").join(post.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -16,6 +16,11 @@ object Sketches {
       .agg(
         approx_count_distinct(distinctOf, rsd = 0.02).as("approx_distinct"),
         countDistinct(distinctOf).as("exact_distinct"),
-        percentile_approx(v, array(lit(0.5), lit(0.95)), lit(10000)).as("v_quantiles"),
+        // scalar columns (not one array<double>) so every output column is
+        // independently sortable/hashable by downstream consumers; the
+        // sketch is still built once — Catalyst dedups the two identical
+        // percentile_approx buffers into one aggregate expression.
+        percentile_approx(v, lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(v, lit(0.95), lit(10000)).as("p95"),
         count(lit(1)).as("n"))
 }

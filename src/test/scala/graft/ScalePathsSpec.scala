@@ -34,14 +34,14 @@ class SketchesSpec extends SparkSpec {
     val ev = Tables.events(spark, sfDir)
     val r = graft.operators.Sketches.approxStats(ev, Seq(col("event_type")),
         col("user_id"), col("value"))
-      .select("approx_distinct", "exact_distinct", "v_quantiles")
-      .as[(Long, Long, Seq[Double])].collect()
+      .select("approx_distinct", "exact_distinct", "p50", "p95")
+      .as[(Long, Long, Double, Double)].collect()
     assert(r.nonEmpty)
-    r.foreach { case (approx, exact, qs) =>
+    r.foreach { case (approx, exact, p50, p95) =>
       assert(math.abs(approx - exact).toDouble / exact < 0.10,
         s"HLL error too large: $approx vs $exact")
-      assert(qs.length == 2 && qs(0) <= qs(1))
-      assert(qs(0) > 0.0 && qs(0) < 330.0)
+      assert(p50 <= p95)
+      assert(p50 > 0.0 && p50 < 330.0)
     }
   }
 }
