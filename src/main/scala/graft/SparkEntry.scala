@@ -76,6 +76,23 @@ object SparkEntry {
     "q_frame_stats" -> ((s, d) =>
       Quality.frameStats(events(s, d).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
         Seq(col("event_type"), col("day")), col("value"))),
+    // multi-feature stats in ONE shuffle (frame_features_image.py's
+    // many-static-features-per-cell shape)
+    "q_frame_stats_multi" -> ((s, d) =>
+      Quality.frameStatsMulti(
+        eventsXY(s, d).withColumn("plen", length(col("props")).cast("double")),
+        Seq(col("event_type")),
+        Seq("value" -> col("value"), "y" -> col("y").cast("double"),
+          "plen" -> col("plen")))),
+    "q_qc_track_hist" -> ((s, d) => {
+      val ev = events(s, d)
+      Quality.trackLengthHistogram(ev,
+        Quality.filterSizeAndObservations(ev, "user_id", col("value"), 10.0, 50L),
+        "user_id")
+    }),
+    "q_qc_frame_dist" -> ((s, d) =>
+      Quality.frameDistanceStats(eventsXY(s, d), "user_id", col("ts_s"),
+        col("x"), col("y"))),
     "q_ts_elevation" -> ((s, d) =>
       TimeSeries.elevation(events(s, d), "user_id", col("event_id"), col("value"))),
     "q_ts_wavelet" -> ((s, d) =>
@@ -124,6 +141,28 @@ object SparkEntry {
       // order/part bipartite graph from lineitem (disjoint id spaces)
       ConnectedComponents.run(lineitem(s, d)
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")))),
+    "q_track_split" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // heap-shaped lineage forest per user (node rn divides into
+      // children 2rn, 2rn+1): a pure division tree, so the reference
+      // semantics have a closed form — each track is a doubling chain
+      // headed by an odd heap index, i.e. track_id = odd part of rn —
+      // which the DuckDB oracle computes directly while Spark runs the
+      // full distributed operator (windows + chain CC).
+      val base = events(s, d)
+        .select(col("user_id").cast("long").as("uid"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("uid")).orderBy(col("event_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("uid"))))
+        .filter(col("n") >= 2)
+        .withColumn("id", col("uid") * 1000000L + col("rn"))
+      val spots = base.select(col("id"), col("rn").as("frame"))
+      val edges = base.filter(col("rn") * 2 <= col("n"))
+          .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2).as("dst"))
+        .union(base.filter(col("rn") * 2 + 1 <= col("n"))
+          .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2 + 1).as("dst")))
+      operators.TrackAssignment.divisionAware(spots, edges)
+    }),
     "q_mm_decode" -> ((s, d) =>
       Binary.decodeMeta(s, Binary.withPayload(documents(s, d))).toDF()),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
@@ -339,6 +378,79 @@ object SparkEntry {
         |  floor(MIN(value) * 10000.0 + 0.5) / 10000.0 AS v_min, floor(MAX(value) * 10000.0 + 0.5) / 10000.0 AS v_max
         |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""".stripMargin,
 
+    "q_frame_stats_multi" ->
+      """WITH base AS (
+        |  SELECT event_type, value,
+        |    CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS DOUBLE) AS y,
+        |    CAST(length(props) AS DOUBLE) AS plen
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+        |  floor(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS value_avg,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    floor(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+        |  END AS value_std,
+        |  floor(MIN(value) * 10000.0 + 0.5) / 10000.0 AS value_min,
+        |  floor(MAX(value) * 10000.0 + 0.5) / 10000.0 AS value_max,
+        |  CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS y_sum,
+        |  floor(CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS y_avg,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    floor(sqrt((CAST(SUM(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+        |  END AS y_std,
+        |  floor(MIN(y) * 10000.0 + 0.5) / 10000.0 AS y_min,
+        |  floor(MAX(y) * 10000.0 + 0.5) / 10000.0 AS y_max,
+        |  CAST(SUM(CAST(plen AS DECIMAL(28,4))) AS DOUBLE) AS plen_sum,
+        |  floor(CAST(SUM(CAST(plen AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS plen_avg,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    floor(sqrt((CAST(SUM(CAST(plen * plen AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(plen AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(plen AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+        |  END AS plen_std,
+        |  floor(MIN(plen) * 10000.0 + 0.5) / 10000.0 AS plen_min,
+        |  floor(MAX(plen) * 10000.0 + 0.5) / 10000.0 AS plen_max
+        |FROM base GROUP BY event_type""".stripMargin,
+
+    "q_qc_track_hist" ->
+      """WITH f AS (
+        |  SELECT user_id FROM events WHERE value >= 10
+        |  QUALIFY COUNT(*) OVER (PARTITION BY user_id) >= 50
+        |), lens AS (
+        |  SELECT 'raw' AS filter_state, COUNT(*) AS len FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'filtered' AS filter_state, COUNT(*) AS len FROM f GROUP BY user_id
+        |)
+        |SELECT filter_state, COUNT(*) AS n_tracks, MIN(len) AS min_len,
+        |  median(len) AS median_len, MAX(len) AS max_len
+        |FROM lens GROUP BY filter_state""".stripMargin,
+
+    "q_qc_frame_dist" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts)//1000000 AS f, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), uniq AS (
+        |  SELECT * FROM base QUALIFY COUNT(*) OVER (PARTITION BY user_id, f) = 1
+        |), stepped AS (
+        |  SELECT user_id,
+        |    x - LAG(x) OVER w AS dx,
+        |    CAST(y - LAG(y) OVER w AS DOUBLE) AS dy
+        |  FROM uniq WINDOW w AS (PARTITION BY user_id ORDER BY f)
+        |), d AS (
+        |  SELECT sqrt(dx*dx + dy*dy) AS dist FROM stepped WHERE dx IS NOT NULL
+        |)
+        |SELECT COUNT(*) AS n_steps,
+        |  floor(MIN(dist) * 10000.0 + 0.5) / 10000.0 AS min_dist,
+        |  floor(median(dist) * 10000.0 + 0.5) / 10000.0 AS median_dist,
+        |  floor(MAX(dist) * 10000.0 + 0.5) / 10000.0 AS max_dist
+        |FROM d""".stripMargin,
+
     "q_ts_elevation" ->
       """WITH d AS (
         |  SELECT user_id, value AS v,
@@ -448,6 +560,16 @@ object SparkEntry {
         |      * 1000000.0 + 0.5) / 1000000.0
         |  END AS autocorr_lag1
         |FROM s""".stripMargin,
+
+    "q_track_split" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id AS BIGINT) AS uid,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT uid * 1000000 + rn AS id,
+        |  uid * 1000000 + (rn // (rn & (-rn))) AS track_id
+        |FROM base WHERE n >= 2""".stripMargin,
 
     "q_qc_cells_per_frame" ->
       """WITH pf AS (

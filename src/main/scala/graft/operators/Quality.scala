@@ -58,12 +58,68 @@ object Quality {
   /** Grouped descriptive stats (reference: segmentation_qc.qmd area
     * stats + CellPhe static intensity summaries). */
   def frameStats(df: DataFrame, keys: Seq[Column], v: Column): DataFrame =
-    df.groupBy(keys: _*)
-      .agg(
-        count(lit(1)).as("n"),
-        dsum(v, 4).as("v_sum"),
-        davg(v, 4, 4).as("v_avg"),
-        dstddev(v, 4, 4).as("v_std"),
-        cround(min(v), 4).as("v_min"),
-        cround(max(v), 4).as("v_max"))
+    frameStatsMulti(df, keys, Seq("v" -> v))
+
+  /** Descriptive stats for MANY value columns in ONE shuffle
+    * (reference: frame_features_image.py emits ~20 static features per
+    * cell x frame — aggregating them per-column would be N full passes
+    * over a 100 TB table; one aggregate with a flat list of algebraic
+    * partials is one pass, map-side combined). Output columns are
+    * `<name>_{sum,avg,std,min,max}` per value plus a single shared
+    * `n`. */
+  def frameStatsMulti(df: DataFrame, keys: Seq[Column],
+                      values: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: values.flatMap { case (name, v) =>
+      Seq(
+        dsum(v, 4).as(s"${name}_sum"),
+        davg(v, 4, 4).as(s"${name}_avg"),
+        dstddev(v, 4, 4).as(s"${name}_std"),
+        cround(min(v), 4).as(s"${name}_min"),
+        cround(max(v), 4).as(s"${name}_max"))
+    }
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Track-length distribution before vs after QC filtering
+    * (reference: tracking_qc.qmd:43-65 — the raw/filtered histogram's
+    * summary table: per filter state, number of tracks and
+    * min/median/max track length). One union + two-level aggregate;
+    * median over INTEGER lengths is cross-engine exact. */
+  def trackLengthHistogram(raw: DataFrame, filtered: DataFrame,
+                           entity: String): DataFrame = {
+    def lengths(df: DataFrame, state: String) =
+      df.groupBy(col(entity)).agg(count(lit(1)).as("len"))
+        .select(lit(state).as("filter_state"), col("len"))
+    lengths(raw, "raw").union(lengths(filtered, "filtered"))
+      .groupBy(col("filter_state"))
+      .agg(count(lit(1)).as("n_tracks"),
+        min(col("len")).as("min_len"),
+        expr("percentile(len, 0.5)").as("median_len"),
+        max(col("len")).as("max_len"))
+  }
+
+  /** Frame-to-frame step-distance distribution (reference:
+    * tracking_qc.qmd:98-122): rows in frames where the track is
+    * unambiguous (exactly one cell per (frame, track)), per-track
+    * consecutive-frame euclidean steps, then the global
+    * min/median/max. The step is the same quantity Movement computes
+    * internally; this exposes its QC distribution. */
+  def frameDistanceStats(df: DataFrame, entity: String, frame: Column,
+                         x: Column, y: Column): DataFrame = {
+    val base = df.select(col(entity).as("_e"), frame.as("_f"),
+      x.as("_x"), y.as("_y"))
+    val uniq = base
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_e"), col("_f"))))
+      .filter(col("_n") === 1)
+    val w = Window.partitionBy(col("_e")).orderBy(col("_f"))
+    uniq
+      .withColumn("_dx", col("_x") - lag(col("_x"), 1).over(w))
+      .withColumn("_dy", (col("_y") - lag(col("_y"), 1).over(w)).cast("double"))
+      .filter(col("_dx").isNotNull)
+      .withColumn("_d", sqrt(col("_dx") * col("_dx") + col("_dy") * col("_dy")))
+      .agg(count(lit(1)).as("n_steps"),
+        cround(min(col("_d")), 4).as("min_dist"),
+        cround(expr("percentile(_d, 0.5)"), 4).as("median_dist"),
+        cround(max(col("_d")), 4).as("max_dist"))
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Division-aware track assignment — the reference's actual track
+  * semantics (bin/parse_xml.py:124-163): walk the spot lineage graph
+  * from frame-ordered roots; the FIRST child of a split continues the
+  * parent's track, every EXTRA child starts a fresh TRACK_ID, and
+  * merges are suppressed (a node already claimed by one chain is not
+  * re-entered, so the merging chain simply ends there). This is the
+  * opposite of plain connected components, which would fuse a whole
+  * lineage tree (mother + all daughters) into one component.
+  *
+  * Distributed re-expression: the reference's recursion is a global
+  * sequential DFS, which does not exist on a cluster. But the PARTITION
+  * of spots into track segments it produces is fully determined by two
+  * local choices per node — which incoming edge continues through a
+  * merge, and which outgoing edge continues through a split. Making
+  * both deterministic ((frame, id)-minimal, where the reference uses
+  * XML edge order / DFS arrival order — arbitrary in the same way):
+  *
+  *  1. merge suppression: each child keeps ONE incoming edge — from
+  *     its (max frame, min id) parent; other incoming edges are cut
+  *     (those chains end at the merge).
+  *  2. division split: a parent's track continues only via its
+  *     (frame, id)-first child, and only if that child kept the edge
+  *     in step 1; edges to extra children are cut (each extra child
+  *     heads a fresh track).
+  *
+  * Surviving edges have in-degree <= 1 and out-degree <= 1 per node:
+  * they are disjoint CHAINS, and each chain is exactly one track
+  * segment. Component labels come from the same O(log n) alternating
+  * large/small-star machinery as ConnectedComponents (label = min spot
+  * id in the segment; the reference's sequential counter values are an
+  * artifact of its single-machine traversal order — the partition is
+  * the semantics).
+  *
+  * Both window steps shuffle by a single key (dst, then src) and the
+  * CC rounds operate on chain edges only — no lineage tree is ever
+  * collected to the driver, so a 100 TB spot table partitions across
+  * the cluster exactly like any other keyed operator.
+  *
+  * Input: `spots` (id, frame), `edges` (src, dst) spot-graph edges.
+  * Output: (id, track_id) for every spot incident to an edge —
+  * matching the reference, which drops parentless+childless spots
+  * (parse_xml.py:115-118).
+  */
+object TrackAssignment {
+
+  def divisionAware(spots: DataFrame, edges: DataFrame): DataFrame = {
+    val ed = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val fr = spots.select(col("id").cast("long").as("id"), col("frame").cast("long").as("frame"))
+    val e = ed
+      .join(fr.select(col("id").as("src"), col("frame").as("src_frame")), Seq("src"))
+      .join(fr.select(col("id").as("dst"), col("frame").as("dst_frame")), Seq("dst"))
+
+    // 1. merge suppression: one continuing parent per child — the
+    // (max frame, min id) parent. For the generic TrackMate merge
+    // artifact (a shortcut edge rejoining its own chain two frames
+    // later) the latest parent IS the DFS first-arriver, so this local
+    // rule reproduces the reference's claim order there; for merges of
+    // genuinely independent chains no local rule can see global DFS
+    // order, and any single deterministic choice realises the
+    // reference's "suppress merges" intent (parse_xml.py:147-149).
+    val chosenParent = e.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("dst")).orderBy(col("src_frame").desc, col("src"))))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    // 2. division split: a parent's track continues only via its FIRST
+    // child (ordered over ALL its children, not just surviving edges):
+    // when the first child was claimed by another chain (merge), the
+    // parent's track ENDS there — it does not fall through to the next
+    // child, which starts a fresh track regardless (parse_xml.py:157-158
+    // sets accum=True for every child j>0 unconditionally).
+    val firstChild = e.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst_frame"), col("dst"))))
+      .filter(col("_rn") === 1)
+      .select(col("src"), col("dst"))
+    val chain = chosenParent.select(col("src"), col("dst"))
+      .join(firstChild, Seq("src", "dst"), "left_semi")
+
+    // every spot touching any edge is in scope; spots whose every edge
+    // was cut (e.g. an extra child with no children of its own) form
+    // their own single-spot track
+    val universe = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id"))).distinct()
+    val cc = ConnectedComponents.run(chain)
+      .select(col("node").as("id"), col("component"))
+    universe.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("track_id"))
+  }
+}
