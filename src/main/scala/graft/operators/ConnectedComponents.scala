@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the general form of TrackMate's
@@ -8,9 +9,15 @@ import org.apache.spark.sql.functions._
   * walks the spot graph recursively on one machine; that caps at
   * driver memory). This is the alternating large-star/small-star
   * algorithm (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond"): converges in O(log n) rounds of DataFrame joins, each
-  * round a shuffle on node id; localCheckpoint truncates lineage
-  * between rounds.
+  * Beyond"): converges in O(log n) rounds of DataFrame passes, each
+  * round truncated by re-rooting on a persisted RDD.
+  *
+  * Each star is ONE window pass (min-over-neighbourhood via
+  * `Window.partitionBy` — a single shuffle) plus a dedup shuffle; the
+  * r1 formulation computed the same minimum with groupBy + join-back,
+  * costing three shuffles per star. Two shuffles x two stars + the
+  * convergence aggregate (a scan of the just-persisted round) is the
+  * whole per-round cost.
   *
   * Input: undirected edges (src, dst) as longs. Output: (node,
   * component) where component = min node id in the component.
@@ -18,18 +25,18 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** large-star: connect every neighbour larger than u to u's minimum
-    * neighbourhood label (keeps all edges, shrinks long chains). */
+    * neighbourhood label (keeps all edges, shrinks long chains). NOT
+    * deduped here: the duplicate (v, m) pairs hub nodes generate flow
+    * straight into smallStar's window shuffle, whose trailing distinct
+    * removes them — a separate dedup shuffle of the same rows would
+    * cost more than carrying the duplicates one hop. */
   private def largeStar(e: DataFrame): DataFrame = {
     val both = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
-    val m = both.groupBy("u").agg(min(col("v")).as("_mn"))
-      .select(col("u"), least(col("u"), col("_mn")).as("m"))
-    both.join(m, "u")
+    both
+      .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
-      // dedupe before smallStar: hub nodes in the bipartite graphs this
-      // serves generate many duplicate (v, m) pairs per round
-      .distinct()
   }
 
   /** small-star: point every smaller neighbour (and u) at the minimum. */
@@ -37,19 +44,28 @@ object ConnectedComponents {
     val oriented = e.select(greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-    val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
-    val relinked = oriented.join(m, "u")
-      .select(col("v").as("src"), col("m").as("dst"))
-      .union(m.select(col("u").as("src"), col("m").as("dst")))
-    relinked.filter(col("src") =!= col("dst")).distinct()
+      .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+    oriented.select(col("v").as("src"), col("m").as("dst"))
+      .union(oriented.select(col("u").as("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
   }
 
   /** Run to convergence; returns (node, component). Each round the plan
     * is truncated by re-rooting on a persisted RDD (a round's plan
     * references its input several times, so without truncation the
     * logical plan — and Catalyst's optimization time — grows
-    * geometrically). The previous round's blocks are freed explicitly so
-    * repeated invocations don't churn executor memory. */
+    * geometrically). Previous rounds' blocks are freed eagerly; the
+    * final round's blocks back the returned DataFrame and are released
+    * by Spark's ContextCleaner once the caller drops the plan (callers
+    * that need deterministic release can `.persist`/`.unpersist` the
+    * result themselves).
+    *
+    * Throws if `maxIter` rounds pass without reaching the star-graph
+    * fixpoint — returning silently would hand the caller wrong
+    * component labels (alternating stars converge in O(log n) rounds,
+    * so 25 covers any graph this engine will meet; a pathological
+    * input deserves an error, not bad data). */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -69,7 +85,8 @@ object ConnectedComponents {
         .distinct()) // raw edge lists (e.g. order-part lines) carry duplicates
     // convergence: edge set stable. Order-independent, overflow-free
     // signature: count + xor of edge hashes (edges are distinct). The
-    // previous round's signature is carried over, not recomputed.
+    // aggregate is also the action that materializes the round's
+    // persisted blocks — one job per round, no separate count.
     def signature(df: DataFrame) =
       df.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
     var prevSig = signature(e)
@@ -85,6 +102,10 @@ object ConnectedComponents {
       eRdd = nextRdd
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not reach the star fixpoint in $maxIter rounds; " +
+          "raise maxIter rather than using partial labels")
     // final state is a star graph: src -> component root (dst); roots
     // themselves appear only as dst
     val members = e.select(col("src").as("node"), col("dst").as("component"))
