@@ -7,10 +7,16 @@ import org.apache.spark.sql.functions._
 /** Gap interpolation — the CellPhe time-series stage interpolates
   * missing frames in a track before computing trajectory features
   * (cellphe `time_series_features`; tracks routinely skip frames after
-  * QC filtering). Distributed formulation: per entity, densify the
-  * frame axis with sequence+explode (no driver loop), then linearly
-  * interpolate between the last/next observed values with
-  * ignore-null window frames. One shuffle on the entity key.
+  * QC filtering). Distributed formulation: per entity, each observed
+  * frame emits its gap segment [frame, next observed frame) via
+  * lead + sequence-explode, interpolating linearly inside the segment
+  * — TWO shuffles total (observation dedup, lead window) and no join.
+  * The r1 formulation densified the whole frame axis and ran
+  * ignore-null windows over it, paying a third shuffle plus a join of
+  * the dense axis against the observations; the interpolated values
+  * are bit-identical (same pv + (nv-pv)*(f-pf)/(nf-pf) IEEE
+  * arithmetic), so the DuckDB oracle — which still uses the dense
+  * ignore-null-window formulation — is unchanged.
   *
   * Frames with multiple observations take the minimum — exact and
   * order-independent (a mean of k observations terminates at a decimal
@@ -22,25 +28,18 @@ object GapFill {
   def linear(df: DataFrame, entity: String, frame: Column, v: Column): DataFrame = {
     val obs = df.groupBy(col(entity), frame.as("frame"))
       .agg(min(v).as("v_obs"))
-    val span = obs.groupBy(col(entity))
-      .agg(min(col("frame")).as("_f0"), max(col("frame")).as("_f1"))
-    val dense = span
-      .select(col(entity), explode(sequence(col("_f0"), col("_f1"))).as("frame"))
-      .join(obs, Seq(entity, "frame"), "left")
-    val wPrev = Window.partitionBy(col(entity)).orderBy(col("frame"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col(entity)).orderBy(col("frame"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val prevV = last(col("v_obs"), ignoreNulls = true).over(wPrev)
-    val prevF = last(when(col("v_obs").isNotNull, col("frame")), ignoreNulls = true).over(wPrev)
-    val nextV = first(col("v_obs"), ignoreNulls = true).over(wNext)
-    val nextF = first(when(col("v_obs").isNotNull, col("frame")), ignoreNulls = true).over(wNext)
-    dense
-      .withColumn("is_observed", col("v_obs").isNotNull)
+    val w = Window.partitionBy(col(entity)).orderBy(col("frame"))
+    obs
+      .withColumn("_nf", lead(col("frame"), 1).over(w))
+      .withColumn("_nv", lead(col("v_obs"), 1).over(w))
+      .withColumnRenamed("frame", "_f")
+      // the last observation has no next segment; it emits itself
+      .withColumn("frame", explode(sequence(col("_f"), coalesce(col("_nf") - 1, col("_f")))))
+      .withColumn("is_observed", col("frame") === col("_f"))
       .withColumn("v_fill",
-        when(col("v_obs").isNotNull, col("v_obs"))
-          .otherwise(prevV + (nextV - prevV) *
-            (col("frame") - prevF).cast("double") / (nextF - prevF).cast("double")))
+        when(col("is_observed"), col("v_obs"))
+          .otherwise(col("v_obs") + (col("_nv") - col("v_obs")) *
+            (col("frame") - col("_f")).cast("double") / (col("_nf") - col("_f")).cast("double")))
       .select(col(entity), col("frame"), graft.functions.Numeric.cround(col("v_fill"), 4).as("v_fill"),
         col("is_observed"))
   }

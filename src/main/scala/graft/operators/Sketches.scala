@@ -16,11 +16,16 @@ object Sketches {
       .agg(
         approx_count_distinct(distinctOf, rsd = 0.02).as("approx_distinct"),
         countDistinct(distinctOf).as("exact_distinct"),
-        // scalar columns (not one array<double>) so every output column is
-        // independently sortable/hashable by downstream consumers; the
-        // sketch is still built once — Catalyst dedups the two identical
-        // percentile_approx buffers into one aggregate expression.
-        percentile_approx(v, lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(v, lit(0.95), lit(10000)).as("p95"),
+        // ONE quantile sketch per group (two scalar percentile_approx
+        // calls are two distinct aggregate buffers — double the sketch
+        // cost); scalars are extracted afterwards so every output column
+        // stays independently sortable/hashable.
+        // accuracy 2000 ≈ 0.05-percentile error — plenty for QC
+        // distributions, and the sketch update/merge cost scales with
+        // the buffer, which at 100 TB is what bounds the aggregate
+        percentile_approx(v, array(lit(0.5), lit(0.95)), lit(2000)).as("_q"),
         count(lit(1)).as("n"))
+      .withColumn("p50", element_at(col("_q"), 1))
+      .withColumn("p95", element_at(col("_q"), 2))
+      .drop("_q")
 }
