@@ -55,6 +55,26 @@ object SparkEntry {
       Relational.largeOrders(lineitem(s, d), orders(s, d), 150.0)),
     "q22_idle_customers" -> ((s, d) =>
       Relational.idleRichCustomers(customer(s, d), orders(s, d))),
+    "q04_late_priority" -> ((s, d) =>
+      Relational.latePriorityOrders(orders(s, d), lineitem(s, d))),
+    "q07_nation_volume" -> ((s, d) =>
+      Relational.nationVolume(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), "NATION_3", "NATION_7")),
+    "q10_returned_items" -> ((s, d) =>
+      Relational.returnedItemReport(lineitem(s, d), orders(s, d), customer(s, d),
+        nation(s, d))),
+    "q11_important_parts" -> ((s, d) =>
+      Relational.importantParts(lineitem(s, d), 1.5)),
+    "q12_late_counts" -> ((s, d) =>
+      Relational.latePriorityCounts(lineitem(s, d), orders(s, d))),
+    "q14_promo_revenue" -> ((s, d) =>
+      Relational.promoRevenue(lineitem(s, d), part(s, d))),
+    "q17_small_qty" -> ((s, d) =>
+      Relational.smallQuantityRevenue(lineitem(s, d), part(s, d), "Brand#13")),
+    "q19_disjunctive" -> ((s, d) =>
+      Relational.disjunctiveRevenue(lineitem(s, d), part(s, d))),
+    "q21_last_shipper" -> ((s, d) =>
+      Relational.lastShipperBlame(lineitem(s, d), supplier(s, d))),
     "q_rollup" -> ((s, d) => Relational.rollupCounts(events(s, d))),
     "q_pivot" -> ((s, d) => Relational.pivotCounts(events(s, d),
       Seq("click", "view", "purchase", "signup", "error"))),
@@ -318,6 +338,105 @@ object SparkEntry {
         |WHERE c.c_acctbal > a.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c.c_nationkey""".stripMargin,
+
+    "q04_late_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q07_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS volume
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY l_partkey
+        |), t AS (
+        |  SELECT CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 1.5 AS thr
+        |  FROM pp)
+        |SELECT pp.l_partkey, pp.value FROM pp, t WHERE pp.value > t.thr""".stripMargin,
+
+    "q12_late_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT floor(100.0
+        |  * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+        |  * 10000.0 + 0.5) / 10000.0 AS promo_revenue_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH aq AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT floor(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0
+        |  * 10000.0 + 0.5) / 10000.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+        |JOIN aq ON l.l_partkey = aq.l_partkey
+        |WHERE l.l_quantity < 0.2 * aq.avg_qty""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_last_shipper" ->
+      """WITH os AS (
+        |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nsupp, MAX(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY l_orderkey
+        |), last_ship AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN os ON l.l_orderkey = os.l_orderkey
+        |  WHERE l.l_shipdate = os.max_ship AND os.nsupp >= 2
+        |), blamed AS (
+        |  SELECT l_orderkey, MIN(l_suppkey) AS s_blamed
+        |  FROM last_ship GROUP BY l_orderkey
+        |  HAVING COUNT(DISTINCT l_suppkey) = 1)
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM blamed b JOIN supplier s ON b.s_blamed = s.s_suppkey
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 10""".stripMargin,
 
     "q_filter_min_obs" ->
       """SELECT event_id, user_id, value FROM events

@@ -176,4 +176,147 @@ object Relational {
       .agg(count(lit(1)).as("numcust"),
         sum(col("c_acctbal").cast("decimal(28,2)")).cast("double").as("totacctbal"))
   }
+
+  /** TPC-H Q4-shaped: EXISTS decorrelated to a semi join (orders with
+    * any lineitem shipped >60 days after the order date), counted by
+    * priority. The semi join never duplicates orders — the classic
+    * reason EXISTS must not become an inner join. */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q7-shaped: bidirectional volume between two nations by ship
+    * year; both nation dims broadcast through supplier and customer. */
+  def nationVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                   supplier: DataFrame, nation: DataFrame,
+                   nationA: String, nationB: String): DataFrame = {
+    val sn = broadcast(supplier.join(nation,
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation")))
+    val cn = broadcast(customer.join(nation,
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(sn, Seq("l_suppkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("volume"))
+  }
+
+  /** TPC-H Q10-shaped: returned-item revenue per customer, top 20. */
+  def returnedItemReport(lineitem: DataFrame, orders: DataFrame,
+                         customer: DataFrame, nation: DataFrame): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q11-shaped: per-part revenue kept only when it exceeds a
+    * multiple of the mean per-part revenue (HAVING against a broadcast
+    * global scalar — computed once and reused, not recomputed per
+    * group). The mean-relative threshold is scale-invariant: a
+    * fraction-of-total cut (the literal Q11 form) selects nothing once
+    * the part count outgrows 1/fraction. */
+  def importantParts(lineitem: DataFrame, multiple: Double): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("value"))
+    val threshold = perPart
+      .agg((sum(col("value").cast("decimal(28,4)")).cast("double") / count(lit(1))
+        * multiple).as("thr"))
+    perPart.join(broadcast(threshold))
+      .filter(col("value") > col("thr"))
+      .select(col("l_partkey"), col("value"))
+  }
+
+  /** TPC-H Q12-shaped: late lineitems classified by order priority
+    * (conditional aggregation over a join — one pass, two counters). */
+  def latePriorityCounts(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  /** TPC-H Q14-shaped: promo revenue share in one month (two
+    * conditional sums, one ratio — single scan + single aggregate). */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(cround(
+        lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0), 4) /
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4),
+        4).as("promo_revenue_pct"))
+
+  /** TPC-H Q17-shaped: correlated per-part average decorrelated to an
+    * aggregate + join (lineitems under 20% of their part's mean
+    * quantity, for one brand). */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame, brand: String): DataFrame = {
+    val avgQty = lineitem.groupBy(col("l_partkey"))
+      .agg((dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"))
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") === brand).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQty, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(cround(dsum(col("l_extendedprice"), 2) / lit(7.0), 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-shaped: disjunctive brand/size/quantity predicates as a
+    * join condition — Catalyst pushes the common conjuncts and keeps
+    * the OR residual on the broadcast join. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+
+  /** TPC-H Q21-shaped: in multi-supplier orders, blame the UNIQUE
+    * supplier that shipped last (exists/not-exists pair decorrelated to
+    * per-order aggregates + a distinct-count filter), top 10 by count. */
+  def lastShipperBlame(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val orderStats = lineitem.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        max(col("l_shipdate")).as("max_ship"))
+    val lastShippers = lineitem.join(orderStats, Seq("l_orderkey"))
+      .filter(col("l_shipdate") === col("max_ship") && col("nsupp") >= 2)
+    val blamed = lastShippers.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_last"),
+        min(col("l_suppkey")).as("s_blamed"))
+      .filter(col("n_last") === 1)
+    blamed.groupBy(col("s_blamed")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("s_blamed") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
 }
