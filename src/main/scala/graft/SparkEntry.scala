@@ -205,7 +205,11 @@ object SparkEntry {
     }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64, probes = 3)
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      vector.IvfAnn.topK(emb, emb.filter(col("vec_id") < 10), 5, nlist = 16, nprobe = 4)
     }),
     // threshold 0.4 (not 0.9): the driver's embeddings are near-random
     // 64-dim vectors (cosine ~ N(0, 1/64)); 0.4 = 3.2 sigma keeps the

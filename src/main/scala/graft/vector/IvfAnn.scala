@@ -1,0 +1,82 @@
+package graft.vector
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the
+  * cluster-pruned scale path complementing the LSH variant: a KMeans
+  * coarse quantizer partitions the corpus into `nlist` cells; a query
+  * scores only the vectors in its `nprobe` nearest cells.
+  *
+  * Scale shape: the quantizer is trained once on a bounded sample (the
+  * model is nlist x dim doubles — broadcast-sized regardless of corpus
+  * size), cell assignment is a map-only transform, and the search is
+  * an equi-join on cell id — candidates never exceed
+  * nprobe/nlist of the corpus per query, with no all-pairs join
+  * anywhere. Cell ranking uses the same euclidean geometry KMeans
+  * assigns with (argmin |q-c|^2 = argmin |c|^2 - 2 q.c since |q|^2 is
+  * constant per query); the final candidate ranking is exact cosine,
+  * matching `Similarity.bruteTopK` ordering, so nprobe = nlist
+  * degrades gracefully to the exact result.
+  */
+object IvfAnn {
+
+  /** Train the coarse quantizer and return (vec_id, cell) for the
+    * corpus plus the centroid table (cell, c_emb float[], c_norm2).
+    * `sampleFraction` bounds the training set at scale. */
+  def quantize(corpus: DataFrame, nlist: Int,
+               sampleFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val prepared = corpus.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"))
+    val trainSet =
+      if (sampleFraction >= 1.0) prepared
+      else prepared.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(trainSet)
+    val assigned = model.transform(prepared)
+      .select(col("vec_id"), col("prediction").as("cell"))
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray.map(_.toFloat)
+      (i, arr, arr.map(x => x.toDouble * x.toDouble).sum)
+    }.toSeq.toDF("cell", "c_emb", "c_norm2")
+    (assigned, cents)
+  }
+
+  /** Top-k nearest corpus vectors per query by exact cosine, searching
+    * only the nprobe nearest quantizer cells. Output (q_id, rank,
+    * n_id) — same contract as Similarity.bruteTopK/lshTopK. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           nlist: Int = 16, nprobe: Int = 4,
+           sampleFraction: Double = 1.0): DataFrame = {
+    val (assigned, cents) = quantize(corpus, nlist, sampleFraction)
+    // rank cells per query by euclidean distance to the centroid
+    val qCells = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_score",
+        col("c_norm2") - lit(2.0) * Similarity.dot(col("q_emb"), col("c_emb")))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("_score"), col("cell"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    // candidate ids: corpus vectors in the probed cells
+    val cand = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    // exact cosine rank over candidates (embeddings joined back once)
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      Similarity.norm(col("embedding")).as("n_norm"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), Similarity.norm(col("embedding")).as("q_norm")))
+    val scored = cand.join(c, Seq("n_id")).join(q, Seq("q_id"))
+      .withColumn("sim",
+        Similarity.dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+}

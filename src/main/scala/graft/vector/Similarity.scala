@@ -39,15 +39,30 @@ object Similarity {
   /** Approximate cosine top-k — the 100 TB path: candidates are corpus
     * vectors sharing an LSH bucket with the query in any table
     * (candidate count ~ corpus/2^planes per table), then exact cosine
-    * ranks the candidates. Recall grows with `tables`. Candidates are
-    * reduced to distinct (q_id, n_id) pairs BEFORE the corpus
-    * embeddings are joined back, so each candidate's vector crosses the
-    * wire once — not once per colliding table. */
+    * ranks the candidates. Recall grows with `tables`, and with
+    * `probes`: multi-probe LSH additionally looks in the buckets at
+    * Hamming distance 1 from each query bucket (a near neighbour that
+    * lands one sign-flip away is the dominant miss mode). Probing
+    * expands only the QUERY side — tiny and broadcast — so extra
+    * recall costs no corpus-side work beyond the larger candidate
+    * join, not `probes` x more tables. Candidates are reduced to
+    * distinct (q_id, n_id) pairs BEFORE the corpus embeddings are
+    * joined back, so each candidate's vector crosses the wire once —
+    * not once per colliding table. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              planes: Int = 6, tables: Int = 16): DataFrame = {
+              planes: Int = 6, tables: Int = 16, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= planes)
     val cb = hyperplaneBuckets(corpus, dim, planes, tables)
-    val qb = broadcast(hyperplaneBuckets(queries, dim, planes, tables)
-      .select(col("vec_id").as("q_id"), col("t"), col("bucket")))
+    val qb0 = hyperplaneBuckets(queries, dim, planes, tables)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    // probe buckets: the original plus single-bit flips of the first
+    // `probes` planes (deterministic; the flip set is data-independent)
+    val qb = broadcast(
+      if (probes == 0) qb0
+      else qb0.select(col("q_id"), col("t"),
+        explode(array((col("bucket") +:
+          (0 until probes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))): _*))
+          .as("bucket")))
     val cand = cb.select(col("vec_id").as("n_id"), col("t"), col("bucket"))
       .join(qb, Seq("t", "bucket"))
       .filter(col("n_id") =!= col("q_id"))
