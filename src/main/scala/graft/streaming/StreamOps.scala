@@ -8,6 +8,17 @@ import graft.functions.Numeric._
 /** Row of a streaming event for stateful sessionization. */
 case class SessionEvent(user_id: Long, ts_s: Long)
 
+/** Row of a streaming positioned observation for movement features. */
+case class MoveEvent(user_id: Long, event_id: Long, ts_s: Long, x: Double, y: Double)
+
+/** Per-track movement state carried between micro-batches. */
+case class MoveState(x0: Double, y0: Double, lastX: Double, lastY: Double,
+                     lastTs: Long, trac: Double)
+
+/** Incremental movement features for one observation. */
+case class MoveOut(user_id: Long, event_id: Long, dis: Double, trac: Double,
+                   d2t: Double, vel: Double)
+
 /** Open-session state carried between micro-batches. */
 case class SessionState(start_s: Long, last_s: Long, n: Long)
 
@@ -51,6 +62,48 @@ object StreamOps {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming movement features — the incremental form of
+    * `operators.Movement` (the reference processes timelapses
+    * frame-by-frame; Dis/Trac/D2T/Vel are one-pass quantities, so the
+    * per-track state is just (first position, last position, last ts,
+    * path length) regardless of track length). Arithmetic matches the
+    * batch window formulation step for step (same IEEE add order along
+    * the track), so on identical in-order input the outputs are
+    * bit-equal — the batch run is the oracle. Events are ordered by
+    * event_id within a micro-batch; across batches the source must
+    * deliver per-track data in order (the frame-by-frame model). */
+  def movementStream(events: Dataset[MoveEvent],
+                     framerate: Double = 0.0028): Dataset[MoveOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MoveState, MoveOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[MoveEvent], state: GroupState[MoveState]) =>
+          val sorted = rows.toArray.sortBy(_.event_id)
+          var cur = state.getOption
+          val out = sorted.map { e =>
+            val (st, step, dt) = cur match {
+              case None =>
+                (MoveState(e.x, e.y, e.x, e.y, e.ts_s, 0.0), 0.0, 1L)
+              case Some(s) =>
+                val dx = e.x - s.lastX
+                val dy = e.y - s.lastY
+                val step = math.sqrt(dx * dx + dy * dy)
+                val dt0 = e.ts_s - s.lastTs
+                (MoveState(s.x0, s.y0, e.x, e.y, e.ts_s, s.trac + step), step,
+                  if (dt0 == 0L) 1L else dt0)
+            }
+            cur = Some(st)
+            val dis = math.sqrt((e.x - st.x0) * (e.x - st.x0) +
+              (e.y - st.y0) * (e.y - st.y0))
+            val d2t = if (st.trac == 0.0) 0.0 else dis / st.trac
+            MoveOut(user, e.event_id, dis, st.trac, d2t, framerate * step / dt.toDouble)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 
   /** Stateful gap-based sessionization over an unbounded stream — the
     * open-ended form of `operators.Sessionize` (track building as
