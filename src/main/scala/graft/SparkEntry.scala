@@ -236,6 +236,8 @@ object SparkEntry {
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
     "q_lang_id" -> ((s, d) =>
       TextFeatures.langId(documents(s, d), col("doc_id"), col("text"))),
+    "q_text_repetition" -> ((s, d) =>
+      TextFeatures.repetition(documents(s, d), col("doc_id"), col("text"))),
   )
 
   // ---- DuckDB oracle SQL -----------------------------------------
@@ -883,6 +885,38 @@ object SparkEntry {
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), toks AS (
+        |  SELECT doc_id, tk[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM tok, UNNEST(range(1, len(tk) + 1)) AS r(i)
+        |), ws AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+        |  FROM toks GROUP BY doc_id
+        |), runs AS (
+        |  SELECT doc_id, MAX(run) AS max_run FROM (
+        |    SELECT doc_id, COUNT(*) AS run
+        |    FROM (
+        |      SELECT doc_id, tok, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        |      FROM toks)
+        |    GROUP BY doc_id, tok, grp)
+        |  GROUP BY doc_id
+        |), grams AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_2grams, MAX(n) AS top2gram_n FROM (
+        |    SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS gram,
+        |      COUNT(*) AS n
+        |    FROM tok, UNNEST(range(1, len(tk))) AS r(i)
+        |    WHERE len(tk) >= 2
+        |    GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT ws.doc_id, ws.n_tokens, runs.max_run, grams.top2gram_n,
+        |  floor(CAST(ws.n_tokens - ws.n_distinct AS DOUBLE) / ws.n_tokens * 1000000.0 + 0.5) / 1000000.0 AS dup_word_frac,
+        |  floor(CAST(grams.top2gram_n AS DOUBLE) / grams.n_2grams * 1000000.0 + 0.5) / 1000000.0 AS top2gram_frac
+        |FROM ws JOIN runs ON ws.doc_id = runs.doc_id
+        |JOIN grams ON ws.doc_id = grams.doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for the training-data pipeline: token stats, quality
@@ -39,6 +40,42 @@ object TextFeatures {
       graft.functions.Numeric.cround(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
       (size(tk) >= 5 && size(tk) <= 2000 &&
         stopCnt.cast("double") / nTok >= 0.05).as("keep"))
+  }
+
+  /** Repetition detection (the Gopher-style repetitious-text quality
+    * rules, word-level): duplicate-word fraction, most-frequent-2-gram
+    * share, and the longest run of one repeated token
+    * (gaps-and-islands over token positions). Repetitious documents
+    * are the classic pre-training poison the thresholds cut. Docs with
+    * fewer than two tokens are out of scope (no 2-grams). */
+  def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+    val wordStats = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct"))
+    val runs = toks
+      .withColumn("_grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("tok")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("tok"), col("_grp"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy(col("doc_id")).agg(max(col("_run")).as("max_run"))
+    val grams = toks
+      .withColumn("_nxt", lead(col("tok"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("_nxt").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("_nxt")).as("gram"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("_n")).cast("long").as("n_2grams"),
+        max(col("_n")).as("top2gram_n"))
+    wordStats.join(runs, Seq("doc_id")).join(grams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("max_run"),
+        col("top2gram_n"),
+        graft.functions.Numeric.cround(
+          (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 6)
+          .as("dup_word_frac"),
+        graft.functions.Numeric.cround(
+          col("top2gram_n").cast("double") / col("n_2grams"), 6).as("top2gram_frac"))
   }
 
   /** Heuristic language-ID: marker-word scores per language with a fixed
