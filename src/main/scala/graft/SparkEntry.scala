@@ -230,6 +230,12 @@ object SparkEntry {
     "q_winnow" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         explode(graft.functions.Winnow(col("text"), 8, 4)).as("fp"))),
+    // maxDf=50: on this shared-vocabulary synthetic corpus only
+    // fingerprints in <=50 docs are discriminative; minShared=10 keeps
+    // the pair set meaningful and non-empty at every driver SF
+    "q_winnow_containment" -> ((s, d) =>
+      Dedup.winnowContainment(documents(s, d), col("doc_id"), col("text"),
+        k = 8, w = 4, minShared = 10L, maxDf = 50L)),
     "q_text_tokens" -> ((s, d) =>
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
@@ -825,6 +831,32 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "q_winnow_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) - 8 + 2),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(text, CAST(i AS INT), 8), ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |  FROM documents WHERE length(text) >= 8 + 4 - 1
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, list_min(hs[CAST(j AS INT):CAST(j AS INT)+3]) AS fp
+        |  FROM g, UNNEST(range(1, len(hs) - 4 + 2)) AS t(j)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+        |), dfreq AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
+        |), post AS (
+        |  SELECT fps.doc_id, fps.fp FROM fps JOIN dfreq USING (fp)
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+        |  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT d1, d2, shared,
+        |  floor(CAST(shared AS DOUBLE) / least(s1.n_fp, s2.n_fp) * 1000000.0 + 0.5) / 1000000.0 AS containment
+        |FROM pairs JOIN sizes s1 ON pairs.d1 = s1.doc_id
+        |JOIN sizes s2 ON pairs.d2 = s2.doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH tok AS (

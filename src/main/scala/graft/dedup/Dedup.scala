@@ -29,6 +29,40 @@ object Dedup {
     df.select(id.as("doc_id"),
       explode(graft.functions.WordShingles(text, k)).as("shingle"))
 
+  /** Cross-document containment pairs via winnowing fingerprints (the
+    * MOSS detector): two documents sharing >= minShared winnowed
+    * k-gram hashes overlap in content even when neither is a near-copy
+    * of the whole other — the partial-overlap case Jaccard-style
+    * whole-document dedup misses (boilerplate headers, quoted spans,
+    * template reuse). Same inverted-index shape as `jaccardPairs`
+    * (posting df-cap bounds hot-fingerprint fanout; never cartesian);
+    * `containment` = shared / min(|fps|) is the asymmetric overlap
+    * score. */
+  def winnowContainment(df: DataFrame, id: Column, text: Column,
+                        k: Int = 8, w: Int = 4, minShared: Long = 3L,
+                        maxDf: Long = 1000L): DataFrame = {
+    val fps = df.select(id.as("doc_id"),
+        explode(graft.functions.Winnow(text, k, w)).as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count() // materialize once; four consumers below
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val post = fps.join(dfreq.select("fp"), Seq("fp"))
+    val pairs = post.as("a").join(post.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_fp", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_fp", "n2"), Seq("d2"))
+      .withColumn("containment", graft.functions.Numeric.cround(
+        col("shared").cast("double") / least(col("n1"), col("n2")), 6))
+      .select("d1", "d2", "shared", "containment")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join on
     * shingles. `maxDf` prunes ultra-common shingles (bounded fanout —
     * the classic posting-list cap); every surviving pair's Jaccard is
