@@ -185,6 +185,10 @@ object SparkEntry {
     }),
     "q_mm_decode" -> ((s, d) =>
       Binary.decodeMeta(s, Binary.withPayload(documents(s, d))).toDF()),
+    "q_mm_frames" -> ((s, d) =>
+      Binary.sampleFrameFeatures(s, Binary.withPayload(documents(s, d)), everyK = 2)
+        .toDF()
+        .withColumn("mean_px", graft.functions.Numeric.cround(col("mean_px"), 4))),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
     "q_ml_classify" -> ((s, d) =>
       graft.ml.Models.classifyEmbeddings(embeddings(s, d)

@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
                      width: Int, height: Int, n_frames: Int, checksum: Long)
 
+/** Per-sampled-frame features from the (stubbed) frame decoder. */
+case class FrameFeature(doc_id: Long, frame_idx: Int, mean_px: Double, checksum: Long)
+
 /** Multimodal column plumbing (reference: per-frame TIFF handling in
   * bin/frame_features_image.py — load_image / normalise / feature
   * extract). Images/audio/video are opaque `binary` columns with typed
@@ -36,6 +39,45 @@ object Binary {
           batch.iterator.map { case (id, kind, bytes) => fakeDecode(id, kind, bytes) }
         }
       }
+  }
+
+  /** Every-kth-frame sampling + per-frame feature extraction in ONE
+    * batched pass: each asset's payload crosses the wire once and its
+    * sampled frames are decoded in-executor — never an
+    * explode-then-join that would ship the payload once per frame (at
+    * 100 TB of video the payload copy is the whole cost). Frame count
+    * and the per-frame "pixels" come from the same deterministic fake
+    * decode as `decodeMeta` (STUB — no codecs in this container); the
+    * batching/partitioning/output schema are the real pipeline. */
+  def sampleFrameFeatures(spark: SparkSession, df: DataFrame, everyK: Int = 2,
+                          batchSize: Int = 64): Dataset[FrameFeature] = {
+    import spark.implicits._
+    require(everyK >= 1)
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec init would happen here
+          batch.iterator.flatMap { case (id, bytes) =>
+            val nFrames = 1 + math.floorMod(bytes.length, 8)
+            (0 until nFrames by everyK).iterator.map(fi => fakeFrameDecode(id, fi, bytes))
+          }
+        }
+      }
+  }
+
+  private def fakeFrameDecode(id: Long, frameIdx: Int, bytes: Array[Byte]): FrameFeature = {
+    var cs = 1469598103934665603L ^ frameIdx.toLong
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val px = (bytes(i) & 0xff) ^ (frameIdx & 0xff)
+      cs = (cs ^ px) * 1099511628211L
+      sum += px
+      i += 1
+    }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    FrameFeature(id, frameIdx, mean, cs)
   }
 
   private def fakeDecode(id: Long, kind: String, bytes: Array[Byte]): MediaMeta = {

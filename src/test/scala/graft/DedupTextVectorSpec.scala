@@ -161,4 +161,17 @@ class MultimodalSpec extends SparkSpec {
       graft.multimodal.Binary.withPayload(docs)).collect()
     assert(rows.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
   }
+
+  test("frame sampling: one row per sampled frame, payload decoded in-executor") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val withP = graft.multimodal.Binary.withPayload(docs)
+    val meta = graft.multimodal.Binary.decodeMeta(spark, withP).collect()
+      .map(m => m.doc_id -> m.n_frames).toMap
+    val frames = graft.multimodal.Binary.sampleFrameFeatures(spark, withP, everyK = 2).collect()
+    val expected = meta.values.map(n => (n + 1) / 2).sum
+    assert(frames.length == expected, s"${frames.length} != $expected")
+    assert(frames.forall(f => f.frame_idx % 2 == 0 && f.frame_idx < meta(f.doc_id)))
+    val again = graft.multimodal.Binary.sampleFrameFeatures(spark, withP, everyK = 2).collect()
+    assert(frames.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+  }
 }
