@@ -69,6 +69,8 @@ object SparkEntry {
       Relational.latePriorityCounts(lineitem(s, d), orders(s, d))),
     "q14_promo_revenue" -> ((s, d) =>
       Relational.promoRevenue(lineitem(s, d), part(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.topSupplierRevenue(lineitem(s, d), supplier(s, d))),
     "q17_small_qty" -> ((s, d) =>
       Relational.smallQuantityRevenue(lineitem(s, d), part(s, d), "Brand#13")),
     "q19_disjunctive" -> ((s, d) =>
@@ -416,6 +418,17 @@ object SparkEntry {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
         |  AND l.l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, rev.total_revenue
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
 
     "q17_small_qty" ->
       """WITH aq AS (

@@ -285,6 +285,26 @@ object Relational {
       .agg(cround(dsum(col("l_extendedprice"), 2) / lit(7.0), 4).as("avg_yearly"))
   }
 
+  /** TPC-H Q15-shaped: top supplier by quarterly revenue — an
+    * aggregated view joined against its own broadcast MAX (the
+    * view-plus-scalar-subquery form; the revenue doubles on both sides
+    * come from the same decimal-exact sum, so the equality is
+    * cross-engine stable). */
+  def topSupplierRevenue(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
   /** TPC-H Q19-shaped: disjunctive brand/size/quantity predicates as a
     * join condition — Catalyst pushes the common conjuncts and keeps
     * the OR residual on the broadcast join. */
