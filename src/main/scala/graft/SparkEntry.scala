@@ -121,6 +121,8 @@ object SparkEntry {
       TimeSeries.haarEnergies(events(s, d), "user_id", col("event_id"), col("value"))),
     "q_ts_autocorr" -> ((s, d) =>
       TimeSeries.lag1Autocorr(events(s, d), "user_id", col("event_id"), col("value"))),
+    "q_ts_trend" -> ((s, d) =>
+      TimeSeries.linearTrend(events(s, d), "user_id", col("event_id"), col("value"))),
     "q_qc_cells_per_frame" -> ((s, d) =>
       Quality.cellsPerFrame(events(s, d), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd"))),
@@ -688,6 +690,29 @@ object SparkEntry {
         |FROM track t
         |JOIN elev e ON t.user_id = e.user_id
         |JOIN wave w ON t.user_id = w.user_id""".stripMargin,
+
+    "q_ts_trend" ->
+      """WITH ix AS (
+        |  SELECT user_id, value AS y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS i
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, COUNT(*) AS n_obs,
+        |    CAST(SUM(CAST(i AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i * i AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(i * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM ix GROUP BY user_id)
+        |SELECT user_id, n_obs,
+        |  floor((CASE WHEN n_obs > 1 THEN
+        |    (sxy * n_obs - sx * sy) / (sxx * n_obs - sx * sx) END) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor((CASE WHEN n_obs > 1 THEN
+        |    (sy - (sxy * n_obs - sx * sy) / (sxx * n_obs - sx * sx) * sx) / n_obs END) * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+        |  floor((CASE WHEN n_obs > 1 AND (syy * n_obs - sy * sy) > 0 THEN
+        |    (sxy * n_obs - sx * sy) * (sxy * n_obs - sx * sy) /
+        |      ((sxx * n_obs - sx * sx) * (syy * n_obs - sy * sy)) END) * 1000000.0 + 0.5) / 1000000.0 AS r2
+        |FROM s""".stripMargin,
 
     "q_ts_autocorr" ->
       """WITH p AS (

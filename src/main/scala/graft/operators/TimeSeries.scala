@@ -32,6 +32,44 @@ object TimeSeries {
         cround(max(col("_v")) - min(col("_v")), 4).as("range_v"))
   }
 
+  /** Per-entity linear trend of a feature over observation order
+    * (CellPhe's time-series family summarises trajectory direction;
+    * slope/intercept/r2 of value vs 1-based observation index).
+    * Decorrelated to moment sums: the index sums are integer-exact and
+    * the value sums decimal-exact, so every derived quantity is
+    * bit-stable across engines and partitionings. One shuffle on the
+    * entity key (the row_number window and the aggregate share it). */
+  def linearTrend(df: DataFrame, entity: String, ord: Column, v: Column): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(ord)
+    val indexed = df.withColumn("_y", v)
+      .withColumn("_i", row_number().over(w).cast("double"))
+    val n   = count(lit(1)).cast("double")
+    val sx  = sum(col("_i").cast("decimal(28,0)")).cast("double")
+    val sxx = sum((col("_i") * col("_i")).cast("decimal(28,0)")).cast("double")
+    val sy  = dsum(col("_y"), 6)
+    val syy = dsum(col("_y") * col("_y"), 8)
+    val sxy = dsum(col("_i") * col("_y"), 6)
+    indexed.groupBy(col(entity))
+      .agg(n.cast("long").as("n_obs"),
+        sx.as("_sx"), sxx.as("_sxx"), sy.as("_sy"), syy.as("_syy"), sxy.as("_sxy"))
+      .select(col(entity), col("n_obs"),
+        cround(when(col("n_obs") > 1,
+          (col("_sxy") * col("n_obs") - col("_sx") * col("_sy")) /
+            (col("_sxx") * col("n_obs") - col("_sx") * col("_sx"))), 6).as("slope"),
+        cround(when(col("n_obs") > 1,
+          (col("_sy") - (col("_sxy") * col("n_obs") - col("_sx") * col("_sy")) /
+            (col("_sxx") * col("n_obs") - col("_sx") * col("_sx")) * col("_sx"))
+            / col("n_obs")), 6).as("intercept"),
+        cround(when(col("n_obs") > 1 &&
+            (col("_syy") * col("n_obs") - col("_sy") * col("_sy")) > 0,
+          // squared via multiplication, not pow(): libm pow is not
+          // guaranteed bit-identical across engines
+          (col("_sxy") * col("n_obs") - col("_sx") * col("_sy")) *
+            (col("_sxy") * col("n_obs") - col("_sx") * col("_sy")) /
+            ((col("_sxx") * col("n_obs") - col("_sx") * col("_sx")) *
+             (col("_syy") * col("n_obs") - col("_sy") * col("_sy")))), 6).as("r2"))
+  }
+
   /** Lag-1 autocorrelation per entity (trajectory persistence — the
     * CellPhe time-series family summarises how strongly consecutive
     * frame features correlate). Pearson r between (x_t, x_{t+1}) from
