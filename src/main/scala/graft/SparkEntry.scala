@@ -123,6 +123,13 @@ object SparkEntry {
       TimeSeries.lag1Autocorr(events(s, d), "user_id", col("event_id"), col("value"))),
     "q_ts_trend" -> ((s, d) =>
       TimeSeries.linearTrend(events(s, d), "user_id", col("event_id"), col("value"))),
+    // ~20-variable trajectory features in one shuffle (here 3 stand-ins)
+    "q_ts_elev_multi" -> ((s, d) =>
+      TimeSeries.elevationMulti(
+        eventsXY(s, d).withColumn("plen", length(col("props")).cast("double")),
+        "user_id", col("event_id"),
+        Seq("value" -> col("value"), "y" -> col("y").cast("double"),
+          "plen" -> col("plen")))),
     "q_qc_cells_per_frame" -> ((s, d) =>
       Quality.cellsPerFrame(events(s, d), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd"))),
@@ -690,6 +697,36 @@ object SparkEntry {
         |FROM track t
         |JOIN elev e ON t.user_id = e.user_id
         |JOIN wave w ON t.user_id = w.user_id""".stripMargin,
+
+    "q_ts_elev_multi" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS DOUBLE) AS y,
+        |    CAST(length(props) AS DOUBLE) AS plen
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, value, y, plen,
+        |    value - LAG(value) OVER w AS d_value,
+        |    y - LAG(y) OVER w AS d_y,
+        |    plen - LAG(plen) OVER w AS d_plen
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, COUNT(*) AS n_obs,
+        |  CAST(SUM(CAST(CASE WHEN d_value > 0 THEN d_value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS value_ascent,
+        |  CAST(SUM(CAST(CASE WHEN d_value < 0 THEN -d_value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS value_descent,
+        |  floor(MAX(value) * 10000.0 + 0.5) / 10000.0 AS value_max,
+        |  floor(MIN(value) * 10000.0 + 0.5) / 10000.0 AS value_min,
+        |  floor((MAX(value) - MIN(value)) * 10000.0 + 0.5) / 10000.0 AS value_range,
+        |  CAST(SUM(CAST(CASE WHEN d_y > 0 THEN d_y ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS y_ascent,
+        |  CAST(SUM(CAST(CASE WHEN d_y < 0 THEN -d_y ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS y_descent,
+        |  floor(MAX(y) * 10000.0 + 0.5) / 10000.0 AS y_max,
+        |  floor(MIN(y) * 10000.0 + 0.5) / 10000.0 AS y_min,
+        |  floor((MAX(y) - MIN(y)) * 10000.0 + 0.5) / 10000.0 AS y_range,
+        |  CAST(SUM(CAST(CASE WHEN d_plen > 0 THEN d_plen ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS plen_ascent,
+        |  CAST(SUM(CAST(CASE WHEN d_plen < 0 THEN -d_plen ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS plen_descent,
+        |  floor(MAX(plen) * 10000.0 + 0.5) / 10000.0 AS plen_max,
+        |  floor(MIN(plen) * 10000.0 + 0.5) / 10000.0 AS plen_min,
+        |  floor((MAX(plen) - MIN(plen)) * 10000.0 + 0.5) / 10000.0 AS plen_range
+        |FROM d GROUP BY user_id""".stripMargin,
 
     "q_ts_trend" ->
       """WITH ix AS (

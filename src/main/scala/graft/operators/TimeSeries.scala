@@ -32,6 +32,35 @@ object TimeSeries {
         cround(max(col("_v")) - min(col("_v")), 4).as("range_v"))
   }
 
+  /** Elevation features for MANY variables in ONE shuffle — the
+    * reference computes time-series features per variable over ~20
+    * variables (bin/time_series_features.py loops columns); running
+    * `elevation` per column would be N window shuffles over the same
+    * 100 TB table. Every variable's lag shares the single
+    * (entity, ord) window partitioning, so Catalyst plans ONE
+    * WindowExec and ONE aggregate regardless of variable count.
+    * Output columns are `<name>_{ascent,descent,max,min,range}` plus a
+    * shared `n_obs`. */
+  def elevationMulti(df: DataFrame, entity: String, ord: Column,
+                     vars: Seq[(String, Column)]): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(ord)
+    val withDiffs = vars.foldLeft(df) { case (acc, (name, v)) =>
+      acc.withColumn(s"_v_$name", v)
+        .withColumn(s"_d_$name", v - lag(v, 1).over(w))
+    }
+    val aggs = count(lit(1)).as("n_obs") +: vars.flatMap { case (name, _) =>
+      Seq(
+        dsum(when(col(s"_d_$name") > 0, col(s"_d_$name")).otherwise(0.0), 6)
+          .as(s"${name}_ascent"),
+        dsum(when(col(s"_d_$name") < 0, -col(s"_d_$name")).otherwise(0.0), 6)
+          .as(s"${name}_descent"),
+        cround(max(col(s"_v_$name")), 4).as(s"${name}_max"),
+        cround(min(col(s"_v_$name")), 4).as(s"${name}_min"),
+        cround(max(col(s"_v_$name")) - min(col(s"_v_$name")), 4).as(s"${name}_range"))
+    }
+    withDiffs.groupBy(col(entity)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-entity linear trend of a feature over observation order
     * (CellPhe's time-series family summarises trajectory direction;
     * slope/intercept/r2 of value vs 1-based observation index).

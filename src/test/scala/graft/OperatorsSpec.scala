@@ -40,6 +40,19 @@ class SessionizeSpec extends SparkSpec {
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("multi-variable elevation: one window shuffle for all variables") {
+    val df = Seq((1L, 1L, 1.0, 10.0), (1L, 2L, 3.0, 8.0), (1L, 3L, 2.0, 9.0))
+      .toDF("user_id", "event_id", "a", "b")
+    val r = TimeSeries.elevationMulti(df, "user_id", col("event_id"),
+      Seq("a" -> col("a"), "b" -> col("b")))
+    val rows = r.select("n_obs", "a_ascent", "a_descent", "b_ascent", "b_descent")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows.toSeq == Seq((3L, 2.0, 1.0, 1.0, 2.0)))
+    val plan = r.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected ONE shuffle for all variables:\n" + plan.take(1200))
+  }
+
   test("elevation: ascent/descent on 1,3,2,5") {
     val df = Seq((1L, 1L, 1.0), (1L, 2L, 3.0), (1L, 3L, 2.0), (1L, 4L, 5.0))
       .toDF("user_id", "event_id", "value")
