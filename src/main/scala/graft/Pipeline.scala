@@ -20,12 +20,28 @@ import graft.operators.{Movement, Quality, TimeSeries}
   * stages sharing one shuffle on the track key.
   */
 object Pipeline {
-  def full(events: DataFrame, minValue: Double = 10.0, minObs: Long = 50L): DataFrame = {
-    val filtered = Quality.filterSizeAndObservations(
+  def full(events: DataFrame, minValue: Double = 10.0, minObs: Long = 50L): DataFrame =
+    fullObserved(events, None, minValue, minObs)
+
+  /** As `full`, optionally attaching an `Observation` that collects QC
+    * counters (rows and distinct tracks surviving the filter) as a
+    * side effect of the job itself — at 100 TB a separate count pass
+    * costs a full scan; observe() rides the existing one for free.
+    * After the caller's action completes, `obs.get` yields
+    * qc_rows / qc_tracks. */
+  def fullObserved(events: DataFrame, obs: Option[org.apache.spark.sql.Observation],
+                   minValue: Double = 10.0, minObs: Long = 50L): DataFrame = {
+    val filteredRaw = Quality.filterSizeAndObservations(
       events, "user_id", col("value"), minValue, minObs)
       .withColumn("ts_s", unix_timestamp(col("ts")))
       .withColumn("x", col("value"))
       .withColumn("y", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+    val filtered = obs match {
+      case Some(o) => filteredRaw.observe(o,
+        count(lit(1)).as("qc_rows"),
+        approx_count_distinct(col("user_id")).as("qc_tracks"))
+      case None => filteredRaw
+    }
     val moved = Movement.features(filtered, "user_id", col("event_id"), col("ts_s"),
       col("x"), col("y"))
     val trackSummary = moved.groupBy(col("user_id"))
