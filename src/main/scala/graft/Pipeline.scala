@@ -28,7 +28,14 @@ object Pipeline {
     * side effect of the job itself — at 100 TB a separate count pass
     * costs a full scan; observe() rides the existing one for free.
     * After the caller's action completes, `obs.get` yields
-    * qc_rows / qc_tracks. */
+    * qc_rows / qc_tracks.
+    *
+    * Caveat (Spark engine behaviour, pinned in PipelineObserveSpec): a
+    * registered Observation makes the session's non-serializable
+    * ObservationManager reachable from closures built LATER on the
+    * same session — e.g. MLlib model.transform then fails with
+    * Task-not-serializable. Run observed pipelines in their own
+    * `spark.newSession()` when the session also trains models. */
   def fullObserved(events: DataFrame, obs: Option[org.apache.spark.sql.Observation],
                    minValue: Double = 10.0, minObs: Long = 50L): DataFrame = {
     val filteredRaw = Quality.filterSizeAndObservations(

@@ -8,6 +8,10 @@ import graft.functions.Numeric._
 /** Row of a streaming event for stateful sessionization. */
 case class SessionEvent(user_id: Long, ts_s: Long)
 
+/** Timestamped variant — carries the event-time column so a watermark
+  * can drive session closing. */
+case class SessionEventT(user_id: Long, ts: java.sql.Timestamp)
+
 /** Row of a streaming positioned observation for movement features. */
 case class MoveEvent(user_id: Long, event_id: Long, ts_s: Long, x: Double, y: Double)
 
@@ -62,6 +66,50 @@ object StreamOps {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Event-time sessionization: sessions close when the WATERMARK
+    * passes session end + gap — driven by data progress, not
+    * wall-clock (the processing-time variant below closes sessions on
+    * executor idleness, which at 100 TB replay speed is meaningless).
+    * State per user is one open session; the timeout timestamp is
+    * re-armed to last-event + gap on every update, clamped above the
+    * current watermark (re-arming at-or-below it is an error). */
+  def sessionizeStreamEventTime(events: Dataset[SessionEventT], gapSec: Long,
+                                delay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF().withWatermark("ts", delay).as[SessionEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEventT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start_s, s.last_s, s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime / 1000).toArray.sorted
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_s <= gapSec =>
+                  cur = Some(SessionState(s.start_s, t, s.n + 1))
+                case Some(s) =>
+                  out ::= SessionOut(user, s.start_s, s.last_s, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs + 1, (s.last_s + gapSec) * 1000))
+            }
+            out.reverseIterator
+          }
+      }
+  }
 
   /** Streaming movement features — the incremental form of
     * `operators.Movement` (the reference processes timelapses

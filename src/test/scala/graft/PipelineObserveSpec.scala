@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
 class PipelineObserveSpec extends SparkSpec {
 
   test("pipeline observation reports QC survivor counts from the same job") {
-    val ev = Tables.events(spark, sfDir)
+    // fresh session: a registered Observation makes the session's
+    // (non-serializable) ObservationManager reachable from closures
+    // built later on the same session — MLlib model.transform then
+    // fails Task-not-serializable. Isolating the observation in its
+    // own session is the documented usage pattern.
+    val s2 = spark.newSession()
+    val ev = Tables.events(s2, sfDir)
     val obs = Observation("qc")
     val out = Pipeline.fullObserved(ev, Some(obs))
     val nTracks = out.count() // the ONE action; metrics collected as a side effect
