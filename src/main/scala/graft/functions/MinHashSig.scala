@@ -9,8 +9,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Full k-permutation MinHash signature of a document in ONE pass:
   * text -> distinct word shingles -> xxhash64 per shingle -> running
-  * min of each of the k universal-hash permutations
-  * (perm_i(h) = a_i*h + b_i, the MinHashPerms family).
+  * min of each of k universal-hash permutations
+  * (perm_i(h) = a_i*h + b_i with wrapping 64-bit arithmetic, a_i odd
+  * and golden-ratio derived — ANSI SQL would reject the intentional
+  * overflow, which is why this is a custom expression).
   *
   * The r1 formulation exploded shingles into posting rows, attached a
   * k-long permutation array to EVERY posting, and ran a k-column min
@@ -65,7 +67,6 @@ object MinHashSignature {
       val h = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
       var i = 0
       while (i < k) {
-        // identical family to MinHashPerms.compute (wrapping 64-bit)
         val a = (0x9e3779b97f4a7c15L * (2L * i + 1)) | 1L
         val b = 0xc2b2ae3d27d4eb4fL * (i + 1)
         val p = a * h + b
