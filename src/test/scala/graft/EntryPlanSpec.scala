@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
   }
 
+  test("as-of join composes as a single-shuffle union+window") {
+    val df = SparkEntry.queries("q_asof_join")(spark, sfDir)
+    df.collect() // finalize THIS df's adaptive plan
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 1, s"expected 1 shuffle for the as-of union+window, got $exchanges:\n" +
+      s.take(1200))
+  }
+
   test("wavelet pipeline: one scan, one shuffle, codegen in the hot path") {
     val df = SparkEntry.queries("q_ts_wavelet")(spark, sfDir)
     df.collect() // finalize THIS df's adaptive plan (count() builds a new one)
