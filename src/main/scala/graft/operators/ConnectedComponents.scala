@@ -79,10 +79,49 @@ object ConnectedComponents {
       (org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, df.schema), rdd)
     }
 
+    // per-partition union-find contraction: each partition's edges
+    // collapse to local star edges (node -> local root) in one
+    // imperative pass — memory bounded by the partition's distinct
+    // nodes, no shuffle. Local chains vanish before the global rounds
+    // ever see them, and connectivity is preserved: an original edge
+    // (u, v) becomes two edges into one local root, and nodes spanning
+    // partitions stitch the local stars together.
+    import spark.implicits._
+    val contracted = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        it.foreach { case (s, d) =>
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) { // union by min id keeps labels canonical-ish
+            if (rs < rd) parent.put(rd, rs) else parent.put(rs, rd)
+          }
+          if (!parent.containsKey(s)) parent.put(s, find(s))
+          if (!parent.containsKey(d)) parent.put(d, find(d))
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        parent.keySet().forEach { n =>
+          val r = find(n)
+          if (r != n) out += ((n, r))
+        }
+        out.iterator
+      }.toDF("src", "dst")
+
     var (e, eRdd) = materialize(
-      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()) // raw edge lists (e.g. order-part lines) carry duplicates
+      contracted.distinct()) // stars from different partitions overlap on shared nodes
     // convergence: edge set stable. Order-independent, overflow-free
     // signature: count + xor of edge hashes (edges are distinct). The
     // aggregate is also the action that materializes the round's
