@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
 case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
                      width: Int, height: Int, n_frames: Int, checksum: Long)
 
-/** Per-sampled-frame features from the (stubbed) frame decoder. */
-case class FrameFeature(doc_id: Long, frame_idx: Int, mean_px: Double, checksum: Long)
+/** Per-sampled-frame features from the (stubbed) frame decoder. The
+  * texture energies are REAL 2-D Haar band energies (see Texture) over
+  * the stub's fabricated pixel block. */
+case class FrameFeature(doc_id: Long, frame_idx: Int, mean_px: Double,
+                        tex_lh: Double, tex_hl: Double, tex_hh: Double,
+                        checksum: Long)
 
 /** Multimodal column plumbing (reference: per-frame TIFF handling in
   * bin/frame_features_image.py — load_image / normalise / feature
@@ -66,18 +70,26 @@ object Binary {
       }
   }
 
+  private val FrameDim = 8
+
   private def fakeFrameDecode(id: Long, frameIdx: Int, bytes: Array[Byte]): FrameFeature = {
     var cs = 1469598103934665603L ^ frameIdx.toLong
     var sum = 0L
     var i = 0
+    // STUB pixel fabrication: an 8x8 block derived deterministically
+    // from the payload bytes and the frame index stands in for the
+    // decoded frame; the texture math downstream is real.
+    val px = new Array[Double](FrameDim * FrameDim)
     while (i < bytes.length) {
-      val px = (bytes(i) & 0xff) ^ (frameIdx & 0xff)
-      cs = (cs ^ px) * 1099511628211L
-      sum += px
+      val p = (bytes(i) & 0xff) ^ (frameIdx & 0xff)
+      cs = (cs ^ p) * 1099511628211L
+      sum += p
+      px(i % px.length) += p
       i += 1
     }
     val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    FrameFeature(id, frameIdx, mean, cs)
+    val (lh, hl, hh) = Texture.haar2dEnergies(px, FrameDim, FrameDim)
+    FrameFeature(id, frameIdx, mean, lh, hl, hh, cs)
   }
 
   private def fakeDecode(id: Long, kind: String, bytes: Array[Byte]): MediaMeta = {

@@ -162,6 +162,20 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
   }
 
+  test("2-D Haar texture energies: hand-computed bands") {
+    // gradient 4x4: rows differ by 4 -> pure horizontal-edge energy
+    val grad = Array.tabulate(16)(i => (i + 1).toDouble)
+    val (lh, hl, hh) = graft.multimodal.Texture.haar2dEnergies(grad, 4, 4)
+    assert((lh, hl, hh) == ((16.0, 1.0, 0.0)))
+    // 2x2 checkerboard -> pure diagonal energy
+    val (clh, chl, chh) = graft.multimodal.Texture.haar2dEnergies(
+      Array(1.0, 0.0, 0.0, 1.0), 2, 2)
+    assert((clh, chl, chh) == ((0.0, 0.0, 1.0)))
+    // constant image -> zero everywhere
+    val (zl, zm, zh) = graft.multimodal.Texture.haar2dEnergies(Array.fill(16)(7.0), 4, 4)
+    assert((zl, zm, zh) == ((0.0, 0.0, 0.0)))
+  }
+
   test("frame sampling: one row per sampled frame, payload decoded in-executor") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val withP = graft.multimodal.Binary.withPayload(docs)
