@@ -39,9 +39,14 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Full pipeline: LSH candidates verified by exact Jaccard >= threshold. */
+  /** Full pipeline: LSH candidates verified by exact Jaccard >= threshold.
+    * `maxDf` caps posting-list fanout in the verification self-join,
+    * mirroring `Dedup.jaccardPairs` (df here is measured over candidate
+    * docs only — the verify scan never touches the rest of the corpus —
+    * so the cap is a hot-shingle guard, not a corpus-df filter). */
   def nearDupPairs(df: DataFrame, id: Column, text: Column, shingleK: Int = 3,
-                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+                   maxDf: Long = 1000L): DataFrame = {
     // signatures feed both sides of the band self-join; persist the
     // (small: one row per doc) signature table so the per-doc shingling
     // + k-permutation pass runs once, not twice.
@@ -57,7 +62,14 @@ object MinHashLSH {
     val post = Dedup.shingles(df, id, text, shingleK).join(docs, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = post.as("a").join(post.as("b"),
+    // df-cap before the intersection self-join: a shingle present in
+    // thousands of candidate docs would fan out quadratically; set sizes
+    // stay uncapped so surviving pairs' Jaccard is exact (the
+    // jaccardPairs pattern).
+    val dfreq = post.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf && col("_df") >= 2)
+    val capped = post.join(dfreq.select("shingle"), Seq("shingle"))
+    val inter = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))

@@ -42,18 +42,53 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Exact per-group median over a value HISTOGRAM (`grp` columns, `v`
+    * long, `cnt` long) — the scale-safe replacement for `percentile(v,
+    * 0.5)`, whose ObjectHashAggregate buffers every ROW of a group in
+    * one task (the r2 perf-weak QC finding; at 100 TB that is billions
+    * of values in one buffer). Here the group is first collapsed to one
+    * row per distinct VALUE (map-side combined), and the middle rank(s)
+    * are located with a cumulative count over the histogram. The
+    * per-group window sees only distinct values — for QC quantities
+    * (track lengths, per-frame counts) that is bounded by the value
+    * domain, not the row count. Median = mean of the lower/upper middle
+    * ranks, exactly as `percentile`/DuckDB `median` define it. */
+  def histogramMedian(hist: DataFrame, grp: Seq[String]): DataFrame = {
+    val gcols = grp.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("v"))
+    val tot = hist.groupBy(gcols: _*).agg(sum(col("cnt")).as("_n"))
+    val ranked = hist
+      .withColumn("_cum", sum(col("cnt")).over(w))
+      .withColumn("_prev", col("_cum") - col("cnt"))
+      .join(tot, grp)
+      // Spark's `/` on longs yields double — floor back to integer ranks
+      .withColumn("_r1", floor((col("_n") + 1) / 2).cast("long")) // lower middle (1-based)
+      .withColumn("_r2", floor(col("_n") / 2).cast("long") + 1)   // upper middle
+    def covers(r: Column) = col("_prev") < r && r <= col("_cum")
+    ranked.filter(covers(col("_r1")) || covers(col("_r2")))
+      .groupBy(gcols: _*)
+      .agg(((max(when(covers(col("_r1")), col("v"))) +
+        max(when(covers(col("_r2")), col("v")))).cast("double") / 2.0).as("median"))
+  }
+
   /** Cells-per-frame distribution (reference: segmentation_qc.qmd —
     * "cell counts per frame" table: n frames, min/median/max of the
     * per-frame count). Median over INTEGER counts is cross-engine exact
-    * ((a+b)/2 of integers has no rounding ambiguity). */
-  def cellsPerFrame(df: DataFrame, group: Column, frame: Column): DataFrame =
-    df.groupBy(group.as("grp"), frame.as("frame"))
+    * ((a+b)/2 of integers has no rounding ambiguity) and computed from
+    * the count histogram — no per-group full-value buffer. */
+  def cellsPerFrame(df: DataFrame, group: Column, frame: Column): DataFrame = {
+    val hist = df.groupBy(group.as("grp"), frame.as("frame"))
       .agg(count(lit(1)).as("n"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_frames"),
-        min(col("n")).as("min_n"),
-        expr("percentile(n, 0.5)").as("median_n"),
-        max(col("n")).as("max_n"))
+      .groupBy(col("grp"), col("n").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hist.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_frames"),
+        min(col("v")).as("min_n"),
+        max(col("v")).as("max_n"))
+    stats.join(histogramMedian(hist, Seq("grp")), Seq("grp"))
+      .select(col("grp"), col("n_frames"), col("min_n"),
+        col("median").as("median_n"), col("max_n"))
+  }
 
   /** Grouped descriptive stats (reference: segmentation_qc.qmd area
     * stats + CellPhe static intensity summaries). */
@@ -90,12 +125,16 @@ object Quality {
     def lengths(df: DataFrame, state: String) =
       df.groupBy(col(entity)).agg(count(lit(1)).as("len"))
         .select(lit(state).as("filter_state"), col("len"))
-    lengths(raw, "raw").union(lengths(filtered, "filtered"))
-      .groupBy(col("filter_state"))
-      .agg(count(lit(1)).as("n_tracks"),
-        min(col("len")).as("min_len"),
-        expr("percentile(len, 0.5)").as("median_len"),
-        max(col("len")).as("max_len"))
+    val hist = lengths(raw, "raw").union(lengths(filtered, "filtered"))
+      .groupBy(col("filter_state"), col("len").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hist.groupBy(col("filter_state"))
+      .agg(sum(col("cnt")).as("n_tracks"),
+        min(col("v")).as("min_len"),
+        max(col("v")).as("max_len"))
+    stats.join(histogramMedian(hist, Seq("filter_state")), Seq("filter_state"))
+      .select(col("filter_state"), col("n_tracks"), col("min_len"),
+        col("median").as("median_len"), col("max_len"))
   }
 
   /** Frame-to-frame step-distance distribution (reference:
@@ -112,14 +151,39 @@ object Quality {
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_e"), col("_f"))))
       .filter(col("_n") === 1)
     val w = Window.partitionBy(col("_e")).orderBy(col("_f"))
-    uniq
+    // step distances, computed once (persisted): they feed the algebraic
+    // min/max/count aggregate AND the median selection below
+    val steps = uniq
       .withColumn("_dx", col("_x") - lag(col("_x"), 1).over(w))
       .withColumn("_dy", (col("_y") - lag(col("_y"), 1).over(w)).cast("double"))
       .filter(col("_dx").isNotNull)
       .withColumn("_d", sqrt(col("_dx") * col("_dx") + col("_dy") * col("_dy")))
-      .agg(count(lit(1)).as("n_steps"),
-        cround(min(col("_d")), 4).as("min_dist"),
-        cround(expr("percentile(_d, 0.5)"), 4).as("median_dist"),
-        cround(max(col("_d")), 4).as("max_dist"))
+      .select(col("_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EXACT global median without a single-task full-data buffer (the
+    // r2 perf-weak finding: percentile(_d, 0.5) in a one-group
+    // aggregate holds every step distance in one ObjectHashAggregate
+    // buffer). Distances are continuous doubles, so no bounded value
+    // histogram exists; instead select the middle order statistic(s)
+    // from a range-partitioned distributed sort — each task sorts (and
+    // spills) only its value range, and only the two middle ranks come
+    // back to the driver. Same multi-job driver-orchestrated shape as
+    // ConnectedComponents' rounds; the remaining single-group aggregate
+    // carries algebraic (constant-memory) partials only.
+    val n = steps.count()
+    val medianCol =
+      if (n == 0) lit(null).cast("double")
+      else {
+        val targets = Set((n + 1) / 2 - 1, n / 2) // 0-based lower/upper middle
+        val mids = steps.orderBy(col("_d")).rdd
+          .map(_.getDouble(0)).zipWithIndex()
+          .filter { case (_, i) => targets(i) }
+          .map(_._1).collect()
+        cround(lit(mids.sum / mids.length), 4)
+      }
+    steps.agg(count(lit(1)).as("n_steps"),
+      cround(min(col("_d")), 4).as("min_dist"),
+      medianCol.as("median_dist"),
+      cround(max(col("_d")), 4).as("max_dist"))
   }
 }

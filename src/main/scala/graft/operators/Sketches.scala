@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Sketch-based aggregates — the constant-memory path for 100 TB QC
   * (exact distinct counts and exact percentiles need a shuffle of every
   * distinct value; HLL++ and the quantile sketch are one fixed-size
-  * buffer per group, merged map-side). The exact columns alongside are
-  * for spec-checked error bounds at test scale.
+  * buffer per group, merged map-side). Error bounds against the exact
+  * answers are pinned in SketchesSpec, which computes the exact
+  * distinct count itself — shipping it inside this operator would
+  * reintroduce the expand + per-value shuffle the sketch exists to
+  * avoid.
   */
 object Sketches {
   def approxStats(df: DataFrame, keys: Seq[Column], distinctOf: Column,
@@ -15,7 +18,6 @@ object Sketches {
     df.groupBy(keys: _*)
       .agg(
         approx_count_distinct(distinctOf, rsd = 0.02).as("approx_distinct"),
-        countDistinct(distinctOf).as("exact_distinct"),
         // ONE quantile sketch per group (two scalar percentile_approx
         // calls are two distinct aggregate buffers — double the sketch
         // cost); scalars are extracted afterwards so every output column

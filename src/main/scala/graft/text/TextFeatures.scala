@@ -49,19 +49,27 @@ object TextFeatures {
     * are the classic pre-training poison the thresholds cut. Docs with
     * fewer than two tokens are out of scope (no 2-grams). */
   def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // ONE explode + ONE window pass (partition doc_id, order pos)
+    // computes everything positional — the 2-gram neighbour and the
+    // run id (running count of value changes, equivalent to the r2
+    // gaps-and-islands grouping but without its second, per-(doc,tok)
+    // window shuffle). The result persists once and feeds the three
+    // aggregates; r2 instead re-exploded the corpus per branch — three
+    // full scan+explode+shuffle subtrees (the per-round perf finding).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+      .withColumn("_nxt", lead(col("tok"), 1).over(w))
+      .withColumn("_runid", sum(
+        when(col("tok") === lag(col("tok"), 1).over(w), lit(0)).otherwise(lit(1))).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wordStats = toks.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("tok")).as("n_distinct"))
     val runs = toks
-      .withColumn("_grp", col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id"), col("tok")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), col("tok"), col("_grp"))
+      .groupBy(col("doc_id"), col("_runid"))
       .agg(count(lit(1)).as("_run"))
       .groupBy(col("doc_id")).agg(max(col("_run")).as("max_run"))
     val grams = toks
-      .withColumn("_nxt", lead(col("tok"), 1).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("_nxt").isNotNull)
       .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("_nxt")).as("gram"))
       .agg(count(lit(1)).as("_n"))

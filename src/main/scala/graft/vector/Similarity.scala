@@ -83,10 +83,29 @@ object Similarity {
     * similarity: LSH buckets generate candidates (no all-pairs join),
     * exact cosine verifies against the threshold. The scale counterpart
     * of `Dedup.jaccardPairs` for embedded content. Bucket self-join and
-    * pair dedup run over ids only; embeddings join back once. */
+    * pair dedup run over ids only; embeddings join back once.
+    *
+    * `planes` governs the bucket count per table (2^planes) and with it
+    * the expected bucket occupancy n/2^planes. A FIXED plane count is a
+    * scale bug: per-bucket self-joins are quadratic in occupancy, so
+    * any constant that works at test scale goes quadratic on a real
+    * corpus. Default (planes < 0) auto-scales to ceil(log2(n/2)) —
+    * occupancy ~2, candidate volume linear in n — clamped to [6, 20]:
+    * below 6 buckets stop discriminating, above 20 the per-table recall
+    * for genuine near-dups (cos >= 0.9, collision prob ~0.86^planes)
+    * drops too low for the default table count to cover. Recall lost to
+    * more planes is bought back with `tables`, which costs only the
+    * map-only bucket pass, never wider pair joins. */
   def cosineDupPairs(vecs: DataFrame, dim: Int, threshold: Double,
-                     planes: Int = 6, tables: Int = 16): DataFrame = {
-    val b = hyperplaneBuckets(vecs, dim, planes, tables)
+                     planes: Int = -1, tables: Int = 16): DataFrame = {
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = math.max(vecs.count(), 4L)
+        math.min(20, math.max(6,
+          math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt))
+      }
+    val b = hyperplaneBuckets(vecs, dim, p, tables)
     val pairs = b.as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

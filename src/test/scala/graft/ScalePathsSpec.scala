@@ -32,8 +32,14 @@ class SketchesSpec extends SparkSpec {
 
   test("HLL distinct within rsd bound; quantile sketch brackets the median") {
     val ev = Tables.events(spark, sfDir)
+    // the exact distinct count lives HERE, not in the operator: shipping
+    // it alongside the sketch would reintroduce the expand + per-value
+    // shuffle the sketch replaces (r2 perf-weak finding)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
     val r = graft.operators.Sketches.approxStats(ev, Seq(col("event_type")),
         col("user_id"), col("value"))
+      .join(exact, Seq("event_type"))
       .select("approx_distinct", "exact_distinct", "p50", "p95")
       .as[(Long, Long, Double, Double)].collect()
     assert(r.nonEmpty)
@@ -59,5 +65,70 @@ class SkewAggSpec extends SparkSpec {
     val salted = SkewAgg.saltedStats(ev, "event_type", col("event_id"), 16, col("value"))
       .as[(String, Long, Double, Double, Double)].collect().toSet
     assert(salted == direct)
+  }
+}
+
+class QcMedianSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Quality
+
+  test("histogramMedian: exact median for odd and even group sizes") {
+    // grp a: values 1,2,2,9 (even, median 2.0); grp b: 5,7,100 (odd, 7.0)
+    val hist = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 9L, 1L),
+      ("b", 5L, 1L), ("b", 7L, 1L), ("b", 100L, 1L))
+      .toDF("g", "v", "cnt")
+    val got = Quality.histogramMedian(hist, Seq("g"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 2.0, "b" -> 7.0))
+  }
+
+  test("QC medians match the naive percentile formulation on real data") {
+    val ev = Tables.events(spark, sfDir)
+    val filtered = Quality.filterSizeAndObservations(ev, "user_id", col("value"), 10.0, 50L)
+    val hist = Quality.trackLengthHistogram(ev, filtered, "user_id")
+    val naive = ev.groupBy(col("user_id")).agg(count(lit(1)).as("len"))
+      .agg(expr("percentile(len, 0.5)")).as[Double].head()
+    val rawMed = hist.filter(col("filter_state") === "raw")
+      .select("median_len").as[Double].head()
+    assert(rawMed == naive)
+
+    val eventsXY = ev
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .withColumn("y", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+    val fd = Quality.frameDistanceStats(eventsXY, "user_id", col("ts_s"),
+      col("value"), col("y"))
+    val row = fd.select("n_steps", "median_dist").as[(Long, Double)].head()
+    // naive single-buffer median of the same steps for comparison
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+    val uniq = eventsXY
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("user_id"), col("ts_s"))))
+      .filter(col("_n") === 1)
+    val naiveMed = uniq
+      .withColumn("_dx", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("_dy", (col("y") - lag(col("y"), 1).over(w)).cast("double"))
+      .filter(col("_dx").isNotNull)
+      .withColumn("_d", sqrt(col("_dx") * col("_dx") + col("_dy") * col("_dy")))
+      .agg(graft.functions.Numeric.cround(expr("percentile(_d, 0.5)"), 4))
+      .as[Double].head()
+    assert(row._1 > 0 && row._2 == naiveMed)
+  }
+
+  test("QC median plans carry no single-task full-data percentile buffer") {
+    val ev = Tables.events(spark, sfDir)
+    val filtered = Quality.filterSizeAndObservations(ev, "user_id", col("value"), 10.0, 50L)
+    Seq(
+      Quality.trackLengthHistogram(ev, filtered, "user_id"),
+      Quality.cellsPerFrame(ev, col("event_type"), date_format(col("ts"), "yyyy-MM-dd")),
+      Quality.frameDistanceStats(
+        ev.withColumn("ts_s", unix_timestamp(col("ts")))
+          .withColumn("y", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")),
+        "user_id", col("ts_s"), col("value"), col("y"))
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile("),
+        "exact percentile() buffers every value of a group in one task:\n" +
+          plan.take(1500))
+    }
   }
 }
