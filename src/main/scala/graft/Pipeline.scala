@@ -38,11 +38,11 @@ object Pipeline {
     * `spark.newSession()` when the session also trains models. */
   def fullObserved(events: DataFrame, obs: Option[org.apache.spark.sql.Observation],
                    minValue: Double = 10.0, minObs: Long = 50L): DataFrame = {
-    val filteredRaw = Quality.filterSizeAndObservations(
-      events, "user_id", col("value"), minValue, minObs)
+    val filteredRaw = graft.sources.Ingest.eventsTyped(
+      Quality.filterSizeAndObservations(
+        events, "user_id", col("value"), minValue, minObs))
       .withColumn("ts_s", unix_timestamp(col("ts")))
       .withColumn("x", col("value"))
-      .withColumn("y", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
     val filtered = obs match {
       case Some(o) => filteredRaw.observe(o,
         count(lit(1)).as("qc_rows"),

@@ -19,13 +19,14 @@ import graft.multimodal.Binary
 object SparkEntry {
 
   /** Shared epoch-second / (x, y) projection of the events table.
-    * y comes from the JSON props via regexp (identical extraction is
-    * used in the DuckDB oracle). */
+    * y comes from ONE schema-typed `from_json` parse of the props
+    * document (sources.Ingest — the parse_xml analogue); the DuckDB
+    * oracle extracts the same integer with a regexp, which is
+    * value-identical on well-formed props. */
   private def eventsXY(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    graft.sources.Ingest.eventsTyped(events(spark, dir))
       .withColumn("ts_s", unix_timestamp(col("ts")))
       .withColumn("x", col("value"))
-      .withColumn("y", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * CellPhe chain (QC filter -> movement -> trajectory features)
@@ -173,25 +174,11 @@ object SparkEntry {
       ConnectedComponents.run(lineitem(s, d)
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")))),
     "q_track_split" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // heap-shaped lineage forest per user (node rn divides into
-      // children 2rn, 2rn+1): a pure division tree, so the reference
-      // semantics have a closed form — each track is a doubling chain
-      // headed by an odd heap index, i.e. track_id = odd part of rn —
-      // which the DuckDB oracle computes directly while Spark runs the
-      // full distributed operator (windows + chain CC).
-      val base = events(s, d)
-        .select(col("user_id").cast("long").as("uid"), col("event_id"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("uid")).orderBy(col("event_id"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("uid"))))
-        .filter(col("n") >= 2)
-        .withColumn("id", col("uid") * 1000000L + col("rn"))
-      val spots = base.select(col("id"), col("rn").as("frame"))
-      val edges = base.filter(col("rn") * 2 <= col("n"))
-          .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2).as("dst"))
-        .union(base.filter(col("rn") * 2 + 1 <= col("n"))
-          .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2 + 1).as("dst")))
+      // lineage forest from the typed ingest builder (see
+      // sources.Ingest.lineageForest); the DuckDB oracle computes the
+      // closed-form track labels (odd part of the heap index) while
+      // Spark runs the full distributed operator.
+      val (spots, edges) = graft.sources.Ingest.lineageForest(events(s, d))
       operators.TrackAssignment.divisionAware(spots, edges)
     }),
     "q_mm_decode" -> ((s, d) =>
@@ -259,6 +246,22 @@ object SparkEntry {
       TextFeatures.langId(documents(s, d), col("doc_id"), col("text"))),
     "q_text_repetition" -> ((s, d) =>
       TextFeatures.repetition(documents(s, d), col("doc_id"), col("text"))),
+    // the synthetic corpus has no newlines, so the structural
+    // repetition query first lays the tokens out as 2-token lines
+    // grouped into 4-line paragraphs — deterministically, mirrored in
+    // the oracle — then measures duplicate-line/paragraph fractions.
+    "q_text_lines" -> ((s, d) => {
+      val tk = split(col("text"), "\\s+")
+      val nLines = ceil(size(tk) / lit(2.0)).cast("int")
+      val lines = transform(sequence(lit(0), nLines - lit(1)),
+        i => array_join(slice(tk, i * lit(2) + lit(1), lit(2)), " "))
+      val nParas = ceil(size(lines) / lit(4.0)).cast("int")
+      val paras = transform(sequence(lit(0), nParas - lit(1)),
+        j => array_join(slice(lines, j * lit(4) + lit(1), lit(4)), "\n"))
+      TextFeatures.lineRepetition(
+        documents(s, d).withColumn("_lined", array_join(paras, "\n\n")),
+        col("doc_id"), col("_lined"))
+    }),
   )
 
   // ---- DuckDB oracle SQL -----------------------------------------
@@ -1028,6 +1031,44 @@ object SparkEntry {
         |  floor(CAST(grams.top2gram_n AS DOUBLE) / grams.n_2grams * 1000000.0 + 0.5) / 1000000.0 AS top2gram_frac
         |FROM ws JOIN runs ON ws.doc_id = runs.doc_id
         |JOIN grams ON ws.doc_id = grams.doc_id""".stripMargin,
+
+    "q_text_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(tk) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(tk[CAST(i*2+1 AS INT):CAST(i*2+2 AS INT)], ' ')) AS lines
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, lines,
+        |    list_transform(range(0, CAST(ceil(len(lines) / 4.0) AS BIGINT)),
+        |      j -> array_to_string(lines[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)], chr(10))) AS paras
+        |  FROM l
+        |), f AS (
+        |  SELECT doc_id,
+        |    list_filter(lines, s -> regexp_matches(s, '\S')) AS la,
+        |    list_filter(paras, s -> regexp_matches(s, '\S')) AS pa
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  len(la) AS n_lines,
+        |  CASE WHEN len(la) > 0 THEN floor(CAST(len(la) - len(list_distinct(la)) AS DOUBLE)
+        |    / len(la) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN list_sum(list_transform(la, s -> length(s))) > 0 THEN
+        |    floor(CAST(list_sum(list_transform(la, s -> length(s)))
+        |        - list_sum(list_transform(list_distinct(la), s -> length(s))) AS DOUBLE)
+        |      / list_sum(list_transform(la, s -> length(s))) * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |  len(pa) AS n_paras,
+        |  CASE WHEN len(pa) > 0 THEN floor(CAST(len(pa) - len(list_distinct(pa)) AS DOUBLE)
+        |    / len(pa) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS dup_para_frac,
+        |  CASE WHEN list_sum(list_transform(pa, s -> length(s))) > 0 THEN
+        |    floor(CAST(list_sum(list_transform(pa, s -> length(s)))
+        |        - list_sum(list_transform(list_distinct(pa), s -> length(s))) AS DOUBLE)
+        |      / list_sum(list_transform(pa, s -> length(s))) * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS dup_para_char_frac
+        |FROM f""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (

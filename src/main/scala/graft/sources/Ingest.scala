@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Typed semi-structured ingest — the analogue of the reference's
+  * parse stage (parse_xml.py:68-113 turns TrackMate XML into typed
+  * spots/edges tables ONCE, and every later stage reads columns).
+  *
+  * graft's driver tables carry their semi-structured payload as a JSON
+  * `props` string. The faithful (and fast) treatment is the same as
+  * the reference's: ONE schema-typed parse into columns at ingest, not
+  * a regexp per consuming query — `from_json` parses the document once
+  * per row into a struct the optimizer can prune, where N
+  * `regexp_extract` calls re-scan the string N times and hide the
+  * schema from Catalyst.
+  */
+object Ingest {
+
+  /** Schema of the events `props` JSON document. */
+  val PropsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
+
+  /** events with the props document parsed once: adds typed `y`
+    * (props.k). Downstream queries never touch the raw string. */
+  def eventsTyped(events: DataFrame): DataFrame =
+    events
+      .withColumn("_props", from_json(col("props"), PropsSchema))
+      .withColumn("y", col("_props").getField("k"))
+      .drop("_props")
+
+  /** Spots/edges builder — the parse_xml.py:68-113 analogue for the
+    * driver's events table: each user's frame-ordered events become a
+    * heap-shaped lineage forest (node rn divides into children 2rn and
+    * 2rn+1 while they fit in the user's event count). A pure division
+    * tree: every interior node has out-degree 2 (a division), so track
+    * semantics have a closed form (each track is a doubling chain
+    * headed by an odd heap index) that the DuckDB oracle computes
+    * directly while the engine runs the full distributed operator.
+    * Returns (spots(id, frame), edges(src, dst)). */
+  def lineageForest(events: DataFrame): (DataFrame, DataFrame) = {
+    val base = events
+      .select(col("user_id").cast("long").as("uid"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("uid")).orderBy(col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("uid"))))
+      .filter(col("n") >= 2)
+      .withColumn("id", col("uid") * 1000000L + col("rn"))
+    val spots = base.select(col("id"), col("rn").as("frame"))
+    val edges = base.filter(col("rn") * 2 <= col("n"))
+        .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2).as("dst"))
+      .union(base.filter(col("rn") * 2 + 1 <= col("n"))
+        .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2 + 1).as("dst")))
+    (spots, edges)
+  }
+}

@@ -86,6 +86,41 @@ object TextFeatures {
           col("top2gram_n").cast("double") / col("n_2grams"), 6).as("top2gram_frac"))
   }
 
+  /** Duplicate-line / duplicate-paragraph fractions — the structural
+    * half of the Gopher repetition family (the word/2-gram half is
+    * `repetition`): the fraction of non-blank lines (and paragraphs)
+    * that are copies of an earlier one, plus the fraction of CHARACTERS
+    * living inside those copies (a doc whose one repeated line is huge
+    * is worse than one repeating a short separator). Pure per-row
+    * column expressions over the split arrays — map-only, no shuffle,
+    * no explode: dup counts come from `array_distinct`, character
+    * counts from an `aggregate` fold. */
+  def lineRepetition(df: DataFrame, id: Column, text: Column,
+                     lineSep: String = "\n", paraSep: String = "\n{2,}"): DataFrame = {
+    def metrics(arr: Column, unit: String): Seq[Column] = {
+      // blank = whitespace-only (trim() strips spaces but not the \n
+      // a whitespace-only paragraph still contains)
+      val a = filter(arr, s => s.rlike("\\S"))
+      val n = size(a)
+      val nd = size(array_distinct(a))
+      def chars(xs: Column) =
+        aggregate(xs, lit(0L), (acc, s) => acc + length(s).cast("long"))
+      val c = chars(a)
+      val dc = chars(array_distinct(a))
+      Seq(
+        n.as(s"n_${unit}s"),
+        when(n > 0, graft.functions.Numeric.cround(
+          (n - nd).cast("double") / n, 6)).otherwise(lit(0.0))
+          .as(s"dup_${unit}_frac"),
+        when(c > 0, graft.functions.Numeric.cround(
+          (c - dc).cast("double") / c, 6)).otherwise(lit(0.0))
+          .as(s"dup_${unit}_char_frac"))
+    }
+    df.select(id.as("doc_id") +:
+      (metrics(split(text, lineSep), "line") ++
+        metrics(split(text, paraSep), "para")): _*)
+  }
+
   /** Heuristic language-ID: marker-word scores per language with a fixed
     * precedence order for the argmax (en > fr > es > de), plus a CJK
     * character check for zh. Deterministic, SQL-expressible. */
