@@ -70,14 +70,7 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    // InternalRow truncation: UnsafeRows are reused by the scanner, so
-    // copy before persisting (same trick localCheckpoint uses), but keep
-    // the block lifecycle in our hands.
-    def materialize(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-      val rdd = df.queryExecution.toRdd.map(_.copy()).persist(lvl)
-      (org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, df.schema), rdd)
-    }
+    def materialize(df: DataFrame) = Rounds.materialize(df, lvl)
 
     // per-partition union-find contraction: each partition's edges
     // collapse to local star edges (node -> local root) in one

@@ -85,12 +85,18 @@ object TrackAssignment {
 
     // every spot touching any edge is in scope; spots whose every edge
     // was cut (e.g. an extra child with no children of its own) form
-    // their own single-spot track
+    // their own single-spot track.
+    // Surviving edges have in/out-degree <= 1, so labeling uses the
+    // chain-specialised pointer-doubling operator (one join per round)
+    // rather than generic CC (two window shuffles + dedup per round);
+    // min-id-per-head relabeling reproduces CC's canonical component
+    // labels exactly.
     val universe = ed.select(col("src").as("id"))
       .union(ed.select(col("dst").as("id"))).distinct()
-    val cc = ConnectedComponents.run(chain)
-      .select(col("node").as("id"), col("component"))
+    val lbl = ChainLabel.heads(chain)
+    val minId = lbl.groupBy(col("head")).agg(min(col("id")).as("track_id"))
+    val cc = lbl.join(minId, Seq("head")).select(col("id"), col("track_id"))
     universe.join(cc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("track_id"))
+      .select(col("id"), coalesce(col("track_id"), col("id")).as("track_id"))
   }
 }

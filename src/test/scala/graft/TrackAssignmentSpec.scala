@@ -125,3 +125,42 @@ class TrackAssignmentSpec extends SparkSpec {
     }
   }
 }
+
+class ChainLabelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand chains: every node labeled with its chain head") {
+    // chains: 5->9->2->7 (head 5), 10->11 (head 10), singleton via no edge
+    val chain = Seq((5L, 9L), (9L, 2L), (2L, 7L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.operators.ChainLabel.heads(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 9L -> 5L, 2L -> 5L, 7L -> 5L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("pointer doubling equals generic CC partitions on random chains") {
+    val rnd = new scala.util.Random(42)
+    // 60 chains of length 1..40 over shuffled ids
+    val ids = rnd.shuffle((1L to 3000L).toVector).iterator
+    val edges = (1 to 60).flatMap { _ =>
+      val len = 1 + rnd.nextInt(40)
+      val nodes = Seq.fill(len + 1)(ids.next())
+      nodes.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    }
+    val chain = edges.toDF("src", "dst")
+    val viaHeads = graft.operators.ChainLabel.heads(chain)
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val viaCC = graft.operators.ConnectedComponents.run(chain)
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(viaHeads == viaCC)
+  }
+
+  test("a cycle in the chain edges is rejected, not mislabeled") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    intercept[Exception] {
+      graft.operators.ChainLabel.heads(chain.coalesce(1)).collect()
+    }
+  }
+}
