@@ -181,6 +181,36 @@ object SparkEntry {
       val (spots, edges) = graft.sources.Ingest.lineageForest(events(s, d))
       operators.TrackAssignment.divisionAware(spots, edges)
     }),
+    // ROI polygon shape features: deterministic synthetic ROIs (the
+    // container has no segmentation stack) -> codegen'd shoelace
+    // area/perimeter/bbox -> derived circularity/aspect; the oracle
+    // mirrors the vertex construction and geometry with list ops.
+    "q_roi_shape" -> ((s, d) => {
+      val ev = eventsXY(s, d)
+      operators.RoiShape.features(
+          ev.withColumn("roi", operators.RoiShape.syntheticRoi(
+            col("event_id"), col("x"), col("y"))),
+          col("roi"))
+        .select(col("event_id"), col("n_vertices"),
+          cround(col("area"), 4).as("area"),
+          cround(col("perimeter"), 4).as("perimeter"),
+          cround(col("circularity"), 6).as("circularity"),
+          cround(col("bbox_w"), 4).as("bbox_w"),
+          cround(col("bbox_h"), 4).as("bbox_h"),
+          cround(col("aspect"), 6).as("aspect"))
+    }),
+    // the shape features feeding the one-shuffle multi-feature stats
+    // (frame_features_image.py's static features -> summary tables)
+    "q_roi_stats" -> ((s, d) => {
+      val ev = eventsXY(s, d)
+      val f = operators.RoiShape.features(
+        ev.withColumn("roi", operators.RoiShape.syntheticRoi(
+          col("event_id"), col("x"), col("y"))),
+        col("roi"))
+      Quality.frameStatsMulti(f, Seq(col("event_type")),
+        Seq("area" -> col("area"), "perim" -> col("perimeter"),
+          "circ" -> col("circularity")))
+    }),
     "q_mm_decode" -> ((s, d) =>
       Binary.decodeMeta(s, Binary.withPayload(documents(s, d))).toDF()),
     "q_mm_frames" -> ((s, d) =>
@@ -798,6 +828,109 @@ object SparkEntry {
         |  CAST(floor(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) / 10.0) AS BIGINT) AS gy,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_roi_shape" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), geo AS (
+        |  SELECT event_id, event_type, 4 + event_id % 5 AS k,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> x + [1.0,1.0,0.0,-1.0,-1.0,-1.0,0.0,1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS xs,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> CAST(y AS DOUBLE) + [0.0,1.0,1.0,1.0,0.0,-1.0,-1.0,-1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS ys
+        |  FROM base
+        |), m AS (
+        |  SELECT event_id, event_type, CAST(k AS INT) AS n_vertices,
+        |    abs(list_sum(list_transform(range(0, k),
+        |      i -> xs[CAST(i+1 AS INT)] * ys[CAST((i+1) % k + 1 AS INT)]
+        |         - xs[CAST((i+1) % k + 1 AS INT)] * ys[CAST(i+1 AS INT)]))) / 2.0 AS area,
+        |    list_sum(list_transform(range(0, k),
+        |      i -> sqrt((xs[CAST((i+1) % k + 1 AS INT)] - xs[CAST(i+1 AS INT)])
+        |              * (xs[CAST((i+1) % k + 1 AS INT)] - xs[CAST(i+1 AS INT)])
+        |              + (ys[CAST((i+1) % k + 1 AS INT)] - ys[CAST(i+1 AS INT)])
+        |              * (ys[CAST((i+1) % k + 1 AS INT)] - ys[CAST(i+1 AS INT)])))) AS perimeter,
+        |    list_min(xs) AS min_x, list_max(xs) AS max_x,
+        |    list_min(ys) AS min_y, list_max(ys) AS max_y
+        |  FROM geo
+        |)
+        |SELECT event_id, n_vertices,
+        |  floor(area * 10000.0 + 0.5) / 10000.0 AS area,
+        |  floor(perimeter * 10000.0 + 0.5) / 10000.0 AS perimeter,
+        |  floor((CASE WHEN perimeter > 0.0 THEN 4.0 * pi() * area / (perimeter * perimeter)
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS circularity,
+        |  floor((max_x - min_x) * 10000.0 + 0.5) / 10000.0 AS bbox_w,
+        |  floor((max_y - min_y) * 10000.0 + 0.5) / 10000.0 AS bbox_h,
+        |  floor((CASE WHEN max_y - min_y > 0.0 THEN (max_x - min_x) / (max_y - min_y)
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS aspect
+        |FROM m""".stripMargin,
+
+    "q_roi_stats" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), geo AS (
+        |  SELECT event_id, event_type, 4 + event_id % 5 AS k,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> x + [1.0,1.0,0.0,-1.0,-1.0,-1.0,0.0,1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS xs,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> CAST(y AS DOUBLE) + [0.0,1.0,1.0,1.0,0.0,-1.0,-1.0,-1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS ys
+        |  FROM base
+        |), m AS (
+        |  SELECT event_type,
+        |    abs(list_sum(list_transform(range(0, k),
+        |      i -> xs[CAST(i+1 AS INT)] * ys[CAST((i+1) % k + 1 AS INT)]
+        |         - xs[CAST((i+1) % k + 1 AS INT)] * ys[CAST(i+1 AS INT)]))) / 2.0 AS area,
+        |    list_sum(list_transform(range(0, k),
+        |      i -> sqrt((xs[CAST((i+1) % k + 1 AS INT)] - xs[CAST(i+1 AS INT)])
+        |              * (xs[CAST((i+1) % k + 1 AS INT)] - xs[CAST(i+1 AS INT)])
+        |              + (ys[CAST((i+1) % k + 1 AS INT)] - ys[CAST(i+1 AS INT)])
+        |              * (ys[CAST((i+1) % k + 1 AS INT)] - ys[CAST(i+1 AS INT)])))) AS perimeter
+        |  FROM geo
+        |), f AS (
+        |  SELECT event_type, area, perimeter AS perim,
+        |    CASE WHEN perimeter > 0.0 THEN 4.0 * pi() * area / (perimeter * perimeter)
+        |      ELSE 0.0 END AS circ
+        |  FROM m
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(area AS DECIMAL(28,4))) AS DOUBLE) AS area_sum,
+        |  floor(CAST(SUM(CAST(area AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS area_avg,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    floor(sqrt((CAST(SUM(CAST(area * area AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(area AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(area AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+        |  END AS area_std,
+        |  floor(MIN(area) * 10000.0 + 0.5) / 10000.0 AS area_min,
+        |  floor(MAX(area) * 10000.0 + 0.5) / 10000.0 AS area_max,
+        |  CAST(SUM(CAST(perim AS DECIMAL(28,4))) AS DOUBLE) AS perim_sum,
+        |  floor(CAST(SUM(CAST(perim AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS perim_avg,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    floor(sqrt((CAST(SUM(CAST(perim * perim AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(perim AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(perim AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+        |  END AS perim_std,
+        |  floor(MIN(perim) * 10000.0 + 0.5) / 10000.0 AS perim_min,
+        |  floor(MAX(perim) * 10000.0 + 0.5) / 10000.0 AS perim_max,
+        |  CAST(SUM(CAST(circ AS DECIMAL(28,4))) AS DOUBLE) AS circ_sum,
+        |  floor(CAST(SUM(CAST(circ AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS circ_avg,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    floor(sqrt((CAST(SUM(CAST(circ * circ AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(circ AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(circ AS DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+        |  END AS circ_std,
+        |  floor(MIN(circ) * 10000.0 + 0.5) / 10000.0 AS circ_min,
+        |  floor(MAX(circ) * 10000.0 + 0.5) / 10000.0 AS circ_max
+        |FROM f GROUP BY event_type""".stripMargin,
 
     "q_qc_track_summary" ->
       """SELECT user_id, COUNT(*) AS n_obs,

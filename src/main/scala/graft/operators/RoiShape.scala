@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ROI polygon shape features — the reference's static shape
+  * descriptor family (bin/frame_features_image.py:34-66) over the
+  * per-spot ROI coordinate arrays parse_xml.py:90-101 extracts:
+  * area, perimeter, circularity (4*pi*A/P^2, 1.0 for a circle), and
+  * bounding-box width/height/aspect. One codegen'd pass per row
+  * (functions.PolygonShape) plus scalar arithmetic — map-only, no
+  * shuffle, so at 100 TB this is scan-bound like any other projection.
+  */
+object RoiShape {
+
+  /** Appends n_vertices / area / perimeter / circularity / bbox_w /
+    * bbox_h / aspect (raw, unrounded doubles) for the given
+    * `array<struct<x double, y double>>` ROI column. */
+  def features(df: DataFrame, roi: Column): DataFrame = {
+    df.withColumn("_shape", graft.functions.PolygonShape(roi))
+      .withColumn("n_vertices", size(roi))
+      .withColumn("area", col("_shape.area"))
+      .withColumn("perimeter", col("_shape.perimeter"))
+      .withColumn("circularity",
+        when(col("_shape.perimeter") > 0.0,
+          lit(4.0 * math.Pi) * col("_shape.area") /
+            (col("_shape.perimeter") * col("_shape.perimeter")))
+          .otherwise(lit(0.0)))
+      .withColumn("bbox_w", col("_shape.max_x") - col("_shape.min_x"))
+      .withColumn("bbox_h", col("_shape.max_y") - col("_shape.min_y"))
+      .withColumn("aspect",
+        when(col("_shape.max_y") - col("_shape.min_y") > 0.0,
+          (col("_shape.max_x") - col("_shape.min_x")) /
+            (col("_shape.max_y") - col("_shape.min_y")))
+          .otherwise(lit(0.0)))
+      .drop("_shape")
+  }
+
+  /** Deterministic synthetic ROI for the driver's events table (the
+    * container has no imaging stack, so ROI coordinates are derived
+    * from each event instead of segmentation output — mirrored exactly
+    * by the DuckDB oracle): a star-shaped polygon of k = 4 + id%5
+    * vertices around (x, y), walking the 8 compass directions with
+    * integer radius 1 + (id + i)%3 (radius period 3 is chosen so no
+    * (k, id) combination collapses to a zero-area bowtie — period 4
+    * does for k = 4). Integer-derived doubles, so both engines build
+    * bit-identical vertices. */
+  def syntheticRoi(id: Column, x: Column, y: Column): Column = {
+    val dxs = array(Seq(1, 1, 0, -1, -1, -1, 0, 1).map(v => lit(v.toDouble)): _*)
+    val dys = array(Seq(0, 1, 1, 1, 0, -1, -1, -1).map(v => lit(v.toDouble)): _*)
+    val k = (lit(4) + id % lit(5)).cast("int")
+    transform(sequence(lit(0), k - lit(1)), i => {
+      val r = ((id + i) % lit(3) + lit(1)).cast("double")
+      struct(
+        (x.cast("double") + element_at(dxs, i + lit(1)) * r).as("x"),
+        (y.cast("double") + element_at(dys, i + lit(1)) * r).as("y"))
+    })
+  }
+}
