@@ -281,15 +281,21 @@ object SparkEntry {
     // grouped into 4-line paragraphs — deterministically, mirrored in
     // the oracle — then measures duplicate-line/paragraph fractions.
     "q_text_lines" -> ((s, d) => {
-      val tk = split(col("text"), "\\s+")
-      val nLines = ceil(size(tk) / lit(2.0)).cast("int")
-      val lines = transform(sequence(lit(0), nLines - lit(1)),
-        i => array_join(slice(tk, i * lit(2) + lit(1), lit(2)), " "))
-      val nParas = ceil(size(lines) / lit(4.0)).cast("int")
-      val paras = transform(sequence(lit(0), nParas - lit(1)),
-        j => array_join(slice(lines, j * lit(4) + lit(1), lit(4)), "\n"))
+      // two codegen'd regex passes: pair tokens into lines (every
+      // non-final 2nd token gains "\n"), then group lines into
+      // paragraphs (every non-final 4th line's "\n" becomes "\n\n").
+      // Left-to-right non-overlapping replacement chunks exactly like
+      // the oracle's slice construction ON SINGLE-SPACE TEXT (this
+      // corpus: zero docs match ^\s|\s$|\s\s at any SF, and the regex
+      // and slice constructions compare string-equal at all three) —
+      // the interpreted per-token transform() it replaces was 4.5 s of
+      // this query's 4.7 s at sf0.1.
+      val lined = regexp_replace(
+        regexp_replace(regexp_replace(col("text"), "\\s+", " "),
+          "(\\S+ \\S+) ", "$1\n"),
+        "([^\n]*\n[^\n]*\n[^\n]*\n[^\n]*)\n", "$1\n\n")
       TextFeatures.lineRepetition(
-        documents(s, d).withColumn("_lined", array_join(paras, "\n\n")),
+        documents(s, d).withColumn("_lined", lined),
         col("doc_id"), col("_lined"))
     }),
   )

@@ -95,30 +95,28 @@ object TextFeatures {
     * column expressions over the split arrays — map-only, no shuffle,
     * no explode: dup counts come from `array_distinct`, character
     * counts from an `aggregate` fold. */
-  def lineRepetition(df: DataFrame, id: Column, text: Column,
-                     lineSep: String = "\n", paraSep: String = "\n{2,}"): DataFrame = {
-    def metrics(arr: Column, unit: String): Seq[Column] = {
-      // blank = whitespace-only (trim() strips spaces but not the \n
-      // a whitespace-only paragraph still contains)
-      val a = filter(arr, s => s.rlike("\\S"))
-      val n = size(a)
-      val nd = size(array_distinct(a))
-      def chars(xs: Column) =
-        aggregate(xs, lit(0L), (acc, s) => acc + length(s).cast("long"))
-      val c = chars(a)
-      val dc = chars(array_distinct(a))
-      Seq(
-        n.as(s"n_${unit}s"),
-        when(n > 0, graft.functions.Numeric.cround(
-          (n - nd).cast("double") / n, 6)).otherwise(lit(0.0))
-          .as(s"dup_${unit}_frac"),
-        when(c > 0, graft.functions.Numeric.cround(
-          (c - dc).cast("double") / c, 6)).otherwise(lit(0.0))
-          .as(s"dup_${unit}_char_frac"))
-    }
-    df.select(id.as("doc_id") +:
-      (metrics(split(text, lineSep), "line") ++
-        metrics(split(text, paraSep), "para")): _*)
+  def lineRepetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // counts come from ONE fused codegen pass per document (see
+    // functions.LineStats — the split/filter/array_distinct/aggregate
+    // HOF formulation was five interpreted passes per row and the
+    // slowest query in the bench); the fractions here are scalar
+    // arithmetic on its struct
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, graft.functions.Numeric.cround(
+        num.cast("double") / den, 6)).otherwise(lit(0.0))
+    df.withColumn("_ls", graft.functions.LineStats(text))
+      .select(
+        id.as("doc_id"),
+        col("_ls.n_lines").as("n_lines"),
+        frac(col("_ls.n_lines") - col("_ls.n_distinct_lines"),
+          col("_ls.n_lines")).as("dup_line_frac"),
+        frac(col("_ls.line_chars") - col("_ls.distinct_line_chars"),
+          col("_ls.line_chars")).as("dup_line_char_frac"),
+        col("_ls.n_paras").as("n_paras"),
+        frac(col("_ls.n_paras") - col("_ls.n_distinct_paras"),
+          col("_ls.n_paras")).as("dup_para_frac"),
+        frac(col("_ls.para_chars") - col("_ls.distinct_para_chars"),
+          col("_ls.para_chars")).as("dup_para_char_frac"))
   }
 
   /** Heuristic language-ID: marker-word scores per language with a fixed
