@@ -15,15 +15,21 @@ object TextFeatures {
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count
-    * (alpha runs / digit runs / single punctuation marks). */
+    * (alpha runs / digit runs / single punctuation marks). All four
+    * counts come from ONE fused character scan per document
+    * (functions.TokenCounts) — the composable formulation was three
+    * `regexp_count` passes plus a `split`, four full regex scans that
+    * made this the slowest map-only query in the bench. */
   def tokenStats(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(
-      id.as("doc_id"),
-      size(tokens(text)).as("n_ws_tokens"),
-      regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"),
-      regexp_count(text, lit("[A-Za-z]+")).as("n_alpha_tokens"),
-      graft.functions.Numeric.cround(length(regexp_replace(text, "\\s", "")).cast("double") /
-        size(tokens(text)), 4).as("avg_token_len"))
+    df.withColumn("_tc", graft.functions.TokenCounts(text))
+      .select(
+        id.as("doc_id"),
+        col("_tc.n_ws_tokens").as("n_ws_tokens"),
+        col("_tc.n_bpe_tokens").as("n_bpe_tokens"),
+        col("_tc.n_alpha_tokens").as("n_alpha_tokens"),
+        graft.functions.Numeric.cround(
+          col("_tc.n_nonws_chars").cast("double") / col("_tc.n_ws_tokens"), 4)
+          .as("avg_token_len"))
 
   /** Quality scoring: length, punctuation/digit/stopword ratios and a
     * boolean keep flag (the usual pre-training corpus filters). */

@@ -110,6 +110,34 @@ class TextSpec extends SparkSpec {
   private def round(x: Double, n: Int): Double =
     BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("TokenCounts matches the regex formulation on adversarial strings and real docs") {
+    val tricky = Seq(
+      "", " ", "  ", "a", " a", "a ", "\ta\nb\r", "a  b", "...", "a1b2",
+      "42", "x!y?z", "tab\tsep", "ends with punct!", "!leading", "a-b_c",
+      "\u000Bvt\u000B", "mixed 12ab!! 7 ...x"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val trickyDf = tricky.toDF("doc_id", "text")
+    val realDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    for (df <- Seq(trickyDf, realDf)) {
+      val expected = df.select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).as("e_ws"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("e_bpe"),
+        regexp_count(col("text"), lit("[A-Za-z]+")).as("e_alpha"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("e_nonws"))
+      val got = df.select(col("doc_id"), graft.functions.TokenCounts(col("text")).as("tc"))
+        .select(col("doc_id"), col("tc.n_ws_tokens").as("g_ws"),
+          col("tc.n_bpe_tokens").as("g_bpe"), col("tc.n_alpha_tokens").as("g_alpha"),
+          col("tc.n_nonws_chars").as("g_nonws"))
+      val mismatches = expected.join(got, Seq("doc_id"))
+        .filter(col("e_ws") =!= col("g_ws") || col("e_bpe") =!= col("g_bpe") ||
+          col("e_alpha") =!= col("g_alpha") || col("e_nonws") =!= col("g_nonws"))
+        .collect()
+      assert(mismatches.isEmpty, mismatches.take(3).mkString("; "))
+    }
+  }
+
   test("quality flags short docs") {
     val df = Seq((1L, "too short"), (2L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
