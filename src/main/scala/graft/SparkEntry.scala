@@ -229,6 +229,11 @@ object SparkEntry {
       Dedup.exact(documents(s, d), col("doc_id"), col("text"))),
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), col("doc_id"), col("text"), 3, 0.5, 1000L)),
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.clusters(docs, col("doc_id"),
+        Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, 1000L))
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       MinHashLSH.nearDupPairs(documents(s, d), col("doc_id"), col("text"), 3, 64, 16, 0.5)),
     "q_ann_cosine" -> ((s, d) => {
@@ -1052,6 +1057,46 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // transitive closure of the jaccard near-dup pairs (recursive CTE:
+    // comp reachable-from sets, min per node = component label), then
+    // canonical keep selection over every document
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM tok, UNNEST(range(1, len(tk) - 1)) AS t(i)
+        |  WHERE len(tk) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), kp AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), post AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN kp USING (shingle)
+        |), cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), dup AS (
+        |  SELECT d1, d2 FROM cand
+        |  JOIN sizes s1 ON cand.d1 = s1.doc_id
+        |  JOIN sizes s2 ON cand.d2 = s2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+        |), edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM dup UNION SELECT d2, d1 FROM dup
+        |), reach AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src
+        |), lbl AS (
+        |  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id AS doc_id,
+        |  COALESCE(l.comp, d.doc_id) AS canonical_id,
+        |  CAST(CASE WHEN COALESCE(l.comp, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id""".stripMargin,
 
     "q_winnow_containment" ->
       """WITH g AS (

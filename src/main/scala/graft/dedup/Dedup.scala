@@ -63,6 +63,31 @@ object Dedup {
       .select("d1", "d2", "shared", "containment")
   }
 
+  /** Near-dup clustering + canonical selection — the step an actual
+    * dedup pipeline ENDS with: pairwise near-dup evidence (from any of
+    * the pair generators: Jaccard, MinHash-LSH, SimHash, cosine) is
+    * transitively closed into clusters and one canonical document is
+    * kept per cluster (min doc id — deterministic and
+    * generator-independent). Pair lists give no keep-list directly:
+    * A~B and B~C must collapse to ONE kept doc even when A~C was never
+    * emitted, which is exactly connected components over the pair
+    * graph (the same O(log n) alternating-star machinery as track
+    * assignment — dup clusters at corpus scale are overwhelmingly
+    * tiny, so rounds converge fast and no cluster is ever collected).
+    * Output: every document with its cluster canonical and a keep
+    * flag; docs in no pair are their own canonical.
+    */
+  def clusters(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val cc = graft.operators.ConnectedComponents.run(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    docs.select(id.as("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join on
     * shingles. `maxDf` prunes ultra-common shingles (bounded fanout —
     * the classic posting-list cap); every surviving pair's Jaccard is

@@ -33,6 +33,34 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("clusters: transitive closure over pairs, canonical keep, singletons kept") {
+    // pair evidence A~B, B~C (never A~C) plus an unrelated pair D~E:
+    // one cluster {1,2,3} kept by 1, one {7,8} kept by 7, singleton 9
+    val docs = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+    val got = Dedup.clusters(docs, col("doc_id"), pairs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (7L, 7L, 1), (8L, 7L, 0), (9L, 9L, 1)))
+  }
+
+  test("clusters over real jaccard pairs: kept set is a maximal dup-free cover (sf0.001)") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, 1000L)
+    val cl = Dedup.clusters(docs, col("doc_id"), pairs.select("d1", "d2"))
+    val assign = cl.as[(Long, Long, Int)].collect()
+    val byDoc = assign.map(a => a._1 -> a._2).toMap
+    // every pair's endpoints share a canonical; exactly one keep per cluster
+    pairs.select("d1", "d2").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    assign.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.count(_._3 == 1) == 1, s"cluster $canon keep count != 1")
+      assert(members.map(_._1).min == canon, s"cluster $canon not labeled by min id")
+    }
+    assert(assign.length == docs.count())
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on real corpus (sf0.001)") {
     val docs = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, 1000L)
