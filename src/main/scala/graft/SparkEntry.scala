@@ -179,7 +179,10 @@ object SparkEntry {
       // closed-form track labels (odd part of the heap index) while
       // Spark runs the full distributed operator.
       val (spots, edges) = graft.sources.Ingest.lineageForest(events(s, d))
-      operators.TrackAssignment.divisionAware(spots, edges)
+      // lineage ids encode their video (uid * 1e6 + rn) and edges never
+      // cross videos, so the cogroup-by-video variant applies: one
+      // shuffle per input instead of iterative labeling rounds
+      operators.TrackAssignment.divisionAwareByVideo(spots, edges, _ / 1000000L)
     }),
     // ROI polygon shape features: deterministic synthetic ROIs (the
     // container has no segmentation stack) -> codegen'd shoelace

@@ -99,4 +99,85 @@ object TrackAssignment {
     universe.join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("track_id"), col("id")).as("track_id"))
   }
+
+  /** Division-aware track assignment when a VIDEO key is available —
+    * the dominant real case: tracking runs per timelapse, spot ids are
+    * assigned per video, and no lineage edge ever crosses videos. That
+    * confinement makes the iterative machinery above unnecessary:
+    * cogroup spots and edges by video (ONE shuffle of each input) and
+    * run the deterministic local-choice algorithm sequentially per
+    * video — at 100 TB the corpus is millions of independent videos,
+    * so parallelism comes from the video key, and per-video work is
+    * bounded by one timelapse (thousands of spots), not the corpus.
+    * Semantics are identical to `divisionAware` (same two local
+    * choices, same min-id-per-segment labels — parity-pinned by spec);
+    * edges must be video-local (`videoOf(src) == videoOf(dst)`), which
+    * tracking data satisfies by construction.
+    */
+  def divisionAwareByVideo(spots: DataFrame, edges: DataFrame,
+                           videoOf: Long => Long): DataFrame = {
+    val spark = spots.sparkSession
+    import spark.implicits._
+    val sp = spots.select(col("id").cast("long"), col("frame").cast("long"))
+      .as[(Long, Long)].groupByKey(s => videoOf(s._1))
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .as[(Long, Long)].groupByKey(e => videoOf(e._2))
+    sp.cogroup(ed) { (_, spIt, edIt) =>
+      val frame = new java.util.HashMap[Long, Long]()
+      spIt.foreach { case (id, f) => frame.put(id, f) }
+      val es = new java.util.LinkedHashSet[(Long, Long)]()
+      edIt.foreach(es.add)
+      if (es.isEmpty) Iterator.empty
+      else {
+        // the two deterministic local choices, sequential per video
+        val chosen = new java.util.HashMap[Long, Long]()   // dst -> continuing src
+        val first = new java.util.HashMap[Long, Long]()    // src -> first child dst
+        val it0 = es.iterator()
+        while (it0.hasNext) {
+          val (s, d) = it0.next()
+          if (frame.containsKey(s) && frame.containsKey(d)) {
+            val c = chosen.get(d)
+            if (!chosen.containsKey(d) ||
+                frame.get(s) > frame.get(c) ||
+                (frame.get(s) == frame.get(c) && s < c)) chosen.put(d, s)
+            val f = first.get(s)
+            if (!first.containsKey(s) ||
+                frame.get(d) < frame.get(f) ||
+                (frame.get(d) == frame.get(f) && d < f)) first.put(s, d)
+          }
+        }
+        // surviving chain edges: next(src) = dst
+        val next = new java.util.HashMap[Long, Long]()
+        val hasPrev = new java.util.HashSet[Long]()
+        first.forEach { (s, d) =>
+          if (chosen.get(d) == s) { next.put(s, d); hasPrev.add(d) }
+        }
+        // label each segment by its min id, walking from chain heads
+        val label = new java.util.HashMap[Long, Long]()
+        next.forEach { (s, _) =>
+          if (!hasPrev.contains(s)) {
+            var m = s
+            var x = s
+            while (next.containsKey(x)) { x = next.get(x); if (x < m) m = x }
+            var y = s
+            label.put(y, m)
+            while (next.containsKey(y)) { y = next.get(y); label.put(y, m) }
+          }
+        }
+        // every id incident to an edge is in scope; ids outside every
+        // surviving chain are their own single-spot track
+        val out = new java.util.LinkedHashMap[Long, Long]()
+        val it1 = es.iterator()
+        while (it1.hasNext) {
+          val (s, d) = it1.next()
+          out.put(s, label.getOrDefault(s, s))
+          out.put(d, label.getOrDefault(d, d))
+        }
+        import scala.jdk.CollectionConverters._
+        out.entrySet().iterator().asScala
+          .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+      }
+    }.toDF("id", "track_id")
+  }
 }

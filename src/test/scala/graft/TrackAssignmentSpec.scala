@@ -50,6 +50,34 @@ class TrackAssignmentSpec extends SparkSpec {
     val exp = referencePartition(frames, edges)
     val got = graftPartition(frames, edges)
     assert(got == exp, s"partitions differ:\n got=$got\n exp=$exp")
+    // the cogroup-by-video variant must agree with the iterative
+    // operator EXACTLY (same labels, not just the same partition)
+    val generic = TrackAssignment.divisionAware(
+        frames.toSeq.toDF("id", "frame"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    val byVideo = TrackAssignment.divisionAwareByVideo(
+        frames.toSeq.toDF("id", "frame"), edges.toDF("src", "dst"), _ => 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(byVideo == generic, s"byVideo diverged:\n got=$byVideo\n exp=$generic")
+  }
+
+  test("byVideo: videos are labeled independently and identically") {
+    // two copies of one division tree in disjoint id blocks = 2 videos
+    val frames0 = Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L)
+    val edges0 = Seq((1L, 2L), (1L, 3L), (2L, 4L))
+    val frames = frames0.map { case (k, v) => (k, v) } ++
+      frames0.map { case (k, v) => (k + 100L, v) }
+    val edges = edges0 ++ edges0.map { case (s, d) => (s + 100L, d + 100L) }
+    val got = TrackAssignment.divisionAwareByVideo(
+        frames.toSeq.toDF("id", "frame"), edges.toDF("src", "dst"), _ / 100L)
+      .as[(Long, Long)].collect().toSet
+    val generic = TrackAssignment.divisionAware(
+        frames.toSeq.toDF("id", "frame"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == generic)
+    // second video's labels are the first's shifted by the id offset
+    val v0 = got.filter(_._1 < 100L).map { case (i, t) => (i + 100L, t + 100L) }
+    assert(got.filter(_._1 >= 100L) == v0)
   }
 
   test("linear chain is one track") {
