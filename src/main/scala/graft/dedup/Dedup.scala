@@ -41,20 +41,17 @@ object Dedup {
   def winnowContainment(df: DataFrame, id: Column, text: Column,
                         k: Int = 8, w: Int = 4, minShared: Long = 3L,
                         maxDf: Long = 1000L): DataFrame = {
-    val fps = df.select(id.as("doc_id"),
-        explode(graft.functions.Winnow(text, k, w)).as("fp"))
-      .distinct()
+    // Winnow emits the per-doc DISTINCT fingerprint set, so per-doc
+    // sizes are a map-side size() and the exploded postings need no
+    // dedup shuffle; the compact per-doc arrays (not the exploded
+    // postings) are what persists for the two consumers.
+    val arr = df.select(id.as("doc_id"), graft.functions.Winnow(text, k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fps.count() // materialize once; four consumers below
-    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    val post = fps.join(dfreq.select("fp"), Seq("fp"))
-    val pairs = post.as("a").join(post.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    arr.count() // materialize once; sizes + postings both read it
+    val sizes = arr.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"))
+    val post = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val pairs = Postings.coPairs(post, Seq(col("fp")), col("doc_id"), maxDf, minShared)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_fp", "n1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_fp", "n2"), Seq("d2"))
@@ -99,20 +96,20 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    k: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
-    // The shingle set feeds four consumers (sizes, doc-freq, both sides
-    // of the inverted-index join); without persist Spark re-shingles the
-    // corpus for each — at 100 TB that is 4 full passes.
-    val sh = shingles(df, id, text, k)
+    // WordShingles emits the per-doc DISTINCT shingle set, so set sizes
+    // are a map-side size() over the compact per-doc arrays; only those
+    // arrays persist (sizes + postings read them — without persist the
+    // corpus would be re-shingled per consumer, two full passes at
+    // 100 TB).
+    val arr = df.select(id.as("doc_id"),
+        graft.functions.WordShingles(text, k).as("shs"))
+      .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // materialize once; lazy persist would be computed by each branch
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    val posting = sh.join(dfreq.select("shingle"), Seq("shingle"))
-    val pairs = posting.as("a").join(posting.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
+    arr.count() // materialize once; lazy persist would be computed by each branch
+    val sizes = arr.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+    val post = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val pairs = Postings.coPairs(post, Seq(col("shingle")), col("doc_id"), maxDf)
+      .withColumnRenamed("shared", "inter")
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))

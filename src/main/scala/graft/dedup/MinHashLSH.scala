@@ -27,16 +27,18 @@ object MinHashLSH {
       .filter(col("sig").isNotNull)
 
   /** Candidate pairs from `bands` bands of `rowsPerBand` signature
-    * rows. Self-join carries (doc_id, band, hash) rows only — the
-    * signature arrays never enter the join shuffle. */
-  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * rows. One shuffle of (doc_id, band, hash) rows into bucket groups
+    * (Postings.coPairs) — the signature arrays never enter the
+    * shuffle, and `bucketCap` drops degenerate mega-buckets (a bucket
+    * holding b docs implies ~b² candidates; past the cap that is a
+    * near-certain pile of one template/empty-text class, better
+    * handled by exact dedup than a quadratic verify). */
+  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                     bucketCap: Long = 100000L): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    Postings.coPairs(banded, Seq(col("band"), col("bh")), col("doc_id"), bucketCap)
+      .select(col("d1"), col("d2"))
   }
 
   /** Full pipeline: LSH candidates verified by exact Jaccard >= threshold.
@@ -56,23 +58,24 @@ object MinHashLSH {
     val cand = candidatePairs(sigs, bands, k / bands)
     // exact-Jaccard verification: shingle ONLY the candidate docs (at
     // 100 TB the candidate set is a sliver of the corpus, so this is a
-    // semi-joined scan, not a second full shingling pass).
-    val docs = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val post = Dedup.shingles(df, id, text, shingleK).join(docs, Seq("doc_id"))
+    // semi-joined scan, not a second full shingling pass); the
+    // semi-join runs BEFORE the shingle projection so non-candidates
+    // are never shingled. Set sizes are a map-side size() of the
+    // per-doc distinct arrays; the intersection counts flow through
+    // the single-shuffle Postings kernel with the same df-cap as
+    // jaccardPairs (sizes stay uncapped, so surviving pairs' Jaccard
+    // is exact).
+    val docs = cand.select(col("d1").as("__cid"))
+      .union(cand.select(col("d2").as("__cid"))).distinct()
+    val arr = df.join(docs, id === col("__cid"), "left_semi")
+      .select(id.as("doc_id"), graft.functions.WordShingles(text, shingleK).as("shs"))
+      .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // df-cap before the intersection self-join: a shingle present in
-    // thousands of candidate docs would fan out quadratically; set sizes
-    // stay uncapped so surviving pairs' Jaccard is exact (the
-    // jaccardPairs pattern).
-    val dfreq = post.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf && col("_df") >= 2)
-    val capped = post.join(dfreq.select("shingle"), Seq("shingle"))
-    val inter = capped.as("a").join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
+    arr.count()
+    val sizes = arr.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+    val post = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val inter = Postings.coPairs(post, Seq(col("shingle")), col("doc_id"), maxDf)
+      .withColumnRenamed("shared", "inter")
     cand.join(inter, Seq("d1", "d2"))
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))

@@ -23,14 +23,24 @@ object SimHashDedup {
         shiftright(col("fp"), lo).bitwiseAND(lit((1L << width) - 1))
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.fp").as("fp1"), col("b.fp").as("fp2"))
-      .distinct()
-      .withColumn("hamming", HammingDistance(col("fp1"), col("fp2")))
+    // one shuffle of the banded rows into bucket groups (the
+    // Postings.coPairs shape, with the fingerprint riding along in the
+    // collected struct so verification needs no join-back); sort_array
+    // orders by doc_id first, so d1 < d2 by construction. The Hamming
+    // filter is codegen'd scalar arithmetic — running it BEFORE the
+    // pair dedup shrinks the distinct's input to the (rare) true
+    // near-dups instead of every bucket collision.
+    val groups = banded.groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("_ds"))
+      .filter(size(col("_ds")) >= 2)
+    groups
+      .select(col("_ds"), posexplode(col("_ds")).as(Seq("_i", "_a")))
+      .select(col("_a"),
+        explode(slice(col("_ds"), col("_i") + lit(2),
+          size(col("_ds")) - col("_i") - lit(1))).as("_b"))
+      .select(col("_a.doc_id").as("d1"), col("_b.doc_id").as("d2"),
+        HammingDistance(col("_a.fp"), col("_b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("d1", "d2", "hamming")
+      .distinct()
   }
 }

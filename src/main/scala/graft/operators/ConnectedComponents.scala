@@ -80,9 +80,7 @@ object ConnectedComponents {
     // (u, v) becomes two edges into one local root, and nodes spanning
     // partitions stitch the local stars together.
     import spark.implicits._
-    val contracted = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
+    def contract(df: DataFrame): DataFrame = df
       .as[(Long, Long)]
       .mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()
@@ -113,6 +111,10 @@ object ConnectedComponents {
         out.iterator
       }.toDF("src", "dst")
 
+    val contracted = contract(edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")))
+
     var (e, eRdd) = materialize(
       contracted.distinct()) // stars from different partitions overlap on shared nodes
     // convergence: edge set stable. Order-independent, overflow-free
@@ -122,6 +124,21 @@ object ConnectedComponents {
     def signature(df: DataFrame) =
       df.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
     var prevSig = signature(e)
+    // adaptive small-graph collapse: after contraction the surviving
+    // edge count is known (it is the signature's count). If what's
+    // left fits one task comfortably, a single-partition re-contraction
+    // IS exact union-find over the whole residual graph — the star
+    // rounds then only confirm the fixpoint instead of iterating.
+    // Dup-pair graphs especially hit this: billions of docs contract
+    // to a sliver of cross-partition stitch edges. Graphs above the
+    // cutoff take the O(log n) rounds as before.
+    if (prevSig.getLong(0) > 0 && prevSig.getLong(0) <= 100000L) {
+      val (e2, e2Rdd) = materialize(contract(e.repartition(1)).distinct())
+      prevSig = signature(e2)
+      eRdd.unpersist(blocking = false)
+      e = e2
+      eRdd = e2Rdd
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
