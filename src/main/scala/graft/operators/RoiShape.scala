@@ -45,15 +45,6 @@ object RoiShape {
     * (k, id) combination collapses to a zero-area bowtie — period 4
     * does for k = 4). Integer-derived doubles, so both engines build
     * bit-identical vertices. */
-  def syntheticRoi(id: Column, x: Column, y: Column): Column = {
-    val dxs = array(Seq(1, 1, 0, -1, -1, -1, 0, 1).map(v => lit(v.toDouble)): _*)
-    val dys = array(Seq(0, 1, 1, 1, 0, -1, -1, -1).map(v => lit(v.toDouble)): _*)
-    val k = (lit(4) + id % lit(5)).cast("int")
-    transform(sequence(lit(0), k - lit(1)), i => {
-      val r = ((id + i) % lit(3) + lit(1)).cast("double")
-      struct(
-        (x.cast("double") + element_at(dxs, i + lit(1)) * r).as("x"),
-        (y.cast("double") + element_at(dys, i + lit(1)) * r).as("y"))
-    })
-  }
+  def syntheticRoi(id: Column, x: Column, y: Column): Column =
+    graft.functions.SyntheticRoi(id, x, y)
 }
