@@ -282,6 +282,10 @@ object SparkEntry {
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
     "q_lang_id" -> ((s, d) =>
       TextFeatures.langId(documents(s, d), col("doc_id"), col("text"))),
+    "q_tfidf" -> ((s, d) =>
+      TextFeatures.tfidf(documents(s, d), col("doc_id"), col("text"), 5)),
+    "q_text_scrub" -> ((s, d) =>
+      TextFeatures.urlScrub(documents(s, d), col("doc_id"), col("text"))),
     "q_text_repetition" -> ((s, d) =>
       TextFeatures.repetition(documents(s, d), col("doc_id"), col("text"))),
     // the synthetic corpus has no newlines, so the structural
@@ -1172,6 +1176,38 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
         |  floor(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / len(string_split_regex(text, '\s+')) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2
+        |), d AS (
+        |  SELECT term, COUNT(*) AS dfreq FROM t GROUP BY 1
+        |), n AS (
+        |  SELECT COUNT(DISTINCT doc_id) AS nd FROM t
+        |), s AS (
+        |  SELECT doc_id, term, tf, dfreq,
+        |    CAST(tf AS DOUBLE) * (ln((nd + 1.0) / (dfreq + 1.0)) + 1.0) AS score
+        |  FROM t JOIN d USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s
+        |)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(dfreq AS BIGINT) AS dfreq,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+        |  length(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')) AS scrubbed_len
         |FROM documents""".stripMargin,
 
     "q_text_quality" ->

@@ -31,6 +31,45 @@ object TextFeatures {
           col("_tc.n_nonws_chars").cast("double") / col("_tc.n_ws_tokens"), 4)
           .as("avg_token_len"))
 
+  /** Corpus TF-IDF term weighting: top `k` terms per document by
+    * tf * (ln((N+1)/(df+1)) + 1) (smoothed idf), tie-broken by term.
+    * The corpus size N rides as a broadcast one-row aggregate inside
+    * the plan (no driver-side count — the query stays one lazy job).
+    * Scale shape: tf is a (doc, term) hash aggregate with map-side
+    * combine, df a term aggregate of the (small) tf output, the tf-df
+    * join shuffles by term, and the top-k is one window per doc. */
+  def tfidf(df: DataFrame, id: Column, text: Column, k: Int = 5): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+        explode(split(lower(text), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("_nd"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("_score", col("tf").cast("double") *
+        (log((col("_nd") + lit(1.0)) / (col("dfreq") + lit(1.0))) + lit(1.0)))
+    scored.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("_score").desc, col("term"))))
+      .filter(col("_rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("dfreq"),
+        graft.functions.Numeric.cround(col("_score"), 6).as("score"))
+  }
+
+  /** URL/email detection + scrubbing — the text-normalization pass a
+    * pre-training corpus runs before dedup (links and addresses are
+    * both high-frequency boilerplate and PII). Counts plus the length
+    * after replacing each with a fixed placeholder; map-only. */
+  def urlScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val urlRe = "https?://[^\\s]+"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    df.select(
+      id.as("doc_id"),
+      regexp_count(text, lit(urlRe)).as("n_urls"),
+      regexp_count(text, lit(emailRe)).as("n_emails"),
+      length(regexp_replace(regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>")).as("scrubbed_len"))
+  }
+
   /** Quality scoring: length, punctuation/digit/stopword ratios and a
     * boolean keep flag (the usual pre-training corpus filters). */
   def quality(df: DataFrame, id: Column, text: Column): DataFrame = {
