@@ -26,21 +26,34 @@ object SimHashDedup {
     // one shuffle of the banded rows into bucket groups (the
     // Postings.coPairs shape, with the fingerprint riding along in the
     // collected struct so verification needs no join-back); sort_array
-    // orders by doc_id first, so d1 < d2 by construction. The Hamming
-    // filter is codegen'd scalar arithmetic — running it BEFORE the
-    // pair dedup shrinks the distinct's input to the (rare) true
-    // near-dups instead of every bucket collision.
+    // orders by doc_id first, so d1 < d2 by construction. A pair of
+    // near-identical fingerprints collides in MANY bands (all of them,
+    // for exact duplicates — and duplicate classes are exactly what a
+    // dedup corpus is full of), so instead of a cross-band distinct
+    // over the expanded pairs, each pair is kept only in its FIRST
+    // agreeing band: a codegen'd scalar filter that makes global
+    // uniqueness structural and drops the expansion's duplicate bulk
+    // before it ever reaches a shuffle.
+    def bandVal(fp: Column, b: Int): Column = {
+      val lo = b * bandBits
+      val width = if (b == bands - 1) bits - lo else bandBits
+      shiftright(fp, lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    val firstAgree = (0 until bands).foldRight(lit(-1)) { (b, rest) =>
+      when(bandVal(col("_a.fp"), b) === bandVal(col("_b.fp"), b), lit(b))
+        .otherwise(rest)
+    }
     val groups = banded.groupBy(col("band"), col("bv"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("_ds"))
       .filter(size(col("_ds")) >= 2)
     groups
-      .select(col("_ds"), posexplode(col("_ds")).as(Seq("_i", "_a")))
-      .select(col("_a"),
+      .select(col("band"), col("_ds"), posexplode(col("_ds")).as(Seq("_i", "_a")))
+      .select(col("band"), col("_a"),
         explode(slice(col("_ds"), col("_i") + lit(2),
           size(col("_ds")) - col("_i") - lit(1))).as("_b"))
+      .filter(col("band") === firstAgree)
       .select(col("_a.doc_id").as("d1"), col("_b.doc_id").as("d2"),
         HammingDistance(col("_a.fp"), col("_b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }
