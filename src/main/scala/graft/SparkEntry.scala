@@ -286,6 +286,12 @@ object SparkEntry {
       TextFeatures.tfidf(documents(s, d), col("doc_id"), col("text"), 5)),
     "q_text_scrub" -> ((s, d) =>
       TextFeatures.urlScrub(documents(s, d), col("doc_id"), col("text"))),
+    // cap the high-resource language, keep the rest: the standard
+    // corpus-mixture rebalancing, deterministic across engines/runs
+    "q_sample_stratified" -> ((s, d) =>
+      TextFeatures.sampleStratified(documents(s, d), col("doc_id"), col("lang"),
+          Map("en" -> 0.25, "zh" -> 0.8), 1.0)
+        .select(col("doc_id"), col("lang"), col("source"))),
     "q_text_repetition" -> ((s, d) =>
       TextFeatures.repetition(documents(s, d), col("doc_id"), col("text"))),
     // the synthetic corpus has no newlines, so the structural
@@ -1177,6 +1183,11 @@ object SparkEntry {
         |  floor(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / len(string_split_regex(text, '\s+')) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 48271) % 2147483647 % 10000 <
+        |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 8000 ELSE 10000 END""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (

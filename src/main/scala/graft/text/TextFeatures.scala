@@ -31,6 +31,32 @@ object TextFeatures {
           col("_tc.n_nonws_chars").cast("double") / col("_tc.n_ws_tokens"), 4)
           .as("avg_token_len"))
 
+  /** Deterministic stratified sampling — the per-group downsampling
+    * step every corpus build runs (e.g. cap high-resource languages,
+    * upweight rare sources). Keep decisions come from a Lehmer-style
+    * arithmetic hash of the id, `(id * 48271) mod 2147483647`, scaled
+    * against the group's rate in basis points: exact integer
+    * arithmetic any engine reproduces bit-for-bit — no RNG state, no
+    * sampling drift between runs, re-runnable on any partitioning.
+    * `rates` (group -> keep fraction) rides as a broadcast join;
+    * groups absent from it default to `defaultRate`. Map-only plus one
+    * broadcast — the filter composes with pushdown like any predicate.
+    */
+  def sampleStratified(df: DataFrame, id: Column, group: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.map { case (g, r) =>
+      (g, math.round(r * 10000).toInt) }.toDF("_grp", "_bps")
+    df.join(broadcast(rateDf), group === col("_grp"), "left")
+      .withColumn("_keep_bps",
+        coalesce(col("_bps"), lit(math.round(defaultRate * 10000).toInt)))
+      .filter((id.cast("long") * lit(48271L)) % lit(2147483647L) % lit(10000L)
+        < col("_keep_bps"))
+      .drop("_grp", "_bps", "_keep_bps")
+  }
+
   /** Corpus TF-IDF term weighting: top `k` terms per document by
     * tf * (ln((N+1)/(df+1)) + 1) (smoothed idf), tie-broken by term.
     * The corpus size N rides as a broadcast one-row aggregate inside

@@ -166,6 +166,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling: deterministic, per-group rates, default pass-through") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sampled = TextFeatures.sampleStratified(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.25), 1.0)
+    val again = TextFeatures.sampleStratified(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.25), 1.0)
+    // bit-deterministic: identical keep set on re-run
+    assert(sampled.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // non-rated groups pass through untouched; rated group is thinned
+    full.foreach { case (l, n) =>
+      if (l == "en") {
+        val rate = byLang.getOrElse("en", 0L).toDouble / n
+        assert(rate > 0.1 && rate < 0.4, s"en keep rate $rate far from 0.25")
+      } else assert(byLang(l) == n, s"group $l was sampled but has no rate")
+    }
+  }
+
   test("quality flags short docs") {
     val df = Seq((1L, "too short"), (2L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
