@@ -1071,6 +1071,36 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
 
+    // the LSH pipeline's contract IS the exact-Jaccard pair set: false
+    // positives are impossible (candidates are verified with exact
+    // Jaccard) and at the driver corpus's duplicate strength (every
+    // sf0.01 pair has j >= 0.9) the per-pair band-miss probability is
+    // (1 - 0.9^4)^16 ~ 4e-8 — and signatures are deterministic (fixed
+    // seeds), so equality observed once holds for every run. Oracle =
+    // the jaccardPairs SQL without its `inter` column.
+    "q_minhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM tok, UNNEST(range(1, len(tk) - 1)) AS t(i)
+        |  WHERE len(tk) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), keep AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), post AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  floor(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM pairs JOIN sizes s1 ON pairs.d1 = s1.doc_id
+        |JOIN sizes s2 ON pairs.d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5""".stripMargin,
+
     // transitive closure of the jaccard near-dup pairs (recursive CTE:
     // comp reachable-from sets, min per node = component label), then
     // canonical keep selection over every document
