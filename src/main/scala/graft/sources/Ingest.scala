@@ -48,10 +48,16 @@ object Ingest {
       .filter(col("n") >= 2)
       .withColumn("id", col("uid") * 1000000L + col("rn"))
     val spots = base.select(col("id"), col("rn").as("frame"))
-    val edges = base.filter(col("rn") * 2 <= col("n"))
-        .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2).as("dst"))
-      .union(base.filter(col("rn") * 2 + 1 <= col("n"))
-        .select(col("id").as("src"), (col("uid") * 1000000L + col("rn") * 2 + 1).as("dst")))
+    // both child edges of a node come from ONE pass over base (a union
+    // of two filtered selects would duplicate the whole windowed
+    // subtree — scan and shuffle — once per branch)
+    val edges = base.select(explode(array(
+        when(col("rn") * 2 <= col("n"), struct(col("id").as("src"),
+          (col("uid") * 1000000L + col("rn") * 2).as("dst"))),
+        when(col("rn") * 2 + 1 <= col("n"), struct(col("id").as("src"),
+          (col("uid") * 1000000L + col("rn") * 2 + 1).as("dst"))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     (spots, edges)
   }
 }

@@ -65,6 +65,48 @@ class PlanSpec extends SparkSpec {
       s.take(1200))
   }
 
+  test("posting kernel: pair generation is a grouped expansion, not a self-join") {
+    // jaccard/winnow/minhash/simhash all route pair generation through
+    // the single-shuffle Postings shape: no SortMergeJoin/ShuffledHashJoin
+    // on the posting KEY anywhere (the sizes join-backs key on doc ids),
+    // and simhash needs no distinct after its first-agreeing-band filter
+    for (q <- Seq("q_jaccard_pairs", "q_winnow_containment", "q_simhash_pairs")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!s.contains("shingle#") || !s.contains("SortMergeJoin [shingle"),
+        s"$q still self-joins on shingle")
+      assert(!s.contains("SortMergeJoin [fp"), s"$q still self-joins on fp")
+      assert(!s.contains("SortMergeJoin [bv") && !s.contains("SortMergeJoin [band"),
+        s"$q still self-joins on band")
+    }
+    val sh = SparkEntry.queries("q_simhash_pairs")(spark, sfDir)
+    sh.collect()
+    val s2 = sh.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!s2.contains("HashAggregate(keys=[d1"),
+      "simhash pairs should need no distinct after the first-band filter:\n" + s2.take(1500))
+  }
+
+  test("track split cogroups by video with one exchange per input side") {
+    val df = SparkEntry.queries("q_track_split")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(s.contains("CoGroup"), "expected a CoGroup plan:\n" + s.take(1200))
+    // lineage windows share one uid exchange; each cogroup side adds one
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges <= 4, s"expected <= 4 shuffles, got $exchanges")
+  }
+
+  test("stratified sampling plans as broadcast join + filter, no shuffle") {
+    val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      s.take(1200))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "sampling must stay map-only + broadcast:\n" + s.take(1200))
+  }
+
   test("wavelet pipeline: one scan, one shuffle, codegen in the hot path") {
     val df = SparkEntry.queries("q_ts_wavelet")(spark, sfDir)
     df.collect() // finalize THIS df's adaptive plan (count() builds a new one)
