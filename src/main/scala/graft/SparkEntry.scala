@@ -82,6 +82,26 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Relational.pivotCounts(events(s, d),
       Seq("click", "view", "purchase", "signup", "error"))),
     "q_set_except" -> ((s, d) => Relational.clickersWithoutPurchase(events(s, d))),
+    // partsupp family: the relation is synthesized deterministically on
+    // both engines (olap.Partsupp), unblocking the TPC-H shapes that
+    // need it
+    "q02_regional_cheapest" -> ((s, d) =>
+      Relational.regionalCheapestSupplier(
+        graft.olap.Partsupp.build(part(s, d), supplier(s, d)),
+        part(s, d), supplier(s, d), nation(s, d), region(s, d),
+        "EUROPE", "STANDARD", 15)),
+    "q08_market_share" -> ((s, d) =>
+      Relational.marketShare(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d), part(s, d),
+        "ASIA", "ECONOMY", "NATION_3")),
+    "q09_product_profit" -> ((s, d) =>
+      Relational.productProfit(lineitem(s, d), orders(s, d),
+        graft.olap.Partsupp.build(part(s, d), supplier(s, d)),
+        part(s, d), supplier(s, d), nation(s, d), "widget")),
+    "q20_excess_suppliers" -> ((s, d) =>
+      Relational.excessSuppliers(lineitem(s, d),
+        graft.olap.Partsupp.build(part(s, d), supplier(s, d)),
+        part(s, d), supplier(s, d), nation(s, d), "small")),
 
     // ---- §2.2 CellPhe pipeline operators --------------------------
     "q_filter_min_obs" -> ((s, d) =>

@@ -319,6 +319,121 @@ object Relational {
             col("l_quantity").between(20, 30))))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
 
+  /** TPC-H Q2 (full form): cheapest supplier per part within a region.
+    * The min is an aggregate of the probe side itself (group + achiever
+    * join-back, like Q15's MAX); supplier/nation/region and the part
+    * filter broadcast, so the only shuffle keys on ps_partkey. The
+    * supplycost equality is cross-engine safe: both engines derive the
+    * identical double from the same integer/100.0 op (olap.Partsupp). */
+  def regionalCheapestSupplier(partsupp: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String, partType: String, maxSize: Int): DataFrame = {
+    val dims = broadcast(supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val p = broadcast(part
+      .filter(col("p_type") === partType && col("p_size") <= maxSize)
+      .select(col("p_partkey")))
+    val eligible = partsupp
+      .join(dims, col("ps_suppkey") === col("s_suppkey"))
+      .join(p, col("ps_partkey") === col("p_partkey"))
+    val mins = eligible.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    eligible.join(mins, col("ps_partkey") === col("mk") &&
+        col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"), col("min_cost").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8-shaped national market share: one nation's fraction of a
+    * region's import volume for one part type, by order year. Two
+    * decimal-exact conditional sums in ONE aggregate (numerator and
+    * denominator never scan twice); part/nation/region dims broadcast,
+    * customer and orders join on their natural keys. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame, part: DataFrame,
+      regionName: String, partType: String, nationName: String): DataFrame = {
+    val p = broadcast(part.filter(col("p_type") === partType).select("p_partkey"))
+    val nr = broadcast(nation
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")))
+    val custR = customer.join(nr, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val sn = broadcast(supplier
+      .join(nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem.select("l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custR, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(cround(
+        dsum(when(col("supp_nation") === nationName, vol).otherwise(0.0), 4) /
+          dsum(vol, 4), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-shaped product-line profit by nation and year: revenue
+    * minus supply cost over the parts matching a name fragment. The
+    * partsupp join carries both fact keys (partkey, suppkey); the
+    * filtered part set and supplier->nation map broadcast. */
+  def productProfit(lineitem: DataFrame, orders: DataFrame, partsupp: DataFrame,
+      part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nameSubstr: String): DataFrame = {
+    val p = broadcast(part.filter(col("p_name").contains(nameSubstr)).select("p_partkey"))
+    val sn = broadcast(supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    lineitem
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(partsupp, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity"), 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q20-shaped excess-stock suppliers: suppliers whose availqty
+    * for some name-matched part exceeds half of what they shipped of it
+    * in a year — a decorrelated agg + semi join (the supplier side is
+    * never duplicated per qualifying part). */
+  def excessSuppliers(lineitem: DataFrame, partsupp: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, namePrefix: String): DataFrame = {
+    val p = broadcast(part.filter(col("p_name").startsWith(namePrefix)).select("p_partkey"))
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity"), 2).as("qty"))
+    val excess = partsupp
+      .join(p, col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("qty"))
+      .select(col("ps_suppkey")).distinct()
+    supplier.join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q21-shaped: in multi-supplier orders, blame the UNIQUE
     * supplier that shipped last (exists/not-exists pair decorrelated to
     * per-order aggregates + a distinct-count filter), top 10 by count. */
