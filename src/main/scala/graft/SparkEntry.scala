@@ -553,6 +553,94 @@ object SparkEntry {
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 10""".stripMargin,
 
+    // partsupp family: every oracle prepends olap.Partsupp.OracleCte so
+    // DuckDB queries the byte-identical synthesized relation
+    "q02_regional_cheapest" -> (graft.olap.Partsupp.OracleCte +
+      """, dims AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'
+        |), elig AS (
+        |  SELECT ps.ps_partkey, ps.ps_supplycost,
+        |         d.s_name, d.s_acctbal, d.n_name
+        |  FROM partsupp ps
+        |  JOIN dims d ON ps.ps_suppkey = d.s_suppkey
+        |  JOIN part p ON ps.ps_partkey = p.p_partkey
+        |  WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+        |), mins AS (
+        |  SELECT ps_partkey AS mk, MIN(ps_supplycost) AS min_cost
+        |  FROM elig GROUP BY 1
+        |)
+        |SELECT e.s_acctbal, e.s_name, e.n_name,
+        |  e.ps_partkey AS p_partkey, m.min_cost AS supplycost
+        |FROM elig e JOIN mins m
+        |  ON e.ps_partkey = m.mk AND e.ps_supplycost = m.min_cost
+        |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+
+    "q08_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |)
+        |SELECT o_year,
+        |  floor(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+        |      THEN volume ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+        |FROM vol GROUP BY o_year""".stripMargin,
+
+    "q09_product_profit" -> (graft.olap.Partsupp.OracleCte +
+      """, profit AS (
+        |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    l.l_extendedprice * (1.0 - l.l_discount)
+        |      - ps.ps_supplycost * l.l_quantity AS amount
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        |  JOIN partsupp ps ON l.l_partkey = ps.ps_partkey
+        |    AND l.l_suppkey = ps.ps_suppkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |)
+        |SELECT nation, o_year,
+        |  CAST(SUM(CAST(amount AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+        |FROM profit GROUP BY nation, o_year""".stripMargin),
+
+    "q20_excess_suppliers" -> (graft.olap.Partsupp.OracleCte +
+      """, shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2
+        |), excess AS (
+        |  SELECT DISTINCT ps.ps_suppkey
+        |  FROM partsupp ps
+        |  JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+        |  JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+        |    AND ps.ps_suppkey = sh.l_suppkey
+        |  WHERE ps.ps_availqty > 0.5 * sh.qty
+        |)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN excess e ON s.s_suppkey = e.ps_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin),
+
     "q_filter_min_obs" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value >= 10
