@@ -204,6 +204,26 @@ object SparkEntry {
       // shuffle per input instead of iterative labeling rounds
       operators.TrackAssignment.divisionAwareByVideo(spots, edges, _ / 1000000L)
     }),
+    // the tracker stage itself: distance-bounded NN spot linking over
+    // (frame, x, y) — hourly frames over the event stream as the
+    // timelapse stand-in; maxDist 50 in a 490x99 coordinate box links a
+    // meaningful subset, gapFrames 2 exercises the gap path
+    "q_track_link" -> ((s, d) => {
+      val sp = eventsXY(s, d).select(col("event_id").as("id"),
+        expr("ts_s div 3600").as("frame"), col("x"), col("y"))
+      operators.SpotLink.nearest(sp, col("id"), col("frame"), col("x"), col("y"),
+        maxDist = 50.0, gapFrames = 2)
+    }),
+    // the closed chain: positions -> NN linking -> division-aware track
+    // assignment (segmentation output to tracks with zero manual edges)
+    "q_track_link_assign" -> ((s, d) => {
+      val sp = eventsXY(s, d).select(col("event_id").as("id"),
+        expr("ts_s div 3600").as("frame"), col("x"), col("y"))
+      val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, gapFrames = 2)
+      operators.TrackAssignment.divisionAware(sp.select("id", "frame"),
+        edges.select("src", "dst"))
+    }),
     // ROI polygon shape features: deterministic synthetic ROIs (the
     // container has no segmentation stack) -> codegen'd shoelace
     // area/perimeter/bbox -> derived circularity/aspect; the oracle
@@ -945,6 +965,65 @@ object SparkEntry {
         |SELECT uid * 1000000 + rn AS id,
         |  uid * 1000000 + (rn // (rn & (-rn))) AS track_id
         |FROM base WHERE n >= 2""".stripMargin,
+
+    // brute-force NN (no grid) over the same spot layout: candidates
+    // from the previous 2 frames within 50, ranked by (gap, d2, src)
+    "q_track_link" ->
+      """WITH s AS (
+        |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), cand AS (
+        |  SELECT c.id AS dst, p.id AS src, c.frame - p.frame AS gap,
+        |    (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) AS d2
+        |  FROM s c JOIN s p ON p.frame BETWEEN c.frame - 2 AND c.frame - 1
+        |  WHERE (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) <= 2500.0
+        |), best AS (
+        |  SELECT dst, src, gap, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, d2, src) AS rk
+        |  FROM cand)
+        |SELECT src, dst, gap, floor(sqrt(d2) * 10000.0 + 0.5) / 10000.0 AS dist
+        |FROM best WHERE rk = 1""".stripMargin,
+
+    // linker edges -> divisionAware mirror: each child already keeps
+    // one parent, so merge suppression is a no-op; the surviving chain
+    // edge per parent is its (frame, id)-first child; chains walked
+    // recursively from heads, labeled by min id; every spot incident to
+    // any edge is in scope (cut-out spots = single-spot tracks)
+    "q_track_link_assign" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), cand AS (
+        |  SELECT c.id AS dst, p.id AS src, c.frame - p.frame AS gap,
+        |    (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) AS d2
+        |  FROM s c JOIN s p ON p.frame BETWEEN c.frame - 2 AND c.frame - 1
+        |  WHERE (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) <= 2500.0
+        |), edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT dst, src, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, d2, src) AS rk
+        |    FROM cand) WHERE rk = 1
+        |), cont AS (
+        |  SELECT src, dst FROM (
+        |    SELECT e.src, e.dst,
+        |      ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY sd.frame, e.dst) AS rn
+        |    FROM edges e JOIN s sd ON e.dst = sd.id) WHERE rn = 1
+        |), walk AS (
+        |  SELECT src AS id, src AS head FROM cont
+        |  WHERE src NOT IN (SELECT dst FROM cont)
+        |  UNION ALL
+        |  SELECT c.dst, w.head FROM walk w JOIN cont c ON c.src = w.id
+        |), lab AS (
+        |  SELECT head, MIN(id) AS track FROM walk GROUP BY head
+        |), node_lbl AS (
+        |  SELECT w.id, l.track FROM walk w JOIN lab l USING (head)
+        |), universe AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+        |)
+        |SELECT u.id, COALESCE(n.track, u.id) AS track_id
+        |FROM universe u LEFT JOIN node_lbl n USING (id)""".stripMargin,
 
     "q_qc_cells_per_frame" ->
       """WITH pf AS (

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Numeric.cround
+
+/** Distance-bounded frame-to-frame nearest-neighbour spot linking — the
+  * tracker stage itself (reference: bin/track_images.py:95-100 is a
+  * factory over six TrackMate linking algorithms; this is the
+  * NearestNeighbor end of that menu). Segmentation emits per-frame spot
+  * centroids; linking turns them into lineage edges that
+  * [[TrackAssignment.divisionAware]] consumes, closing the chain
+  * positions -> edges -> tracks.
+  *
+  * Semantics (deterministic, engine-independent): each spot picks its
+  * nearest predecessor among the previous `gapFrames` frames within
+  * `maxDist` — candidates ordered by (gap, squared distance, source
+  * id), so a direct previous-frame candidate always beats a gap link
+  * and exact distance ties break on the smaller id. Children choose
+  * parents: a parent may be chosen by several children (division edges
+  * survive, and divisionAware splits them) while each child keeps
+  * exactly one parent (merges are impossible by construction, matching
+  * the reference's merge suppression, parse_xml.py:147-149).
+  *
+  * Scale shape: spots grid-bin into maxDist-sized cells; each spot
+  * probes the 3x3 cell neighbourhood in each of the previous
+  * `gapFrames` frames — a 9*gapFrames map-side fanout, so the distance
+  * predicate never becomes a cross join. ONE shuffle joins probes to
+  * parents on (frame, cell); ONE map-side-combining aggregate (min_by)
+  * picks each child's best candidate. Both keys are dense and uniform
+  * at 100 TB: frames partition time, cells partition space, and the
+  * fanout constant is independent of corpus size.
+  */
+object SpotLink {
+
+  /** Link spots (id, frame, x, y) into parent->child edges.
+    * Output: (src, dst, gap, dist) — one row per linked child; dist is
+    * the Euclidean distance rounded to 4 decimals. */
+  def nearest(spots: DataFrame, id: Column, frame: Column, x: Column, y: Column,
+              maxDist: Double, gapFrames: Int = 1): DataFrame = {
+    require(maxDist > 0.0, "maxDist must be positive")
+    require(gapFrames >= 1, "gapFrames must be >= 1")
+    val s = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
+      x.cast("double").as("x"), y.cast("double").as("y"))
+    def cell(c: Column): Column = floor(c / maxDist).cast("long")
+
+    val parents = s.select(col("id").as("src"), col("frame").as("pframe"),
+      col("x").as("px"), col("y").as("py"),
+      cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+
+    val probeOffsets = array((for {
+      g <- 1 to gapFrames; dx <- -1 to 1; dy <- -1 to 1
+    } yield struct(lit(g.toLong).as("g"), lit(dx.toLong).as("dx"),
+      lit(dy.toLong).as("dy"))): _*)
+    val probes = s
+      .select(col("id").as("dst"), col("frame").as("cframe"), col("x"), col("y"),
+        cell(col("x")).as("cx0"), cell(col("y")).as("cy0"),
+        explode(probeOffsets).as("o"))
+      .select(col("dst"), col("cframe"), col("x"), col("y"),
+        (col("cframe") - col("o.g")).as("pframe"),
+        (col("cx0") + col("o.dx")).as("cx"), (col("cy0") + col("o.dy")).as("cy"))
+
+    val d2 = (col("x") - col("px")) * (col("x") - col("px")) +
+      (col("y") - col("py")) * (col("y") - col("py"))
+    val cand = probes.join(parents, Seq("pframe", "cx", "cy"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(maxDist * maxDist))
+      .select(col("dst"), col("src"),
+        (col("cframe") - col("pframe")).as("gap"), col("d2"))
+
+    cand.groupBy(col("dst"))
+      .agg(min_by(struct(col("src"), col("gap"), col("d2")),
+        struct(col("gap"), col("d2"), col("src"))).as("b"))
+      .select(col("b.src").as("src"), col("dst"),
+        col("b.gap").as("gap"), cround(sqrt(col("b.d2")), 4).as("dist"))
+  }
+}
