@@ -119,43 +119,26 @@ object TextFeatures {
     * (gaps-and-islands over token positions). Repetitious documents
     * are the classic pre-training poison the thresholds cut. Docs with
     * fewer than two tokens are out of scope (no 2-grams). */
-  def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // ONE explode + ONE window pass (partition doc_id, order pos)
-    // computes everything positional — the 2-gram neighbour and the
-    // run id (running count of value changes, equivalent to the r2
-    // gaps-and-islands grouping but without its second, per-(doc,tok)
-    // window shuffle). The result persists once and feeds the three
-    // aggregates; r2 instead re-exploded the corpus per branch — three
-    // full scan+explode+shuffle subtrees (the per-round perf finding).
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
-      .withColumn("_nxt", lead(col("tok"), 1).over(w))
-      .withColumn("_runid", sum(
-        when(col("tok") === lag(col("tok"), 1).over(w), lit(0)).otherwise(lit(1))).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wordStats = toks.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("tok")).as("n_distinct"))
-    val runs = toks
-      .groupBy(col("doc_id"), col("_runid"))
-      .agg(count(lit(1)).as("_run"))
-      .groupBy(col("doc_id")).agg(max(col("_run")).as("max_run"))
-    val grams = toks
-      .filter(col("_nxt").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("_nxt")).as("gram"))
-      .agg(count(lit(1)).as("_n"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("_n")).cast("long").as("n_2grams"),
-        max(col("_n")).as("top2gram_n"))
-    wordStats.join(runs, Seq("doc_id")).join(grams, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("max_run"),
-        col("top2gram_n"),
+  def repetition(df: DataFrame, id: Column, text: Column): DataFrame =
+    // ONE fused codegen pass per document (functions.RepetitionStats):
+    // every output is a per-document function of the token sequence, so
+    // the map-only kernel replaces the r3/r4 explode + window + three
+    // aggregate branches — a token-grain shuffle of the whole corpus
+    // that was both the local top-3 cost and the 100 TB scale-killer.
+    // Docs with fewer than two tokens are out of scope (no 2-grams),
+    // matching the oracle's inner join against the 2-gram branch.
+    df.select(id.as("doc_id"), graft.functions.RepetitionStats(text).as("_rs"))
+      .filter(col("_rs.n_tokens") >= 2)
+      .select(col("doc_id"),
+        col("_rs.n_tokens").as("n_tokens"),
+        col("_rs.max_run").as("max_run"),
+        col("_rs.top2gram_n").as("top2gram_n"),
         graft.functions.Numeric.cround(
-          (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 6)
-          .as("dup_word_frac"),
+          (col("_rs.n_tokens") - col("_rs.n_distinct")).cast("double")
+            / col("_rs.n_tokens"), 6).as("dup_word_frac"),
         graft.functions.Numeric.cround(
-          col("top2gram_n").cast("double") / col("n_2grams"), 6).as("top2gram_frac"))
-  }
+          col("_rs.top2gram_n").cast("double") / col("_rs.n_2grams"), 6)
+          .as("top2gram_frac"))
 
   /** Duplicate-line / duplicate-paragraph fractions — the structural
     * half of the Gopher repetition family (the word/2-gram half is

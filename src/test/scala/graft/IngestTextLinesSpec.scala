@@ -63,3 +63,42 @@ class LineRepetitionSpec extends SparkSpec {
     assert(got(1) == (2L, 0, 0.0, 0.0, 0, 0.0, 0.0))
   }
 }
+
+/** RepetitionStats kernel: hand-computed cases + map-only plan pin. */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.TextFeatures
+
+  test("hand-computed repetition stats") {
+    // doc 1: "a a a b a b" -> 6 tokens, 2 distinct, run of 3 a's,
+    // 5 2-grams, "a b" twice -> top2gram 2
+    // doc 2: all distinct, no repeated 2-gram
+    // doc 3: single token -> excluded (no 2-grams)
+    val got = TextFeatures.repetition(
+        Seq((1L, "a a a b a b"), (2L, "x y z"), (3L, "solo"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toList
+    assert(got == List(
+      (1L, 6L, 3L, 2L, math.floor(4.0 / 6.0 * 1e6 + 0.5) / 1e6,
+        math.floor(2.0 / 5.0 * 1e6 + 0.5) / 1e6),
+      (2L, 3L, 1L, 1L, 0.0, 0.5)))
+  }
+
+  test("split semantics match Spark split (leading whitespace token)") {
+    // " a a" splits to ["", "a", "a"]: 3 tokens, 2 distinct, run 2
+    val got = TextFeatures.repetition(
+        Seq((1L, " a a")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(got._2 == 3L && got._3 == 2L)
+  }
+
+  test("plan is map-only: no Exchange, no explode") {
+    val plan = TextFeatures.repetition(
+        Seq((1L, "a b")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"token-grain shuffle resurfaced:\n$plan")
+    assert(!plan.contains("Generate"), s"explode resurfaced:\n$plan")
+  }
+}
