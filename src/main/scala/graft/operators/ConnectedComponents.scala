@@ -132,14 +132,22 @@ object ConnectedComponents {
     // Dup-pair graphs especially hit this: billions of docs contract
     // to a sliver of cross-partition stitch edges. Graphs above the
     // cutoff take the O(log n) rounds as before.
+    var exact = false
     if (prevSig.getLong(0) > 0 && prevSig.getLong(0) <= 100000L) {
       val (e2, e2Rdd) = materialize(contract(e.repartition(1)).distinct())
       prevSig = signature(e2)
       eRdd.unpersist(blocking = false)
       e = e2
       eRdd = e2Rdd
+      // one task saw EVERY residual edge, so the emitted (node, find
+      // (node)) pairs are global union-find output: a star forest with
+      // min-id roots — already the fixpoint the star rounds iterate
+      // towards (large/small-star are idempotent on it). Running them
+      // would only re-confirm; skip straight to the output shape.
+      exact = true
     }
-    var converged = false
+    // an empty edge set is trivially converged (nothing to label)
+    var converged = exact || prevSig.getLong(0) == 0L
     var i = 0
     while (!converged && i < maxIter) {
       val (next, nextRdd) = materialize(smallStar(largeStar(e)))
