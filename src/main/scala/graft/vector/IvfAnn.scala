@@ -46,13 +46,40 @@ object IvfAnn {
     (assigned, cents)
   }
 
-  /** Top-k nearest corpus vectors per query by exact cosine, searching
-    * only the nprobe nearest quantizer cells. Output (q_id, rank,
-    * n_id) — same contract as Similarity.bruteTopK/lshTopK. */
+  /** Convenience form: train the quantizer, then search. Real serving
+    * builds the index ONCE and queries it forever — use [[quantize]] (or
+    * [[quantizeCached]]) + [[topKWith]] so query-time cost excludes
+    * training. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            nlist: Int = 16, nprobe: Int = 4,
            sampleFraction: Double = 1.0): DataFrame = {
     val (assigned, cents) = quantize(corpus, nlist, sampleFraction)
+    topKWith(assigned, cents, corpus, queries, k, nprobe)
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (DataFrame, DataFrame)]()
+
+  /** Build-once index reuse across query batches over the same corpus
+    * (keyed by caller-supplied corpus identity + nlist): the trained
+    * assignment persists, so repeated batches pay only the probe join.
+    * At 100 TB the analogous artifact is a written (vec_id, cell)
+    * table + a centroid file — this is its in-session stand-in. */
+  def quantizeCached(key: String, corpus: DataFrame, nlist: Int,
+                     sampleFraction: Double = 1.0): (DataFrame, DataFrame) =
+    cache.computeIfAbsent((key, nlist), _ => {
+      val (assigned, cents) = quantize(corpus, nlist, sampleFraction)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (assigned.persist(lvl), cents.persist(lvl))
+    })
+
+  /** Top-k nearest corpus vectors per query by exact cosine, searching
+    * only the nprobe nearest cells of a PRE-TRAINED quantizer
+    * (`assigned`, `cents` from [[quantize]]). Output (q_id, rank,
+    * n_id) — same contract as Similarity.bruteTopK/lshTopK. */
+  def topKWith(assigned: DataFrame, cents: DataFrame,
+               corpus: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int): DataFrame = {
     // rank cells per query by euclidean distance to the centroid
     val qCells = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))

@@ -28,6 +28,22 @@ class IvfAnnSpec extends SparkSpec {
     info(s"IVF recall@5 (nprobe=nlist/2) = $recall")
   }
 
+  test("one trained quantizer serves two query batches identically") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (assigned, cents) = IvfAnn.quantize(emb, nlist = 8)
+    val qa = emb.filter(col("vec_id") < 5)
+    val qb = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+    val a = IvfAnn.topKWith(assigned, cents, emb, qa, 5, nprobe = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = IvfAnn.topKWith(assigned, cents, emb, qb, 5, nprobe = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    // nprobe = nlist on a shared quantizer == brute force per batch
+    val exact = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert((a ++ b) == exact)
+    assert(a.map(_._1).intersect(b.map(_._1)).isEmpty)
+  }
+
   test("multi-probe LSH recall beats or matches single-probe") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
