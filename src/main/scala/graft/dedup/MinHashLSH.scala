@@ -28,59 +28,66 @@ object MinHashLSH {
 
   /** Candidate pairs from `bands` bands of `rowsPerBand` signature
     * rows. One shuffle of (doc_id, band, hash) rows into bucket groups
-    * (Postings.coPairs) — the signature arrays never enter the
-    * shuffle, and `bucketCap` drops degenerate mega-buckets (a bucket
-    * holding b docs implies ~b² candidates; past the cap that is a
-    * near-certain pile of one template/empty-text class, better
-    * handled by exact dedup than a quadratic verify). */
+    * — the signature arrays never enter the shuffle. A bucket holding b
+    * docs implies ~b²/2 candidate pairs; buckets past `bucketCap` are a
+    * near-certain pile of one template/empty-text class, so instead of
+    * quadratic expansion — or silently dropping them, which would lose
+    * every pair of a mega duplicate class — they are routed as STAR
+    * edges (min doc -> each other doc): connectivity of the class is
+    * preserved for downstream clustering at b-1 pairs instead of b²/2,
+    * and the exact-Jaccard verify still vouches for every emitted pair. */
   def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                      bucketCap: Long = 100000L): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
-    Postings.coPairs(banded, Seq(col("band"), col("bh")), col("doc_id"), bucketCap)
-      .select(col("d1"), col("d2"))
+    val groups = banded.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
+      .filter(size(col("_ds")) >= 2)
+    val quadratic = groups.filter(size(col("_ds")) <= bucketCap)
+      .select(col("_ds"), posexplode(col("_ds")).as(Seq("_i", "d1")))
+      .select(col("d1"),
+        explode(slice(col("_ds"), col("_i") + lit(2),
+          size(col("_ds")) - col("_i") - lit(1))).as("d2"))
+    val star = groups.filter(size(col("_ds")) > bucketCap)
+      .select(element_at(col("_ds"), 1).as("d1"),
+        explode(slice(col("_ds"), 2, 2147483647)).as("d2"))
+    quadratic.union(star).distinct()
   }
 
-  /** Full pipeline: LSH candidates verified by exact Jaccard >= threshold.
-    * `maxDf` caps posting-list fanout in the verification self-join,
-    * mirroring `Dedup.jaccardPairs` (df here is measured over candidate
-    * docs only — the verify scan never touches the rest of the corpus —
-    * so the cap is a hot-shingle guard, not a corpus-df filter). */
+  /** Full pipeline: LSH candidates verified by EXACT Jaccard >=
+    * threshold. Candidate pairs are already enumerated, so verification
+    * needs no posting join at all: shingle only the candidate docs
+    * (semi-join runs BEFORE the shingle projection, so the rest of the
+    * corpus is never shingled), join each pair's two distinct-shingle
+    * arrays back by doc id, and take `size(array_intersect)`. No df cap
+    * anywhere — surviving pairs carry their TRUE Jaccard, so the output
+    * is exactly the exact-Jaccard pair set restricted to LSH candidates
+    * (false positives are impossible; band-miss is the only
+    * approximation). Per-pair cost is linear in document length, and at
+    * 100 TB the candidate set is a sliver of the corpus. */
   def nearDupPairs(df: DataFrame, id: Column, text: Column, shingleK: Int = 3,
-                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-                   maxDf: Long = 1000L): DataFrame = {
-    // signatures feed both sides of the band self-join; persist the
-    // (small: one row per doc) signature table so the per-doc shingling
-    // + k-permutation pass runs once, not twice.
-    val sigs = signatures(df, id, text, shingleK, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count() // materialize before the self-join fan-out
-    val cand = candidatePairs(sigs, bands, k / bands)
-    // exact-Jaccard verification: shingle ONLY the candidate docs (at
-    // 100 TB the candidate set is a sliver of the corpus, so this is a
-    // semi-joined scan, not a second full shingling pass); the
-    // semi-join runs BEFORE the shingle projection so non-candidates
-    // are never shingled. Set sizes are a map-side size() of the
-    // per-doc distinct arrays; the intersection counts flow through
-    // the single-shuffle Postings kernel with the same df-cap as
-    // jaccardPairs (sizes stay uncapped, so surviving pairs' Jaccard
-    // is exact).
+                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // signatures feed every band bucket; persist the (small: one row
+    // per doc) signature table so the per-doc shingling +
+    // k-permutation pass runs once, not twice.
+    val sigs = signatures(df, id, text, shingleK, k).persist(lvl)
+    sigs.count() // materialize before the band fan-out
+    // cand feeds the doc-id union (twice) and the verify join
+    val cand = candidatePairs(sigs, bands, k / bands).persist(lvl)
     val docs = cand.select(col("d1").as("__cid"))
       .union(cand.select(col("d2").as("__cid"))).distinct()
     val arr = df.join(docs, id === col("__cid"), "left_semi")
       .select(id.as("doc_id"), graft.functions.WordShingles(text, shingleK).as("shs"))
       .filter(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     arr.count()
-    val sizes = arr.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
-    val post = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    val inter = Postings.coPairs(post, Seq(col("shingle")), col("doc_id"), maxDf)
-      .withColumnRenamed("shared", "inter")
-    cand.join(inter, Seq("d1", "d2"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+    cand
+      .join(arr.select(col("doc_id").as("d1"), col("shs").as("_s1")), Seq("d1"))
+      .join(arr.select(col("doc_id").as("d2"), col("shs").as("_s2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("_s1"), col("_s2"))).cast("long"))
       .withColumn("_jraw", col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")))
+        (size(col("_s1")) + size(col("_s2")) - col("inter")))
       .filter(col("_jraw") >= threshold)
       .withColumn("jaccard", graft.functions.Numeric.cround(col("_jraw"), 6))
       .select("d1", "d2", "jaccard")

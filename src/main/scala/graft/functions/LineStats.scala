@@ -58,10 +58,15 @@ object LineStats {
     true
   }
 
+  /** Code points, not UTF-16 units: Spark's length() and DuckDB's
+    * length() both count code points, so a surrogate pair must count
+    * once. Counting is O(1) for all-BMP strings (the common case). */
+  private def cpCount(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
   /** Static kernel (called from generated code). Splits on '\n' for
     * lines and on runs of >= 2 '\n' for paragraphs in one scan; char
-    * counts use String.length (UTF-16 units == characters for the BMP
-    * text this engine processes, matching Spark's length()). */
+    * counts are per CODE POINT, matching both engines' length(). */
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
     var nLines = 0; var nDistinctLines = 0
@@ -73,13 +78,13 @@ object LineStats {
 
     def addLine(l: String): Unit = if (!isBlank(l)) {
       nLines += 1
-      lineChars += l.length
-      if (seenLines.add(l)) { nDistinctLines += 1; distinctLineChars += l.length }
+      lineChars += cpCount(l)
+      if (seenLines.add(l)) { nDistinctLines += 1; distinctLineChars += cpCount(l) }
     }
     def addPara(p: String): Unit = if (!isBlank(p)) {
       nParas += 1
-      paraChars += p.length
-      if (seenParas.add(p)) { nDistinctParas += 1; distinctParaChars += p.length }
+      paraChars += cpCount(p)
+      if (seenParas.add(p)) { nDistinctParas += 1; distinctParaChars += cpCount(p) }
     }
 
     var lineStart = 0

@@ -52,13 +52,16 @@ object TokenCounts {
   def apply(text: Column): Column =
     GraftBridge.column(TokenCounts(GraftBridge.expression(text)))
 
-  private def isWs(c: Char): Boolean =
+  private def isWs(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Static kernel (called from generated code). Char classes are
-    * ASCII (both engines' regex default); counts use UTF-16 units,
-    * which equal characters for the BMP text this engine processes
-    * (same call LineStats makes). */
+    * ASCII (both engines' regex default); iteration is by CODE POINT,
+    * so a non-BMP character (emoji, astral CJK) counts as one 'other'
+    * token and one non-ws char — matching the regexp_count /
+    * regexp_replace formulation and the DuckDB oracle, which both
+    * operate per code point (a UTF-16 `charAt` loop counted surrogate
+    * pairs twice). */
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
     val n = s.length
@@ -70,7 +73,7 @@ object TokenCounts {
     var prevClass = -1 // 0 = ws, 1 = alpha, 2 = digit, 3 = other
     var i = 0
     while (i < n) {
-      val c = s.charAt(i)
+      val c = s.codePointAt(i)
       val cls =
         if (isWs(c)) 0
         else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) 1
@@ -84,7 +87,7 @@ object TokenCounts {
         else otherChars += 1
       }
       prevClass = cls
-      i += 1
+      i += Character.charCount(c)
     }
     new GenericInternalRow(Array[Any](
       wsRuns + 1, alphaRuns + digitRuns + otherChars, alphaRuns, nonWs))

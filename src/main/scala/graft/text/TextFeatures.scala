@@ -34,7 +34,10 @@ object TextFeatures {
   /** Deterministic stratified sampling — the per-group downsampling
     * step every corpus build runs (e.g. cap high-resource languages,
     * upweight rare sources). Keep decisions come from a Lehmer-style
-    * arithmetic hash of the id, `(id * 48271) mod 2147483647`, scaled
+    * arithmetic hash of the id, `((id mod 2147483647) * 48271) mod
+    * 2147483647` — the id reduced BEFORE the multiply, the standard
+    * Lehmer step, keeping the product under 2^47 so it cannot overflow
+    * a 64-bit integer on any engine for any id — scaled
     * against the group's rate in basis points: exact integer
     * arithmetic any engine reproduces bit-for-bit — no RNG state, no
     * sampling drift between runs, re-runnable on any partitioning.
@@ -52,8 +55,8 @@ object TextFeatures {
     df.join(broadcast(rateDf), group === col("_grp"), "left")
       .withColumn("_keep_bps",
         coalesce(col("_bps"), lit(math.round(defaultRate * 10000).toInt)))
-      .filter((id.cast("long") * lit(48271L)) % lit(2147483647L) % lit(10000L)
-        < col("_keep_bps"))
+      .filter((id.cast("long") % lit(2147483647L)) * lit(48271L)
+        % lit(2147483647L) % lit(10000L) < col("_keep_bps"))
       .drop("_grp", "_bps", "_keep_bps")
   }
 
