@@ -37,10 +37,8 @@ object ChainLabel {
     // per-partition contraction: follow parent pointers within the
     // partition's own map (memoised tops, no mutation mid-walk); local
     // sub-chains collapse before any shuffle happens
-    val contracted = chain
-      .select(col("dst").cast("long").as("id"), col("src").cast("long").as("anc"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
+    def contractPtr(pairs: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame =
+      pairs.mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()
         it.foreach { case (c, p) => parent.put(c, p) }
         val top = new java.util.HashMap[Long, Long]()
@@ -63,12 +61,32 @@ object ChainLabel {
         }
       }.toDF("id", "anc")
 
+    val contracted = contractPtr(chain
+      .select(col("dst").cast("long").as("id"), col("src").cast("long").as("anc"))
+      .as[(Long, Long)])
+
     def signature(df: DataFrame) =
       df.agg(count(lit(1)), expr("bit_xor(xxhash64(id, anc))")).head()
 
     var (p, pRdd) = Rounds.materialize(contracted, lvl)
     var prevSig = signature(p)
-    var converged = false
+    // adaptive small-graph collapse (same trick as ConnectedComponents):
+    // the signature's count says how many pointers survived local
+    // contraction. If they fit one task, a single-partition re-walk IS
+    // exact head resolution for the whole residual — one pass instead
+    // of O(log chain) doubling rounds. A single timelapse's chains
+    // always land here; corpora of many long chains above the cutoff
+    // take the doubling rounds as before.
+    var converged = prevSig.getLong(0) == 0L
+    if (!converged && prevSig.getLong(0) <= 500000L) {
+      val (p2, p2Rdd) = Rounds.materialize(
+        contractPtr(p.as[(Long, Long)].repartition(1)), lvl)
+      prevSig = signature(p2)
+      pRdd.unpersist(blocking = false)
+      p = p2
+      pRdd = p2Rdd
+      converged = true
+    }
     var i = 0
     while (!converged && i < maxIter) {
       val next = p.as("a")

@@ -62,7 +62,14 @@ object SpotLink {
 
     val d2 = (col("x") - col("px")) * (col("x") - col("px")) +
       (col("y") - col("py")) * (col("y") - col("py"))
-    val cand = probes.join(parents, Seq("pframe", "cx", "cy"))
+    // SHUFFLE_HASH, build = parents: at any scale both sides are the
+    // corpus (neither is broadcastable — and Catalyst's size estimate
+    // would otherwise BROADCAST the 9·gap-exploded probe side, a
+    // driver-side collect of the larger relation); hashing the
+    // un-exploded parents per partition beats sorting both sides, and
+    // (frame, cell) keys are dense and uniform so AQE's skew split has
+    // nothing to do in the common case.
+    val cand = probes.join(parents.hint("shuffle_hash"), Seq("pframe", "cx", "cy"))
       .withColumn("d2", d2)
       .filter(col("d2") <= lit(maxDist * maxDist))
       .select(col("dst"), col("src"),

@@ -50,13 +50,19 @@ import org.apache.spark.sql.functions._
 object TrackAssignment {
 
   def divisionAware(spots: DataFrame, edges: DataFrame): DataFrame = {
+    // the edge list feeds both local-choice windows plus the node
+    // universe (and may itself be an expensive subtree — e.g. the
+    // SpotLink candidate join); persist it so downstream references
+    // re-read a materialized table instead of re-running the producer
     val ed = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fr = spots.select(col("id").cast("long").as("id"), col("frame").cast("long").as("frame"))
     val e = ed
       .join(fr.select(col("id").as("src"), col("frame").as("src_frame")), Seq("src"))
       .join(fr.select(col("id").as("dst"), col("frame").as("dst_frame")), Seq("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 1. merge suppression: one continuing parent per child — the
     // (max frame, min id) parent. For the generic TrackMate merge
