@@ -214,6 +214,20 @@ object SparkEntry {
       operators.SpotLink.nearest(sp, col("id"), col("frame"), col("x"), col("y"),
         maxDist = 50.0, gapFrames = 2)
     }),
+    // the Overlap end of the tracker menu: bbox-IoU linking over the
+    // synthetic ROI outlines (same spot layout; boxes from PolygonShape)
+    "q_track_overlap" -> ((s, d) => {
+      val ev = eventsXY(s, d)
+      val sp = ev
+        .withColumn("_shape", graft.functions.PolygonShape(
+          operators.RoiShape.syntheticRoi(col("event_id"), col("x"), col("y"))))
+        .select(col("event_id").as("id"), expr("ts_s div 3600").as("frame"),
+          col("_shape.min_x").as("x0"), col("_shape.max_x").as("x1"),
+          col("_shape.min_y").as("y0"), col("_shape.max_y").as("y1"))
+      operators.SpotLink.overlap(sp, col("id"), col("frame"),
+        col("x0"), col("x1"), col("y0"), col("y1"),
+        minIou = 0.01, cellSize = 10.0, gapFrames = 2)
+    }),
     // the closed chain: positions -> NN linking -> division-aware track
     // assignment (segmentation output to tracks with zero manual edges)
     "q_track_link_assign" -> ((s, d) => {
@@ -987,6 +1001,50 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, d2, src) AS rk
         |  FROM cand)
         |SELECT src, dst, gap, floor(sqrt(d2) * 10000.0 + 0.5) / 10000.0 AS dist
+        |FROM best WHERE rk = 1""".stripMargin,
+
+    // brute-force IoU linking over the same synthetic-ROI bboxes:
+    // candidates from the previous 2 frames with positive bbox
+    // intersection, ranked by (gap, iou desc, src)
+    "q_track_overlap" ->
+      """WITH base AS (
+        |  SELECT event_id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), geo AS (
+        |  SELECT event_id, frame, 4 + event_id % 5 AS k,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> x + [1.0,1.0,0.0,-1.0,-1.0,-1.0,0.0,1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS xs,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> CAST(y AS DOUBLE) + [0.0,1.0,1.0,1.0,0.0,-1.0,-1.0,-1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS ys
+        |  FROM base
+        |), s AS (
+        |  SELECT event_id AS id, frame,
+        |    list_min(xs) AS x0, list_max(xs) AS x1,
+        |    list_min(ys) AS y0, list_max(ys) AS y1
+        |  FROM geo
+        |), cand AS (
+        |  SELECT c.id AS dst, p.id AS src, c.frame - p.frame AS gap,
+        |    least(c.x1, p.x1) - greatest(c.x0, p.x0) AS ix,
+        |    least(c.y1, p.y1) - greatest(c.y0, p.y0) AS iy,
+        |    c.x0 AS x0, c.x1 AS x1, c.y0 AS y0, c.y1 AS y1,
+        |    p.x0 AS px0, p.x1 AS px1, p.y0 AS py0, p.y1 AS py1
+        |  FROM s c JOIN s p ON p.frame BETWEEN c.frame - 2 AND c.frame - 1
+        |), scored AS (
+        |  SELECT dst, src, gap,
+        |    CASE WHEN ix > 0 AND iy > 0 THEN ix * iy ELSE 0.0 END AS inter,
+        |    (x1 - x0) * (y1 - y0) + (px1 - px0) * (py1 - py0) AS areas
+        |  FROM cand
+        |), iou AS (
+        |  SELECT dst, src, gap, inter / (areas - inter) AS iou
+        |  FROM scored WHERE inter > 0
+        |), best AS (
+        |  SELECT dst, src, gap, iou,
+        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, iou DESC, src) AS rk
+        |  FROM iou WHERE iou >= 0.01)
+        |SELECT src, dst, gap, floor(iou * 1000000.0 + 0.5) / 1000000.0 AS iou
         |FROM best WHERE rk = 1""".stripMargin,
 
     // linker edges -> divisionAware mirror: each child already keeps

@@ -81,4 +81,72 @@ object SpotLink {
       .select(col("b.src").as("src"), col("dst"),
         col("b.gap").as("gap"), cround(sqrt(col("b.d2")), 4).as("dist"))
   }
+
+  /** IoU (Overlap-tracker) linking — the second end of the reference's
+    * tracker menu (track_images.py:95-100, OverlapTrackerFactory):
+    * link each spot to the predecessor whose bounding box overlaps its
+    * own with the highest intersection-over-union >= `minIou`,
+    * preferring the smallest frame gap. Input spots carry bboxes
+    * (x0 <= x1, y0 <= y1) — e.g. `PolygonShape`'s min/max over an ROI.
+    *
+    * Candidate generation: each box registers every `cellSize` grid
+    * cell it covers; two overlapping boxes always share a covered cell
+    * (their intersection region lies in one), so
+    * an equi-join on (frame, cell) finds every overlapping pair with
+    * fanout bounded by boxes-per-cell (cellSize should be of the order
+    * of a typical box — cells per box stays a small constant). Same
+    * scale shape as [[nearest]]: one SHUFFLE_HASH join on dense
+    * (frame, cell) keys, one min_by aggregate, no cross join.
+    * Output: (src, dst, gap, iou) — one row per linked child. */
+  def overlap(spots: DataFrame, id: Column, frame: Column,
+              x0: Column, x1: Column, y0: Column, y1: Column,
+              minIou: Double, cellSize: Double, gapFrames: Int = 1): DataFrame = {
+    require(minIou > 0.0, "minIou must be positive")
+    require(cellSize > 0.0, "cellSize must be positive")
+    require(gapFrames >= 1, "gapFrames must be >= 1")
+    val s = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
+      x0.cast("double").as("x0"), x1.cast("double").as("x1"),
+      y0.cast("double").as("y0"), y1.cast("double").as("y1"))
+    // all (cx, cy) cells the box covers
+    val cells = flatten(transform(
+      sequence(floor(col("x0") / cellSize).cast("long"),
+        floor(col("x1") / cellSize).cast("long")),
+      cx => transform(
+        sequence(floor(col("y0") / cellSize).cast("long"),
+          floor(col("y1") / cellSize).cast("long")),
+        cy => struct(cx.as("cx"), cy.as("cy")))))
+
+    val parents = s
+      .select(col("id").as("src"), col("frame").as("pframe"),
+        col("x0").as("px0"), col("x1").as("px1"),
+        col("y0").as("py0"), col("y1").as("py1"), explode(cells).as("c"))
+      .select(col("src"), col("pframe"), col("px0"), col("px1"),
+        col("py0"), col("py1"), col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val probes = s
+      .select(col("id").as("dst"), col("frame").as("cframe"),
+        col("x0"), col("x1"), col("y0"), col("y1"), explode(cells).as("c"))
+      .select(col("dst"), col("cframe"), col("x0"), col("x1"), col("y0"), col("y1"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"),
+        explode(array((1 to gapFrames).map(g => lit(g.toLong)): _*)).as("g"))
+      .withColumn("pframe", col("cframe") - col("g"))
+
+    val ix = least(col("x1"), col("px1")) - greatest(col("x0"), col("px0"))
+    val iy = least(col("y1"), col("py1")) - greatest(col("y0"), col("py0"))
+    val cand = probes.join(parents.hint("shuffle_hash"), Seq("pframe", "cx", "cy"))
+      .withColumn("inter", when(ix > 0 && iy > 0, ix * iy).otherwise(lit(0.0)))
+      .filter(col("inter") > 0)
+      .withColumn("iou", col("inter") /
+        ((col("x1") - col("x0")) * (col("y1") - col("y0")) +
+          (col("px1") - col("px0")) * (col("py1") - col("py0")) - col("inter")))
+      .filter(col("iou") >= minIou)
+      .select(col("dst"), col("src"), col("g").as("gap"), col("iou"))
+
+    // a pair sharing several cells yields identical candidate rows;
+    // min_by is insensitive to the duplicates, so no dedup shuffle
+    cand.groupBy(col("dst"))
+      .agg(min_by(struct(col("src"), col("gap"), col("iou")),
+        struct(col("gap"), negate(col("iou")), col("src"))).as("b"))
+      .select(col("b.src").as("src"), col("dst"),
+        col("b.gap").as("gap"), cround(col("b.iou"), 6).as("iou"))
+  }
 }

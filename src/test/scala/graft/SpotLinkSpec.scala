@@ -94,6 +94,64 @@ class SpotLinkSpec extends SparkSpec {
     assert(runLink(spots, 10.0, 1) === Set.empty)
   }
 
+  /** Brute-force IoU linker: all pairs, no grid. */
+  private def bruteOverlap(boxes: Seq[(Long, Long, Double, Double, Double, Double)],
+                           minIou: Double, gapFrames: Int): Set[(Long, Long, Long)] = {
+    boxes.flatMap { case (did, df, x0, x1, y0, y1) =>
+      val cands = boxes.flatMap { case (sid, pf, px0, px1, py0, py1) =>
+        if (pf < df - gapFrames || pf >= df) None
+        else {
+          val ix = math.min(x1, px1) - math.max(x0, px0)
+          val iy = math.min(y1, py1) - math.max(y0, py0)
+          val inter = if (ix > 0 && iy > 0) ix * iy else 0.0
+          val iou = if (inter > 0)
+            inter / ((x1 - x0) * (y1 - y0) + (px1 - px0) * (py1 - py0) - inter)
+          else 0.0
+          if (inter > 0 && iou >= minIou) Some((df - pf, -iou, sid)) else None
+        }
+      }
+      if (cands.isEmpty) None else { val (g, _, sid) = cands.min; Some((sid, did, g)) }
+    }.toSet
+  }
+
+  test("overlap linking matches brute force on random boxes") {
+    val rnd = new scala.util.Random(7)
+    val boxes = for {
+      w <- 0 until 25
+      f <- 0 until 20
+      if rnd.nextDouble() >= 0.2
+    } yield {
+      val cx = (w % 5) * 30.0 + f * 0.5 + rnd.nextDouble() * 3.0
+      val cy = (w / 5) * 25.0 + rnd.nextDouble() * 3.0
+      val hw = 2.0 + rnd.nextDouble() * 4.0
+      val hh = 2.0 + rnd.nextDouble() * 4.0
+      ((w.toLong * 1000L) + f, f.toLong, cx - hw, cx + hw, cy - hh, cy + hh)
+    }
+    val df = boxes.toDF("id", "frame", "x0", "x1", "y0", "y1")
+    for (gap <- Seq(1, 2)) {
+      val got = graft.operators.SpotLink.overlap(df, col("id"), col("frame"),
+          col("x0"), col("x1"), col("y0"), col("y1"),
+          minIou = 0.05, cellSize = 8.0, gapFrames = gap)
+        .select("src", "dst", "gap").as[(Long, Long, Long)].collect().toSet
+      assert(got === bruteOverlap(boxes, 0.05, gap), s"gapFrames=$gap")
+    }
+  }
+
+  test("overlap: highest IoU wins; disjoint boxes never link") {
+    // child overlaps parent A (iou 1/3) more than parent B (tiny); C disjoint
+    val boxes = Seq(
+      (1L, 0L, 0.0, 10.0, 0.0, 10.0),   // A: big overlap
+      (2L, 0L, 14.0, 24.0, 0.0, 10.0),  // B: 1-unit sliver overlap
+      (3L, 0L, 50.0, 60.0, 50.0, 60.0), // C: disjoint
+      (9L, 1L, 5.0, 15.0, 0.0, 10.0))   // child
+    val got = graft.operators.SpotLink.overlap(
+        boxes.toDF("id", "frame", "x0", "x1", "y0", "y1"),
+        col("id"), col("frame"), col("x0"), col("x1"), col("y0"), col("y1"),
+        minIou = 0.01, cellSize = 10.0, gapFrames = 1)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 9L)))
+  }
+
   test("plan: one candidate join + one aggregate, three exchanges max") {
     val spots = (0 until 100).map(i => (i.toLong, (i % 10).toLong, i * 1.0, i * 2.0))
     val plan = SpotLink.nearest(spots.toDF("id", "frame", "x", "y"),
