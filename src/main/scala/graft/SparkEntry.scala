@@ -214,6 +214,14 @@ object SparkEntry {
       operators.SpotLink.nearest(sp, col("id"), col("frame"), col("x"), col("y"),
         maxDist = 50.0, gapFrames = 2)
     }),
+    // mutual-NN 1-1 matching (the conservative LAP-tracker
+    // approximation): same spot layout and parameters as q_track_link
+    "q_track_mutual" -> ((s, d) => {
+      val sp = eventsXY(s, d).select(col("event_id").as("id"),
+        expr("ts_s div 3600").as("frame"), col("x"), col("y"))
+      operators.SpotLink.mutualNearest(sp, col("id"), col("frame"), col("x"), col("y"),
+        maxDist = 50.0, gapFrames = 2)
+    }),
     // the Overlap end of the tracker menu: bbox-IoU linking over the
     // synthetic ROI outlines (same spot layout; boxes from PolygonShape)
     "q_track_overlap" -> ((s, d) => {
@@ -1002,6 +1010,32 @@ object SparkEntry {
         |  FROM cand)
         |SELECT src, dst, gap, floor(sqrt(d2) * 10000.0 + 0.5) / 10000.0 AS dist
         |FROM best WHERE rk = 1""".stripMargin,
+
+    // mutual NN: the pair survives iff it is rank-1 in BOTH directions
+    "q_track_mutual" ->
+      """WITH s AS (
+        |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), cand AS (
+        |  SELECT c.id AS dst, p.id AS src, c.frame - p.frame AS gap,
+        |    (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) AS d2
+        |  FROM s c JOIN s p ON p.frame BETWEEN c.frame - 2 AND c.frame - 1
+        |  WHERE (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) <= 2500.0
+        |), fwd AS (
+        |  SELECT dst, src, gap, d2 FROM (
+        |    SELECT dst, src, gap, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, d2, src) AS rk
+        |    FROM cand) WHERE rk = 1
+        |), bwd AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY gap, d2, dst) AS rk
+        |    FROM cand) WHERE rk = 1
+        |)
+        |SELECT f.src, f.dst, f.gap,
+        |  floor(sqrt(f.d2) * 10000.0 + 0.5) / 10000.0 AS dist
+        |FROM fwd f JOIN bwd b ON f.src = b.src AND f.dst = b.dst""".stripMargin,
 
     // brute-force IoU linking over the same synthetic-ROI bboxes:
     // candidates from the previous 2 frames with positive bbox

@@ -38,16 +38,57 @@ object SpotLink {
     * the Euclidean distance rounded to 4 decimals. */
   def nearest(spots: DataFrame, id: Column, frame: Column, x: Column, y: Column,
               maxDist: Double, gapFrames: Int = 1): DataFrame = {
+    val cand = candidates(spots, id, frame, x, y, maxDist, gapFrames)
+    cand.groupBy(col("dst"))
+      .agg(min_by(struct(col("src"), col("gap"), col("d2")),
+        struct(col("gap"), col("d2"), col("src"))).as("b"))
+      .select(col("b.src").as("src"), col("dst"),
+        col("b.gap").as("gap"), cround(sqrt(col("b.d2")), 4).as("dist"))
+  }
+
+  /** Mutual-nearest-neighbour 1-1 linking — the conservative
+    * approximation of the reference's LAP trackers (track_images.py:
+    * 95-100, SimpleSparseLAP/SparseLAP solve a per-frame-pair linear
+    * assignment; mutual-NN keeps exactly the pairs every sensible
+    * assignment contains: p is c's best predecessor AND c is p's best
+    * successor). The result is a 1-1 matching — no divisions, no
+    * merges — which is what LAP linking (without its split/merge
+    * post-pass) produces.
+    *
+    * Cost: the same single candidate shuffle as [[nearest]] plus ONE
+    * extra min_by aggregate keyed by src and an equi-join of the two
+    * (tiny) argmin sets. Output: (src, dst, gap, dist). */
+  def mutualNearest(spots: DataFrame, id: Column, frame: Column, x: Column, y: Column,
+                    maxDist: Double, gapFrames: Int = 1): DataFrame = {
+    val cand = candidates(spots, id, frame, x, y, maxDist, gapFrames)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bestFwd = cand.groupBy(col("dst"))
+      .agg(min_by(struct(col("src"), col("gap"), col("d2")),
+        struct(col("gap"), col("d2"), col("src"))).as("b"))
+      .select(col("b.src").as("src"), col("dst"),
+        col("b.gap").as("gap"), col("b.d2").as("d2"))
+    val bestBwd = cand.groupBy(col("src"))
+      .agg(min_by(struct(col("dst"), col("gap"), col("d2")),
+        struct(col("gap"), col("d2"), col("dst"))).as("b"))
+      .select(col("src"), col("b.dst").as("dst"))
+    bestFwd.join(bestBwd, Seq("src", "dst"), "left_semi")
+      .select(col("src"), col("dst"), col("gap"), cround(sqrt(col("d2")), 4).as("dist"))
+  }
+
+  /** Shared candidate generation for [[nearest]]/[[mutualNearest]]:
+    * (dst, src, gap, d2) for every spot pair within `maxDist` across
+    * 1..gapFrames frames. */
+  private def candidates(spots: DataFrame, id: Column, frame: Column,
+                         x: Column, y: Column,
+                         maxDist: Double, gapFrames: Int): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     require(gapFrames >= 1, "gapFrames must be >= 1")
     val s = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
       x.cast("double").as("x"), y.cast("double").as("y"))
     def cell(c: Column): Column = floor(c / maxDist).cast("long")
-
     val parents = s.select(col("id").as("src"), col("frame").as("pframe"),
       col("x").as("px"), col("y").as("py"),
       cell(col("x")).as("cx"), cell(col("y")).as("cy"))
-
     val probeOffsets = array((for {
       g <- 1 to gapFrames; dx <- -1 to 1; dy <- -1 to 1
     } yield struct(lit(g.toLong).as("g"), lit(dx.toLong).as("dx"),
@@ -59,7 +100,6 @@ object SpotLink {
       .select(col("dst"), col("cframe"), col("x"), col("y"),
         (col("cframe") - col("o.g")).as("pframe"),
         (col("cx0") + col("o.dx")).as("cx"), (col("cy0") + col("o.dy")).as("cy"))
-
     val d2 = (col("x") - col("px")) * (col("x") - col("px")) +
       (col("y") - col("py")) * (col("y") - col("py"))
     // SHUFFLE_HASH, build = parents: at any scale both sides are the
@@ -69,17 +109,11 @@ object SpotLink {
     // un-exploded parents per partition beats sorting both sides, and
     // (frame, cell) keys are dense and uniform so AQE's skew split has
     // nothing to do in the common case.
-    val cand = probes.join(parents.hint("shuffle_hash"), Seq("pframe", "cx", "cy"))
+    probes.join(parents.hint("shuffle_hash"), Seq("pframe", "cx", "cy"))
       .withColumn("d2", d2)
       .filter(col("d2") <= lit(maxDist * maxDist))
       .select(col("dst"), col("src"),
         (col("cframe") - col("pframe")).as("gap"), col("d2"))
-
-    cand.groupBy(col("dst"))
-      .agg(min_by(struct(col("src"), col("gap"), col("d2")),
-        struct(col("gap"), col("d2"), col("src"))).as("b"))
-      .select(col("b.src").as("src"), col("dst"),
-        col("b.gap").as("gap"), cround(sqrt(col("b.d2")), 4).as("dist"))
   }
 
   /** IoU (Overlap-tracker) linking — the second end of the reference's

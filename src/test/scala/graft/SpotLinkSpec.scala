@@ -114,6 +114,43 @@ class SpotLinkSpec extends SparkSpec {
     }.toSet
   }
 
+  test("mutual-NN matching: subset of NN links, 1-1, brute-force parity") {
+    val rnd = new scala.util.Random(99)
+    val spots = for {
+      w <- 0 until 25
+      f <- 0 until 30
+      if rnd.nextDouble() >= 0.15
+    } yield ((w.toLong * 1000L) + f, f.toLong,
+      (w % 5) * 35.0 + f * 0.6 + rnd.nextDouble() * 5.0,
+      (w / 5) * 30.0 + rnd.nextDouble() * 5.0)
+    val df = spots.toDF("id", "frame", "x", "y")
+    val nn = graft.operators.SpotLink.nearest(df, col("id"), col("frame"),
+        col("x"), col("y"), 12.0, 2)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val mutual = graft.operators.SpotLink.mutualNearest(df, col("id"), col("frame"),
+        col("x"), col("y"), 12.0, 2)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    // mutual pairs are exactly the NN pairs whose src is also the
+    // child's choice in reverse — a subset, and 1-1 in both columns
+    assert(mutual.subsetOf(nn))
+    assert(mutual.map(_._1).size == mutual.size, "src side not 1-1")
+    assert(mutual.map(_._2).size == mutual.size, "dst side not 1-1")
+    // brute force: best-per-dst and best-per-src agree
+    val bestFwd = bruteLink(spots, 12.0, 2)
+    val bestBwd = spots.flatMap { case (sid, pf, px, py) =>
+      val cands = spots.flatMap { case (did, df2, dx, dy) =>
+        if (df2 <= pf || df2 > pf + 2) None
+        else {
+          val d2 = (dx - px) * (dx - px) + (dy - py) * (dy - py)
+          if (d2 <= 144.0) Some((df2 - pf, d2, did)) else None
+        }
+      }
+      if (cands.isEmpty) None else { val (_, _, did) = cands.min; Some((sid, did)) }
+    }.toSet
+    val exp = bestFwd.map(e => (e._1, e._2)).intersect(bestBwd)
+    assert(mutual === exp)
+  }
+
   test("overlap linking matches brute force on random boxes") {
     val rnd = new scala.util.Random(7)
     val boxes = for {
