@@ -214,6 +214,16 @@ object SparkEntry {
       operators.SpotLink.nearest(sp, col("id"), col("frame"), col("x"), col("y"),
         maxDist = 50.0, gapFrames = 2)
     }),
+    // exact per-frame-pair assignment (SimpleSparseLAP analogue):
+    // globally optimal gated matching via Hungarian per frame pair —
+    // not SQL-expressible (rows-only; optimality is spec-pinned
+    // against permutation brute force in LapLinkSpec)
+    "q_track_lap" -> ((s, d) => {
+      val sp = eventsXY(s, d).select(col("event_id").as("id"),
+        expr("ts_s div 3600").as("frame"), col("x"), col("y"))
+      operators.LapLink.frameToFrame(sp, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0)
+    }),
     // mutual-NN 1-1 matching (the conservative LAP-tracker
     // approximation): same spot layout and parameters as q_track_link
     "q_track_mutual" -> ((s, d) => {
