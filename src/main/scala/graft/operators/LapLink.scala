@@ -41,31 +41,83 @@ object LapLink {
     val asChild = s.select((col("frame") - 1).as("pair"), lit(1).as("role"),
       col("id"), col("x"), col("y"))
     val maxD2 = maxDist * maxDist
+    // explicit-width repartition, NOT groupByKey: the shuffle is tiny
+    // in bytes but each group is a CPU-dense assignment solve, and
+    // AQE's coalescing (which optimizes for data size) would pack all
+    // groups onto a couple of threads. An explicit partition count is
+    // exempt from AQE coalescing, pinning the parallelism; pairs are
+    // then grouped locally within their partition.
+    val width = spark.sparkContext.defaultParallelism
     asParent.union(asChild)
+      .repartition(width, col("pair"))
       .as[(Long, Int, Long, Double, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        val ps = rows.filter(_._2 == 0).map(r => (r._3, r._4, r._5)).sortBy(_._1)
-        val cs = rows.filter(_._2 == 1).map(r => (r._3, r._4, r._5)).sortBy(_._1)
-        if (ps.isEmpty || cs.isEmpty) Iterator.empty
-        else {
-          val links = solve(ps, cs, maxD2)
-          links.iterator.map { case (pi, ci, d2) =>
+      .mapPartitions { it =>
+        val byPair = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]]()
+        it.foreach { case (pair, role, id, px, py) =>
+          byPair.computeIfAbsent(pair, _ => scala.collection.mutable.ArrayBuffer.empty)
+            .append((role, id, px, py))
+        }
+        import scala.jdk.CollectionConverters._
+        byPair.values().iterator().asScala.flatMap { rows =>
+          val ps = rows.filter(_._1 == 0).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
+          val cs = rows.filter(_._1 == 1).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
+          if (ps.isEmpty || cs.isEmpty) Iterator.empty
+          else solve(ps, cs, maxD2).iterator.map { case (pi, ci, d2) =>
             (ps(pi)._1, cs(ci)._1, math.floor(math.sqrt(d2) * 10000.0 + 0.5) / 10000.0)
           }
         }
       }.toDF("src", "dst", "dist")
   }
 
-  /** Gated max-weight matching via Hungarian on the padded square
-    * matrix: real-real gated cells cost d2 - 2L (attractive), every
-    * dummy pairing costs 0, ungated real-real cells are +L (never
-    * preferred over the 0-cost dummy). Returns (parentIdx, childIdx,
-    * d2) for the chosen real links. */
+  /** Gated max-weight matching — the "sparse" in SparseLAP: the gated
+    * bipartite graph decomposes into connected components (no gated
+    * edge crosses them and dummy alternatives are free, so the global
+    * optimum is exactly the union of per-component optima), and each
+    * component gets its own Hungarian solve. Dense frames with a local
+    * gate split into many small solves — O(Σ mᵢ³) instead of O(m³). */
   private[operators] def solve(ps: Array[(Long, Double, Double)],
                                cs: Array[(Long, Double, Double)],
                                maxD2: Double): Seq[(Int, Int, Double)] = {
+    val np = ps.length
+    val nc = cs.length
+    // union-find over parent nodes [0, np) and child nodes [np, np+nc)
+    val parent = Array.tabulate(np + nc)(identity)
+    def find(a: Int): Int = {
+      var x = a
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    val gated = Array.newBuilder[(Int, Int)]
+    var pi = 0
+    while (pi < np) {
+      var ci = 0
+      while (ci < nc) {
+        val dx = ps(pi)._2 - cs(ci)._2
+        val dy = ps(pi)._3 - cs(ci)._3
+        if (dx * dx + dy * dy <= maxD2) {
+          gated += ((pi, ci))
+          val (rp, rc) = (find(pi), find(np + ci))
+          if (rp != rc) parent(rp) = rc
+        }
+        ci += 1
+      }
+      pi += 1
+    }
+    gated.result().groupBy { case (p, _) => find(p) }.iterator.flatMap { case (_, edges) =>
+      val cps = edges.map(_._1).distinct.sorted
+      val ccs = edges.map(_._2).distinct.sorted
+      solveComponent(cps.map(ps), ccs.map(cs), maxD2)
+        .map { case (i, j, d2) => (cps(i), ccs(j), d2) }
+    }.toSeq
+  }
+
+  /** Hungarian on one component's dummy-padded square matrix:
+    * real-real gated cells cost d2 - 2L (attractive), every dummy
+    * pairing costs 0, ungated real-real cells are big (never preferred
+    * over the 0-cost dummy). Returns (parentIdx, childIdx, d2). */
+  private def solveComponent(ps: Array[(Long, Double, Double)],
+                             cs: Array[(Long, Double, Double)],
+                             maxD2: Double): Seq[(Int, Int, Double)] = {
     val np = ps.length
     val nc = cs.length
     val m = np + nc
