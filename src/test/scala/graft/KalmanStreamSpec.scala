@@ -12,17 +12,18 @@ class KalmanStreamSpec extends SparkSpec {
 
   private var n = 0
 
+  /** Feeds each element of `batches` as its own micro-batch, so state
+    * genuinely crosses batch boundaries. */
   private def run(batches: Seq[Seq[SpotPos]], maxDist: Double,
                   gap: Int): Map[Long, Long] = {
     implicit val sql = spark.sqlContext
     n += 1
     val name = s"kalman_$n"
     val stream = MemoryStream[SpotPos]
-    stream.addData(batches.flatten: _*)
     val q = KalmanStream.kalmanTracksStream(stream.toDS(), maxDist, gap)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try assert(q.awaitTermination(60000), "query did not finish") finally q.stop()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
     spark.table(name).as[TrackSpotOut].collect().map(o => o.id -> o.track_id).toMap
   }
 
