@@ -43,11 +43,8 @@ object MinHashLSH {
     val groups = banded.groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
       .filter(size(col("_ds")) >= 2)
-    val quadratic = groups.filter(size(col("_ds")) <= bucketCap)
-      .select(col("_ds"), posexplode(col("_ds")).as(Seq("_i", "d1")))
-      .select(col("d1"),
-        explode(slice(col("_ds"), col("_i") + lit(2),
-          size(col("_ds")) - col("_i") - lit(1))).as("d2"))
+    val quadratic = Postings.expandOrderedPairs(
+      groups.filter(size(col("_ds")) <= bucketCap))
     val star = groups.filter(size(col("_ds")) > bucketCap)
       .select(element_at(col("_ds"), 1).as("d1"),
         explode(slice(col("_ds"), 2, 2147483647)).as("d2"))

@@ -30,13 +30,20 @@ object Postings {
     val groups = post.groupBy(keys: _*)
       .agg(sort_array(collect_list(doc)).as("_ds"))
       .filter(size(col("_ds")).between(2, maxDf))
+    expandOrderedPairs(groups)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** The generator pair expansion over a sorted `_ds` doc-list column:
+    * `posexplode` picks d1, `explode` over the (1-based) tail slice
+    * picks d2 — d1 < d2 by construction. ONE definition of the slice
+    * arithmetic, shared by every banding caller. */
+  private[dedup] def expandOrderedPairs(groups: DataFrame): DataFrame =
     groups
       .select(col("_ds"), posexplode(col("_ds")).as(Seq("_i", "d1")))
       .select(col("d1"),
         explode(slice(col("_ds"), col("_i") + lit(2),
           size(col("_ds")) - col("_i") - lit(1))).as("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-  }
 }

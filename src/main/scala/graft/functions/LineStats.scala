@@ -78,13 +78,15 @@ object LineStats {
 
     def addLine(l: String): Unit = if (!isBlank(l)) {
       nLines += 1
-      lineChars += cpCount(l)
-      if (seenLines.add(l)) { nDistinctLines += 1; distinctLineChars += cpCount(l) }
+      val c = cpCount(l)
+      lineChars += c
+      if (seenLines.add(l)) { nDistinctLines += 1; distinctLineChars += c }
     }
     def addPara(p: String): Unit = if (!isBlank(p)) {
       nParas += 1
-      paraChars += cpCount(p)
-      if (seenParas.add(p)) { nDistinctParas += 1; distinctParaChars += cpCount(p) }
+      val c = cpCount(p)
+      paraChars += c
+      if (seenParas.add(p)) { nDistinctParas += 1; distinctParaChars += c }
     }
 
     var lineStart = 0

@@ -31,6 +31,15 @@ object Numeric {
     floor(c * p + lit(0.5)) / p
   }
 
+  /** Scalar twin of [[cround]] for imperative kernels (streaming state
+    * machines, per-group solvers) — the ONE encoding of the
+    * cross-engine rounding contract, so Column and scalar paths cannot
+    * drift. */
+  def croundD(x: Double, r: Int): Double = {
+    val p = math.pow(10.0, r)
+    math.floor(x * p + 0.5) / p
+  }
+
   /** Order-independent AVG(x) as double, rounded to `r` places. */
   def davg(c: Column, scale: Int = 4, r: Int = 4): Column =
     cround(dsum(c, scale) / count(lit(1)), r)

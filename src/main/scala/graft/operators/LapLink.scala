@@ -50,22 +50,30 @@ object LapLink {
     val width = spark.sparkContext.defaultParallelism
     asParent.union(asChild)
       .repartition(width, col("pair"))
+      .sortWithinPartitions(col("pair"))
       .as[(Long, Int, Long, Double, Double)]
       .mapPartitions { it =>
-        val byPair = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]]()
-        it.foreach { case (pair, role, id, px, py) =>
-          byPair.computeIfAbsent(pair, _ => scala.collection.mutable.ArrayBuffer.empty)
-            .append((role, id, px, py))
-        }
-        import scala.jdk.CollectionConverters._
-        byPair.values().iterator().asScala.flatMap { rows =>
-          val ps = rows.filter(_._1 == 0).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
-          val cs = rows.filter(_._1 == 1).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
-          if (ps.isEmpty || cs.isEmpty) Iterator.empty
-          else solve(ps, cs, maxD2).iterator.map { case (pi, ci, d2) =>
-            (ps(pi)._1, cs(ci)._1, math.floor(math.sqrt(d2) * 10000.0 + 0.5) / 10000.0)
+        // rows arrive sorted by pair (Spark's sort spills, unlike a
+        // per-partition HashMap of every group), so consecutive-key
+        // grouping bounds task memory to ONE frame pair's spots
+        val buf = it.buffered
+        new Iterator[Iterator[(Long, Long, Double)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Long, Double)] = {
+            val pair = buf.head._1
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+            while (buf.hasNext && buf.head._1 == pair) {
+              val r = buf.next()
+              rows.append((r._2, r._3, r._4, r._5))
+            }
+            val ps = rows.filter(_._1 == 0).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
+            val cs = rows.filter(_._1 == 1).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
+            if (ps.isEmpty || cs.isEmpty) Iterator.empty
+            else solve(ps, cs, maxD2).iterator.map { case (pi, ci, d2) =>
+              (ps(pi)._1, cs(ci)._1, graft.functions.Numeric.croundD(math.sqrt(d2), 4))
+            }
           }
-        }
+        }.flatten
       }.toDF("src", "dst", "dist")
   }
 

@@ -53,7 +53,11 @@ object TrackAssignment {
     // the edge list feeds both local-choice windows plus the node
     // universe (and may itself be an expensive subtree — e.g. the
     // SpotLink candidate join); persist it so downstream references
-    // re-read a materialized table instead of re-running the producer
+    // re-read a materialized table instead of re-running the producer.
+    // Blocks back the returned DataFrame and are released by Spark's
+    // ContextCleaner once the caller drops the plan (same lifecycle
+    // note as ConnectedComponents.run; callers needing deterministic
+    // release persist/unpersist the RESULT themselves)
     val ed = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()

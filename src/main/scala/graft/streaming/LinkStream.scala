@@ -63,7 +63,7 @@ object LinkStream {
               if (cands.nonEmpty) {
                 val (g, d2, src) = cands.min
                 out += LinkOut(video, src, s.id, g,
-                  math.floor(math.sqrt(d2) * 10000.0 + 0.5) / 10000.0)
+                  graft.functions.Numeric.croundD(math.sqrt(d2), 4))
               }
             }
             recent = (window ++ arrivals.map(s => RecentSpot(s.frame, s.id, s.x, s.y)))

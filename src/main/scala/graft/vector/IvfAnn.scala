@@ -57,17 +57,21 @@ object IvfAnn {
     topKWith(assigned, cents, corpus, queries, k, nprobe)
   }
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (DataFrame, DataFrame)]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int, Double), (DataFrame, DataFrame)]()
 
   /** Build-once index reuse across query batches over the same corpus
-    * (keyed by caller-supplied corpus identity + nlist): the trained
-    * assignment persists, so repeated batches pay only the probe join.
-    * At 100 TB the analogous artifact is a written (vec_id, cell)
-    * table + a centroid file — this is its in-session stand-in. */
+    * (keyed by SESSION + caller-supplied corpus identity + the full
+    * training parameters — a cached DataFrame is bound to the session
+    * that built it, and a different sampleFraction is a different
+    * index): the trained assignment persists, so repeated batches pay
+    * only the probe join. At 100 TB the analogous artifact is a
+    * written (vec_id, cell) table + a centroid file — this is its
+    * in-session stand-in; entries live for the session (nothing
+    * unpersists them, like every build-once index). */
   def quantizeCached(key: String, corpus: DataFrame, nlist: Int,
                      sampleFraction: Double = 1.0): (DataFrame, DataFrame) =
-    cache.computeIfAbsent((key, nlist), _ => {
+    cache.computeIfAbsent((corpus.sparkSession, key, nlist, sampleFraction), _ => {
       val (assigned, cents) = quantize(corpus, nlist, sampleFraction)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       (assigned.persist(lvl), cents.persist(lvl))
