@@ -144,6 +144,8 @@ object SparkEntry {
       TimeSeries.lag1Autocorr(events(s, d), "user_id", col("event_id"), col("value"))),
     "q_ts_trend" -> ((s, d) =>
       TimeSeries.linearTrend(events(s, d), "user_id", col("event_id"), col("value"))),
+    "q_ts_moments" -> ((s, d) =>
+      TimeSeries.momentStats(events(s, d), "user_id", col("value"))),
     // ~20-variable trajectory features in one shuffle (here 3 stand-ins)
     "q_ts_elev_multi" -> ((s, d) =>
       TimeSeries.elevationMulti(
@@ -971,6 +973,32 @@ object SparkEntry {
         |    (sxy * n_obs - sx * sy) * (sxy * n_obs - sx * sy) /
         |      ((sxx * n_obs - sx * sx) * (syy * n_obs - sy * sy)) END) * 1000000.0 + 0.5) / 1000000.0 AS r2
         |FROM s""".stripMargin,
+
+    "q_ts_moments" ->
+      """WITH s AS (
+        |  SELECT user_id, COUNT(*) AS n_obs,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(value * value * value AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,8))) AS DOUBLE) AS s4
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT user_id, n_obs, s1, s2, s3, s4,
+        |    s1 / n_obs AS mean,
+        |    s2 / n_obs - (s1 / n_obs) * (s1 / n_obs) AS var
+        |  FROM s
+        |)
+        |SELECT user_id, n_obs,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS v_mean,
+        |  CASE WHEN n_obs > 1 THEN floor(var * 1000000.0 + 0.5) / 1000000.0 END AS v_var,
+        |  CASE WHEN n_obs > 1 AND var > 0 THEN
+        |    floor((s3 / n_obs - 3.0 * mean * (s2 / n_obs) + 2.0 * mean * mean * mean)
+        |      / (var * sqrt(var)) * 1000000.0 + 0.5) / 1000000.0 END AS v_skew,
+        |  CASE WHEN n_obs > 1 AND var > 0 THEN
+        |    floor(((s4 / n_obs - 4.0 * mean * (s3 / n_obs) + 6.0 * mean * mean * (s2 / n_obs)
+        |      - 3.0 * mean * mean * mean * mean) / (var * var) - 3.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS v_kurt
+        |FROM m""".stripMargin,
 
     "q_ts_autocorr" ->
       """WITH p AS (

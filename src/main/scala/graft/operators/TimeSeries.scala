@@ -32,6 +32,41 @@ object TimeSeries {
         cround(max(col("_v")) - min(col("_v")), 4).as("range_v"))
   }
 
+  /** Higher-moment trajectory summary (mean/variance/skewness/excess
+    * kurtosis per track — the rest of CellPhe's per-variable summary
+    * statistics family). ONE hash aggregate with map-side combine, no
+    * window: central moments decorrelate to decimal-exact raw power
+    * sums, so the result is order-independent and hash-comparable
+    * across engines. `pow` is avoided (its last-ulp behaviour differs
+    * between engines): var^1.5 is `var * sqrt(var)`, both
+    * correctly-rounded IEEE ops. Single-observation tracks and
+    * zero-variance trajectories yield NULL skew/kurtosis. */
+  def momentStats(df: DataFrame, entity: String, v: Column): DataFrame = {
+    def dsum38(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val agg = df.withColumn("_v", v.cast("double"))
+      .groupBy(col(entity))
+      .agg(count(lit(1)).as("n_obs"),
+        dsum(col("_v"), 6).as("_s1"),
+        dsum(col("_v") * col("_v"), 8).as("_s2"),
+        dsum38(col("_v") * col("_v") * col("_v")).as("_s3"),
+        dsum38(col("_v") * col("_v") * col("_v") * col("_v")).as("_s4"))
+    val n = col("n_obs").cast("double")
+    val mean = col("_s1") / n
+    val variance = col("_s2") / n - mean * mean
+    val skew = (col("_s3") / n - lit(3.0) * mean * (col("_s2") / n) +
+      lit(2.0) * mean * mean * mean) / (variance * sqrt(variance))
+    val kurt = (col("_s4") / n - lit(4.0) * mean * (col("_s3") / n) +
+      lit(6.0) * mean * mean * (col("_s2") / n) -
+      lit(3.0) * mean * mean * mean * mean) / (variance * variance) - lit(3.0)
+    agg.select(col(entity), col("n_obs"),
+      cround(mean, 6).as("v_mean"),
+      when(col("n_obs") > 1, cround(variance, 6)).otherwise(lit(null)).as("v_var"),
+      when(col("n_obs") > 1 && variance > 0, cround(skew, 6))
+        .otherwise(lit(null)).as("v_skew"),
+      when(col("n_obs") > 1 && variance > 0, cround(kurt, 6))
+        .otherwise(lit(null)).as("v_kurt"))
+  }
+
   /** Elevation features for MANY variables in ONE shuffle — the
     * reference computes time-series features per variable over ~20
     * variables (bin/time_series_features.py loops columns); running

@@ -73,6 +73,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r == ((2L, 2.0, 1L, 16.0)))
   }
 
+  test("moment stats match hand computation (skew/kurtosis)") {
+    // values 1,2,3,6: mean 3, var (4+1+0+9)/4 = 3.5
+    // m3 = (-8 -1 +0 +27)/4 = 4.5 -> skew = 4.5 / 3.5^1.5
+    // m4 = (16 + 1 + 0 + 81)/4 = 24.5 -> kurt = 24.5/12.25 - 3 = -1
+    val df = Seq((1L, 1.0), (1L, 2.0), (1L, 3.0), (1L, 6.0), (2L, 7.0))
+      .toDF("user_id", "value")
+    val got = TimeSeries.momentStats(df, "user_id", col("value"))
+      .as[(Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toList
+    val skew = 4.5 / (3.5 * math.sqrt(3.5))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.head == ((1L, 4L, 3.0, Some(3.5), Some(r6(skew)), Some(-1.0))))
+    // single-observation track: moments undefined
+    assert(got(1) == ((2L, 1L, 7.0, None, None, None)))
+  }
+
   test("haar drops incomplete tail pair (odd length)") {
     val df = Seq((1L, 1L, 4.0), (1L, 2L, 2.0), (1L, 3L, 9.0))
       .toDF("user_id", "event_id", "value")
