@@ -47,17 +47,21 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }.toMap
-    // 3-decimal rounding keeps the whole JSON line under ~2k chars so it
-    // survives the driver's bounded stdout-tail capture intact (full
-    // nanoTime doubles pushed the line past the window and clipped its
-    // start, making it unparseable in rounds 1-3)
+    // the driver's stdout-tail capture is ~2000 chars; a clipped line
+    // is unparseable (rounds 1-3 failure mode). With 85 queries the
+    // 3-decimal line hit ~2040 chars, so per-query values are 2-decimal
+    // (centisecond fidelity — ranking and totals unaffected) and the sf
+    // field is the directory basename. Headline total keeps 3 decimals.
+    def r2(v: Double): String =
+      if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def r3(v: Double): String =
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
