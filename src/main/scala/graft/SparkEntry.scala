@@ -146,6 +146,8 @@ object SparkEntry {
       TimeSeries.linearTrend(events(s, d), "user_id", col("event_id"), col("value"))),
     "q_ts_moments" -> ((s, d) =>
       TimeSeries.momentStats(events(s, d), "user_id", col("value"))),
+    "q_ts_median" -> ((s, d) =>
+      TimeSeries.trackMedian(events(s, d), "user_id", col("value"))),
     // ~20-variable trajectory features in one shuffle (here 3 stand-ins)
     "q_ts_elev_multi" -> ((s, d) =>
       TimeSeries.elevationMulti(
@@ -973,6 +975,11 @@ object SparkEntry {
         |    (sxy * n_obs - sx * sy) * (sxy * n_obs - sx * sy) /
         |      ((sxx * n_obs - sx * sx) * (syy * n_obs - sy * sy)) END) * 1000000.0 + 0.5) / 1000000.0 AS r2
         |FROM s""".stripMargin,
+
+    "q_ts_median" ->
+      """SELECT user_id, COUNT(*) AS n_obs,
+        |  floor(median(value) * 10000.0 + 0.5) / 10000.0 AS v_median
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_ts_moments" ->
       """WITH s AS (

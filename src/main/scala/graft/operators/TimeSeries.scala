@@ -67,6 +67,27 @@ object TimeSeries {
         .otherwise(lit(null)).as("v_kurt"))
   }
 
+  /** Exact per-track median — the last member of CellPhe's summary
+    * family (mean/std come from moment sums, extrema from min/max;
+    * the median needs order statistics). One window shuffle ranks each
+    * track's values; only the one-or-two MIDDLE order statistics
+    * survive to the aggregate, whose 2-element avg is (a+b)/2 —
+    * addition of two doubles is commutative-exact, and the same
+    * formulation already hash-matches DuckDB's interpolated median in
+    * the QC distance stats. No percentile buffer, no collect: state
+    * per track is O(1) past the sort. */
+  def trackMedian(df: DataFrame, entity: String, v: Column): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col("_v"))
+    val n = count(lit(1)).over(Window.partitionBy(col(entity)))
+    df.withColumn("_v", v.cast("double"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", n)
+      .filter(col("_rn") >= expr("(_n + 1) div 2") && col("_rn") <= expr("_n div 2 + 1"))
+      .groupBy(col(entity))
+      .agg(max(col("_n")).as("n_obs"),
+        cround(sum(col("_v")) / count(lit(1)), 4).as("v_median"))
+  }
+
   /** Elevation features for MANY variables in ONE shuffle — the
     * reference computes time-series features per variable over ~20
     * variables (bin/time_series_features.py loops columns); running

@@ -89,6 +89,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1) == ((2L, 1L, 7.0, None, None, None)))
   }
 
+  test("exact per-track median: odd, even, single") {
+    val df = Seq((1L, 3.0), (1L, 1.0), (1L, 2.0),          // odd: 2.0
+      (2L, 4.0), (2L, 1.0), (2L, 2.0), (2L, 3.0),          // even: 2.5
+      (3L, 9.0))                                           // single: 9.0
+      .toDF("user_id", "value")
+    val got = TimeSeries.trackMedian(df, "user_id", col("value"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 3L, 2.0), (2L, 4L, 2.5), (3L, 1L, 9.0)))
+  }
+
   test("haar drops incomplete tail pair (odd length)") {
     val df = Seq((1L, 1L, 4.0), (1L, 2L, 2.0), (1L, 3L, 9.0))
       .toDF("user_id", "event_id", "value")
