@@ -360,6 +360,8 @@ object SparkEntry {
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
+    "q_text_entropy" -> ((s, d) =>
+      TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"))),
     "q_lang_id" -> ((s, d) =>
       TextFeatures.langId(documents(s, d), col("doc_id"), col("text"))),
     "q_tfidf" -> ((s, d) =>
@@ -1588,6 +1590,28 @@ object SparkEntry {
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+        |  FROM documents
+        |), dd AS (
+        |  SELECT * FROM d WHERE length(t) >= 2
+        |), g AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+        |  FROM dd, UNNEST(range(1, length(t))) AS r(i)
+        |), model AS (
+        |  SELECT bg, COUNT(*) AS c FROM g GROUP BY bg
+        |), tot AS (
+        |  SELECT SUM(c) AS tot, COUNT(*) AS v FROM model
+        |), lp AS (
+        |  SELECT g.doc_id, ln((model.c + 1.0) / (tot.tot + tot.v)) AS lp
+        |  FROM g JOIN model USING (bg) CROSS JOIN tot
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  floor(-CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |FROM lp GROUP BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH tok AS (

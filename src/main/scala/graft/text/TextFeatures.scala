@@ -99,6 +99,39 @@ object TextFeatures {
         emailRe, "<EMAIL>")).as("scrubbed_len"))
   }
 
+  /** Corpus character-bigram cross-entropy — the model-based quality
+    * signal corpus builds filter on (the KenLM-perplexity stand-in,
+    * deterministic and engine-independent): a bigram language model is
+    * trained on the corpus itself (add-one smoothing) and every
+    * document is scored against it; far-from-corpus documents
+    * (boilerplate, binary junk, wrong-language) score high.
+    *
+    * Characters normalize to lowercase alphanumerics + space with '#'
+    * for everything else, capping the vocabulary at ~1.4k bigrams — so
+    * the MODEL is broadcast-sized at any corpus scale. Both passes are
+    * algebraic aggregates with map-side combine (bigram grain collapses
+    * to vocab size per partition for the model, to doc count for the
+    * scores); log-prob sums are decimal-cast for order independence. */
+  def charBigramEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
+    val docs = df.select(id.as("doc_id"), norm.as("_t"))
+      .filter(length(col("_t")) >= 2)
+    val grams = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(_t) - 1), i -> substring(_t, i, 2))"))
+        .as("bg"))
+    val model = grams.groupBy(col("bg")).agg(count(lit(1)).as("_c"))
+    val totals = model.agg(sum(col("_c")).as("_tot"), count(lit(1)).as("_v"))
+    grams
+      .join(broadcast(model), Seq("bg"))
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp", log((col("_c") + lit(1.0)) / (col("_tot") + col("_v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Numeric.cround(
+          -graft.functions.Numeric.dsum(col("_lp"), 8) / count(lit(1)), 6)
+          .as("cross_entropy"))
+  }
+
   /** Quality scoring: length, punctuation/digit/stopword ratios and a
     * boolean keep flag (the usual pre-training corpus filters). */
   def quality(df: DataFrame, id: Column, text: Column): DataFrame = {

@@ -125,6 +125,23 @@ class SimHashDedupSpec extends SparkSpec {
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("char-bigram cross-entropy: hand-computed two-doc corpus") {
+    // normalized docs "ab" and "cd": model {ab:1, cd:1}, tot=2, V=2;
+    // every bigram's smoothed logprob = ln(2/4) -> H = -ln(0.5)
+    val df = Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text")
+    val got = TextFeatures.charBigramEntropy(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    val h = math.floor(-math.log(0.5) * 1e6 + 0.5) / 1e6
+    assert(got == List((1L, 1L, h), (2L, 1L, h)))
+    // identical docs score LOWER (closer to the corpus) than an outlier
+    val df2 = Seq((1L, "the cat sat"), (2L, "the cat sat"), (3L, "zq#xv!!"))
+      .toDF("doc_id", "text")
+    val e = TextFeatures.charBigramEntropy(df2, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(e(1L) == e(2L))
+    assert(e(3L) > e(1L))
+  }
+
   test("token stats on a known string") {
     val df = Seq((1L, "Hello world, 42 times!")).toDF("doc_id", "text")
     val r = TextFeatures.tokenStats(df, col("doc_id"), col("text"))
