@@ -1591,6 +1591,9 @@ object SparkEntry {
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
 
+    // mirrors the (doc, bigram)-grained Spark plan exactly: the
+    // decimal cast applies to k*lp per DISTINCT bigram (not per
+    // occurrence), so quantization is identical on both engines
     "q_text_entropy" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
@@ -1598,18 +1601,20 @@ object SparkEntry {
         |), dd AS (
         |  SELECT * FROM d WHERE length(t) >= 2
         |), g AS (
-        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS k
         |  FROM dd, UNNEST(range(1, length(t))) AS r(i)
+        |  GROUP BY 1, 2
         |), model AS (
-        |  SELECT bg, COUNT(*) AS c FROM g GROUP BY bg
+        |  SELECT bg, SUM(k) AS c FROM g GROUP BY bg
         |), tot AS (
         |  SELECT SUM(c) AS tot, COUNT(*) AS v FROM model
         |), lp AS (
-        |  SELECT g.doc_id, ln((model.c + 1.0) / (tot.tot + tot.v)) AS lp
+        |  SELECT g.doc_id, g.k,
+        |    g.k * ln((model.c + 1.0) / (tot.tot + tot.v)) AS klp
         |  FROM g JOIN model USING (bg) CROSS JOIN tot
         |)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  floor(-CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  floor(-CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
         |    * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
         |FROM lp GROUP BY doc_id""".stripMargin,
 

@@ -114,21 +114,27 @@ object TextFeatures {
     * scores); log-prob sums are decimal-cast for order independence. */
   def charBigramEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
     val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
-    val docs = df.select(id.as("doc_id"), norm.as("_t"))
+    // per-doc (bigram, count) pairs from ONE fused kernel pass
+    // (functions.BigramCounts — the char-grain transform() explode it
+    // replaces was interpreted and ran twice); rows are at
+    // distinct-bigram-per-doc grain from here on
+    val grams = df.select(id.as("doc_id"), norm.as("_t"))
       .filter(length(col("_t")) >= 2)
-    val grams = docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(_t) - 1), i -> substring(_t, i, 2))"))
-        .as("bg"))
-    val model = grams.groupBy(col("bg")).agg(count(lit(1)).as("_c"))
+      .select(col("doc_id"),
+        explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
+      .select(col("doc_id"), col("_e.bg").as("bg"), col("_e.k").as("_k"))
+    val model = grams.groupBy(col("bg"))
+      .agg(sum(col("_k")).as("_c"))
     val totals = model.agg(sum(col("_c")).as("_tot"), count(lit(1)).as("_v"))
     grams
       .join(broadcast(model), Seq("bg"))
       .crossJoin(broadcast(totals))
-      .withColumn("_lp", log((col("_c") + lit(1.0)) / (col("_tot") + col("_v"))))
+      .withColumn("_klp", col("_k") *
+        log((col("_c") + lit(1.0)) / (col("_tot") + col("_v"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(sum(col("_k")).as("n_bigrams"),
         graft.functions.Numeric.cround(
-          -graft.functions.Numeric.dsum(col("_lp"), 8) / count(lit(1)), 6)
+          -graft.functions.Numeric.dsum(col("_klp"), 8) / sum(col("_k")), 6)
           .as("cross_entropy"))
   }
 
