@@ -212,7 +212,7 @@ object SparkEntry {
     // (frame, x, y) — hourly frames over the event stream as the
     // timelapse stand-in; maxDist 50 in a 490x99 coordinate box links a
     // meaningful subset, gapFrames 2 exercises the gap path
-    "q_track_link" -> ((s, d) => {
+    "q_link_nn" -> ((s, d) => {
       val sp = eventsXY(s, d).select(col("event_id").as("id"),
         expr("ts_s div 3600").as("frame"), col("x"), col("y"))
       operators.SpotLink.nearest(sp, col("id"), col("frame"), col("x"), col("y"),
@@ -222,15 +222,15 @@ object SparkEntry {
     // globally optimal gated matching via Hungarian per frame pair —
     // not SQL-expressible (rows-only; optimality is spec-pinned
     // against permutation brute force in LapLinkSpec)
-    "q_track_lap" -> ((s, d) => {
+    "q_link_lap" -> ((s, d) => {
       val sp = eventsXY(s, d).select(col("event_id").as("id"),
         expr("ts_s div 3600").as("frame"), col("x"), col("y"))
       operators.LapLink.frameToFrame(sp, col("id"), col("frame"),
         col("x"), col("y"), maxDist = 50.0)
     }),
     // mutual-NN 1-1 matching (the conservative LAP-tracker
-    // approximation): same spot layout and parameters as q_track_link
-    "q_track_mutual" -> ((s, d) => {
+    // approximation): same spot layout and parameters as q_link_nn
+    "q_link_mutual" -> ((s, d) => {
       val sp = eventsXY(s, d).select(col("event_id").as("id"),
         expr("ts_s div 3600").as("frame"), col("x"), col("y"))
       operators.SpotLink.mutualNearest(sp, col("id"), col("frame"), col("x"), col("y"),
@@ -238,7 +238,7 @@ object SparkEntry {
     }),
     // the Overlap end of the tracker menu: bbox-IoU linking over the
     // synthetic ROI outlines (same spot layout; boxes from PolygonShape)
-    "q_track_overlap" -> ((s, d) => {
+    "q_link_iou" -> ((s, d) => {
       val ev = eventsXY(s, d)
       val sp = ev
         .withColumn("_shape", graft.functions.PolygonShape(
@@ -252,7 +252,7 @@ object SparkEntry {
     }),
     // the closed chain: positions -> NN linking -> division-aware track
     // assignment (segmentation output to tracks with zero manual edges)
-    "q_track_link_assign" -> ((s, d) => {
+    "q_link_track" -> ((s, d) => {
       val sp = eventsXY(s, d).select(col("event_id").as("id"),
         expr("ts_s div 3600").as("frame"), col("x"), col("y"))
       val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
@@ -360,8 +360,17 @@ object SparkEntry {
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
-    "q_text_entropy" -> ((s, d) =>
+    "q_entropy" -> ((s, d) =>
       TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"))),
+    // frequent tokens at >= 1% of the corpus: Misra-Gries sketch
+    // (constant memory) proposes candidates, an exact pass verifies —
+    // output is exactly the >= 1% set, so the oracle is plain SQL
+    "q_hh_tokens" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("term"))
+      operators.HeavyHitters.frequentItems(toks, col("term"),
+        num = 1L, den = 100L, sketchK = 400)
+    }),
     "q_lang_id" -> ((s, d) =>
       TextFeatures.langId(documents(s, d), col("doc_id"), col("text"))),
     "q_tfidf" -> ((s, d) =>
@@ -1041,7 +1050,7 @@ object SparkEntry {
 
     // brute-force NN (no grid) over the same spot layout: candidates
     // from the previous 2 frames within 50, ranked by (gap, d2, src)
-    "q_track_link" ->
+    "q_link_nn" ->
       """WITH s AS (
         |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
@@ -1059,7 +1068,7 @@ object SparkEntry {
         |FROM best WHERE rk = 1""".stripMargin,
 
     // mutual NN: the pair survives iff it is rank-1 in BOTH directions
-    "q_track_mutual" ->
+    "q_link_mutual" ->
       """WITH s AS (
         |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
@@ -1087,7 +1096,7 @@ object SparkEntry {
     // brute-force IoU linking over the same synthetic-ROI bboxes:
     // candidates from the previous 2 frames with positive bbox
     // intersection, ranked by (gap, iou desc, src)
-    "q_track_overlap" ->
+    "q_link_iou" ->
       """WITH base AS (
         |  SELECT event_id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
@@ -1133,7 +1142,7 @@ object SparkEntry {
     // edge per parent is its (frame, id)-first child; chains walked
     // recursively from heads, labeled by min id; every spot incident to
     // any edge is in scope (cut-out spots = single-spot tracks)
-    "q_track_link_assign" ->
+    "q_link_track" ->
       """WITH RECURSIVE s AS (
         |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
@@ -1591,10 +1600,20 @@ object SparkEntry {
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
 
+    "q_hh_tokens" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS item FROM documents
+        |), tot AS (
+        |  SELECT COUNT(*) AS total FROM t
+        |)
+        |SELECT item, COUNT(*) AS cnt
+        |FROM t, tot GROUP BY item, tot.total
+        |HAVING COUNT(*) * 100 >= tot.total * 1""".stripMargin,
+
     // mirrors the (doc, bigram)-grained Spark plan exactly: the
     // decimal cast applies to k*lp per DISTINCT bigram (not per
     // occurrence), so quantization is identical on both engines
-    "q_text_entropy" ->
+    "q_entropy" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
         |  FROM documents
