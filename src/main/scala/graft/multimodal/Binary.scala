@@ -54,9 +54,11 @@ object Binary {
     * decode as `decodeMeta` (STUB — no codecs in this container); the
     * batching/partitioning/output schema are the real pipeline. */
   def sampleFrameFeatures(spark: SparkSession, df: DataFrame, everyK: Int = 2,
-                          batchSize: Int = 64): Dataset[FrameFeature] = {
+                          batchSize: Int = 64,
+                          downsampleBy: Int = 1): Dataset[FrameFeature] = {
     import spark.implicits._
     require(everyK >= 1)
+    require(downsampleBy >= 1)
     df.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -64,7 +66,8 @@ object Binary {
           // per-batch codec init would happen here
           batch.iterator.flatMap { case (id, bytes) =>
             val nFrames = 1 + math.floorMod(bytes.length, 8)
-            (0 until nFrames by everyK).iterator.map(fi => fakeFrameDecode(id, fi, bytes))
+            (0 until nFrames by everyK).iterator
+              .map(fi => fakeFrameDecode(id, fi, bytes, downsampleBy))
           }
         }
       }
@@ -72,7 +75,8 @@ object Binary {
 
   private val FrameDim = 8
 
-  private def fakeFrameDecode(id: Long, frameIdx: Int, bytes: Array[Byte]): FrameFeature = {
+  private def fakeFrameDecode(id: Long, frameIdx: Int, bytes: Array[Byte],
+                              downsampleBy: Int): FrameFeature = {
     var cs = 1469598103934665603L ^ frameIdx.toLong
     var sum = 0L
     var i = 0
@@ -88,7 +92,10 @@ object Binary {
       i += 1
     }
     val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    val (lh, hl, hh) = Texture.haar2dEnergies(px, FrameDim, FrameDim)
+    // resize between decode and feature extraction (real math; only
+    // the pixel source above is the declared stub)
+    val (rpx, rw, rh) = Texture.boxDownsample(px, FrameDim, FrameDim, downsampleBy)
+    val (lh, hl, hh) = Texture.haar2dEnergies(rpx, rw, rh)
     FrameFeature(id, frameIdx, mean, lh, hl, hh, cs)
   }
 

@@ -47,4 +47,41 @@ object Texture {
     val n = (bw * bh).toDouble
     (lh / n, hl / n, hh / n)
   }
+
+  /** Box-filter downsample by an integer factor: each output pixel is
+    * the mean of its factor x factor source block (trailing partial
+    * blocks average only the pixels they cover). This is the resize
+    * step of the reference's frame pipeline (main.nf convert_jpeg /
+    * re-scaling before feature extraction) — real, codec-free math,
+    * applied between decode and feature extraction. Returns
+    * (pixels, width, height) of the reduced frame. */
+  def boxDownsample(px: Array[Double], width: Int, height: Int,
+                    factor: Int): (Array[Double], Int, Int) = {
+    require(factor >= 1, "factor must be >= 1")
+    require(px.length >= width * height, "pixel buffer smaller than width*height")
+    if (factor == 1) return (px, width, height)
+    val ow = (width + factor - 1) / factor
+    val oh = (height + factor - 1) / factor
+    val out = new Array[Double](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var s = 0.0
+        var n = 0
+        var y = oy * factor
+        val ymax = math.min(y + factor, height)
+        while (y < ymax) {
+          var x = ox * factor
+          val xmax = math.min(x + factor, width)
+          while (x < xmax) { s += px(y * width + x); n += 1; x += 1 }
+          y += 1
+        }
+        out(oy * ow + ox) = s / n
+        ox += 1
+      }
+      oy += 1
+    }
+    (out, ow, oh)
+  }
 }

@@ -244,6 +244,38 @@ class SimilaritySpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  test("box downsample: hand-computed 4x4 -> 2x2 and partial blocks") {
+    // 4x4 ramp 0..15, factor 2: block means (2.5, 4.5, 10.5, 12.5)
+    val px = (0 until 16).map(_.toDouble).toArray
+    val (o, w, h) = graft.multimodal.Texture.boxDownsample(px, 4, 4, 2)
+    assert((w, h) == (2, 2))
+    assert(o.toSeq == Seq(2.5, 4.5, 10.5, 12.5))
+    // 3x3, factor 2: trailing partial blocks average what they cover
+    val px3 = (0 until 9).map(_.toDouble).toArray
+    val (o3, w3, h3) = graft.multimodal.Texture.boxDownsample(px3, 3, 3, 2)
+    assert((w3, h3) == (2, 2))
+    assert(o3.toSeq == Seq((0.0+1+3+4)/4, (2.0+5)/2, (6.0+7)/2, 8.0))
+    // factor 1 is identity
+    assert(graft.multimodal.Texture.boxDownsample(px, 4, 4, 1)._1 eq px)
+  }
+
+  test("downsampled frame features stay deterministic; resize changes texture only") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val full = graft.multimodal.Binary.sampleFrameFeatures(spark,
+      graft.multimodal.Binary.withPayload(docs), everyK = 2).collect()
+    val down = graft.multimodal.Binary.sampleFrameFeatures(spark,
+      graft.multimodal.Binary.withPayload(docs), everyK = 2, downsampleBy = 2).collect()
+    val fullBy = full.map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    assert(down.length == full.length)
+    down.foreach { d =>
+      val f = fullBy((d.doc_id, d.frame_idx))
+      // identity-of-frame fields unchanged by the resize
+      assert(d.mean_px == f.mean_px && d.checksum == f.checksum)
+    }
+    // resize actually ran: texture differs somewhere
+    assert(down.exists(d => d.tex_lh != fullBy((d.doc_id, d.frame_idx)).tex_lh))
+  }
+
   test("binary decode stub is deterministic with stable schema") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val out = graft.multimodal.Binary.decodeMeta(spark, graft.multimodal.Binary.withPayload(docs))
