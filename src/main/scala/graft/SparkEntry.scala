@@ -28,6 +28,18 @@ object SparkEntry {
       .withColumn("ts_s", unix_timestamp(col("ts")))
       .withColumn("x", col("value"))
 
+  /** Per-video spot layout for the tracker-chain queries: user_id is
+    * the timelapse stand-in; ids encode uid*1e7 + event_id and frames
+    * uid*1e6 + day, so (a) no frame of one video is within gap reach
+    * of another video's frames (days < 1e6) and (b) a spot's video is
+    * recoverable from its id alone (event_id < 1e7 at any driver SF)
+    * — which is what `divisionAwareByVideo`-style cogroups key on. */
+  private def videoSpots(spark: SparkSession, dir: String): DataFrame =
+    eventsXY(spark, dir).select(
+      (col("user_id").cast("long") * 10000000L + col("event_id")).as("id"),
+      (col("user_id").cast("long") * 1000000L + expr("ts_s div 86400")).as("frame"),
+      col("x"), col("y"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * CellPhe chain (QC filter -> movement -> trajectory features)
     * composed as one Spark job. */
@@ -251,14 +263,54 @@ object SparkEntry {
         minIou = 0.01, cellSize = 10.0, gapFrames = 2)
     }),
     // the closed chain: positions -> NN linking -> division-aware track
-    // assignment (segmentation output to tracks with zero manual edges)
+    // assignment (segmentation output to tracks with zero manual edges).
+    // Spots are keyed per VIDEO (user_id as the timelapse stand-in, day
+    // frames): ids encode uid*1e7 + event_id and frames uid*1e6 + day,
+    // so linking never crosses videos and labeling takes the cogroup
+    // path (divisionAwareByVideo, ONE shuffle per input) instead of
+    // iterative rounds — the production plan at 100 TB, where the
+    // corpus is millions of videos.
     "q_link_track" -> ((s, d) => {
-      val sp = eventsXY(s, d).select(col("event_id").as("id"),
-        expr("ts_s div 3600").as("frame"), col("x"), col("y"))
+      val sp = videoSpots(s, d)
       val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
         col("x"), col("y"), maxDist = 50.0, gapFrames = 2)
-      operators.TrackAssignment.divisionAware(sp.select("id", "frame"),
-        edges.select("src", "dst"))
+      operators.TrackAssignment.divisionAwareByVideo(sp.select("id", "frame"),
+        edges.select("src", "dst"), _ / 10000000L)
+    }),
+    // TrackMate SparseLAP's SECOND phase (gap closing): NN linking with
+    // gap 1 fragments tracks at longer occlusions; the segment-level
+    // global assignment re-joins ends to starts within 3 frames and
+    // 50 px. Exact Hungarian per component — not SQL-expressible
+    // (rows-only; optimality and the planted-occlusion rejoin are
+    // spec-pinned in LapGapCloseSpec).
+    "q_gc" -> ((s, d) => {
+      val sp = videoSpots(s, d)
+      val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, gapFrames = 1)
+      val labels = operators.TrackAssignment.divisionAwareByVideo(
+        sp.select("id", "frame"), edges.select("src", "dst"), _ / 10000000L)
+      operators.LapLink.gapClose(sp, labels, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
+    }),
+    // the composed two-phase LAP tracker: exact frame-to-frame
+    // assignment -> segment labels -> gap-close relabel (rows-only:
+    // both phases are Hungarian)
+    "q_gct" -> ((s, d) => {
+      val sp = videoSpots(s, d)
+      val edges = operators.LapLink.frameToFrame(sp, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0)
+      val labels = operators.TrackAssignment.divisionAwareByVideo(
+        sp.select("id", "frame"), edges.select("src", "dst"), _ / 10000000L)
+      operators.LapLink.closeGaps(sp, labels, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
+    }),
+    // batch Kalman-gated tracking (constant-velocity prediction,
+    // cogroup per video; shares its per-frame transition with the
+    // streaming form — rows-only, parity spec-pinned in KalmanLinkSpec)
+    "q_kf" -> ((s, d) => {
+      val sp = videoSpots(s, d)
+      operators.KalmanLink.tracks(sp, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, gapFrames = 2, _ / 10000000L)
     }),
     // ROI polygon shape features: deterministic synthetic ROIs (the
     // container has no segmentation stack) -> codegen'd shoelace
@@ -1049,7 +1101,8 @@ object SparkEntry {
         |FROM base WHERE n >= 2""".stripMargin,
 
     // brute-force NN (no grid) over the same spot layout: candidates
-    // from the previous 2 frames within 50, ranked by (gap, d2, src)
+    // from the previous 2 frames within 50, ranked by (gap, quantized
+    // d2, src) — the engine's declared packed ordering (d2 at 1e-4)
     "q_link_nn" ->
       """WITH s AS (
         |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
@@ -1057,17 +1110,20 @@ object SparkEntry {
         |  FROM events
         |), cand AS (
         |  SELECT c.id AS dst, p.id AS src, c.frame - p.frame AS gap,
-        |    (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) AS d2
+        |    floor(((c.x - p.x)*(c.x - p.x)
+        |      + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE)) * 10000.0 + 0.5) AS q
         |  FROM s c JOIN s p ON p.frame BETWEEN c.frame - 2 AND c.frame - 1
         |  WHERE (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) <= 2500.0
         |), best AS (
-        |  SELECT dst, src, gap, d2,
-        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, d2, src) AS rk
+        |  SELECT dst, src, gap, q,
+        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, q, src) AS rk
         |  FROM cand)
-        |SELECT src, dst, gap, floor(sqrt(d2) * 10000.0 + 0.5) / 10000.0 AS dist
+        |SELECT src, dst, gap,
+        |  floor(sqrt(q / 10000.0) * 10000.0 + 0.5) / 10000.0 AS dist
         |FROM best WHERE rk = 1""".stripMargin,
 
     // mutual NN: the pair survives iff it is rank-1 in BOTH directions
+    // (same quantized-d2 ranking as q_link_nn)
     "q_link_mutual" ->
       """WITH s AS (
         |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
@@ -1075,22 +1131,23 @@ object SparkEntry {
         |  FROM events
         |), cand AS (
         |  SELECT c.id AS dst, p.id AS src, c.frame - p.frame AS gap,
-        |    (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) AS d2
+        |    floor(((c.x - p.x)*(c.x - p.x)
+        |      + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE)) * 10000.0 + 0.5) AS q
         |  FROM s c JOIN s p ON p.frame BETWEEN c.frame - 2 AND c.frame - 1
         |  WHERE (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) <= 2500.0
         |), fwd AS (
-        |  SELECT dst, src, gap, d2 FROM (
-        |    SELECT dst, src, gap, d2,
-        |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, d2, src) AS rk
+        |  SELECT dst, src, gap, q FROM (
+        |    SELECT dst, src, gap, q,
+        |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, q, src) AS rk
         |    FROM cand) WHERE rk = 1
         |), bwd AS (
         |  SELECT src, dst FROM (
         |    SELECT src, dst,
-        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY gap, d2, dst) AS rk
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY gap, q, dst) AS rk
         |    FROM cand) WHERE rk = 1
         |)
         |SELECT f.src, f.dst, f.gap,
-        |  floor(sqrt(f.d2) * 10000.0 + 0.5) / 10000.0 AS dist
+        |  floor(sqrt(f.q / 10000.0) * 10000.0 + 0.5) / 10000.0 AS dist
         |FROM fwd f JOIN bwd b ON f.src = b.src AND f.dst = b.dst""".stripMargin,
 
     // brute-force IoU linking over the same synthetic-ROI bboxes:
@@ -1132,29 +1189,36 @@ object SparkEntry {
         |  FROM scored WHERE inter > 0
         |), best AS (
         |  SELECT dst, src, gap, iou,
-        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, iou DESC, src) AS rk
+        |    ROW_NUMBER() OVER (PARTITION BY dst
+        |      ORDER BY gap, floor(iou * 1000000.0 + 0.5) DESC, src) AS rk
         |  FROM iou WHERE iou >= 0.01)
         |SELECT src, dst, gap, floor(iou * 1000000.0 + 0.5) / 1000000.0 AS iou
         |FROM best WHERE rk = 1""".stripMargin,
 
-    // linker edges -> divisionAware mirror: each child already keeps
-    // one parent, so merge suppression is a no-op; the surviving chain
-    // edge per parent is its (frame, id)-first child; chains walked
-    // recursively from heads, labeled by min id; every spot incident to
-    // any edge is in scope (cut-out spots = single-spot tracks)
+    // linker edges -> divisionAware mirror over the PER-VIDEO spot
+    // layout (ids uid*1e7+event_id, frames uid*1e6+day — frames of
+    // different videos are never within gap reach): each child already
+    // keeps one parent, so merge suppression is a no-op; the surviving
+    // chain edge per parent is its (frame, id)-first child; chains
+    // walked recursively from heads, labeled by min id; every spot
+    // incident to any edge is in scope (cut-out spots = single-spot
+    // tracks)
     "q_link_track" ->
       """WITH RECURSIVE s AS (
-        |  SELECT event_id AS id, epoch_us(ts)//1000000//3600 AS frame, value AS x,
+        |  SELECT CAST(user_id AS BIGINT) * 10000000 + event_id AS id,
+        |    CAST(user_id AS BIGINT) * 1000000 + epoch_us(ts)//1000000//86400 AS frame,
+        |    value AS x,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
         |  FROM events
         |), cand AS (
         |  SELECT c.id AS dst, p.id AS src, c.frame - p.frame AS gap,
-        |    (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) AS d2
+        |    floor(((c.x - p.x)*(c.x - p.x)
+        |      + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE)) * 10000.0 + 0.5) AS q
         |  FROM s c JOIN s p ON p.frame BETWEEN c.frame - 2 AND c.frame - 1
         |  WHERE (c.x - p.x)*(c.x - p.x) + CAST((c.y - p.y)*(c.y - p.y) AS DOUBLE) <= 2500.0
         |), edges AS (
         |  SELECT src, dst FROM (
-        |    SELECT dst, src, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, d2, src) AS rk
+        |    SELECT dst, src, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY gap, q, src) AS rk
         |    FROM cand) WHERE rk = 1
         |), cont AS (
         |  SELECT src, dst FROM (

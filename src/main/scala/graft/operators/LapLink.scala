@@ -77,17 +77,44 @@ object LapLink {
       }.toDF("src", "dst", "dist")
   }
 
-  /** Gated max-weight matching — the "sparse" in SparseLAP: the gated
-    * bipartite graph decomposes into connected components (no gated
-    * edge crosses them and dummy alternatives are free, so the global
-    * optimum is exactly the union of per-component optima), and each
-    * component gets its own Hungarian solve. Dense frames with a local
-    * gate split into many small solves — O(Σ mᵢ³) instead of O(m³). */
+  /** Distance-gated max-weight matching: build the gated edge list and
+    * hand it to [[assignEdges]]. */
   private[operators] def solve(ps: Array[(Long, Double, Double)],
                                cs: Array[(Long, Double, Double)],
                                maxD2: Double): Seq[(Int, Int, Double)] = {
-    val np = ps.length
-    val nc = cs.length
+    val edges = Array.newBuilder[(Int, Int, Double)]
+    var pi = 0
+    while (pi < ps.length) {
+      var ci = 0
+      while (ci < cs.length) {
+        val dx = ps(pi)._2 - cs(ci)._2
+        val dy = ps(pi)._3 - cs(ci)._3
+        val d2 = dx * dx + dy * dy
+        if (d2 <= maxD2) edges += ((pi, ci, d2))
+        ci += 1
+      }
+      pi += 1
+    }
+    assignEdges(ps.length, cs.length, edges.result(), maxD2)
+  }
+
+  /** Gated max-weight matching over an EXPLICIT edge list — the
+    * "sparse" in SparseLAP: the gated bipartite graph decomposes into
+    * connected components (no gated edge crosses them and dummy
+    * alternatives are free, so the global optimum is exactly the union
+    * of per-component optima), and each component gets its own
+    * Hungarian solve on its dummy-padded square matrix — O(Σ mᵢ³)
+    * instead of O(m³). Cost semantics: a gated edge of cost d2 has
+    * weight 2L - d2 (L = the alternative cost of leaving a node
+    * unlinked, per side); the returned matching maximises total weight
+    * — equivalently minimises Σ d2 + L·(#unlinked). Gate predicates
+    * (distance for frame-to-frame, frame-window + distance for gap
+    * closing) live with the caller. Returns (parentIdx, childIdx, d2)
+    * in the CALLER's index space. */
+  private[operators] def assignEdges(np: Int, nc: Int,
+                                     edges: Array[(Int, Int, Double)],
+                                     l: Double): Seq[(Int, Int, Double)] = {
+    if (edges.isEmpty) return Seq.empty
     // union-find over parent nodes [0, np) and child nodes [np, np+nc)
     val parent = Array.tabulate(np + nc)(identity)
     def find(a: Int): Int = {
@@ -95,71 +122,154 @@ object LapLink {
       while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
       x
     }
-    val gated = Array.newBuilder[(Int, Int)]
-    var pi = 0
-    while (pi < np) {
-      var ci = 0
-      while (ci < nc) {
-        val dx = ps(pi)._2 - cs(ci)._2
-        val dy = ps(pi)._3 - cs(ci)._3
-        if (dx * dx + dy * dy <= maxD2) {
-          gated += ((pi, ci))
-          val (rp, rc) = (find(pi), find(np + ci))
-          if (rp != rc) parent(rp) = rc
-        }
-        ci += 1
-      }
-      pi += 1
+    edges.foreach { case (p, c, _) =>
+      val (rp, rc) = (find(p), find(np + c))
+      if (rp != rc) parent(rp) = rc
     }
-    gated.result().groupBy { case (p, _) => find(p) }.iterator.flatMap { case (_, edges) =>
-      val cps = edges.map(_._1).distinct.sorted
-      val ccs = edges.map(_._2).distinct.sorted
-      solveComponent(cps.map(ps), ccs.map(cs), maxD2)
-        .map { case (i, j, d2) => (cps(i), ccs(j), d2) }
+    edges.groupBy { case (p, _, _) => find(p) }.iterator.flatMap { case (_, es) =>
+      val cps = es.map(_._1).distinct.sorted
+      val ccs = es.map(_._2).distinct.sorted
+      val pIdx = cps.zipWithIndex.toMap
+      val cIdx = ccs.zipWithIndex.toMap
+      val npl = cps.length
+      val ncl = ccs.length
+      val m = npl + ncl
+      // an ungated cell must never appear in an optimum: the all-dummy
+      // matching costs 0 and real links are >= -2L each, so any
+      // matching through one ungated cell costs >= big - 2L·m;
+      // big = 2L(m+1) makes that strictly positive — dominated by the
+      // 0-cost reroute. Dummy pairings cost 0.
+      val big = 2.0 * l * (m + 1)
+      val cost = Array.ofDim[Double](m, m)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < m) {
+          cost(i)(j) = if (i < npl && j < ncl) big else 0.0
+          j += 1
+        }
+        i += 1
+      }
+      val d2Of = new java.util.HashMap[Long, Double]()
+      es.foreach { case (p, c, d2) =>
+        cost(pIdx(p))(cIdx(c)) = d2 - 2.0 * l
+        d2Of.put(pIdx(p).toLong << 32 | cIdx(c).toLong, d2)
+      }
+      val rowToCol = hungarian(cost)
+      (0 until npl).flatMap { i =>
+        val j = rowToCol(i)
+        if (j < ncl && d2Of.containsKey(i.toLong << 32 | j.toLong))
+          Some((cps(i), ccs(j), d2Of.get(i.toLong << 32 | j.toLong)))
+        else None
+      }
     }.toSeq
   }
 
-  /** Hungarian on one component's dummy-padded square matrix:
-    * real-real gated cells cost d2 - 2L (attractive), every dummy
-    * pairing costs 0, ungated real-real cells are big (never preferred
-    * over the 0-cost dummy). Returns (parentIdx, childIdx, d2). */
-  private def solveComponent(ps: Array[(Long, Double, Double)],
-                             cs: Array[(Long, Double, Double)],
-                             maxD2: Double): Seq[(Int, Int, Double)] = {
-    val np = ps.length
-    val nc = cs.length
-    val m = np + nc
-    // an ungated cell must never appear in an optimum: the all-dummy
-    // matching costs 0 and real links are >= -2L each, so any matching
-    // through one ungated cell costs >= big - 2L·m; big = 2L(m+1)
-    // makes that strictly positive — dominated by the 0-cost reroute.
-    val big = 2.0 * maxD2 * (m + 1)
-    val cost = Array.ofDim[Double](m, m)
-    var i = 0
-    while (i < m) {
-      var j = 0
-      while (j < m) {
-        cost(i)(j) =
-          if (i < np && j < nc) {
-            val dx = ps(i)._2 - cs(j)._2
-            val dy = ps(i)._3 - cs(j)._3
-            val d2 = dx * dx + dy * dy
-            if (d2 <= maxD2) d2 - 2.0 * maxD2 else big
-          } else 0.0
-        j += 1
+  /** One track segment's endpoints for the gap-closing pass. */
+  private[operators] case class Seg(track: Long,
+                                    sid: Long, sframe: Long, sx: Double, sy: Double,
+                                    eid: Long, eframe: Long, ex: Double, ey: Double)
+
+  /** Segment-level gap closing — the SECOND phase of the reference's
+    * default trackers (track_images.py:95-97, the jaqaman SparseLAP
+    * factories): after frame-to-frame linking fragments tracks at
+    * occlusions longer than the linker's gap window, a GLOBAL
+    * assignment between track-segment ENDS and track-segment STARTS
+    * (within `maxGap` frames and `maxDist` distance) decides which
+    * fragments are the same cell. Solved with the same gated Hungarian
+    * machinery as [[frameToFrame]] ([[assignEdges]]: weight 2L - d²,
+    * L = maxDist², exact per component).
+    *
+    * Scale shape: ONE aggregate collapses spots to per-track endpoints
+    * (corpus-sized shuffle, the unavoidable read), then ONE cogroup by
+    * video — tracking never crosses videos, so at 100 TB the solves
+    * parallelise across millions of videos while each solve is bounded
+    * by segments-per-timelapse (thousands), with the in-solve
+    * component decomposition cutting the Hungarian further. No
+    * all-pairs join, no driver-side state.
+    *
+    * A segment's own start is never a candidate (its start precedes
+    * its end), and matched links always point forward in time, so the
+    * matching composes segments into CHAINS. Output: one row per
+    * closed gap — (src = end spot of the earlier segment, dst = start
+    * spot of the later one, gap, dist, src_track, dst_track). */
+  def gapClose(spots: DataFrame, labels: DataFrame,
+               id: Column, frame: Column, x: Column, y: Column,
+               maxDist: Double, maxGap: Int,
+               videoOf: Long => Long): DataFrame = {
+    require(maxDist > 0.0, "maxDist must be positive")
+    require(maxGap >= 1, "maxGap must be >= 1")
+    val spark = spots.sparkSession
+    import spark.implicits._
+    val s = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
+      x.cast("double").as("x"), y.cast("double").as("y"))
+    val lb = labels.select(col("id").cast("long").as("id"),
+      col("track_id").cast("long").as("track"))
+    val seg = s.join(lb, Seq("id"))
+      .groupBy(col("track"))
+      .agg(
+        min_by(struct(col("id"), col("frame"), col("x"), col("y")),
+          struct(col("frame"), col("id"))).as("s0"),
+        max_by(struct(col("id"), col("frame"), col("x"), col("y")),
+          struct(col("frame"), negate(col("id")))).as("s1"))
+      .select(col("track"),
+        col("s0.id").as("sid"), col("s0.frame").as("sframe"),
+        col("s0.x").as("sx"), col("s0.y").as("sy"),
+        col("s1.id").as("eid"), col("s1.frame").as("eframe"),
+        col("s1.x").as("ex"), col("s1.y").as("ey"))
+      .as[Seg]
+    val maxD2 = maxDist * maxDist
+    seg.groupByKey(r => videoOf(r.track))
+      .flatMapGroups { (_, it) =>
+        val segs = it.toArray
+        val edges = Array.newBuilder[(Int, Int, Double)]
+        var pi = 0
+        while (pi < segs.length) {
+          var ci = 0
+          while (ci < segs.length) {
+            val df = segs(ci).sframe - segs(pi).eframe
+            if (df >= 1 && df <= maxGap) {
+              val dx = segs(ci).sx - segs(pi).ex
+              val dy = segs(ci).sy - segs(pi).ey
+              val d2 = dx * dx + dy * dy
+              if (d2 <= maxD2) edges += ((pi, ci, d2))
+            }
+            ci += 1
+          }
+          pi += 1
+        }
+        assignEdges(segs.length, segs.length, edges.result(), maxD2)
+          .iterator.map { case (pi2, ci2, d2) =>
+            (segs(pi2).eid, segs(ci2).sid, segs(ci2).sframe - segs(pi2).eframe,
+              graft.functions.Numeric.croundD(math.sqrt(d2), 4),
+              segs(pi2).track, segs(ci2).track)
+          }
       }
-      i += 1
-    }
-    val rowToCol = hungarian(cost)
-    (0 until np).flatMap { pi =>
-      val ci = rowToCol(pi)
-      if (ci < nc) {
-        val dx = ps(pi)._2 - cs(ci)._2
-        val dy = ps(pi)._3 - cs(ci)._3
-        val d2 = dx * dx + dy * dy
-        if (d2 <= maxD2) Some((pi, ci, d2)) else None
-      } else None
-    }
+      .toDF("src", "dst", "gap", "dist", "src_track", "dst_track")
+  }
+
+  /** Gap closing applied to the labels: run [[gapClose]], then relabel
+    * every merged chain of segments to its minimum track id — the same
+    * min-id-per-segment convention as `TrackAssignment`. The matched
+    * segment pairs have in/out-degree <= 1 and point forward in time,
+    * so the merge map comes from the chain-specialised pointer-doubling
+    * labeler ([[ChainLabel]]), not generic CC. Output: (id, track_id)
+    * for every input label row. */
+  def closeGaps(spots: DataFrame, labels: DataFrame,
+                id: Column, frame: Column, x: Column, y: Column,
+                maxDist: Double, maxGap: Int,
+                videoOf: Long => Long): DataFrame = {
+    val lb = labels.select(col("id").cast("long").as("id"),
+      col("track_id").cast("long").as("track_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val links = gapClose(spots, lb, id, frame, x, y, maxDist, maxGap, videoOf)
+    val chain = links.select(col("src_track").as("src"), col("dst_track").as("dst"))
+    val lbl = ChainLabel.heads(chain)
+    val minT = lbl.groupBy(col("head")).agg(min(col("id")).as("_new"))
+    val remap = lbl.join(minT, Seq("head"))
+      .select(col("id").as("track_id"), col("_new"))
+    lb.join(remap, Seq("track_id"), "left")
+      .select(col("id"), coalesce(col("_new"), col("track_id")).as("track_id"))
   }
 
   /** O(n³) Hungarian algorithm with row/column potentials (the

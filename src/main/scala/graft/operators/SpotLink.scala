@@ -26,24 +26,68 @@ import graft.functions.Numeric.cround
   * probes the 3x3 cell neighbourhood in each of the previous
   * `gapFrames` frames — a 9*gapFrames map-side fanout, so the distance
   * predicate never becomes a cross join. ONE shuffle joins probes to
-  * parents on (frame, cell); ONE map-side-combining aggregate (min_by)
-  * picks each child's best candidate. Both keys are dense and uniform
+  * parents on (frame, cell); ONE map-side-combining aggregate picks
+  * each child's best candidate. Both keys are dense and uniform
   * at 100 TB: frames partition time, cells partition space, and the
   * fanout constant is independent of corpus size.
+  *
+  * Candidate ordering is PACKED: (gap, quantized d², id) fold into one
+  * long so the argmin is a plain `min` — a hash aggregate with map-side
+  * combine, where `min_by` over an ordering struct plans as
+  * SortAggregate (partial + final sorts over the full candidate
+  * fanout). The quantization (d² at 1/[[D2Scale]] resolution, ~0.01 in
+  * distance at the default) is part of the declared semantics: exact
+  * d² ties at that resolution break on the smaller source id. Both
+  * engines of the oracle pair compute bit-identical doubles, so the
+  * quantized rank is engine-independent.
   */
 object SpotLink {
 
+  /** d² quantization for candidate ranking: floor(d2 * D2Scale + 0.5).
+    * 1e4 resolves 0.01-pixel distance differences at maxDist <= ~100 —
+    * far below any physical centroid uncertainty. */
+  val D2Scale: Double = 1e4
+
+  /** Bit layout for the packed (gap, d2q, id) ordering atom:
+    * gap in the top bits, quantized d² in the middle, id in the low
+    * `idBits`. Returns (d2Bits, idBits). Fails loudly when the gate is
+    * too wide to leave id room rather than wrapping silently. */
+  private def packLayout(maxQ: Long, gapFrames: Int): (Int, Int) = {
+    val gapBits = 64 - java.lang.Long.numberOfLeadingZeros(gapFrames.toLong)
+    val d2Bits = 64 - java.lang.Long.numberOfLeadingZeros(maxQ + 1)
+    val idBits = 63 - gapBits - d2Bits
+    require(idBits >= 20,
+      s"packed ordering needs id bits: gate too wide (d2Bits=$d2Bits, gapBits=$gapBits)")
+    (d2Bits, idBits)
+  }
+
+  /** id guarded against the packed-id capacity: ids outside [0, mask]
+    * would corrupt the ordering, so they raise instead. */
+  private def guardId(id: Column, mask: Long): Column =
+    when(id.between(0L, mask), id)
+      .otherwise(raise_error(concat(
+        lit(s"SpotLink: spot id outside packed range [0, $mask]: "),
+        id.cast("string"))).cast("long"))
+
   /** Link spots (id, frame, x, y) into parent->child edges.
     * Output: (src, dst, gap, dist) — one row per linked child; dist is
-    * the Euclidean distance rounded to 4 decimals. */
+    * the Euclidean distance (from quantized d²) rounded to 4 decimals. */
   def nearest(spots: DataFrame, id: Column, frame: Column, x: Column, y: Column,
               maxDist: Double, gapFrames: Int = 1): DataFrame = {
+    val maxQ = (maxDist * maxDist * D2Scale).toLong + 1
+    val (d2Bits, idBits) = packLayout(maxQ, gapFrames)
+    val idMask = (1L << idBits) - 1
     val cand = candidates(spots, id, frame, x, y, maxDist, gapFrames)
+      .withColumn("_pk",
+        shiftleft(col("gap"), d2Bits + idBits) +
+          shiftleft(floor(col("d2") * D2Scale + 0.5).cast("long"), idBits) +
+          guardId(col("src"), idMask))
     cand.groupBy(col("dst"))
-      .agg(min_by(struct(col("src"), col("gap"), col("d2")),
-        struct(col("gap"), col("d2"), col("src"))).as("b"))
-      .select(col("b.src").as("src"), col("dst"),
-        col("b.gap").as("gap"), cround(sqrt(col("b.d2")), 4).as("dist"))
+      .agg(min(col("_pk")).as("_pk"))
+      .select(col("_pk").bitwiseAND(idMask).as("src"), col("dst"),
+        shiftrightunsigned(col("_pk"), d2Bits + idBits).as("gap"),
+        cround(sqrt(shiftrightunsigned(col("_pk"), idBits)
+          .bitwiseAND((1L << d2Bits) - 1) / D2Scale), 4).as("dist"))
   }
 
   /** Mutual-nearest-neighbour 1-1 linking — the conservative
@@ -56,23 +100,30 @@ object SpotLink {
     * post-pass) produces.
     *
     * Cost: the same single candidate shuffle as [[nearest]] plus ONE
-    * extra min_by aggregate keyed by src and an equi-join of the two
-    * (tiny) argmin sets. Output: (src, dst, gap, dist). */
+    * extra packed-min hash aggregate keyed by src and an equi-join of
+    * the two (tiny) argmin sets. Output: (src, dst, gap, dist). */
   def mutualNearest(spots: DataFrame, id: Column, frame: Column, x: Column, y: Column,
                     maxDist: Double, gapFrames: Int = 1): DataFrame = {
+    val maxQ = (maxDist * maxDist * D2Scale).toLong + 1
+    val (d2Bits, idBits) = packLayout(maxQ, gapFrames)
+    val idMask = (1L << idBits) - 1
+    val hi = (q: Column) => shiftleft(col("gap"), d2Bits + idBits) + shiftleft(q, idBits)
     val cand = candidates(spots, id, frame, x, y, maxDist, gapFrames)
+      .withColumn("_q", floor(col("d2") * D2Scale + 0.5).cast("long"))
+      .withColumn("_pkf", hi(col("_q")) + guardId(col("src"), idMask))
+      .withColumn("_pkb", hi(col("_q")) + guardId(col("dst"), idMask))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bestFwd = cand.groupBy(col("dst"))
-      .agg(min_by(struct(col("src"), col("gap"), col("d2")),
-        struct(col("gap"), col("d2"), col("src"))).as("b"))
-      .select(col("b.src").as("src"), col("dst"),
-        col("b.gap").as("gap"), col("b.d2").as("d2"))
+      .agg(min(col("_pkf")).as("_pk"))
+      .select(col("_pk").bitwiseAND(idMask).as("src"), col("dst"),
+        shiftrightunsigned(col("_pk"), d2Bits + idBits).as("gap"),
+        shiftrightunsigned(col("_pk"), idBits).bitwiseAND((1L << d2Bits) - 1).as("_q"))
     val bestBwd = cand.groupBy(col("src"))
-      .agg(min_by(struct(col("dst"), col("gap"), col("d2")),
-        struct(col("gap"), col("d2"), col("dst"))).as("b"))
-      .select(col("src"), col("b.dst").as("dst"))
+      .agg(min(col("_pkb")).as("_pk"))
+      .select(col("src"), col("_pk").bitwiseAND(idMask).as("dst"))
     bestFwd.join(bestBwd, Seq("src", "dst"), "left_semi")
-      .select(col("src"), col("dst"), col("gap"), cround(sqrt(col("d2")), 4).as("dist"))
+      .select(col("src"), col("dst"), col("gap"),
+        cround(sqrt(col("_q") / D2Scale), 4).as("dist"))
   }
 
   /** Shared candidate generation for [[nearest]]/[[mutualNearest]]:
@@ -176,11 +227,23 @@ object SpotLink {
       .select(col("dst"), col("src"), col("g").as("gap"), col("iou"))
 
     // a pair sharing several cells yields identical candidate rows;
-    // min_by is insensitive to the duplicates, so no dedup shuffle
-    cand.groupBy(col("dst"))
-      .agg(min_by(struct(col("src"), col("gap"), col("iou")),
-        struct(col("gap"), negate(col("iou")), col("src"))).as("b"))
-      .select(col("b.src").as("src"), col("dst"),
-        col("b.gap").as("gap"), cround(col("b.iou"), 6).as("iou"))
+    // the packed min is insensitive to the duplicates, so no dedup
+    // shuffle. IoU quantizes to 1e-6 (the output resolution) and packs
+    // INVERTED so the ascending min realises (gap asc, iou desc,
+    // src asc) — same hash-aggregate shape as [[nearest]].
+    val iouQ = 1000000L
+    val (iouBits, idBits) = packLayout(iouQ, gapFrames)
+    val idMask = (1L << idBits) - 1
+    cand
+      .withColumn("_pk",
+        shiftleft(col("gap"), iouBits + idBits) +
+          shiftleft(lit(iouQ) - floor(col("iou") * iouQ + 0.5).cast("long"), idBits) +
+          guardId(col("src"), idMask))
+      .groupBy(col("dst"))
+      .agg(min(col("_pk")).as("_pk"))
+      .select(col("_pk").bitwiseAND(idMask).as("src"), col("dst"),
+        shiftrightunsigned(col("_pk"), iouBits + idBits).as("gap"),
+        ((lit(iouQ) - shiftrightunsigned(col("_pk"), idBits)
+          .bitwiseAND((1L << iouBits) - 1)) / iouQ).as("iou"))
   }
 }

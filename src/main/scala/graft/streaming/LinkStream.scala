@@ -38,18 +38,33 @@ case class LinkVidState(recent: Array[RecentSpot])
   * (its SpotArrival carries a spot's in-edges, which this operator has
   * fully determined by the end of the spot's frame), closing the
   * streaming chain positions -> edges -> tracks.
+  *
+  * Candidate ranking quantizes d² exactly like the batch operator
+  * ([[graft.operators.SpotLink.D2Scale]]) so the parity is
+  * bit-identical. `idleTimeoutMs` > 0 expires the state of videos that
+  * stop producing frames (a finished timelapse) via processing-time
+  * timeout — without it, the final gap window of every completed video
+  * would sit in the state store forever; 0 disables (parity tests).
   */
 object LinkStream {
 
+  private[streaming] val D2Scale = graft.operators.SpotLink.D2Scale
+
   def nearestStream(spots: Dataset[SpotPos], maxDist: Double,
-                    gapFrames: Int = 1): Dataset[LinkOut] = {
+                    gapFrames: Int = 1,
+                    idleTimeoutMs: Long = 3600000L): Dataset[LinkOut] = {
     require(maxDist > 0.0 && gapFrames >= 1)
     import spots.sparkSession.implicits._
     val maxD2 = maxDist * maxDist
+    val conf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     spots.groupByKey(_.video_id)
-      .flatMapGroupsWithState[LinkVidState, LinkOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[LinkVidState, LinkOut](OutputMode.Append, conf) {
         (video: Long, rows: Iterator[SpotPos], state: GroupState[LinkVidState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var recent = state.getOption.map(_.recent).getOrElse(Array.empty[RecentSpot])
           val out = Seq.newBuilder[LinkOut]
           val byFrame = rows.toArray.groupBy(_.frame).toArray.sortBy(_._1)
@@ -58,19 +73,25 @@ object LinkStream {
             arrivals.foreach { s =>
               val cands = window.flatMap { p =>
                 val d2 = (s.x - p.x) * (s.x - p.x) + (s.y - p.y) * (s.y - p.y)
-                if (d2 <= maxD2) Some((frame - p.frame, d2, p.id)) else None
+                if (d2 <= maxD2)
+                  Some((frame - p.frame, math.floor(d2 * D2Scale + 0.5).toLong, p.id))
+                else None
               }
               if (cands.nonEmpty) {
-                val (g, d2, src) = cands.min
+                val (g, q, src) = cands.min
                 out += LinkOut(video, src, s.id, g,
-                  graft.functions.Numeric.croundD(math.sqrt(d2), 4))
+                  graft.functions.Numeric.croundD(math.sqrt(q / D2Scale), 4))
               }
             }
             recent = (window ++ arrivals.map(s => RecentSpot(s.frame, s.id, s.x, s.y)))
               .filter(r => r.frame > frame - gapFrames)
           }
-          if (recent.nonEmpty) state.update(LinkVidState(recent)) else state.remove()
+          if (recent.nonEmpty) {
+            state.update(LinkVidState(recent))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+          } else state.remove()
           out.result().iterator
+          }
       }
   }
 }

@@ -68,16 +68,24 @@ case class TrackVidState(tails: Map[Long, TailInfo])
   * in a batch can no longer be continued (TrackMate's gap-closing max
   * frame gap); it is dropped from state. Unbounded by default so the
   * parity spec can compare against the batch operator exactly.
+  * `idleTimeoutMs` > 0 expires the state of videos that stop producing
+  * frames (processing-time timeout); 0 disables (parity tests).
   */
 object TrackStream {
 
   def divisionAwareStream(spots: Dataset[SpotArrival],
-                          horizonFrames: Long = Long.MaxValue): Dataset[TrackSpotOut] = {
+                          horizonFrames: Long = Long.MaxValue,
+                          idleTimeoutMs: Long = 3600000L): Dataset[TrackSpotOut] = {
     import spots.sparkSession.implicits._
+    val conf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     spots.groupByKey(_.video_id)
-      .flatMapGroupsWithState[TrackVidState, TrackSpotOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[TrackVidState, TrackSpotOut](OutputMode.Append, conf) {
         (video: Long, rows: Iterator[SpotArrival], state: GroupState[TrackVidState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var tails = state.getOption.map(_.tails).getOrElse(Map.empty[Long, TailInfo])
           val out = Seq.newBuilder[TrackSpotOut]
           // frames strictly ascend within the batch (and across batches,
@@ -114,8 +122,12 @@ object TrackStream {
             if (horizonFrames != Long.MaxValue)
               tails = tails.filter { case (_, t) => t.frame >= frame - horizonFrames }
           }
-          if (tails.nonEmpty) state.update(TrackVidState(tails)) else state.remove()
+          if (tails.nonEmpty) {
+            state.update(TrackVidState(tails))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+          } else state.remove()
           out.result().iterator
+          }
       }
   }
 }

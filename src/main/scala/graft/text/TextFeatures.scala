@@ -123,6 +123,11 @@ object TextFeatures {
       .select(col("doc_id"),
         explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
       .select(col("doc_id"), col("_e.bg").as("bg"), col("_e.k").as("_k"))
+      // feeds BOTH the model aggregate and the scoring join: persist so
+      // the BigramCounts kernel scans the corpus once, not once per
+      // consumer (the persist-shared-subtrees rule; blocks release via
+      // the ContextCleaner once the caller drops the plan)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = grams.groupBy(col("bg"))
       .agg(sum(col("_k")).as("_c"))
     val totals = model.agg(sum(col("_c")).as("_tot"), count(lit(1)).as("_v"))

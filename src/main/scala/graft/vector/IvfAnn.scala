@@ -60,6 +60,11 @@ object IvfAnn {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int, Double), (DataFrame, DataFrame)]()
 
+  /** Sessions that already carry the eviction listener (guards against
+    * one listener per cache insert). */
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
   /** Build-once index reuse across query batches over the same corpus
     * (keyed by SESSION + caller-supplied corpus identity + the full
     * training parameters — a cached DataFrame is bound to the session
@@ -67,15 +72,28 @@ object IvfAnn {
     * index): the trained assignment persists, so repeated batches pay
     * only the probe join. At 100 TB the analogous artifact is a
     * written (vec_id, cell) table + a centroid file — this is its
-    * in-session stand-in; entries live for the session (nothing
-    * unpersists them, like every build-once index). */
+    * in-session stand-in; entries live for the SESSION: a listener on
+    * the owning context's shutdown evicts them, so a stopped session's
+    * DataFrames (and the session object itself) don't outlive it. */
   def quantizeCached(key: String, corpus: DataFrame, nlist: Int,
-                     sampleFraction: Double = 1.0): (DataFrame, DataFrame) =
-    cache.computeIfAbsent((corpus.sparkSession, key, nlist, sampleFraction), _ => {
+                     sampleFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    val session = corpus.sparkSession
+    if (evictionHooked.add(session)) {
+      session.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.keySet.removeIf(_._1 eq session)
+            evictionHooked.remove(session)
+          }
+        })
+    }
+    cache.computeIfAbsent((session, key, nlist, sampleFraction), _ => {
       val (assigned, cents) = quantize(corpus, nlist, sampleFraction)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       (assigned.persist(lvl), cents.persist(lvl))
     })
+  }
 
   /** Top-k nearest corpus vectors per query by exact cosine, searching
     * only the nprobe nearest cells of a PRE-TRAINED quantizer

@@ -20,7 +20,7 @@ class KalmanStreamSpec extends SparkSpec {
     n += 1
     val name = s"kalman_$n"
     val stream = MemoryStream[SpotPos]
-    val q = KalmanStream.kalmanTracksStream(stream.toDS(), maxDist, gap)
+    val q = KalmanStream.kalmanTracksStream(stream.toDS(), maxDist, gap, idleTimeoutMs = 0L)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
     finally q.stop()

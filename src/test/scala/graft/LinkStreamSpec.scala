@@ -22,12 +22,12 @@ class LinkStreamSpec extends SparkSpec {
     val stream = MemoryStream[SpotPos]
     if (batches.size == 1) {
       stream.addData(batches.head: _*)
-      val q = LinkStream.nearestStream(stream.toDS(), maxDist, gap)
+      val q = LinkStream.nearestStream(stream.toDS(), maxDist, gap, idleTimeoutMs = 0L)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       try assert(q.awaitTermination(60000), "query did not finish") finally q.stop()
     } else {
-      val q = LinkStream.nearestStream(stream.toDS(), maxDist, gap)
+      val q = LinkStream.nearestStream(stream.toDS(), maxDist, gap, idleTimeoutMs = 0L)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
       finally q.stop()

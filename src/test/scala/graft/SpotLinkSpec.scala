@@ -9,16 +9,19 @@ class SpotLinkSpec extends SparkSpec {
   import spark.implicits._
 
   /** Brute force: every (child, parent) pair across all allowed gaps,
-    * ranked by (gap, d2, src); no grid, no pruning. */
+    * ranked by (gap, quantized d2, src) — the operator's declared
+    * packed ordering; no grid, no pruning. */
+  private def q4(d2: Double): Long =
+    math.floor(d2 * graft.operators.SpotLink.D2Scale + 0.5).toLong
+
   private def bruteLink(spots: Seq[(Long, Long, Double, Double)],
                         maxDist: Double, gapFrames: Int): Set[(Long, Long, Long)] = {
-    val byId = spots.map(s => s._1 -> s).toMap
     spots.flatMap { case (did, df, dx, dy) =>
       val cands = spots.filter { case (_, pf, _, _) =>
         pf >= df - gapFrames && pf < df
       }.flatMap { case (sid, pf, px, py) =>
         val d2 = (dx - px) * (dx - px) + (dy - py) * (dy - py)
-        if (d2 <= maxDist * maxDist) Some((df - pf, d2, sid)) else None
+        if (d2 <= maxDist * maxDist) Some((df - pf, q4(d2), sid)) else None
       }
       if (cands.isEmpty) None
       else {
@@ -107,7 +110,11 @@ class SpotLinkSpec extends SparkSpec {
           val iou = if (inter > 0)
             inter / ((x1 - x0) * (y1 - y0) + (px1 - px0) * (py1 - py0) - inter)
           else 0.0
-          if (inter > 0 && iou >= minIou) Some((df - pf, -iou, sid)) else None
+          if (inter > 0 && iou >= minIou)
+            // the operator's declared ordering: quantized IoU (1e-6,
+            // the output resolution), inverted so ascending min = best
+            Some((df - pf, 1000000L - math.floor(iou * 1e6 + 0.5).toLong, sid))
+          else None
         }
       }
       if (cands.isEmpty) None else { val (g, _, sid) = cands.min; Some((sid, did, g)) }
@@ -142,7 +149,7 @@ class SpotLinkSpec extends SparkSpec {
         if (df2 <= pf || df2 > pf + 2) None
         else {
           val d2 = (dx - px) * (dx - px) + (dy - py) * (dy - py)
-          if (d2 <= 144.0) Some((df2 - pf, d2, did)) else None
+          if (d2 <= 144.0) Some((df2 - pf, q4(d2), did)) else None
         }
       }
       if (cands.isEmpty) None else { val (_, _, did) = cands.min; Some((sid, did)) }

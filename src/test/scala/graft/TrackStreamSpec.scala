@@ -27,7 +27,7 @@ class TrackStreamSpec extends SparkSpec {
                               horizon: Long = Long.MaxValue): Map[Long, Long] = {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[SpotArrival]
-    val q = TrackStream.divisionAwareStream(stream.toDS(), horizon)
+    val q = TrackStream.divisionAwareStream(stream.toDS(), horizon, idleTimeoutMs = 0L)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
     if (batches.size == 1) {
@@ -35,7 +35,7 @@ class TrackStreamSpec extends SparkSpec {
       val run = q.start()
       try assert(run.awaitTermination(60000), "query did not finish") finally run.stop()
     } else {
-      val run = TrackStream.divisionAwareStream(stream.toDS(), horizon)
+      val run = TrackStream.divisionAwareStream(stream.toDS(), horizon, idleTimeoutMs = 0L)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try batches.foreach { b => stream.addData(b: _*); run.processAllAvailable() }
       finally run.stop()
