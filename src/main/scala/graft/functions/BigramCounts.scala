@@ -1,12 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document character-bigram counts in ONE fused pass — the
@@ -15,6 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * space, '#'); normalization stays in Catalyst (`lower` +
   * `regexp_replace`), where full-Unicode case mapping matches the
   * DuckDB oracle — the kernel only ever sees ASCII.
+  *
+  * Bigrams are emitted as INT codes (c1 << 16 | c2 over UTF-16 units —
+  * bijective with the 2-char strings on the post-normalization
+  * alphabet): the code never leaves the engine (model keys and join
+  * keys only; the oracle's bigram strings aggregate identically), and
+  * the int representation cuts per-gram allocation, row width and join
+  * hashing vs 2-char strings.
   *
   * The composable formulation exploded a per-row
   * `transform(sequence(...), substring)` at CHARACTER grain — an
@@ -25,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BigramCounts(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("bg", StringType, nullable = false),
+    StructField("bg", IntegerType, nullable = false),
     StructField("k", LongType, nullable = false))), containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -46,10 +52,10 @@ object BigramCounts {
   def compute(text: UTF8String): GenericArrayData = {
     val s = text.toString
     val n = s.length
-    val counts = new java.util.LinkedHashMap[String, Long]()
+    val counts = new java.util.LinkedHashMap[Integer, Long]()
     var i = 0
     while (i < n - 1) {
-      val bg = s.substring(i, i + 2)
+      val bg = Integer.valueOf((s.charAt(i) << 16) | s.charAt(i + 1))
       counts.put(bg, counts.getOrDefault(bg, 0L) + 1L)
       i += 1
     }
@@ -59,7 +65,7 @@ object BigramCounts {
     while (it.hasNext) {
       val e = it.next()
       out(j) = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(e.getKey), e.getValue))
+        e.getKey.intValue(), e.getValue))
       j += 1
     }
     new GenericArrayData(out)

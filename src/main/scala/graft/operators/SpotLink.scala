@@ -99,29 +99,41 @@ object SpotLink {
     * merges — which is what LAP linking (without its split/merge
     * post-pass) produces.
     *
-    * Cost: the same single candidate shuffle as [[nearest]] plus ONE
-    * extra packed-min hash aggregate keyed by src and an equi-join of
-    * the two (tiny) argmin sets. Output: (src, dst, gap, dist). */
+    * Cost: ONE spot-keyed shuffle for BOTH directions — each candidate
+    * symmetrizes map-side into a forward record keyed by the child and
+    * a backward record keyed by the parent (a Generate, not a second
+    * pass), and one hash aggregate takes both packed argmins per spot.
+    * The mutual check is then a semi-join of the two TINY per-spot
+    * argmin projections. Nothing is persisted: the 9·gap candidate
+    * fanout is consumed in a single streaming pass (the r5 shape
+    * cached the full candidate set and aggregated it twice).
+    * Output: (src, dst, gap, dist). */
   def mutualNearest(spots: DataFrame, id: Column, frame: Column, x: Column, y: Column,
                     maxDist: Double, gapFrames: Int = 1): DataFrame = {
     val maxQ = (maxDist * maxDist * D2Scale).toLong + 1
     val (d2Bits, idBits) = packLayout(maxQ, gapFrames)
     val idMask = (1L << idBits) - 1
-    val hi = (q: Column) => shiftleft(col("gap"), d2Bits + idBits) + shiftleft(q, idBits)
-    val cand = candidates(spots, id, frame, x, y, maxDist, gapFrames)
-      .withColumn("_q", floor(col("d2") * D2Scale + 0.5).cast("long"))
-      .withColumn("_pkf", hi(col("_q")) + guardId(col("src"), idMask))
-      .withColumn("_pkb", hi(col("_q")) + guardId(col("dst"), idMask))
+    val hi = shiftleft(col("gap"), d2Bits + idBits) +
+      shiftleft(floor(col("d2") * D2Scale + 0.5).cast("long"), idBits)
+    val sym = candidates(spots, id, frame, x, y, maxDist, gapFrames)
+      .select(explode(array(
+        struct(col("dst").as("id"), lit(0).as("role"),
+          (hi + guardId(col("src"), idMask)).as("pk")),
+        struct(col("src").as("id"), lit(1).as("role"),
+          (hi + guardId(col("dst"), idMask)).as("pk")))).as("e"))
+      .select(col("e.id").as("id"), col("e.role").as("role"), col("e.pk").as("pk"))
+    // per spot: best parent (fwd) and best child (bwd) in one aggregate
+    val best = sym.groupBy(col("id"))
+      .agg(min(when(col("role") === 0, col("pk"))).as("_bp"),
+        min(when(col("role") === 1, col("pk"))).as("_bc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bestFwd = cand.groupBy(col("dst"))
-      .agg(min(col("_pkf")).as("_pk"))
-      .select(col("_pk").bitwiseAND(idMask).as("src"), col("dst"),
-        shiftrightunsigned(col("_pk"), d2Bits + idBits).as("gap"),
-        shiftrightunsigned(col("_pk"), idBits).bitwiseAND((1L << d2Bits) - 1).as("_q"))
-    val bestBwd = cand.groupBy(col("src"))
-      .agg(min(col("_pkb")).as("_pk"))
-      .select(col("src"), col("_pk").bitwiseAND(idMask).as("dst"))
-    bestFwd.join(bestBwd, Seq("src", "dst"), "left_semi")
+    val asChild = best.filter(col("_bp").isNotNull)
+      .select(col("id").as("dst"), col("_bp").bitwiseAND(idMask).as("src"),
+        shiftrightunsigned(col("_bp"), d2Bits + idBits).as("gap"),
+        shiftrightunsigned(col("_bp"), idBits).bitwiseAND((1L << d2Bits) - 1).as("_q"))
+    val asParent = best.filter(col("_bc").isNotNull)
+      .select(col("id").as("src"), col("_bc").bitwiseAND(idMask).as("dst"))
+    asChild.join(asParent, Seq("src", "dst"), "left_semi")
       .select(col("src"), col("dst"), col("gap"),
         cround(sqrt(col("_q") / D2Scale), 4).as("dist"))
   }

@@ -27,6 +27,41 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+/** The 100 TB read-path story end-to-end: an events store bucketed on
+  * the track key feeds the whole per-track pipeline (movement ->
+  * per-track summary) with ZERO exchanges — the scan's bucket
+  * partitioning satisfies both the window and the aggregate, so the
+  * only corpus-wide data movement is the initial write. */
+class BucketedPipelineSpec extends SparkSpec {
+  test("bucketed events store: movement -> track summary with no Exchange") {
+    try {
+      val ev = Tables.events(spark, sfDir)
+      Bucketing.writeBucketed(ev, "events_b", "user_id", 8)
+      val b = Bucketing.read(spark, "events_b")
+      val moved = graft.operators.Movement.features(b, "user_id",
+        col("event_id"), unix_timestamp(col("ts")), col("value"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      val summary = graft.operators.Quality.trackSummary(
+        moved, "user_id", col("ts"), col("vel"))
+      summary.collect()
+      val plan = summary.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"),
+        "bucketed per-track pipeline should not shuffle:\n" + plan.take(1500))
+      assert(summary.count() === ev.select("user_id").distinct().count())
+      // the same pipeline over the raw parquet DOES shuffle — the
+      // bucket layout, not plan luck, is what removed the exchange
+      val rawPlan = graft.operators.Quality.trackSummary(
+          graft.operators.Movement.features(ev, "user_id",
+            col("event_id"), unix_timestamp(col("ts")), col("value"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")),
+          "user_id", col("ts"), col("vel"))
+        .queryExecution.executedPlan.toString
+      assert(rawPlan.contains("Exchange"))
+    } finally spark.sql("DROP TABLE IF EXISTS events_b")
+  }
+}
+
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
 
