@@ -107,40 +107,41 @@ object TextFeatures {
     * (boilerplate, binary junk, wrong-language) score high.
     *
     * Characters normalize to lowercase alphanumerics + space with '#'
-    * for everything else, capping the vocabulary at ~1.4k bigrams — so
-    * the MODEL is broadcast-sized at any corpus scale. Both passes are
-    * algebraic aggregates with map-side combine (bigram grain collapses
-    * to vocab size per partition for the model, to doc count for the
-    * scores); log-prob sums are decimal-cast for order independence. */
+    * for everything else, capping the vocabulary at 39² bigrams — so
+    * the MODEL is a DRIVER-SIZED artifact by construction at any
+    * corpus scale (the same bounded-collect pattern as HeavyHitters'
+    * sketch head()). Shape: ONE BigramCounts kernel pass materializes
+    * per-doc (bg, k) ARRAYS (doc-grain cache, not exploded gram
+    * grain); the model aggregate collapses them map-side to vocab
+    * size and collects; scoring is then a fused MAP-ONLY kernel
+    * ([[graft.functions.BigramScore]]) over the cached arrays — no
+    * explode, no model join, no gram-grain re-aggregation. Per-gram
+    * log-probs quantize to decimal scale 8 exactly as
+    * `sum(cast(.. as decimal(28,8)))` would (order-independent,
+    * engine-parity-safe); log is StrictMath.log, the same function
+    * Spark's `log` expression evaluates. */
   def charBigramEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
     val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
-    // per-doc (bigram, count) pairs from ONE fused kernel pass
-    // (functions.BigramCounts — the char-grain transform() explode it
-    // replaces was interpreted and ran twice); rows are at
-    // distinct-bigram-per-doc grain from here on
     val grams = df.select(id.as("doc_id"), norm.as("_t"))
       .filter(length(col("_t")) >= 2)
-      .select(col("doc_id"),
-        explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
-      .select(col("doc_id"), col("_e.bg").as("bg"), col("_e.k").as("_k"))
-      // feeds BOTH the model aggregate and the scoring join: persist so
-      // the BigramCounts kernel scans the corpus once, not once per
-      // consumer (the persist-shared-subtrees rule; blocks release via
-      // the ContextCleaner once the caller drops the plan)
+      .select(col("doc_id"), graft.functions.BigramCounts(col("_t")).as("_a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = grams.groupBy(col("bg"))
-      .agg(sum(col("_k")).as("_c"))
-    val totals = model.agg(sum(col("_c")).as("_tot"), count(lit(1)).as("_v"))
-    grams
-      .join(broadcast(model), Seq("bg"))
-      .crossJoin(broadcast(totals))
-      .withColumn("_klp", col("_k") *
-        log((col("_c") + lit(1.0)) / (col("_tot") + col("_v"))))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("_k")).as("n_bigrams"),
+    val counts = grams.select(explode(col("_a")).as("_e"))
+      .groupBy(col("_e.bg").as("bg")).agg(sum(col("_e.k")).as("_c"))
+      .collect()
+    val tot = counts.iterator.map(_.getLong(1)).sum
+    val v = counts.length.toLong
+    val sorted = counts.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val model = new graft.functions.BigramModel(
+      sorted.map(_._1),
+      sorted.map { case (_, c) =>
+        StrictMath.log((c + 1.0) / (tot + v).toDouble)
+      })
+    grams.select(col("doc_id"),
+        graft.functions.BigramScore(col("_a"), model).as("_s"))
+      .select(col("doc_id"), col("_s.n").as("n_bigrams"),
         graft.functions.Numeric.cround(
-          -graft.functions.Numeric.dsum(col("_klp"), 8) / sum(col("_k")), 6)
-          .as("cross_entropy"))
+          -col("_s.lp") / col("_s.n"), 6).as("cross_entropy"))
   }
 
   /** Quality scoring: length, punctuation/digit/stopword ratios and a
