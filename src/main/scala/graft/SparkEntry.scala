@@ -312,6 +312,14 @@ object SparkEntry {
       operators.KalmanLink.tracks(sp, col("id"), col("frame"),
         col("x"), col("y"), maxDist = 50.0, gapFrames = 2, _ / 10000000L)
     }),
+    // adaptive (full-covariance) Kalman tracking — the AdvancedKalman
+    // analogue (rows-only, spec-pinned in KalmanAdaptiveSpec; like
+    // q_kf, excluded from the bench line for budget)
+    "q_kf2" -> ((s, d) => {
+      val sp = videoSpots(s, d)
+      operators.KalmanAdaptive.tracks(sp, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, gapFrames = 2, _ / 10000000L)
+    }),
     // ROI polygon shape features: deterministic synthetic ROIs (the
     // container has no segmentation stack) -> codegen'd shoelace
     // area/perimeter/bbox -> derived circularity/aspect; the oracle
