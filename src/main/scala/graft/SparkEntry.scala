@@ -292,6 +292,18 @@ object SparkEntry {
       operators.LapLink.gapClose(sp, labels, col("id"), col("frame"),
         col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
     }),
+    // the FULL second phase: gap closing + track splitting + merging
+    // in one global assignment (rows-only, spec-pinned in
+    // LapSplitMergeSpec; excluded from the bench line for budget)
+    "q_gcf" -> ((s, d) => {
+      val sp = videoSpots(s, d)
+      val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, gapFrames = 1)
+      val labels = operators.TrackAssignment.divisionAwareByVideo(
+        sp.select("id", "frame"), edges.select("src", "dst"), _ / 10000000L)
+      operators.LapLink.gapCloseFull(sp, labels, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
+    }),
     // the composed two-phase LAP tracker: exact frame-to-frame
     // assignment -> segment labels -> gap-close relabel (rows-only:
     // both phases are Hungarian)

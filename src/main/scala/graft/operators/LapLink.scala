@@ -248,6 +248,119 @@ object LapLink {
       .toDF("src", "dst", "gap", "dist", "src_track", "dst_track")
   }
 
+  /** One labeled spot row for the full (split/merge-aware) second
+    * phase. */
+  private[operators] case class TSpot(track: Long, id: Long, frame: Long,
+                                      x: Double, y: Double)
+
+  /** The FULL Jaqaman second phase — gap closing PLUS track splitting
+    * and merging in ONE global assignment (track_images.py:95-100
+    * passes TrackMate tracker settings through, so
+    * ALLOW_TRACK_SPLITTING / ALLOW_TRACK_MERGING are reference
+    * surface): sources are segment ENDS and (when splitting) segment
+    * MIDDLES; targets are segment STARTS and (when merging) MIDDLES.
+    * Blocks: end→start within `maxGap` frames (gap closing),
+    * end→middle at frame gap 1 (merging), middle→start at frame gap 1
+    * (splitting) — all distance-gated by `maxDist`, solved together by
+    * [[assignEdges]] (weight 2L − d², exact per component), so a start
+    * goes to the gap-close OR the split source that the GLOBAL optimum
+    * prefers, never both.
+    *
+    * Label semantics are deliberately unchanged by split/merge links:
+    * the engine's (and reference pipeline's) track identity rules make
+    * a split daughter a FRESH track and end a merging chain at the
+    * merge (parse_xml.py:147-158) — so these links are LINEAGE EDGES
+    * (kind = split/merge), while relabeling ([[closeGaps]]) consumes
+    * only the gap-close links. Output: (src, dst, gap, dist, kind,
+    * src_track, dst_track); kind in {gc, split, merge}.
+    *
+    * Same scale shape as [[gapClose]], except the per-video unit is
+    * all SPOTS of the video (middles participate) — still bounded by
+    * one timelapse, with the component decomposition keeping each
+    * Hungarian small. */
+  def gapCloseFull(spots: DataFrame, labels: DataFrame,
+                   id: Column, frame: Column, x: Column, y: Column,
+                   maxDist: Double, maxGap: Int,
+                   videoOf: Long => Long,
+                   allowSplit: Boolean = true,
+                   allowMerge: Boolean = true): DataFrame = {
+    require(maxDist > 0.0, "maxDist must be positive")
+    require(maxGap >= 1, "maxGap must be >= 1")
+    val spark = spots.sparkSession
+    import spark.implicits._
+    val maxD2 = maxDist * maxDist
+    val rows = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
+        x.cast("double").as("x"), y.cast("double").as("y"))
+      .join(labels.select(col("id").cast("long").as("id"),
+        col("track_id").cast("long").as("track")), Seq("id"))
+      .select(col("track"), col("id"), col("frame"), col("x"), col("y"))
+      .as[TSpot]
+    rows.groupByKey(r => videoOf(r.track))
+      .flatMapGroups { (_, it) =>
+        val all = it.toArray
+        // per-track endpoints: start = (min frame, min id), end =
+        // (max frame, min id); everything else is a middle
+        val byTrack = all.groupBy(_.track)
+        val startOf = byTrack.view.mapValues(_.minBy(s => (s.frame, s.id))).toMap
+        val endOf = byTrack.view.mapValues(_.maxBy(s => (s.frame, -s.id))).toMap
+        val ends = byTrack.keys.toArray.sorted.map(endOf)
+        val middles = all.filter(s =>
+          startOf(s.track).id != s.id && endOf(s.track).id != s.id)
+          .sortBy(_.id)
+        val starts = byTrack.keys.toArray.sorted.map(startOf)
+        // parents = ends ++ middles (split sources); children =
+        // starts ++ middles (merge targets)
+        val parents = ends ++ (if (allowSplit) middles else Array.empty[TSpot])
+        val children = starts ++ (if (allowMerge) middles else Array.empty[TSpot])
+        val np = parents.length
+        val nEnds = ends.length
+        val nStarts = starts.length
+        def d2Of(p: TSpot, c: TSpot): Double = {
+          val dx = c.x - p.x
+          val dy = c.y - p.y
+          dx * dx + dy * dy
+        }
+        val edges = Array.newBuilder[(Int, Int, Double)]
+        var pi = 0
+        while (pi < np) {
+          val p = parents(pi)
+          val pIsEnd = pi < nEnds
+          var ci = 0
+          while (ci < children.length) {
+            val c = children(ci)
+            val cIsStart = ci < nStarts
+            if (p.track != c.track) {
+              val df = c.frame - p.frame
+              // gap block: end->start within maxGap; split/merge
+              // blocks: frame gap exactly 1 (TrackMate's contract)
+              val gateOk =
+                if (pIsEnd && cIsStart) df >= 1 && df <= maxGap
+                else df == 1
+              if (gateOk) {
+                val d2 = d2Of(p, c)
+                if (d2 <= maxD2) edges += ((pi, ci, d2))
+              }
+            }
+            ci += 1
+          }
+          pi += 1
+        }
+        assignEdges(np, children.length, edges.result(), maxD2)
+          .iterator.map { case (pi2, ci2, d2) =>
+            val p = parents(pi2)
+            val c = children(ci2)
+            val kind =
+              if (pi2 < nEnds && ci2 < nStarts) "gc"
+              else if (pi2 < nEnds) "merge"
+              else "split"
+            (p.id, c.id, c.frame - p.frame,
+              graft.functions.Numeric.croundD(math.sqrt(d2), 4),
+              kind, p.track, c.track)
+          }
+      }
+      .toDF("src", "dst", "gap", "dist", "kind", "src_track", "dst_track")
+  }
+
   /** Gap closing applied to the labels: run [[gapClose]], then relabel
     * every merged chain of segments to its minimum track id — the same
     * min-id-per-segment convention as `TrackAssignment`. The matched
