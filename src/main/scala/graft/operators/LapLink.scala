@@ -26,20 +26,51 @@ import org.apache.spark.sql.functions._
   * hundreds is sub-millisecond).
   *
   * Output: (src, dst, dist) — a 1-1 matching per frame pair.
+  *
+  * `featurePenalties` is the TrackMate LINKING_FEATURE_PENALTIES
+  * surface (TrackerKeys): each (feature column, weight) inflates a
+  * gated link's cost by the features' relative difference —
+  * cost = d² · (1 + Σ 3·w·|f_p − f_c| / (f_p + f_c))², penalty 0 when
+  * both values are 0 — so geometry proposes and features veto: a
+  * nearer spot with a very different size/intensity loses to a
+  * slightly farther look-alike, and a link whose inflated cost
+  * exceeds the 2L alternative is dropped entirely (leaving both ends
+  * unlinked is cheaper). The emitted `dist` stays the geometric
+  * distance; the gate stays `maxDist`.
   */
 object LapLink {
 
+  /** Penalized cost of a gated pair (shared by [[frameToFrame]] and
+    * its spec): d² · (1 + Σ 3·w·|fp − fc| / (fp + fc))². */
+  private[operators] def penalizedCost(d2: Double, fp: Array[Double],
+                                       fc: Array[Double],
+                                       w: Array[Double]): Double = {
+    var p = 0.0
+    var i = 0
+    while (i < w.length) {
+      val s = fp(i) + fc(i)
+      if (s != 0.0) p += 3.0 * w(i) * math.abs(fp(i) - fc(i)) / s
+      i += 1
+    }
+    d2 * (1.0 + p) * (1.0 + p)
+  }
+
   def frameToFrame(spots: DataFrame, id: Column, frame: Column,
-                   x: Column, y: Column, maxDist: Double): DataFrame = {
+                   x: Column, y: Column, maxDist: Double,
+                   featurePenalties: Seq[(Column, Double)] = Nil): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     val spark = spots.sparkSession
     import spark.implicits._
+    val weights = featurePenalties.map(_._2).toArray
+    val featArr =
+      if (featurePenalties.isEmpty) typedLit(Array.empty[Double])
+      else array(featurePenalties.map(_._1.cast("double")): _*)
     val s = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
-      x.cast("double").as("x"), y.cast("double").as("y"))
+      x.cast("double").as("x"), y.cast("double").as("y"), featArr.as("fs"))
     val asParent = s.select(col("frame").as("pair"), lit(0).as("role"),
-      col("id"), col("x"), col("y"))
+      col("id"), col("x"), col("y"), col("fs"))
     val asChild = s.select((col("frame") - 1).as("pair"), lit(1).as("role"),
-      col("id"), col("x"), col("y"))
+      col("id"), col("x"), col("y"), col("fs"))
     val maxD2 = maxDist * maxDist
     // explicit-width repartition, NOT groupByKey: the shuffle is tiny
     // in bytes but each group is a CPU-dense assignment solve, and
@@ -51,7 +82,7 @@ object LapLink {
     asParent.union(asChild)
       .repartition(width, col("pair"))
       .sortWithinPartitions(col("pair"))
-      .as[(Long, Int, Long, Double, Double)]
+      .as[(Long, Int, Long, Double, Double, Seq[Double])]
       .mapPartitions { it =>
         // rows arrive sorted by pair (Spark's sort spills, unlike a
         // per-partition HashMap of every group), so consecutive-key
@@ -61,41 +92,49 @@ object LapLink {
           def hasNext: Boolean = buf.hasNext
           def next(): Iterator[(Long, Long, Double)] = {
             val pair = buf.head._1
-            val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+            val rows = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long, Double, Double, Array[Double])]
             while (buf.hasNext && buf.head._1 == pair) {
               val r = buf.next()
-              rows.append((r._2, r._3, r._4, r._5))
+              rows.append((r._2, r._3, r._4, r._5, r._6.toArray))
             }
-            val ps = rows.filter(_._1 == 0).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
-            val cs = rows.filter(_._1 == 1).map(r => (r._2, r._3, r._4)).sortBy(_._1).toArray
+            val ps = rows.filter(_._1 == 0).map(r => (r._2, r._3, r._4, r._5))
+              .sortBy(_._1).toArray
+            val cs = rows.filter(_._1 == 1).map(r => (r._2, r._3, r._4, r._5))
+              .sortBy(_._1).toArray
             if (ps.isEmpty || cs.isEmpty) Iterator.empty
-            else solve(ps, cs, maxD2).iterator.map { case (pi, ci, d2) =>
-              (ps(pi)._1, cs(ci)._1, graft.functions.Numeric.croundD(math.sqrt(d2), 4))
+            else {
+              // gate on geometry, cost with feature penalties
+              val edges = Array.newBuilder[(Int, Int, Double)]
+              val d2s = new java.util.HashMap[Long, Double]()
+              var pi = 0
+              while (pi < ps.length) {
+                var ci = 0
+                while (ci < cs.length) {
+                  val dx = ps(pi)._2 - cs(ci)._2
+                  val dy = ps(pi)._3 - cs(ci)._3
+                  val d2 = dx * dx + dy * dy
+                  if (d2 <= maxD2) {
+                    val cost =
+                      if (weights.isEmpty) d2
+                      else penalizedCost(d2, ps(pi)._4, cs(ci)._4, weights)
+                    edges += ((pi, ci, cost))
+                    d2s.put(pi.toLong << 32 | ci.toLong, d2)
+                  }
+                  ci += 1
+                }
+                pi += 1
+              }
+              assignEdges(ps.length, cs.length, edges.result(), maxD2)
+                .iterator.map { case (pi2, ci2, _) =>
+                  val d2 = d2s.get(pi2.toLong << 32 | ci2.toLong)
+                  (ps(pi2)._1, cs(ci2)._1,
+                    graft.functions.Numeric.croundD(math.sqrt(d2), 4))
+                }
             }
           }
         }.flatten
       }.toDF("src", "dst", "dist")
-  }
-
-  /** Distance-gated max-weight matching: build the gated edge list and
-    * hand it to [[assignEdges]]. */
-  private[operators] def solve(ps: Array[(Long, Double, Double)],
-                               cs: Array[(Long, Double, Double)],
-                               maxD2: Double): Seq[(Int, Int, Double)] = {
-    val edges = Array.newBuilder[(Int, Int, Double)]
-    var pi = 0
-    while (pi < ps.length) {
-      var ci = 0
-      while (ci < cs.length) {
-        val dx = ps(pi)._2 - cs(ci)._2
-        val dy = ps(pi)._3 - cs(ci)._3
-        val d2 = dx * dx + dy * dy
-        if (d2 <= maxD2) edges += ((pi, ci, d2))
-        ci += 1
-      }
-      pi += 1
-    }
-    assignEdges(ps.length, cs.length, edges.result(), maxD2)
   }
 
   /** Gated max-weight matching over an EXPLICIT edge list — the

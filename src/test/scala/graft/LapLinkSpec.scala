@@ -81,4 +81,53 @@ class LapLinkSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
     assert(got === Set((1L, 2L), (2L, 3L)))
   }
+
+  test("feature penalties: a look-alike beats a nearer shape-changer") {
+    // child C (area 10) between parents: A at distance 2 with area 10
+    // (no penalty) and B at distance 1.5 with area 30 (relative
+    // difference inflates cost: 1.5² · (1 + 3·1·20/40)² = 2.25 · 6.25
+    // = 14.06 > A's 4) — pure distance links B, penalized links A
+    val spots = Seq(
+      (1L, 0L, 0.0, 0.0, 10.0),  // A
+      (2L, 0L, 3.5, 0.0, 30.0),  // B
+      (11L, 1L, 2.0, 0.0, 10.0)) // C
+    val df = spots.toDF("id", "frame", "x", "y", "area")
+    val plain = LapLink.frameToFrame(df, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 5.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(plain === Set((2L, 11L)))
+    val penalized = LapLink.frameToFrame(df, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 5.0,
+        featurePenalties = Seq(col("area") -> 1.0))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(penalized === Set((1L, 11L)))
+  }
+
+  test("feature penalties: a link costlier than both alternatives is dropped") {
+    // single gated pair, but the penalty inflates its cost past 2L
+    // (d²=1, areas 1 vs 99 at weight 3: (1 + 9·98/100)² ≈ 96 > 2·25):
+    // leaving both unlinked is globally cheaper, so no link is emitted
+    val spots = Seq((1L, 0L, 0.0, 0.0, 1.0), (11L, 1L, 1.0, 0.0, 99.0))
+    val got = LapLink.frameToFrame(
+        spots.toDF("id", "frame", "x", "y", "area"),
+        col("id"), col("frame"), col("x"), col("y"), maxDist = 5.0,
+        featurePenalties = Seq(col("area") -> 3.0))
+      .as[(Long, Long, Double)].collect()
+    assert(got.isEmpty, s"got ${got.toSeq}")
+  }
+
+  test("empty penalties: identical to the pure-distance assignment") {
+    val rnd = new scala.util.Random(13)
+    val spots = (0 until 30).map(i =>
+      (i.toLong, (i % 3).toLong, rnd.nextDouble() * 12, rnd.nextDouble() * 12))
+    val df = spots.toDF("id", "frame", "x", "y")
+    val a = LapLink.frameToFrame(df, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 6.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = LapLink.frameToFrame(df.withColumn("f", col("x") * 2),
+        col("id"), col("frame"), col("x"), col("y"), maxDist = 6.0,
+        featurePenalties = Seq(col("f") -> 0.0))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
 }
