@@ -305,16 +305,17 @@ object SparkEntry {
         col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
     }),
     // the composed two-phase LAP tracker: exact frame-to-frame
-    // assignment -> segment labels -> gap-close relabel (rows-only:
+    // assignment -> labels+gap-close+relabel FUSED into one per-video
+    // cogroup (divisionAwareGapClosedByVideo — spec-pinned equal to
+    // the staged divisionAwareByVideo -> closeGaps chain; rows-only:
     // both phases are Hungarian)
     "q_gct" -> ((s, d) => {
       val sp = videoSpots(s, d)
       val edges = operators.LapLink.frameToFrame(sp, col("id"), col("frame"),
         col("x"), col("y"), maxDist = 50.0)
-      val labels = operators.TrackAssignment.divisionAwareByVideo(
-        sp.select("id", "frame"), edges.select("src", "dst"), _ / 10000000L)
-      operators.LapLink.closeGaps(sp, labels, col("id"), col("frame"),
-        col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
+      operators.TrackAssignment.divisionAwareGapClosedByVideo(
+        sp, edges.select("src", "dst"),
+        maxDist = 50.0, maxGap = 3, _ / 10000000L)
     }),
     // batch Kalman-gated tracking (constant-velocity prediction,
     // cogroup per video; shares its per-frame transition with the

@@ -124,6 +124,60 @@ object TrackAssignment {
     * edges must be video-local (`videoOf(src) == videoOf(dst)`), which
     * tracking data satisfies by construction.
     */
+  /** The per-video local labeler shared by [[divisionAwareByVideo]]
+    * and [[divisionAwareGapClosedByVideo]]: the two deterministic
+    * local choices, chain walk, min-id labels. Returns id -> track for
+    * every edge-incident id (insertion-ordered). */
+  private def localLabels(frame: java.util.HashMap[Long, Long],
+                          es: java.util.LinkedHashSet[(Long, Long)])
+      : java.util.LinkedHashMap[Long, Long] = {
+    // the two deterministic local choices, sequential per video
+    val chosen = new java.util.HashMap[Long, Long]()   // dst -> continuing src
+    val first = new java.util.HashMap[Long, Long]()    // src -> first child dst
+    val it0 = es.iterator()
+    while (it0.hasNext) {
+      val (s, d) = it0.next()
+      if (frame.containsKey(s) && frame.containsKey(d)) {
+        val c = chosen.get(d)
+        if (!chosen.containsKey(d) ||
+            frame.get(s) > frame.get(c) ||
+            (frame.get(s) == frame.get(c) && s < c)) chosen.put(d, s)
+        val f = first.get(s)
+        if (!first.containsKey(s) ||
+            frame.get(d) < frame.get(f) ||
+            (frame.get(d) == frame.get(f) && d < f)) first.put(s, d)
+      }
+    }
+    // surviving chain edges: next(src) = dst
+    val next = new java.util.HashMap[Long, Long]()
+    val hasPrev = new java.util.HashSet[Long]()
+    first.forEach { (s, d) =>
+      if (chosen.get(d) == s) { next.put(s, d); hasPrev.add(d) }
+    }
+    // label each segment by its min id, walking from chain heads
+    val label = new java.util.HashMap[Long, Long]()
+    next.forEach { (s, _) =>
+      if (!hasPrev.contains(s)) {
+        var m = s
+        var x = s
+        while (next.containsKey(x)) { x = next.get(x); if (x < m) m = x }
+        var y = s
+        label.put(y, m)
+        while (next.containsKey(y)) { y = next.get(y); label.put(y, m) }
+      }
+    }
+    // every id incident to an edge is in scope; ids outside every
+    // surviving chain are their own single-spot track
+    val out = new java.util.LinkedHashMap[Long, Long]()
+    val it1 = es.iterator()
+    while (it1.hasNext) {
+      val (s, d) = it1.next()
+      out.put(s, label.getOrDefault(s, s))
+      out.put(d, label.getOrDefault(d, d))
+    }
+    out
+  }
+
   def divisionAwareByVideo(spots: DataFrame, edges: DataFrame,
                            videoOf: Long => Long): DataFrame = {
     val spark = spots.sparkSession
@@ -140,53 +194,99 @@ object TrackAssignment {
       edIt.foreach(es.add)
       if (es.isEmpty) Iterator.empty
       else {
-        // the two deterministic local choices, sequential per video
-        val chosen = new java.util.HashMap[Long, Long]()   // dst -> continuing src
-        val first = new java.util.HashMap[Long, Long]()    // src -> first child dst
-        val it0 = es.iterator()
-        while (it0.hasNext) {
-          val (s, d) = it0.next()
-          if (frame.containsKey(s) && frame.containsKey(d)) {
-            val c = chosen.get(d)
-            if (!chosen.containsKey(d) ||
-                frame.get(s) > frame.get(c) ||
-                (frame.get(s) == frame.get(c) && s < c)) chosen.put(d, s)
-            val f = first.get(s)
-            if (!first.containsKey(s) ||
-                frame.get(d) < frame.get(f) ||
-                (frame.get(d) == frame.get(f) && d < f)) first.put(s, d)
+        import scala.jdk.CollectionConverters._
+        localLabels(frame, es).entrySet().iterator().asScala
+          .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+      }
+    }.toDF("id", "track_id")
+  }
+
+  /** Labels WITH segment-level gap closing fused into the SAME
+    * per-video cogroup — the production composition of
+    * [[divisionAwareByVideo]] + [[LapLink.closeGaps]]: the local
+    * labeler's output, the per-track endpoints, the gated gap-close
+    * assignment ([[LapLink.assignEdges]], weight 2L − d²) and the
+    * chain-merge relabel all happen inside one task per video, so the
+    * corpus is shuffled ONCE per input (spots, edges) instead of once
+    * per stage (labels cogroup, endpoint aggregate, segment cogroup,
+    * relabel join). Output-identical to the composed chain — the
+    * parity spec pins it on random fragmented walks. `spots` must
+    * carry (id, frame, x, y). */
+  def divisionAwareGapClosedByVideo(spots: DataFrame, edges: DataFrame,
+                                    maxDist: Double, maxGap: Int,
+                                    videoOf: Long => Long): DataFrame = {
+    require(maxDist > 0.0 && maxGap >= 1)
+    val spark = spots.sparkSession
+    import spark.implicits._
+    val maxD2 = maxDist * maxDist
+    val sp = spots.select(col("id").cast("long"), col("frame").cast("long"),
+        col("x").cast("double"), col("y").cast("double"))
+      .as[(Long, Long, Double, Double)].groupByKey(s => videoOf(s._1))
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .as[(Long, Long)].groupByKey(e => videoOf(e._2))
+    sp.cogroup(ed) { (_, spIt, edIt) =>
+      val frame = new java.util.HashMap[Long, Long]()
+      val xs = new java.util.HashMap[Long, Double]()
+      val ys = new java.util.HashMap[Long, Double]()
+      spIt.foreach { case (id, f, x, y) =>
+        frame.put(id, f); xs.put(id, x); ys.put(id, y)
+      }
+      val es = new java.util.LinkedHashSet[(Long, Long)]()
+      edIt.foreach(es.add)
+      if (es.isEmpty) Iterator.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val labels = localLabels(frame, es)
+        // per-track endpoints: start = (min frame, min id),
+        // end = (max frame, min id)
+        val byTrack = labels.entrySet().asScala
+          .map(e => (e.getKey.longValue(), e.getValue.longValue())).toSeq
+          .groupBy(_._2)
+        val tracks = byTrack.keys.toArray.sorted
+        def keyed(id: Long) = (frame.get(id).longValue(), id)
+        val startOf = tracks.map(t => byTrack(t).map(_._1).minBy(keyed))
+        val endOf = tracks.map(t =>
+          byTrack(t).map(_._1).maxBy(id => (frame.get(id).longValue(), -id)))
+        val segEdges = Array.newBuilder[(Int, Int, Double)]
+        var pi = 0
+        while (pi < tracks.length) {
+          var ci = 0
+          while (ci < tracks.length) {
+            val df = frame.get(startOf(ci)) - frame.get(endOf(pi))
+            if (df >= 1 && df <= maxGap) {
+              val dx = xs.get(startOf(ci)) - xs.get(endOf(pi))
+              val dy = ys.get(startOf(ci)) - ys.get(endOf(pi))
+              val d2 = dx * dx + dy * dy
+              if (d2 <= maxD2) segEdges += ((pi, ci, d2))
+            }
+            ci += 1
           }
+          pi += 1
         }
-        // surviving chain edges: next(src) = dst
+        val matches = LapLink.assignEdges(tracks.length, tracks.length,
+          segEdges.result(), maxD2)
+        // matched segment pairs form chains; relabel to min track id
         val next = new java.util.HashMap[Long, Long]()
         val hasPrev = new java.util.HashSet[Long]()
-        first.forEach { (s, d) =>
-          if (chosen.get(d) == s) { next.put(s, d); hasPrev.add(d) }
+        matches.foreach { case (pi2, ci2, _) =>
+          next.put(tracks(pi2), tracks(ci2)); hasPrev.add(tracks(ci2))
         }
-        // label each segment by its min id, walking from chain heads
-        val label = new java.util.HashMap[Long, Long]()
+        val remap = new java.util.HashMap[Long, Long]()
         next.forEach { (s, _) =>
           if (!hasPrev.contains(s)) {
             var m = s
             var x = s
             while (next.containsKey(x)) { x = next.get(x); if (x < m) m = x }
             var y = s
-            label.put(y, m)
-            while (next.containsKey(y)) { y = next.get(y); label.put(y, m) }
+            remap.put(y, m)
+            while (next.containsKey(y)) { y = next.get(y); remap.put(y, m) }
           }
         }
-        // every id incident to an edge is in scope; ids outside every
-        // surviving chain are their own single-spot track
-        val out = new java.util.LinkedHashMap[Long, Long]()
-        val it1 = es.iterator()
-        while (it1.hasNext) {
-          val (s, d) = it1.next()
-          out.put(s, label.getOrDefault(s, s))
-          out.put(d, label.getOrDefault(d, d))
+        labels.entrySet().iterator().asScala.map { e =>
+          val t = e.getValue.longValue()
+          (e.getKey.longValue(), remap.getOrDefault(t, t).longValue())
         }
-        import scala.jdk.CollectionConverters._
-        out.entrySet().iterator().asScala
-          .map(e => (e.getKey.longValue(), e.getValue.longValue()))
       }
     }.toDF("id", "track_id")
   }

@@ -152,6 +152,44 @@ class LapGapCloseSpec extends SparkSpec {
     assert(closed.values.toSet === Set(200L), s"not one track: $closed")
   }
 
+  test("fused divisionAwareGapClosedByVideo equals the staged chain") {
+    // random fragmented walks across two videos: the one-cogroup fused
+    // operator must reproduce the staged labels -> gapClose -> relabel
+    // composition exactly
+    val rnd = new scala.util.Random(17)
+    val spots = for {
+      v <- 0 until 2
+      w <- 0 until 5
+      f <- 0 until 20
+      if rnd.nextDouble() >= 0.2 // dropouts create gaps to close
+    } yield (v * 1000000L + w * 1000L + f, f.toLong,
+      (w % 5) * 30.0 + f * 1.1 + rnd.nextDouble() * 0.5,
+      // videos far apart in y: per-video operators REQUIRE video-local
+      // edges (true of tracking data by construction), so the NN front
+      // end must never link across videos
+      v * 50.0 + rnd.nextDouble() * 0.5)
+    val df = toDf(spots)
+    val edges = SpotLink.nearest(df, col("id"), col("frame"), col("x"), col("y"),
+      maxDist = 8.0, gapFrames = 1)
+    val staged = {
+      val labels = TrackAssignment.divisionAwareByVideo(df.select("id", "frame"),
+        edges.select("src", "dst"), _ / 1000000L)
+      LapLink.closeGaps(df, labels, col("id"), col("frame"), col("x"), col("y"),
+          maxDist = 8.0, maxGap = 4, _ / 1000000L)
+        .as[(Long, Long)].collect().toMap
+    }
+    val fused = TrackAssignment.divisionAwareGapClosedByVideo(df,
+        edges.select("src", "dst"), maxDist = 8.0, maxGap = 4, _ / 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(fused === staged)
+    // the fixture is non-trivial: some gaps actually closed
+    val before = TrackAssignment.divisionAwareByVideo(df.select("id", "frame"),
+      edges.select("src", "dst"), _ / 1000000L)
+      .select("track_id").distinct().count()
+    val after = fused.values.toSet.size
+    assert(after < before, s"no gaps closed: $after vs $before")
+  }
+
   test("composed frameToFrame -> labels -> closeGaps chain stays green") {
     // two walkers with one occlusion each; LAP front end (1-1 edges)
     val rnd = new scala.util.Random(5)
