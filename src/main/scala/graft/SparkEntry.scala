@@ -270,13 +270,12 @@ object SparkEntry {
     // path (divisionAwareByVideo, ONE shuffle per input) instead of
     // iterative rounds — the production plan at 100 TB, where the
     // corpus is millions of videos.
-    "q_link_track" -> ((s, d) => {
-      val sp = videoSpots(s, d)
-      val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
-        col("x"), col("y"), maxDist = 50.0, gapFrames = 2)
-      operators.TrackAssignment.divisionAwareByVideo(sp.select("id", "frame"),
-        edges.select("src", "dst"), _ / 10000000L)
-    }),
+    "q_link_track" -> ((s, d) =>
+      // fused: NN linking + division-aware labels in ONE cogroup per
+      // video (spec-pinned equal to SpotLink.nearest ->
+      // divisionAwareByVideo; same oracle)
+      operators.TrackAssignment.nearestTracksByVideo(videoSpots(s, d),
+        maxDist = 50.0, gapFrames = 2, _ / 10000000L)),
     // TrackMate SparseLAP's SECOND phase (gap closing): NN linking with
     // gap 1 fragments tracks at longer occlusions; the segment-level
     // global assignment re-joins ends to starts within 3 frames and

@@ -201,6 +201,64 @@ object TrackAssignment {
     }.toDF("id", "track_id")
   }
 
+  /** The WHOLE per-video tracker as ONE keyed pass: NN spot linking
+    * ([[SpotLink.nearest]] semantics, incl. the packed quantized-d²
+    * candidate ordering) fused with the division-aware labeler — the
+    * batch twin of `streaming.LinkTrackStream`, and the production
+    * shape when a video key exists: the corpus shuffles ONCE (groupBy
+    * video), and within a video linking is a gap-window scan over the
+    * frame-sorted spots (bounded by one timelapse; no grid needed at
+    * per-video cardinalities). Output-identical to
+    * `SpotLink.nearest` -> [[divisionAwareByVideo]] on video-local
+    * data — parity spec-pinned. `spots` must carry (id, frame, x, y);
+    * frames must not collide across videos within `gapFrames` (true
+    * of any per-video frame encoding). */
+  def nearestTracksByVideo(spots: DataFrame, maxDist: Double, gapFrames: Int,
+                           videoOf: Long => Long): DataFrame = {
+    require(maxDist > 0.0 && gapFrames >= 1)
+    val spark = spots.sparkSession
+    import spark.implicits._
+    val maxD2 = maxDist * maxDist
+    val d2Scale = SpotLink.D2Scale
+    spots.select(col("id").cast("long"), col("frame").cast("long"),
+        col("x").cast("double"), col("y").cast("double"))
+      .as[(Long, Long, Double, Double)]
+      .groupByKey(s => videoOf(s._1))
+      .flatMapGroups { (_, it) =>
+        val all = it.toArray
+        val byFrame = all.groupBy(_._2)
+        val frame = new java.util.HashMap[Long, Long]()
+        all.foreach(s => frame.put(s._1, s._2))
+        val es = new java.util.LinkedHashSet[(Long, Long)]()
+        // deterministic edge order: children by (frame, id)
+        all.sortBy(s => (s._2, s._1)).foreach { case (cid, cf, cx, cy) =>
+          var best: (Long, Long, Long) = null // (gap, d2q, src)
+          var g = 1
+          while (g <= gapFrames) {
+            byFrame.get(cf - g).foreach(_.foreach { case (pid, _, px, py) =>
+              val dx = cx - px
+              val dy = cy - py
+              val d2 = dx * dx + dy * dy
+              if (d2 <= maxD2) {
+                val cand = (g.toLong, math.floor(d2 * d2Scale + 0.5).toLong, pid)
+                if (best == null || Ordering[(Long, Long, Long)].lt(cand, best))
+                  best = cand
+              }
+            })
+            g += 1
+          }
+          if (best != null) es.add((best._3, cid))
+        }
+        if (es.isEmpty) Iterator.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          localLabels(frame, es).entrySet().iterator().asScala
+            .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+        }
+      }
+      .toDF("id", "track_id")
+  }
+
   /** Labels WITH segment-level gap closing fused into the SAME
     * per-video cogroup — the production composition of
     * [[divisionAwareByVideo]] + [[LapLink.closeGaps]]: the local

@@ -190,6 +190,31 @@ class LapGapCloseSpec extends SparkSpec {
     assert(after < before, s"no gaps closed: $after vs $before")
   }
 
+  test("fused nearestTracksByVideo equals SpotLink.nearest -> divisionAwareByVideo") {
+    val rnd = new scala.util.Random(29)
+    val spots = for {
+      v <- 0 until 2
+      w <- 0 until 5
+      f <- 0 until 20
+      if rnd.nextDouble() >= 0.2
+    } yield (v * 1000000L + w * 1000L + f, v * 100000L + f.toLong,
+      (w % 5) * 30.0 + f * 1.1 + rnd.nextDouble() * 0.5,
+      rnd.nextDouble() * 0.5)
+    val df = toDf(spots)
+    val staged = {
+      val edges = SpotLink.nearest(df, col("id"), col("frame"),
+        col("x"), col("y"), maxDist = 8.0, gapFrames = 2)
+      TrackAssignment.divisionAwareByVideo(df.select("id", "frame"),
+          edges.select("src", "dst"), _ / 1000000L)
+        .as[(Long, Long)].collect().toMap
+    }
+    val fused = TrackAssignment.nearestTracksByVideo(df,
+        maxDist = 8.0, gapFrames = 2, _ / 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(fused === staged)
+    assert(fused.nonEmpty)
+  }
+
   test("composed frameToFrame -> labels -> closeGaps chain stays green") {
     // two walkers with one occlusion each; LAP front end (1-1 edges)
     val rnd = new scala.util.Random(5)
