@@ -284,10 +284,10 @@ object SparkEntry {
     // spec-pinned in LapGapCloseSpec).
     "q_gc" -> ((s, d) => {
       val sp = videoSpots(s, d)
-      val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
-        col("x"), col("y"), maxDist = 50.0, gapFrames = 1)
-      val labels = operators.TrackAssignment.divisionAwareByVideo(
-        sp.select("id", "frame"), edges.select("src", "dst"), _ / 10000000L)
+      // labels via the fused one-cogroup tracker (identical to the
+      // staged NN -> divisionAwareByVideo chain, spec-pinned)
+      val labels = operators.TrackAssignment.nearestTracksByVideo(sp,
+        maxDist = 50.0, gapFrames = 1, _ / 10000000L)
       operators.LapLink.gapClose(sp, labels, col("id"), col("frame"),
         col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
     }),
@@ -296,10 +296,8 @@ object SparkEntry {
     // LapSplitMergeSpec; excluded from the bench line for budget)
     "q_gcf" -> ((s, d) => {
       val sp = videoSpots(s, d)
-      val edges = operators.SpotLink.nearest(sp, col("id"), col("frame"),
-        col("x"), col("y"), maxDist = 50.0, gapFrames = 1)
-      val labels = operators.TrackAssignment.divisionAwareByVideo(
-        sp.select("id", "frame"), edges.select("src", "dst"), _ / 10000000L)
+      val labels = operators.TrackAssignment.nearestTracksByVideo(sp,
+        maxDist = 50.0, gapFrames = 1, _ / 10000000L)
       operators.LapLink.gapCloseFull(sp, labels, col("id"), col("frame"),
         col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
     }),
