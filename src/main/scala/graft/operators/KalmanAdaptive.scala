@@ -107,7 +107,9 @@ object KalmanAdaptive {
       sPred(1) + k(2) * dx + k(3) * dy,
       sPred(2) + k(4) * dx + k(5) * dy,
       sPred(3) + k(6) * dx + k(7) * dy)
-    // P = P' - K * P'[0:2,:]
+    // P = P' - K * P'[0:2,:], then re-symmetrized: (I-KH)P' is exact
+    // in real arithmetic but drifts asymmetric in floating point over
+    // long tracks, which slowly corrupts the gain
     val pNew = new Array[Double](16)
     i = 0
     while (i < 4) {
@@ -115,6 +117,17 @@ object KalmanAdaptive {
       while (j < 4) {
         pNew(4 * i + j) = pPred(4 * i + j) -
           (k(2 * i) * pPred(j) + k(2 * i + 1) * pPred(4 + j))
+        j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      var j = i + 1
+      while (j < 4) {
+        val m = (pNew(4 * i + j) + pNew(4 * j + i)) / 2.0
+        pNew(4 * i + j) = m
+        pNew(4 * j + i) = m
         j += 1
       }
       i += 1

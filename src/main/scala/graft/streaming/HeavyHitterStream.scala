@@ -37,7 +37,11 @@ case class HHState(counters: Map[String, Long], n: Long)
   * Emission is watermark-closed via EVENT-TIME timeout: when the
   * watermark passes a window's end, its state times out, emits its
   * candidates once, and is removed — bounded state, exactly-once
-  * per-window output, no growth across windows. (The exact counting
+  * per-window output. Rows later than the watermark delay are DROPPED
+  * before reaching the state function (Spark filters
+  * flatMapGroupsWithState input behind the watermark when event-time
+  * timeout is used — spec-pinned), so a closed window never reopens;
+  * the timeout-timestamp clamp below is defensive only. (The exact counting
   * pass the batch operator runs over its candidates is a re-scan,
   * which a stream cannot do — the deliberate approximation gap, stated
   * here; downstream joins the candidate set against stored counts when
@@ -90,8 +94,15 @@ object HeavyHitterStream {
             val prev = state.getOption.getOrElse(HHState(Map.empty, 0L))
             val (counters, dn) = mgFold(prev.counters, k, rows.map(_.item))
             state.update(HHState(counters, prev.n + dn))
-            // close when the watermark passes the window's end
-            state.setTimeoutTimestamp((windowStart + windowSec) * 1000L)
+            // close when the watermark passes the window's end. With
+            // event-time timeout Spark filters input behind the
+            // watermark before this function (spec-pinned above), so
+            // window_end > watermark always holds here; the clamp is
+            // defensive only (a timeout at or below the watermark
+            // would throw).
+            state.setTimeoutTimestamp(math.max(
+              (windowStart + windowSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
       }

@@ -80,6 +80,34 @@ class HeavyHitterStreamSpec extends SparkSpec {
     assert(big.get.cnt >= 40L - 12L, s"counter too low: ${big.get}")
   }
 
+  test("a later-than-delay row is dropped: a closed window never reopens") {
+    // window [0,60) data, then a far-future batch (watermark passes 60
+    // and the window closes), then a LATE window-0 row: Spark's
+    // watermark filter drops it before the state function, so the
+    // closed window stays closed — exactly one candidate row
+    implicit val sql = spark.sqlContext
+    n += 1
+    val name = s"hh_stream_$n"
+    val stream = MemoryStream[ItemAt]
+    val q = HeavyHitterStream.windowedFrequentItems(
+        stream.toDS(), windowSec = 60L, k = 4, shards = 1,
+        watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try Seq(
+      (1 to 6).map(i => ItemAt(at(i.toLong), "early")),
+      Seq(ItemAt(at(1000L), "_flush")),
+      Seq(ItemAt(at(1001L), "_flush")),
+      Seq(ItemAt(at(10L), "late")), // beyond the 5s delay
+      Seq(ItemAt(at(2000L), "_flush")),
+      Seq(ItemAt(at(2001L), "_flush"))
+    ).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table(name).as[WindowHH].collect().toSeq
+      .filter(r => r.item != "_flush" && r.window_start == 0L)
+    assert(got.map(_.item).toSet === Set("early"), s"got $got")
+    assert(got.size === 1, s"window 0 emitted more than once: $got")
+  }
+
   test("windows are independent: a window's candidates come from its rows only") {
     val w0 = (1 to 10).map(i => ItemAt(at(i.toLong), "only0"))
     val w1 = (1 to 10).map(i => ItemAt(at(61L + i % 50), "only1"))
