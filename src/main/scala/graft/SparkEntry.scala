@@ -6,8 +6,8 @@ import graft.Tables._
 import graft.functions.Numeric._
 import graft.olap.Relational
 import graft.operators.{ConnectedComponents, Density, GapFill, Movement, Quality, Sessionize, TimeSeries}
-import graft.dedup.{Dedup, MinHashLSH}
-import graft.text.TextFeatures
+import graft.dedup.{Decontaminate, Dedup, MinHashLSH}
+import graft.text.{Packing, TextFeatures}
 import graft.vector.Similarity
 import graft.streaming.StreamOps
 import graft.multimodal.Binary
@@ -426,6 +426,31 @@ object SparkEntry {
     "q_winnow_containment" -> ((s, d) =>
       Dedup.winnowContainment(documents(s, d), col("doc_id"), col("text"),
         k = 8, w = 4, minShared = 10L, maxDf = 50L)),
+    // test-set decontamination: corpus docs sharing a verbatim 8-gram
+    // with the doc_id%11==0 slice standing in for an eval benchmark
+    // (the eval side is tiny at any scale -> broadcast)
+    "q_decon" -> ((s, d) => {
+      val docs = documents(s, d)
+      Decontaminate.overlapPairs(
+        docs.filter(col("doc_id") % 11 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 11 === 0), col("doc_id"), col("text"),
+        n = 8, minShared = 1L)
+    }),
+    // sequence packing: global token offsets (distributed prefix sum)
+    // and the 512-token training chunks each document spans
+    "q_pack" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("_tc", graft.functions.TokenCounts(col("text")))
+      Packing.chunkSpans(docs, col("doc_id"), col("_tc.n_ws_tokens"), 512L)
+        .withColumnRenamed("offset", "tok_offset")
+    }),
+    "q_chunk" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("_tc", graft.functions.TokenCounts(col("text")))
+      Packing.chunkStats(
+        Packing.chunkSpans(docs, col("doc_id"), col("_tc.n_ws_tokens"), 512L),
+        512L)
+    }),
     "q_text_tokens" -> ((s, d) =>
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
@@ -1681,6 +1706,61 @@ object SparkEntry {
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
+
+    "q_decon" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |    tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS g
+        |  FROM tok, UNNEST(range(1, len(tk) - 6)) AS t(i)
+        |  WHERE len(tk) >= 8
+        |)
+        |SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, COUNT(*) AS shared
+        |FROM sh c JOIN sh e ON c.g = e.g
+        |WHERE c.doc_id % 11 <> 0 AND e.doc_id % 11 = 0
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS tok_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  CAST(floor(tok_offset / 512.0) AS BIGINT) AS chunk_first,
+        |  CAST(floor((tok_offset + n_tokens - 1) / 512.0) AS BIGINT) AS chunk_last
+        |FROM c""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS tok_offset
+        |  FROM t
+        |), e AS (
+        |  SELECT tok_offset, n_tokens, g AS chunk_id
+        |  FROM c, UNNEST(range(
+        |    CAST(floor(tok_offset / 512.0) AS BIGINT),
+        |    CAST(floor((tok_offset + n_tokens - 1) / 512.0) AS BIGINT) + 1)) AS u(g)
+        |  WHERE n_tokens > 0
+        |)
+        |SELECT chunk_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEAST(tok_offset + n_tokens, (chunk_id + 1) * 512)
+        |    - GREATEST(tok_offset, chunk_id * 512)) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY 1""".stripMargin,
 
     "q_hh_tokens" ->
       """WITH t AS (
