@@ -28,7 +28,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // excluded from the default bench run for line budget (see below);
     // still benchable explicitly via SPARK_GRAFT_ONLY
-    val lineSkip = Set("q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack", "q_chunk")
+    val lineSkip = Set("q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack", "q_chunk",
+      "q_corpus")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

@@ -146,6 +146,15 @@ object TextFeatures {
 
   /** Quality scoring: length, punctuation/digit/stopword ratios and a
     * boolean keep flag (the usual pre-training corpus filters). */
+  /** The keep rule `quality` reports — shared with the composed
+    * corpus build so the gate cannot drift between the two surfaces. */
+  def qualityKeep(text: Column): Column = {
+    val tk = tokens(text)
+    val stopCnt = size(filter(tk, t => StopWords.foldLeft(lit(false))((acc, s) => acc || t === s)))
+    size(tk) >= 5 && size(tk) <= 2000 &&
+      stopCnt.cast("double") / size(tk).cast("double") >= 0.05
+  }
+
   def quality(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tk = tokens(text)
     val nTok = size(tk).cast("double")
@@ -157,8 +166,7 @@ object TextFeatures {
       graft.functions.Numeric.cround(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text), 4).as("punct_ratio"),
       graft.functions.Numeric.cround(regexp_count(text, lit("[0-9]")).cast("double") / length(text), 4).as("digit_ratio"),
       graft.functions.Numeric.cround(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
-      (size(tk) >= 5 && size(tk) <= 2000 &&
-        stopCnt.cast("double") / nTok >= 0.05).as("keep"))
+      qualityKeep(text).as("keep"))
   }
 
   /** Repetition detection (the Gopher-style repetitious-text quality
