@@ -409,6 +409,12 @@ object SparkEntry {
     "q_cos_dedup" -> ((s, d) =>
       Similarity.cosineDupPairs(embeddings(s, d), dim = 64, threshold = 0.4)
         .withColumn("sim", graft.functions.Numeric.cround(col("sim"), 6))),
+    // SemDeDup keep-list: k-means cells (the cached IVF quantizer)
+    // scope exact-cosine pairs, multi-probed for recall; one canonical
+    // vector kept per semantic-duplicate component
+    "q_semdedup" -> ((s, d) =>
+      graft.vector.SemDedup.keepList(embeddings(s, d), nlist = 16,
+        threshold = 0.4, nprobe = 2, cacheKey = Some(d))),
     "q_simhash_pairs" -> ((s, d) =>
       graft.dedup.SimHashDedup.nearDupPairs(documents(s, d), col("doc_id"), col("text"))),
     "q_simhash" -> ((s, d) =>

@@ -1,0 +1,79 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+  * deduplication over an embedding column — k-means cells scope the
+  * pair search, exact cosine scores within-cell pairs, and connected
+  * components pick one canonical vector per semantic-duplicate group.
+  * This is the embedding-space analogue of the text near-dup chain
+  * (pairs -> clusters -> keep), catching paraphrase-grade duplicates
+  * that share no n-grams, which every lexical generator misses.
+  *
+  * Scale shape: the coarse quantizer is shared with IVF ANN
+  * ([[IvfAnn.quantize]] — bounded training sample, broadcast-sized
+  * model, same session cache), and each vector is assigned to its
+  * `nprobe` nearest cells MAP-SIDE: the nlist centroids are collected
+  * (driver-bounded, nlist x dim floats — the same artifact IvfAnn
+  * already holds on the driver) and scored per row as a codegen'd
+  * literal-array dot product, top-nprobe picked with array_sort +
+  * slice — no shuffle, no window. Multi-probing is the recall lever
+  * the paper's single-assignment lacks: a pair split by a cell
+  * boundary still co-occurs in a probed cell unless BOTH vectors rank
+  * the other's cell below nprobe. Candidate volume is
+  * nprobe^2-bounded per the usual IVF accounting, never all-pairs;
+  * per-cell cost is (n·nprobe/nlist)^2·nlist, with `nlist` the
+  * quadratic-term cap that grows with the corpus (the paper runs 100k
+  * cells over LAION). The keep-list closure reuses the O(log n)
+  * component machinery.
+  */
+object SemDedup {
+
+  /** Semantic-duplicate pairs (d1, d2, sim), d1 < d2, exact cosine
+    * >= threshold, found within shared probed cells. `cacheKey`
+    * reuses a quantizer trained earlier in the session for the same
+    * corpus identity (e.g. the IVF ANN index). nlist must be >= 2. */
+  def pairs(vecs: DataFrame, nlist: Int, threshold: Double,
+            nprobe: Int = 2, cacheKey: Option[String] = None): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist)
+    val (_, cents) = cacheKey match {
+      case Some(k) => IvfAnn.quantizeCached(k, vecs, nlist)
+      case None    => IvfAnn.quantize(vecs, nlist)
+    }
+    // nlist x (dim floats + norm2) — the driver-bounded model artifact
+    val centRows = cents.select(col("cell"), col("c_emb"), col("c_norm2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // argmin_j |x - c_j|^2 = argmin_j |c_j|^2 - 2 x.c_j (|x|^2 constant
+    // per row) — same geometry KMeans assigns with, so nprobe = 1
+    // reproduces the quantizer's own assignment
+    val scored: Column = array(centRows.map { case (cell, emb, n2) =>
+      struct(
+        (lit(n2) - lit(2.0) * Similarity.dot(col("embedding"),
+          typedlit(emb))).as("s"),
+        lit(cell).as("c"))
+    }.toIndexedSeq: _*)
+    val v = vecs
+      .withColumn("_probe", slice(array_sort(scored), 1, nprobe))
+      .withColumn("cell", explode(transform(col("_probe"), p => p("c"))))
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("sim"))
+      .distinct() // a pair sharing several probed cells appears once
+  }
+
+  /** Canonical keep-list: (vec_id, canonical_id, keep) with one kept
+    * vector (min id) per semantic-duplicate component. */
+  def keepList(vecs: DataFrame, nlist: Int, threshold: Double,
+               nprobe: Int = 2, cacheKey: Option[String] = None): DataFrame =
+    graft.dedup.Dedup.clusters(vecs, col("vec_id"),
+        pairs(vecs, nlist, threshold, nprobe, cacheKey))
+      .withColumnRenamed("doc_id", "vec_id")
+}
