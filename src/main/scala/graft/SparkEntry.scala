@@ -502,6 +502,16 @@ object SparkEntry {
     // repetition query first lays the tokens out as 2-token lines
     // grouped into 4-line paragraphs — deterministically, mirrored in
     // the oracle — then measures duplicate-line/paragraph fractions.
+    // corpus-wide boilerplate-line removal (C4-style): same 2-token
+    // line layout as q_text_lines, lines in > 20 distinct docs removed
+    // everywhere, text rebuilt in order
+    "q_ldedup" -> ((s, d) => {
+      val lined = regexp_replace(
+        regexp_replace(col("text"), "\\s+", " "), "(\\S+ \\S+) ", "$1\n")
+      graft.text.LineDedup.dedupLines(
+        documents(s, d).withColumn("_lined", lined),
+        col("doc_id"), col("_lined"), maxDocs = 20L)
+    }),
     "q_text_lines" -> ((s, d) => {
       // two codegen'd regex passes: pair tokens into lines (every
       // non-final 2nd token gains "\n"), then group lines into
@@ -1906,6 +1916,33 @@ object SparkEntry {
         |  floor(CAST(grams.top2gram_n AS DOUBLE) / grams.n_2grams * 1000000.0 + 0.5) / 1000000.0 AS top2gram_frac
         |FROM ws JOIN runs ON ws.doc_id = runs.doc_id
         |JOIN grams ON ws.doc_id = grams.doc_id""".stripMargin,
+
+    "q_ldedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(tk) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(tk[CAST(i*2+1 AS INT):CAST(i*2+2 AS INT)], ' ')) AS lines
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, i, lines[i] AS line
+        |  FROM l, UNNEST(range(1, len(lines) + 1)) AS u(i)
+        |), hot AS (
+        |  SELECT line FROM e GROUP BY line HAVING COUNT(DISTINCT doc_id) > 20
+        |), k AS (
+        |  SELECT doc_id, i, line FROM e
+        |  WHERE line NOT IN (SELECT line FROM hot)
+        |), r AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM k GROUP BY doc_id
+        |)
+        |SELECT l.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(l.lines) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM l LEFT JOIN r ON l.doc_id = r.doc_id""".stripMargin,
 
     "q_text_lines" ->
       """WITH t AS (
