@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s.{JBool, JDecimal, JDouble, JInt, JLong, JObject, JValue}
+import org.json4s.jackson.JsonMethods
+
+/** Config-template tracker dispatch — the reference's actual API
+  * surface: track_images.py:95-124 (`load_tracker`) selects one of six
+  * TrackMate factories from `config["algorithm"]` and applies
+  * `config["settings"]` (TrackMate TrackerKeys names), with per-
+  * microscope templates shipped as JSON (the templates dir, e.g.
+  * cyto3.json's SparseLAP block). A reference user's template runs
+  * against graft unchanged: the same algorithm names dispatch to the
+  * corresponding graft tracker, and the same settings keys map onto
+  * its parameters. Unknown algorithms throw listing the menu,
+  * mirroring the reference's KeyError.
+  *
+  * Key mapping (TrackerKeys.java is the public reference):
+  *  - LINKING_MAX_DISTANCE      -> frame-to-frame gate (all trackers)
+  *  - LINKING_FEATURE_PENALTIES -> LapLink featurePenalties; each
+  *       penalty key must name a column of `spots` (TrackMate feature
+  *       keys become your feature columns)
+  *  - ALLOW_GAP_CLOSING, GAP_CLOSING_MAX_DISTANCE, MAX_FRAME_GAP
+  *       -> the segment-level second LAP phase
+  *  - ALLOW_TRACK_SPLITTING / ALLOW_TRACK_MERGING -> [[lineage]]'s
+  *       full-Jaqaman blocks (TrackMate models splits/merges as graph
+  *       edges, not label merges — hence the separate surface)
+  *  - KALMAN_SEARCH_RADIUS      -> the Kalman prediction gate
+  *  - MIN_IOU                   -> the Overlap tracker's IoU floor
+  *  - GRID_CELL_SIZE            -> graft extension: the Overlap
+  *       tracker's candidate grid pitch (no TrackMate analogue; its
+  *       kd-tree equivalent is internal)
+  *
+  * Simplifications vs TrackMate, declared: the SparseLAP second phase
+  * uses ONE distance gate (GAP_CLOSING_MAX_DISTANCE) for gap/split/
+  * merge rather than three, and ALTERNATIVE_LINKING_COST_FACTOR /
+  * CUTOFF_PERCENTILE (cost-matrix conditioning of the dense solver)
+  * have no analogue in the sparse gated Hungarian.
+  *
+  * `config` may be a whole template (the `tracking` object is used) or
+  * the tracking object itself. `spots` is (id, frame, x, y) —
+  * plus (x0, x1, y0, y1) boxes for Overlap, plus any penalty feature
+  * columns. Output: (id, track_id) for every spot.
+  */
+object TrackerConfig {
+
+  val Algorithms: Seq[String] = Seq("SimpleSparseLAP", "SparseLAP",
+    "Kalman", "AdvancedKalman", "NearestNeighbor", "Overlap")
+
+  private case class Cfg(algorithm: String, settings: Map[String, JValue]) {
+    private def num(k: String): Option[Double] = settings.get(k).collect {
+      case JDouble(v)  => v
+      case JInt(v)     => v.toDouble
+      case JLong(v)    => v.toDouble
+      case JDecimal(v) => v.toDouble
+    }
+    def d(k: String, dflt: Double): Double = num(k).getOrElse(dflt)
+    def i(k: String, dflt: Int): Int = num(k).map(_.toInt).getOrElse(dflt)
+    def b(k: String, dflt: Boolean): Boolean = settings.get(k).collect {
+      case JBool(v) => v
+    }.getOrElse(dflt)
+    def penalties(k: String): Seq[(String, Double)] = settings.get(k).collect {
+      case JObject(fields) => fields.collect {
+        case (name, JDouble(w))  => name -> w
+        case (name, JInt(w))     => name -> w.toDouble
+        case (name, JDecimal(w)) => name -> w.toDouble
+      }
+    }.getOrElse(Nil)
+  }
+
+  private def parse(configJson: String): Cfg = {
+    val root = JsonMethods.parse(configJson)
+    val tracking = root \ "tracking" match {
+      case o: JObject => o
+      case _          => root
+    }
+    val algorithm = tracking \ "algorithm" match {
+      case org.json4s.JString(a) => a
+      case _ => throw new IllegalArgumentException(
+        "config has no tracking.algorithm")
+    }
+    val settings = tracking \ "settings" match {
+      case JObject(fields) => fields.toMap
+      case _               => Map.empty[String, JValue]
+    }
+    Cfg(algorithm, settings)
+  }
+
+  /** Track labels (id, track_id) under the template's tracker. */
+  def tracks(spots: DataFrame, configJson: String,
+             videoOf: Long => Long): DataFrame = {
+    val cfg = parse(configJson)
+    val linkDist = cfg.d("LINKING_MAX_DISTANCE", 15.0)
+    cfg.algorithm match {
+      case "NearestNeighbor" =>
+        TrackAssignment.nearestTracksByVideo(spots, linkDist,
+          gapFrames = 1, videoOf)
+      case "Overlap" =>
+        val edges = SpotLink.overlap(spots, col("id"), col("frame"),
+          col("x0"), col("x1"), col("y0"), col("y1"),
+          minIou = cfg.d("MIN_IOU", 0.3),
+          cellSize = cfg.d("GRID_CELL_SIZE", 50.0))
+        TrackAssignment.divisionAwareByVideo(spots, edges.select("src", "dst"),
+          videoOf)
+      case "Kalman" =>
+        KalmanLink.tracks(spots, col("id"), col("frame"), col("x"), col("y"),
+          maxDist = cfg.d("KALMAN_SEARCH_RADIUS", linkDist),
+          gapFrames = cfg.i("MAX_FRAME_GAP", 2), videoOf)
+      case "AdvancedKalman" =>
+        KalmanAdaptive.tracks(spots, col("id"), col("frame"), col("x"), col("y"),
+          maxDist = cfg.d("KALMAN_SEARCH_RADIUS", linkDist),
+          gapFrames = cfg.i("MAX_FRAME_GAP", 2), videoOf)
+      case "SimpleSparseLAP" | "SparseLAP" =>
+        val pens =
+          if (cfg.algorithm == "SparseLAP")
+            cfg.penalties("LINKING_FEATURE_PENALTIES")
+              .map { case (name, w) => (col(name), w) }
+          else Nil // SimpleSparseLAP exposes no penalties, as in TrackMate
+        val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
+          col("x"), col("y"), linkDist, pens)
+        if (cfg.b("ALLOW_GAP_CLOSING", dflt = true))
+          TrackAssignment.divisionAwareGapClosedByVideo(spots,
+            edges.select("src", "dst"),
+            maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", linkDist),
+            maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf)
+        else
+          TrackAssignment.divisionAwareByVideo(spots,
+            edges.select("src", "dst"), videoOf)
+      case other =>
+        throw new IllegalArgumentException(
+          s"tracker must be one of ${Algorithms.mkString(",")}; got $other")
+    }
+  }
+
+  /** The SparseLAP lineage-edge surface (src, dst, gap, dist, kind,
+    * src_track, dst_track): gap-close links plus split/merge edges
+    * when the template enables them — TrackMate's graph-edge
+    * semantics. Only meaningful for the Jaqaman trackers. */
+  def lineage(spots: DataFrame, configJson: String,
+              videoOf: Long => Long): DataFrame = {
+    val cfg = parse(configJson)
+    require(cfg.algorithm == "SparseLAP" || cfg.algorithm == "SimpleSparseLAP",
+      s"lineage is a Jaqaman-tracker surface; got ${cfg.algorithm}")
+    val linkDist = cfg.d("LINKING_MAX_DISTANCE", 15.0)
+    val pens =
+      if (cfg.algorithm == "SparseLAP")
+        cfg.penalties("LINKING_FEATURE_PENALTIES")
+          .map { case (name, w) => (col(name), w) }
+      else Nil
+    val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
+      col("x"), col("y"), linkDist, pens)
+    val labels = TrackAssignment.divisionAwareByVideo(spots,
+      edges.select("src", "dst"), videoOf)
+    LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),
+      col("x"), col("y"),
+      maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", linkDist),
+      maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf,
+      allowSplit = cfg.b("ALLOW_TRACK_SPLITTING", dflt = false),
+      allowMerge = cfg.b("ALLOW_TRACK_MERGING", dflt = false))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KalmanLink, LapLink, SpotLink, TrackAssignment, TrackerConfig}
+
+class TrackerConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vid: Long => Long = _ / 1000L
+
+  // two videos, a few frames, one division-ish pattern, one AREA column
+  private def spots = Seq(
+    (1001L, 0L, 10.0, 10.0, 5.0), (1002L, 1L, 12.0, 11.0, 5.2),
+    (1003L, 2L, 14.0, 12.0, 5.1), (1004L, 4L, 18.0, 14.0, 5.3),
+    (1007L, 5L, 20.0, 15.0, 5.2), // 1004-1007 form the rejoinable segment
+    (1005L, 0L, 50.0, 50.0, 9.0), (1006L, 1L, 51.0, 52.0, 9.1),
+    (2001L, 0L, 5.0, 5.0, 3.0), (2002L, 1L, 6.0, 6.0, 3.1),
+    (2003L, 2L, 7.0, 7.0, 3.0)
+  ).toDF("id", "frame", "x", "y", "AREA")
+
+  private def collectTracks(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id").cast("long"), col("track_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  test("a cyto3-shaped SparseLAP template reproduces the direct call chain") {
+    val template = """{
+      "run": {"tracking": true},
+      "tracking": {
+        "algorithm": "SparseLAP",
+        "settings": {
+          "LINKING_MAX_DISTANCE": 10.0,
+          "LINKING_FEATURE_PENALTIES": {"AREA": 0.5},
+          "ALLOW_GAP_CLOSING": true,
+          "MAX_FRAME_GAP": 3,
+          "GAP_CLOSING_MAX_DISTANCE": 12.0,
+          "ALLOW_TRACK_MERGING": true,
+          "ALTERNATIVE_LINKING_COST_FACTOR": 1.05
+        }
+      },
+      "QC": {"minimum_observations": 50}
+    }"""
+    val got = collectTracks(TrackerConfig.tracks(spots, template, vid))
+    val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
+      col("x"), col("y"), 10.0, Seq((col("AREA"), 0.5)))
+    val want = collectTracks(TrackAssignment.divisionAwareGapClosedByVideo(
+      spots, edges.select("src", "dst"), 12.0, 3, vid))
+    assert(got === want && got.nonEmpty)
+    // the gap-closed chain rejoined the frame-4 spot to its track
+    val byId = got.toMap
+    assert(byId(1004L) === byId(1001L))
+  }
+
+  test("SimpleSparseLAP ignores penalties, as in TrackMate") {
+    val simple = """{"algorithm": "SimpleSparseLAP", "settings": {
+      "LINKING_MAX_DISTANCE": 10.0,
+      "LINKING_FEATURE_PENALTIES": {"AREA": 99.0},
+      "GAP_CLOSING_MAX_DISTANCE": 12.0, "MAX_FRAME_GAP": 3}}"""
+    val got = collectTracks(TrackerConfig.tracks(spots, simple, vid))
+    val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
+      col("x"), col("y"), 10.0)
+    val want = collectTracks(TrackAssignment.divisionAwareGapClosedByVideo(
+      spots, edges.select("src", "dst"), 12.0, 3, vid))
+    assert(got === want)
+  }
+
+  test("NearestNeighbor and Kalman dispatch with their own keys") {
+    val nn = """{"algorithm": "NearestNeighbor",
+      "settings": {"LINKING_MAX_DISTANCE": 10.0}}"""
+    assert(collectTracks(TrackerConfig.tracks(spots, nn, vid)) ===
+      collectTracks(TrackAssignment.nearestTracksByVideo(spots, 10.0, 1, vid)))
+    val kf = """{"algorithm": "Kalman", "settings": {
+      "KALMAN_SEARCH_RADIUS": 11.0, "MAX_FRAME_GAP": 3}}"""
+    assert(collectTracks(TrackerConfig.tracks(spots, kf, vid)) ===
+      collectTracks(KalmanLink.tracks(spots, col("id"), col("frame"),
+        col("x"), col("y"), 11.0, 3, vid)))
+  }
+
+  test("Overlap dispatches over box columns") {
+    val boxes = spots.select(col("id"), col("frame"),
+      col("x"), col("y"),
+      (col("x") - 2.0).as("x0"), (col("x") + 2.0).as("x1"),
+      (col("y") - 2.0).as("y0"), (col("y") + 2.0).as("y1"))
+    val ov = """{"algorithm": "Overlap",
+      "settings": {"MIN_IOU": 0.2, "GRID_CELL_SIZE": 20.0}}"""
+    val got = collectTracks(TrackerConfig.tracks(boxes, ov, vid))
+    val edges = SpotLink.overlap(boxes, col("id"), col("frame"),
+      col("x0"), col("x1"), col("y0"), col("y1"), 0.2, 20.0)
+    val want = collectTracks(
+      TrackAssignment.divisionAwareByVideo(boxes, edges.select("src", "dst"), vid))
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("lineage surfaces split/merge edges per the template flags") {
+    val template = """{"algorithm": "SparseLAP", "settings": {
+      "LINKING_MAX_DISTANCE": 10.0, "GAP_CLOSING_MAX_DISTANCE": 12.0,
+      "MAX_FRAME_GAP": 3, "ALLOW_TRACK_SPLITTING": true,
+      "ALLOW_TRACK_MERGING": true}}"""
+    val got = TrackerConfig.lineage(spots, template, vid)
+      .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
+    val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
+      col("x"), col("y"), 10.0)
+    val labels = TrackAssignment.divisionAwareByVideo(
+      spots, edges.select("src", "dst"), vid)
+    val want = LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),
+        col("x"), col("y"), 12.0, 3, vid, allowSplit = true, allowMerge = true)
+      .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("an unknown algorithm throws listing the menu") {
+    val bad = """{"algorithm": "Magic", "settings": {}}"""
+    val ex = intercept[IllegalArgumentException] {
+      TrackerConfig.tracks(spots, bad, vid)
+    }
+    assert(ex.getMessage.contains("SimpleSparseLAP") &&
+      ex.getMessage.contains("Magic"))
+  }
+}
