@@ -133,6 +133,27 @@ object TrackerConfig {
     }
   }
 
+  /** The template's QC block (`QC.minimum_observations`,
+    * `QC.minimum_cell_size` — main.nf:165-190's filter params),
+    * dispatched onto [[Quality.filterSizeAndObservations]]: rows with
+    * `measure` under the size floor drop, then tracks left with too
+    * few observations drop whole. Defaults mirror the reference
+    * templates (50/50). */
+  def qcFilter(df: DataFrame, configJson: String, entity: String,
+               measure: org.apache.spark.sql.Column): DataFrame = {
+    val root = JsonMethods.parse(configJson)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(x)  => Some(x)
+      case JInt(x)     => Some(x.toDouble)
+      case JLong(x)    => Some(x.toDouble)
+      case JDecimal(x) => Some(x.toDouble)
+      case _           => None
+    }
+    val minSize = num(root \ "QC" \ "minimum_cell_size").getOrElse(50.0)
+    val minObs = num(root \ "QC" \ "minimum_observations").getOrElse(50.0).toLong
+    Quality.filterSizeAndObservations(df, entity, measure, minSize, minObs)
+  }
+
   /** The SparseLAP lineage-edge surface (src, dst, gap, dist, kind,
     * src_track, dst_track): gap-close links plus split/merge edges
     * when the template enables them — TrackMate's graph-edge

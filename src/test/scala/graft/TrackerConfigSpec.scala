@@ -108,6 +108,22 @@ class TrackerConfigSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("the template's QC block dispatches size and observation floors") {
+    val qc = Seq(
+      (1L, 60.0), (1L, 55.0), (1L, 70.0),   // track 1: 3 rows over size
+      (2L, 80.0), (2L, 40.0),               // track 2: 1 row left -> dropped
+      (3L, 30.0), (3L, 20.0)                // track 3: all under size
+    ).toDF("track", "area")
+    val cfgJson = """{"QC": {"minimum_observations": 2,
+      "minimum_cell_size": 50}}"""
+    val got = TrackerConfig.qcFilter(qc, cfgJson, "track", col("area"))
+      .select("track").as[Long].collect().toSeq
+    assert(got === Seq(1L, 1L, 1L))
+    // defaults (50/50) mirror the reference templates
+    val dflt = TrackerConfig.qcFilter(qc, """{}""", "track", col("area"))
+    assert(dflt.count() === 0L)
+  }
+
   test("an unknown algorithm throws listing the menu") {
     val bad = """{"algorithm": "Magic", "settings": {}}"""
     val ex = intercept[IllegalArgumentException] {
