@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TrackMate-XML ingest — the reference's ACTUAL wire format
+  * (parse_xml.py:68-113 walks `Model/AllSpots/SpotsInFrame/Spot` and
+  * `Model/AllTracks/Track/Edge` of the TmXmlWriter output,
+  * track_images.py:199-204), parsed distributed with Spark's native
+  * `from_xml`: one row per video carries its whole XML document (the
+  * reference's per-timelapse file), the nested model parses ONCE into
+  * typed arrays the optimizer can prune, and spots/edges explode out
+  * as ordinary columns — the same one-parse-then-columns treatment as
+  * the JSON ingest ([[Ingest]]), at the real format. At 100 TB the
+  * per-video documents are megabytes and parallelism is across
+  * videos; nothing ever collects.
+  *
+  * Only the columns the reference's parse keeps are declared
+  * (parse_xml.py:90-103: ID, FRAME, POSITION_X/Y plus the edge
+  * source/target/track ids); TrackMate's dozens of other feature
+  * attributes prune away unread.
+  */
+object XmlIngest {
+
+  private val spotType = StructType(Seq(
+    StructField("_ID", LongType),
+    StructField("_FRAME", LongType),
+    StructField("_POSITION_X", DoubleType),
+    StructField("_POSITION_Y", DoubleType)))
+
+  private val edgeType = StructType(Seq(
+    StructField("_SPOT_SOURCE_ID", LongType),
+    StructField("_SPOT_TARGET_ID", LongType)))
+
+  private val spotsInFrameType = StructType(Seq(
+    StructField("_frame", LongType),
+    StructField("Spot", ArrayType(spotType))))
+
+  private val trackType = StructType(Seq(
+    StructField("_TRACK_ID", LongType),
+    StructField("Edge", ArrayType(edgeType))))
+
+  /** Schema of the TrackMate model subset the reference reads. */
+  val ModelSchema: StructType = StructType(Seq(
+    StructField("AllSpots", StructType(Seq(
+      StructField("SpotsInFrame", ArrayType(spotsInFrameType))))),
+    StructField("AllTracks", StructType(Seq(
+      StructField("Track", ArrayType(trackType)))))))
+
+  /** (video, id, frame, x, y) — every spot of every video document. */
+  def spots(docs: DataFrame, video: org.apache.spark.sql.Column,
+            xml: org.apache.spark.sql.Column): DataFrame =
+    docs.select(video.as("video"),
+        from_xml(xml, ModelSchema).as("_m"))
+      .select(col("video"),
+        explode(col("_m.AllSpots.SpotsInFrame")).as("_sif"))
+      .select(col("video"), explode(col("_sif.Spot")).as("_s"))
+      .select(col("video"),
+        col("_s._ID").as("id"), col("_s._FRAME").as("frame"),
+        col("_s._POSITION_X").as("x"), col("_s._POSITION_Y").as("y"))
+
+  /** (video, track, src, dst) — every track edge of every video. */
+  def edges(docs: DataFrame, video: org.apache.spark.sql.Column,
+            xml: org.apache.spark.sql.Column): DataFrame =
+    docs.select(video.as("video"),
+        from_xml(xml, ModelSchema).as("_m"))
+      .select(col("video"), explode(col("_m.AllTracks.Track")).as("_t"))
+      .select(col("video"), col("_t._TRACK_ID").as("track"),
+        explode(col("_t.Edge")).as("_e"))
+      .select(col("video"), col("track"),
+        col("_e._SPOT_SOURCE_ID").as("src"),
+        col("_e._SPOT_TARGET_ID").as("dst"))
+}
