@@ -27,7 +27,11 @@ object XmlIngest {
     StructField("_ID", LongType),
     StructField("_FRAME", LongType),
     StructField("_POSITION_X", DoubleType),
-    StructField("_POSITION_Y", DoubleType)))
+    StructField("_POSITION_Y", DoubleType),
+    // the Spot ELEMENT TEXT: TrackMate stores the ROI polygon as
+    // space-separated position-relative coordinates here
+    // (parse_xml.py:95-99 reads spot.text and offsets by POSITION_X/Y)
+    StructField("_VALUE", StringType)))
 
   private val edgeType = StructType(Seq(
     StructField("_SPOT_SOURCE_ID", LongType),
@@ -59,6 +63,33 @@ object XmlIngest {
       .select(col("video"),
         col("_s._ID").as("id"), col("_s._FRAME").as("frame"),
         col("_s._POSITION_X").as("x"), col("_s._POSITION_Y").as("y"))
+
+  /** (video, id, frame, roi) — each spot's ROI polygon as
+    * `array<struct<x double, y double>>` in ABSOLUTE coordinates
+    * (relative vertices offset by the spot position, exactly the
+    * reference's treatment), ready for [[graft.operators.RoiShape]].
+    * Map-only on top of [[spots]]' parse. */
+  def rois(docs: DataFrame, video: org.apache.spark.sql.Column,
+           xml: org.apache.spark.sql.Column): DataFrame = {
+    val rel = transform(split(trim(col("_s._VALUE")), "\\s+"),
+      s => s.cast("double"))
+    docs.select(video.as("video"),
+        from_xml(xml, ModelSchema).as("_m"))
+      .select(col("video"),
+        explode(col("_m.AllSpots.SpotsInFrame")).as("_sif"))
+      .select(col("video"), explode(col("_sif.Spot")).as("_s"))
+      .select(col("video"),
+        col("_s._ID").as("id"), col("_s._FRAME").as("frame"),
+        col("_s._POSITION_X").as("px"), col("_s._POSITION_Y").as("py"),
+        rel.as("_rel"))
+      .filter(size(col("_rel")) >= 6) // a polygon needs 3+ vertices
+      .select(col("video"), col("id"), col("frame"),
+        transform(sequence(lit(0), (size(col("_rel")) / lit(2)).cast("int") - 1),
+          i => struct(
+            (element_at(col("_rel"), i * 2 + 1) + col("px")).as("x"),
+            (element_at(col("_rel"), i * 2 + 2) + col("py")).as("y")))
+          .as("roi"))
+  }
 
   /** (video, track, src, dst) — every track edge of every video. */
   def edges(docs: DataFrame, video: org.apache.spark.sql.Column,

@@ -14,7 +14,8 @@ class XmlIngestSpec extends SparkSpec {
     val byFrame = spots.groupBy(_._2).toSeq.sortBy(_._1)
     val spotXml = byFrame.map { case (f, ss) =>
       s"""<SpotsInFrame frame="$f">""" + ss.map { case (id, fr, x, y) =>
-        s"""<Spot ID="$id" name="ID$id" FRAME="$fr" POSITION_X="$x" POSITION_Y="$y" QUALITY="1.0" RADIUS="5.0"/>"""
+        // element text = the ROI, position-relative (a 2x2 square)
+        s"""<Spot ID="$id" name="ID$id" FRAME="$fr" POSITION_X="$x" POSITION_Y="$y" QUALITY="1.0" RADIUS="5.0">-1.0 -1.0 1.0 -1.0 1.0 1.0 -1.0 1.0</Spot>"""
       }.mkString + "</SpotsInFrame>"
     }.mkString
     val trackXml = tracks.map { case (tid, es) =>
@@ -52,6 +53,19 @@ class XmlIngestSpec extends SparkSpec {
       es.map(e => (100L, t, e._1, e._2)) } ++
       v2Tracks.flatMap { case (t, es) => es.map(e => (200L, t, e._1, e._2)) }).toSet
     assert(got === want)
+  }
+
+  test("ROIs come out position-offset and feed the shape features") {
+    val roi = XmlIngest.rois(docs, col("video"), col("xml"))
+    val first = roi.filter($"video" === 100L && $"id" === 1L)
+      .select(explode($"roi").as("p")).select("p.x", "p.y")
+      .as[(Double, Double)].collect().toSet
+    // the 2x2 relative square offset by POSITION (10, 11)
+    assert(first === Set((9.0, 10.0), (11.0, 10.0), (11.0, 12.0), (9.0, 12.0)))
+    val feats = graft.operators.RoiShape.features(roi, $"roi")
+      .select("area", "perimeter", "bbox_w", "bbox_h")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(feats.nonEmpty && feats.forall(_ == ((4.0, 8.0, 2.0, 2.0))))
   }
 
   test("parsed edges drive the division-aware labeler like any edge table") {
