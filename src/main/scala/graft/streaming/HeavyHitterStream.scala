@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One timestamped item arrival for windowed heavy-hitter detection. */
@@ -66,6 +67,36 @@ object HeavyHitterStream {
       else counters = counters.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
     }
     (counters, n)
+  }
+
+  /** The batch verification pass the stream's doc declares: exact
+    * per-window counts for the STREAMED candidates, from the stored
+    * events — the production pattern (the stream proposes with
+    * lower-bound counters; a batch pass over the archived window
+    * verifies and thresholds exactly). Only candidate (window, item)
+    * pairs are counted — the candidate set bounds the shuffle exactly
+    * as in the batch operator's stage 2 — and `minFrac = num/den`
+    * applies against the window's true row count. Output:
+    * (window_start, item, cnt) — the exact >= threshold set, provided
+    * the candidate superset property held (it does, per the per-shard
+    * Misra-Gries guarantee). */
+  def exactify(candidates: DataFrame, events: Dataset[ItemAt],
+               windowSec: Long, num: Long, den: Long): DataFrame = {
+    require(windowSec > 0 && num > 0 && den > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.toDF()
+      .select((floor(col("ts").cast("long") / windowSec) * windowSec)
+        .as("window_start"), col("item"))
+    val totals = rows.groupBy("window_start")
+      .agg(count(lit(1)).as("_total"))
+    val cand = candidates.select(col("window_start"), col("item")).distinct()
+    rows.join(cand, Seq("window_start", "item"), "left_semi")
+      .groupBy("window_start", "item")
+      .agg(count(lit(1)).as("cnt"))
+      .join(totals, Seq("window_start"))
+      .filter(col("cnt") * den >= col("_total") * num)
+      .select(col("window_start"), col("item"), col("cnt"))
   }
 
   def windowedFrequentItems(items: Dataset[ItemAt], windowSec: Long, k: Int,

@@ -108,6 +108,26 @@ class HeavyHitterStreamSpec extends SparkSpec {
     assert(got.size === 1, s"window 0 emitted more than once: $got")
   }
 
+  test("exactify turns streamed candidates into the exact per-window threshold set") {
+    val w0 = (1 to 12).map(i => ItemAt(at(i.toLong), "a")) ++
+      (1 to 6).map(i => ItemAt(at(13L + i), "b")) ++
+      (1 to 12).map(i => ItemAt(at(31L + i % 20), s"t$i"))
+    val w1 = (1 to 8).map(i => ItemAt(at(60L + i), "z")) ++
+      (1 to 4).map(i => ItemAt(at(70L + i), s"u$i"))
+    val streamed = run(Seq(w0, w1), windowSec = 60L, k = 8, shards = 4)
+    val events = (w0 ++ w1).toDS()
+    val got = HeavyHitterStream.exactify(
+        streamed.toDF(), events, windowSec = 60L, num = 1L, den = 4L)
+      .as[(Long, String, Long)].collect().toSet
+    // batch truth per window at the same 1/4 threshold
+    def batchSet(rows: Seq[ItemAt], w: Long): Set[(Long, String, Long)] =
+      graft.operators.HeavyHitters.frequentItems(
+          rows.toDF(), col("item"), 1L, 4L, 8)
+        .as[(String, Long)].collect().map { case (i, c) => (w, i, c) }.toSet
+    assert(got === batchSet(w0, 0L) ++ batchSet(w1, 60L))
+    assert(got.nonEmpty)
+  }
+
   test("windows are independent: a window's candidates come from its rows only") {
     val w0 = (1 to 10).map(i => ItemAt(at(i.toLong), "only0"))
     val w1 = (1 to 10).map(i => ItemAt(at(61L + i % 50), "only1"))
