@@ -87,6 +87,21 @@ object TrackerConfig {
     Cfg(algorithm, settings)
   }
 
+  /** Frame-to-frame LAP edges under the template's linking keys — the
+    * first Jaqaman phase, shared by [[tracks]] and [[lineage]] so the
+    * key mapping cannot diverge between the two surfaces.
+    * SimpleSparseLAP exposes no penalties, as in TrackMate. */
+  private def jaqamanFrameEdges(spots: DataFrame, cfg: Cfg,
+                                linkDist: Double): DataFrame = {
+    val pens =
+      if (cfg.algorithm == "SparseLAP")
+        cfg.penalties("LINKING_FEATURE_PENALTIES")
+          .map { case (name, w) => (col(name), w) }
+      else Nil
+    LapLink.frameToFrame(spots, col("id"), col("frame"),
+      col("x"), col("y"), linkDist, pens)
+  }
+
   /** Track labels (id, track_id) under the template's tracker. */
   def tracks(spots: DataFrame, configJson: String,
              videoOf: Long => Long): DataFrame = {
@@ -112,13 +127,7 @@ object TrackerConfig {
           maxDist = cfg.d("KALMAN_SEARCH_RADIUS", linkDist),
           gapFrames = cfg.i("MAX_FRAME_GAP", 2), videoOf)
       case "SimpleSparseLAP" | "SparseLAP" =>
-        val pens =
-          if (cfg.algorithm == "SparseLAP")
-            cfg.penalties("LINKING_FEATURE_PENALTIES")
-              .map { case (name, w) => (col(name), w) }
-          else Nil // SimpleSparseLAP exposes no penalties, as in TrackMate
-        val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
-          col("x"), col("y"), linkDist, pens)
+        val edges = jaqamanFrameEdges(spots, cfg, linkDist)
         if (cfg.b("ALLOW_GAP_CLOSING", dflt = true))
           TrackAssignment.divisionAwareGapClosedByVideo(spots,
             edges.select("src", "dst"),
@@ -163,14 +172,15 @@ object TrackerConfig {
     val cfg = parse(configJson)
     require(cfg.algorithm == "SparseLAP" || cfg.algorithm == "SimpleSparseLAP",
       s"lineage is a Jaqaman-tracker surface; got ${cfg.algorithm}")
+    // the second-phase matrix solves gap/split/merge JOINTLY; a
+    // template disabling gap closing while keeping split/merge blocks
+    // is not expressible here — throw rather than silently include
+    // gap-close edges tracks() would not have made
+    require(cfg.b("ALLOW_GAP_CLOSING", dflt = true),
+      "lineage requires ALLOW_GAP_CLOSING (the split/merge blocks solve " +
+        "jointly with gap closing in this engine)")
     val linkDist = cfg.d("LINKING_MAX_DISTANCE", 15.0)
-    val pens =
-      if (cfg.algorithm == "SparseLAP")
-        cfg.penalties("LINKING_FEATURE_PENALTIES")
-          .map { case (name, w) => (col(name), w) }
-      else Nil
-    val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
-      col("x"), col("y"), linkDist, pens)
+    val edges = jaqamanFrameEdges(spots, cfg, linkDist)
     val labels = TrackAssignment.divisionAwareByVideo(spots,
       edges.select("src", "dst"), videoOf)
     LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),

@@ -52,32 +52,36 @@ object XmlIngest {
     StructField("AllTracks", StructType(Seq(
       StructField("Track", ArrayType(trackType)))))))
 
-  /** (video, id, frame, x, y) — every spot of every video document. */
-  def spots(docs: DataFrame, video: org.apache.spark.sql.Column,
+  /** Parse each video's document ONCE: (video, model). Feed the
+    * result to [[spots]]/[[rois]]/[[edges]] — a pipeline reading more
+    * than one surface should `.persist` this (XML parsing dominates
+    * the ingest cost; three surfaces off one unpersisted parse would
+    * re-parse per action). */
+  def parse(docs: DataFrame, video: org.apache.spark.sql.Column,
             xml: org.apache.spark.sql.Column): DataFrame =
-    docs.select(video.as("video"),
-        from_xml(xml, ModelSchema).as("_m"))
+    docs.select(video.as("video"), from_xml(xml, ModelSchema).as("model"))
+
+  private def spotRows(model: DataFrame): DataFrame =
+    model
       .select(col("video"),
-        explode(col("_m.AllSpots.SpotsInFrame")).as("_sif"))
+        explode(col("model.AllSpots.SpotsInFrame")).as("_sif"))
       .select(col("video"), explode(col("_sif.Spot")).as("_s"))
-      .select(col("video"),
-        col("_s._ID").as("id"), col("_s._FRAME").as("frame"),
-        col("_s._POSITION_X").as("x"), col("_s._POSITION_Y").as("y"))
+
+  /** (video, id, frame, x, y) — every spot, from a [[parse]]d model. */
+  def spots(model: DataFrame): DataFrame =
+    spotRows(model).select(col("video"),
+      col("_s._ID").as("id"), col("_s._FRAME").as("frame"),
+      col("_s._POSITION_X").as("x"), col("_s._POSITION_Y").as("y"))
 
   /** (video, id, frame, roi) — each spot's ROI polygon as
     * `array<struct<x double, y double>>` in ABSOLUTE coordinates
     * (relative vertices offset by the spot position, exactly the
     * reference's treatment), ready for [[graft.operators.RoiShape]].
-    * Map-only on top of [[spots]]' parse. */
-  def rois(docs: DataFrame, video: org.apache.spark.sql.Column,
-           xml: org.apache.spark.sql.Column): DataFrame = {
+    * Map-only over a [[parse]]d model. */
+  def rois(model: DataFrame): DataFrame = {
     val rel = transform(split(trim(col("_s._VALUE")), "\\s+"),
       s => s.cast("double"))
-    docs.select(video.as("video"),
-        from_xml(xml, ModelSchema).as("_m"))
-      .select(col("video"),
-        explode(col("_m.AllSpots.SpotsInFrame")).as("_sif"))
-      .select(col("video"), explode(col("_sif.Spot")).as("_s"))
+    spotRows(model)
       .select(col("video"),
         col("_s._ID").as("id"), col("_s._FRAME").as("frame"),
         col("_s._POSITION_X").as("px"), col("_s._POSITION_Y").as("py"),
@@ -91,12 +95,11 @@ object XmlIngest {
           .as("roi"))
   }
 
-  /** (video, track, src, dst) — every track edge of every video. */
-  def edges(docs: DataFrame, video: org.apache.spark.sql.Column,
-            xml: org.apache.spark.sql.Column): DataFrame =
-    docs.select(video.as("video"),
-        from_xml(xml, ModelSchema).as("_m"))
-      .select(col("video"), explode(col("_m.AllTracks.Track")).as("_t"))
+  /** (video, track, src, dst) — every track edge, from a [[parse]]d
+    * model. */
+  def edges(model: DataFrame): DataFrame =
+    model
+      .select(col("video"), explode(col("model.AllTracks.Track")).as("_t"))
       .select(col("video"), col("_t._TRACK_ID").as("track"),
         explode(col("_t.Edge")).as("_e"))
       .select(col("video"), col("track"),

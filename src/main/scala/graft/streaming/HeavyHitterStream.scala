@@ -77,14 +77,19 @@ object HeavyHitterStream {
     * pairs are counted — the candidate set bounds the shuffle exactly
     * as in the batch operator's stage 2 — and `minFrac = num/den`
     * applies against the window's true row count. Output:
-    * (window_start, item, cnt) — the exact >= threshold set, provided
-    * the candidate superset property held (it does, per the per-shard
-    * Misra-Gries guarantee). */
+    * (window_start, item, cnt) — the exact >= threshold set over the
+    * rows the STREAM PROCESSED: the per-shard Misra-Gries guarantee
+    * makes candidates a superset of every heavy hitter among sketched
+    * rows, but a row later than the watermark delay was dropped before
+    * sketching, so an item heavy ONLY in the archive's late tail can
+    * be absent from the candidates (and hence from this output) even
+    * if `events` includes it. Archive with the same watermark
+    * discipline — or treat the result as exact w.r.t. the stream's
+    * admitted rows — the same caveat every watermark-bounded
+    * aggregation carries. */
   def exactify(candidates: DataFrame, events: Dataset[ItemAt],
                windowSec: Long, num: Long, den: Long): DataFrame = {
     require(windowSec > 0 && num > 0 && den > 0)
-    val spark = events.sparkSession
-    import spark.implicits._
     val rows = events.toDF()
       .select((floor(col("ts").cast("long") / windowSec) * windowSec)
         .as("window_start"), col("item"))

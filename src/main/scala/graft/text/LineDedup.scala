@@ -21,7 +21,8 @@ import org.apache.spark.storage.StorageLevel
   * smaller than the line universe, so AQE turns the anti join into a
   * broadcast in practice while the plan stays correct when a
   * pathological corpus makes it large. The exploded lines are
-  * persisted once and feed both consumers.
+  * persisted once and feed all three consumers (df aggregate, anti
+  * join, per-doc totals).
   */
 object LineDedup {
 
@@ -33,7 +34,7 @@ object LineDedup {
     require(maxDocs >= 1L)
     val lines = df
       .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // df aggregate + anti join both read it
+      .persist(StorageLevel.MEMORY_AND_DISK) // df agg + anti join + totals read it
     val hot = lines.groupBy(col("line"))
       .agg(count_distinct(col("doc_id")).as("_df"))
       .filter(col("_df") > maxDocs)
@@ -45,12 +46,17 @@ object LineDedup {
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             p => p("line"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
-    df.select(id.as("doc_id"),
-        size(split(text, "\n")).cast("long").as("_n_lines"))
+    // per-doc line totals come from the SAME persisted explode (a
+    // re-scan of the raw text would re-evaluate the text expression a
+    // third time); a null-text doc has no lines and counts 0/0
+    val counts = lines.groupBy("doc_id").agg(count(lit(1)).as("_n_lines"))
+    df.select(id.as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("_n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        (coalesce(col("_n_lines"), lit(0L))
+          - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 }

@@ -51,9 +51,10 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // persist before the totals collect so the partition ids the
     // prefix table was built from are exactly the ones joined against
+    // (the collect itself is the materializing action — no separate
+    // count pass needed)
     val local = base.withColumn("_cum", sum("n_tokens").over(win))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    local.count()
     val totals = local.groupBy("_part").agg(max("_cum").as("_tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val prefix = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>

@@ -54,11 +54,15 @@ object SemDedup {
           typedlit(emb))).as("s"),
         lit(cell).as("c"))
     }.toIndexedSeq: _*)
+    // persisted: both self-join sides read it — without this the
+    // nlist-wide scoring + sort + explode run twice over the corpus
+    // (the jaccardPairs persist-shared-subtrees rule)
     val v = vecs
       .withColumn("_probe", slice(array_sort(scored), 1, nprobe))
       .withColumn("cell", explode(transform(col("_probe"), p => p("c"))))
       .select(col("cell"), col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim",

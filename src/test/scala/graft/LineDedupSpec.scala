@@ -44,6 +44,15 @@ class LineDedupSpec extends SparkSpec {
     assert(got._2 === "same line\nsame line\nsame line" && got._4 === 0L)
   }
 
+  test("null text yields zero counts, not negatives") {
+    val withNull = Seq((1L, "kept line"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = LineDedup.dedupLines(withNull, col("doc_id"), col("text"), 5L)
+      .as[(Long, String, Long, Long)].collect().toMap2
+    assert(got(2L) === (("", 0L, 0L)))
+    assert(got(1L) === (("kept line", 1L, 0L)))
+  }
+
   implicit private class MapOps(rows: Array[(Long, String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap

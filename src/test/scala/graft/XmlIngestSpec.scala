@@ -38,8 +38,10 @@ class XmlIngestSpec extends SparkSpec {
     (200L, model(v2Spots, v2Tracks))
   ).toDF("video", "xml")
 
+  private def parsedModel = XmlIngest.parse(docs, col("video"), col("xml"))
+
   test("spots explode out of the nested model, typed") {
-    val got = XmlIngest.spots(docs, col("video"), col("xml"))
+    val got = XmlIngest.spots(parsedModel)
       .as[(Long, Long, Long, Double, Double)].collect().toSet
     val want = (v1Spots.map(s => (100L, s._1, s._2, s._3, s._4)) ++
       v2Spots.map(s => (200L, s._1, s._2, s._3, s._4))).toSet
@@ -47,7 +49,7 @@ class XmlIngestSpec extends SparkSpec {
   }
 
   test("track edges explode with their track ids") {
-    val got = XmlIngest.edges(docs, col("video"), col("xml"))
+    val got = XmlIngest.edges(parsedModel)
       .as[(Long, Long, Long, Long)].collect().toSet
     val want = (v1Tracks.flatMap { case (t, es) =>
       es.map(e => (100L, t, e._1, e._2)) } ++
@@ -56,7 +58,7 @@ class XmlIngestSpec extends SparkSpec {
   }
 
   test("ROIs come out position-offset and feed the shape features") {
-    val roi = XmlIngest.rois(docs, col("video"), col("xml"))
+    val roi = XmlIngest.rois(parsedModel)
     val first = roi.filter($"video" === 100L && $"id" === 1L)
       .select(explode($"roi").as("p")).select("p.x", "p.y")
       .as[(Double, Double)].collect().toSet
@@ -69,10 +71,10 @@ class XmlIngestSpec extends SparkSpec {
   }
 
   test("parsed edges drive the division-aware labeler like any edge table") {
-    val sp = XmlIngest.spots(docs, col("video"), col("xml"))
+    val sp = XmlIngest.spots(parsedModel)
       .select(($"video" * 1000L + $"id").as("id"),
         $"frame", $"x", $"y")
-    val ed = XmlIngest.edges(docs, col("video"), col("xml"))
+    val ed = XmlIngest.edges(parsedModel)
       .select(($"video" * 1000L + $"src").as("src"),
         ($"video" * 1000L + $"dst").as("dst"))
     val labels = graft.operators.TrackAssignment.divisionAwareByVideo(
