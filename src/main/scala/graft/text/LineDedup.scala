@@ -14,15 +14,15 @@ import org.apache.spark.storage.StorageLevel
   * cannot express it.
   *
   * Scale shape: the two line-grain passes (document-frequency
-  * aggregate; anti join + per-doc rebuild) are inherent to the
+  * aggregate; hot-mark join + per-doc rebuild) are inherent to the
   * operator — C4 runs exactly this shape — and both partially
   * aggregate map-side. The hot-line set is the filter's OUTPUT-side
   * artifact (only lines crossing the threshold), orders of magnitude
-  * smaller than the line universe, so AQE turns the anti join into a
+  * smaller than the line universe, so AQE turns the mark join into a
   * broadcast in practice while the plan stays correct when a
   * pathological corpus makes it large. The exploded lines are
-  * persisted once and feed all three consumers (df aggregate, anti
-  * join, per-doc totals).
+  * persisted once and feed both consumers (df aggregate; hot-mark
+  * join + rebuild).
   */
 object LineDedup {
 
@@ -34,24 +34,30 @@ object LineDedup {
     require(maxDocs >= 1L)
     val lines = df
       .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // df agg + anti join + totals read it
+      .persist(StorageLevel.MEMORY_AND_DISK) // df agg + hot-mark join read it
     val hot = lines.groupBy(col("line"))
       .agg(count_distinct(col("doc_id")).as("_df"))
       .filter(col("_df") > maxDocs)
       .select("line")
-    val rebuilt = lines.join(hot, Seq("line"), "left_anti")
-      .groupBy("doc_id")
+    // mark hot lines instead of anti-joining them away, so ONE
+    // aggregate rebuilds the text AND counts kept/total — no second
+    // per-doc aggregate and no re-scan of the raw text (a re-split
+    // of `text` here would re-evaluate the text expression over the
+    // whole corpus a third time); a null-text doc has no lines and
+    // resolves to 0/0 through the final left join
+    val marked = lines.join(hot.withColumn("_hot", lit(true)), Seq("line"), "left")
+    val rebuilt = marked.groupBy("doc_id")
       .agg(
         concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("line"),
+                coalesce(col("_hot"), lit(false)).as("h")))),
+              p => !p("h")),
             p => p("line"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    // per-doc line totals come from the SAME persisted explode (a
-    // re-scan of the raw text would re-evaluate the text expression a
-    // third time); a null-text doc has no lines and counts 0/0
-    val counts = lines.groupBy("doc_id").agg(count(lit(1)).as("_n_lines"))
+        count(when(col("_hot").isNull, 1)).as("n_kept"),
+        count(lit(1)).as("_n_lines"))
     df.select(id.as("doc_id"))
-      .join(counts, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
