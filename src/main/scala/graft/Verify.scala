@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -14,6 +14,7 @@ object TestSession {
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
