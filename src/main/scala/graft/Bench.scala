@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/parquet-footer caches so the first timed query
@@ -28,7 +29,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // excluded from the default bench run for line budget (see below);
     // still benchable explicitly via SPARK_GRAFT_ONLY
-    val lineSkip = Set("q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack", "q_chunk",
+    val lineSkip = Set("q_rjr", "q_pq",
+      "q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack", "q_chunk",
       "q_corpus", "q_semdedup", "q_ldedup")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>

@@ -189,6 +189,21 @@ object SparkEntry {
           tiers, col("value"), 50.0)
         .select("event_id", "tier")
     }),
+    // Same join as q_range_join but written NAIVELY (inequality-only
+    // condition) and rewritten to the binned plan by the injected
+    // optimizer rule (plans.RangeJoinRule). The bin conf stays set for
+    // the session — safe: the rule only fires on inequality-only inner
+    // joins, which no other query has, and the rewrite is
+    // semantics-preserving for any positive width.
+    "q_rjr" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set(graft.plans.RangeJoinRule.BinConf, "50")
+      val tiers = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),
+        (150.0, 1000.0, "high")).toDF("lo", "hi", "tier")
+      events(s, d).select("event_id", "value")
+        .join(tiers, col("value") >= col("lo") && col("value") < col("hi"))
+        .select("event_id", "tier")
+    }),
     "q_gap_fill" -> ((s, d) =>
       GapFill.linear(events(s, d), "user_id",
         expr("unix_timestamp(ts) div 3600"), col("value"))),
@@ -400,6 +415,17 @@ object SparkEntry {
       val (assigned, cents) = vector.IvfAnn.quantizeCached(d, emb, nlist = 16)
       vector.IvfAnn.topKWith(assigned, cents, emb,
         emb.filter(col("vec_id") < 10), 5, nprobe = 4)
+    }),
+    // IVF-PQ: same probe, but candidates ranked on m-byte codes (ADC)
+    // with exact re-rank of the survivors — the billion-vector serving
+    // shape. Rows-only: recall/parity are spec-pinned (PqAnnSpec).
+    "q_pq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (assigned, cents) = vector.IvfAnn.quantizeCached(d, emb, nlist = 16)
+      val book = vector.PqAnn.collectBook(vector.PqAnn.train(emb, 64, 8, 16))
+      val encoded = vector.PqAnn.encode(emb, book, 64)
+      vector.PqAnn.topKWith(assigned, cents, encoded, book, emb,
+        emb.filter(col("vec_id") < 10), 5, dim = 64, nprobe = 4, rerank = 8)
     }),
     // threshold 0.4 (not 0.9): the driver's embeddings are near-random
     // 64-dim vectors (cosine ~ N(0, 1/64)); 0.4 = 3.2 sigma keeps the
@@ -1469,6 +1495,13 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "q_range_join" ->
+      """SELECT e.event_id, t.tier
+        |FROM events e
+        |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+        |             (150.0, 1000.0, 'high')) AS t(lo, hi, tier)
+        |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin,
+
+    "q_rjr" ->
       """SELECT e.event_id, t.tier
         |FROM events e
         |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
