@@ -45,7 +45,8 @@ object Plans {
       "q_gct" -> "two-phase LAP tracker: frame-to-frame Hungarian, then labels + segment gap-close Hungarian + relabel FUSED into ONE cogroup per video — the corpus shuffles once per input, everything else is local per video; nothing iterative, nothing driver-side",
       "q_decon" -> "test-set decontamination: the fixed-size eval shingle set rides as the BROADCAST side, the corpus is scanned once map-only into the broadcast-hash join, and only the matched postings (a vanishing fraction) shuffle for the pair aggregate",
       "q_pack" -> "sequence packing: two-level distributed scan — range partition, per-partition window cumsums in PARALLEL (keyed by partition id, not one global single-task window), width-bounded totals collect, broadcast partition-offset add",
-      "q_ldedup" -> "corpus-wide boilerplate-line removal: exploded lines persisted once for the df aggregate + anti join, map-side partial aggregates, output-sized hot set broadcast by AQE, per-doc ordered rebuild in one shuffle",
+      "q_ldedup" -> "corpus-wide boilerplate-line removal: exploded lines persisted once, map-side partial aggregates, output-sized hot set broadcast by AQE, hot-mark join + ONE per-doc aggregate rebuilding text and counts together",
+      "q_rjr" -> "range join written NAIVELY (inequality-only condition — stock Spark: BroadcastNestedLoopJoin) and rewritten by the injected RangeJoinRule to the binned equi-join: point-bin vs sequence-exploded interval bins, original predicate re-applied",
       "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, within-cell pair join, component closure over the pair evidence")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
