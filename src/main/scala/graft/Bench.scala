@@ -29,7 +29,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // excluded from the default bench run for line budget (see below);
     // still benchable explicitly via SPARK_GRAFT_ONLY
-    val lineSkip = Set("q_rjr", "q_pq",
+    val lineSkip = Set("q_rjr", "q_pq", "q_mix",
       "q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack", "q_chunk",
       "q_corpus", "q_semdedup", "q_ldedup")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

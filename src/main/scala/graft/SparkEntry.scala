@@ -518,6 +518,18 @@ object SparkEntry {
       TextFeatures.urlScrub(documents(s, d), col("doc_id"), col("text"))),
     // cap the high-resource language, keep the rest: the standard
     // corpus-mixture rebalancing, deterministic across engines/runs
+    // Domain-mixture sampling: water-filled keep-rates realize target
+    // relative weights (src0-4 upweighted 3x) under a 35% token
+    // budget, then the deterministic Lehmer filter samples. Rates stay
+    // uncapped at every SF (uniform ~5% domain shares), so the oracle
+    // reproduces the whole computation in SQL; the capping rounds are
+    // spec-pinned (MixtureSpec).
+    "q_mix" -> ((s, d) => {
+      val w = (0 until 5).map(i => s"src$i" -> 3.0).toMap ++
+        (5 until 20).map(i => s"src$i" -> 1.0).toMap
+      text.Mixture.sample(documents(s, d), col("doc_id"), col("source"),
+        col("n_chars"), w, 0.35).select("doc_id", "source")
+    }),
     "q_sample_stratified" -> ((s, d) =>
       TextFeatures.sampleStratified(documents(s, d), col("doc_id"), col("lang"),
           Map("en" -> 0.25, "zh" -> 0.8), 1.0)
@@ -1722,6 +1734,27 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 10000 <
         |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 8000 ELSE 10000 END""".stripMargin,
+
+    // Mirrors Mixture.rates' uncapped water-filling arithmetic exactly:
+    // rate = ((budgetFraction * T) * w_d) / W / t_d, bps = floor(r*1e4+0.5)
+    "q_mix" ->
+      """WITH tot AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS t
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, t,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |         THEN 3.0 ELSE 1.0 END AS wt
+        |  FROM tot
+        |), r AS (
+        |  SELECT source,
+        |    CAST(FLOOR(((0.35 * (SELECT SUM(t) FROM tot)) * wt)
+        |      / (SELECT SUM(wt) FROM w) / t * 10000 + 0.5) AS BIGINT) AS bps
+        |  FROM w
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (d.doc_id % 2147483647) * 48271 % 2147483647 % 10000 < r.bps""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (
