@@ -530,6 +530,16 @@ object SparkEntry {
       text.Mixture.sample(documents(s, d), col("doc_id"), col("source"),
         col("n_chars"), w, 0.35).select("doc_id", "source")
     }),
+    // DSIR data selection against the doc_id%11 target slice (the
+    // decontamination eval split doing double duty as the "domain"):
+    // per-doc average log-ratio of the two corpus bigram LMs, then the
+    // Gumbel-top-k resample of 100 docs on the perturbed logit.
+    "q_dsir" -> ((s, d) =>
+      text.Dsir.scores(documents(s, d), col("doc_id"), col("text"),
+        col("doc_id") % 11 === 0)),
+    "q_dsirs" -> ((s, d) =>
+      text.Dsir.sample(documents(s, d), col("doc_id"), col("text"),
+        col("doc_id") % 11 === 0, 100)),
     "q_sample_stratified" -> ((s, d) =>
       TextFeatures.sampleStratified(documents(s, d), col("doc_id"), col("lang"),
           Map("en" -> 0.25, "zh" -> 0.8), 1.0)
@@ -1729,6 +1739,72 @@ object SparkEntry {
         |  floor(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / len(string_split_regex(text, '\s+')) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents""".stripMargin,
+
+    // Mirrors Dsir.scored: shared-vocabulary add-one models, klp summed
+    // as decimal(28,8) exactly like the fused BigramScore kernel
+    "q_dsir" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 11 = 0 AS tgt,
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+        |  FROM documents
+        |), dd AS (
+        |  SELECT * FROM d WHERE length(t) >= 2
+        |), g AS (
+        |  SELECT doc_id, tgt, substr(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS k
+        |  FROM dd, UNNEST(range(1, length(t))) AS r(i)
+        |  GROUP BY 1, 2, 3
+        |), model AS (
+        |  SELECT bg, SUM(k) AS c,
+        |    SUM(CASE WHEN tgt THEN k ELSE 0 END) AS ct
+        |  FROM g GROUP BY bg
+        |), tot AS (
+        |  SELECT SUM(c) AS tot, SUM(ct) AS tott, COUNT(*) AS v FROM model
+        |), lp AS (
+        |  SELECT g.doc_id, g.k,
+        |    g.k * (ln((model.ct + 1.0) / (tot.tott + tot.v))
+        |         - ln((model.c + 1.0) / (tot.tot + tot.v))) AS klp
+        |  FROM g JOIN model USING (bg) CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  floor(CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_log_ratio
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    // q_dsir's score pass + the deterministic Lehmer Gumbel; ties on
+    // the 1e-6-quantized key break by doc_id in both engines
+    "q_dsirs" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 11 = 0 AS tgt,
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+        |  FROM documents
+        |), dd AS (
+        |  SELECT * FROM d WHERE length(t) >= 2
+        |), g AS (
+        |  SELECT doc_id, tgt, substr(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS k
+        |  FROM dd, UNNEST(range(1, length(t))) AS r(i)
+        |  GROUP BY 1, 2, 3
+        |), model AS (
+        |  SELECT bg, SUM(k) AS c,
+        |    SUM(CASE WHEN tgt THEN k ELSE 0 END) AS ct
+        |  FROM g GROUP BY bg
+        |), tot AS (
+        |  SELECT SUM(c) AS tot, SUM(ct) AS tott, COUNT(*) AS v FROM model
+        |), lp AS (
+        |  SELECT g.doc_id, g.k,
+        |    g.k * (ln((model.ct + 1.0) / (tot.tott + tot.v))
+        |         - ln((model.c + 1.0) / (tot.tot + tot.v))) AS klp
+        |  FROM g JOIN model USING (bg) CROSS JOIN tot
+        |), s AS (
+        |  SELECT doc_id,
+        |    floor(CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS avg_lr
+        |  FROM lp GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  floor((avg_lr - ln(-ln(
+        |    ((doc_id % 2147483647) * 48271 % 2147483647 % 1000000 + 0.5)
+        |      / 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS skey
+        |FROM s ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
