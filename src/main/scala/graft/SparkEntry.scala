@@ -530,6 +530,11 @@ object SparkEntry {
       text.Mixture.sample(documents(s, d), col("doc_id"), col("source"),
         col("n_chars"), w, 0.35).select("doc_id", "source")
     }),
+    // ExactSubstr span dedup: repeated >=8-token spans removed
+    // everywhere but their first (doc_id, pos) occurrence, text
+    // rebuilt from surviving tokens
+    "q_span" -> ((s, d) =>
+      text.SpanDedup.dedupSpans(documents(s, d), col("doc_id"), col("text"), 8)),
     // DSIR data selection against the doc_id%11 target slice (the
     // decontamination eval split doing double duty as the "domain"):
     // per-doc average log-ratio of the two corpus bigram LMs, then the
@@ -1739,6 +1744,60 @@ object SparkEntry {
         |  floor(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / len(string_split_regex(text, '\s+')) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents""".stripMargin,
+
+    // Mirrors SpanDedup: packed (doc_id*2^21+pos) canonical election,
+    // island merge of overlapping/adjacent removed spans, rebuild
+    "q_span" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(tk[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS gram
+        |  FROM tok, UNNEST(range(0, len(tk) - 7)) AS r(i)
+        |  WHERE len(tk) >= 8
+        |), w AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY gram) AS c,
+        |    MIN(doc_id * 2097152 + pos) OVER (PARTITION BY gram) AS first
+        |  FROM g
+        |), dup AS (
+        |  SELECT doc_id, pos FROM w
+        |  WHERE c > 1 AND doc_id * 2097152 + pos <> first
+        |), isl0 AS (
+        |  SELECT doc_id, pos AS s, pos + 7 AS e,
+        |    CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(flag) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+        |  FROM isl0
+        |), spans AS (
+        |  SELECT doc_id, gid, MIN(s) AS s, MAX(e) AS e
+        |  FROM isl GROUP BY doc_id, gid
+        |), per AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_removed
+        |  FROM spans GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i+1 AS INT)] AS tok
+        |  FROM tok, UNNEST(range(0, len(tk))) AS r(i)
+        |), clean AS (
+        |  SELECT t.doc_id,
+        |    COALESCE(string_agg(CASE WHEN sp.s IS NULL THEN t.tok END,
+        |      ' ' ORDER BY t.pos), '') AS text_clean
+        |  FROM toks t LEFT JOIN spans sp
+        |    ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT tok.doc_id, CAST(len(tok.tk) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(per.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  clean.text_clean AS text_clean
+        |FROM tok
+        |LEFT JOIN per ON tok.doc_id = per.doc_id
+        |JOIN clean ON tok.doc_id = clean.doc_id""".stripMargin,
 
     // Mirrors Dsir.scored: shared-vocabulary add-one models, klp summed
     // as decimal(28,8) exactly like the fused BigramScore kernel
