@@ -47,7 +47,9 @@ object Plans {
       "q_pack" -> "sequence packing: two-level distributed scan — range partition, per-partition window cumsums in PARALLEL (keyed by partition id, not one global single-task window), width-bounded totals collect, broadcast partition-offset add",
       "q_ldedup" -> "corpus-wide boilerplate-line removal: exploded lines persisted once, map-side partial aggregates, output-sized hot set broadcast by AQE, hot-mark join + ONE per-doc aggregate rebuilding text and counts together",
       "q_rjr" -> "range join written NAIVELY (inequality-only condition — stock Spark: BroadcastNestedLoopJoin) and rewritten by the injected RangeJoinRule to the binned equi-join: point-bin vs sequence-exploded interval bins, original predicate re-applied",
-      "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, within-cell pair join, component closure over the pair evidence")
+      "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, within-cell pair join, component closure over the pair evidence",
+      "q_span" -> "ExactSubstr span dedup: map-side gram materialization from the token array, ONE corpus shuffle electing canonical occurrences via packed-long min (HASH aggregate), output-sized dup-start join-back, island merge + rebuild as map-side array folds",
+      "q_dsir" -> "DSIR data selection: one cached BigramCounts kernel pass feeds BOTH corpus LMs in a single bounded aggregate (≤39² rows collected), scoring is the fused map-only BigramScore kernel on the cached arrays — no second corpus scan")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
