@@ -545,6 +545,12 @@ object SparkEntry {
     "q_dsirs" -> ((s, d) =>
       text.Dsir.sample(documents(s, d), col("doc_id"), col("text"),
         col("doc_id") % 11 === 0, 100)),
+    // exact-17-per-source eval split: bucket-histogram rank-k, no
+    // full per-group sort (oracle states the semantics as the naive
+    // window — the implementations must agree exactly)
+    "q_ksamp" -> ((s, d) =>
+      text.SampleK.sampleExactK(documents(s, d), col("doc_id"),
+        col("source"), 17)),
     "q_sample_stratified" -> ((s, d) =>
       TextFeatures.sampleStratified(documents(s, d), col("doc_id"), col("lang"),
           Map("en" -> 0.25, "zh" -> 0.8), 1.0)
@@ -1864,6 +1870,16 @@ object SparkEntry {
         |    ((doc_id % 2147483647) * 48271 % 2147483647 % 1000000 + 0.5)
         |      / 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS skey
         |FROM s ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+
+    // the SEMANTICS of sampleExactK: k smallest (Lehmer key, doc_id)
+    // per group — the bucket histogram is implementation only
+    "q_ksamp" ->
+      """SELECT doc_id, grp FROM (
+        |  SELECT doc_id, source AS grp,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 17""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
