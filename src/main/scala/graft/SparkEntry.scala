@@ -530,6 +530,20 @@ object SparkEntry {
       text.Mixture.sample(documents(s, d), col("doc_id"), col("source"),
         col("n_chars"), w, 0.35).select("doc_id", "source")
     }),
+    // BPE tokenizer trained on the corpus's own word histogram (200
+    // merges, 20k-word cap), then per-doc subword stats under it —
+    // rows-only (the merge loop is not SQL-expressible); BpeSpec pins
+    // the algorithm
+    "q_bpe" -> ((s, d) => {
+      val docs = documents(s, d)
+      val model = text.Bpe.train(docs, col("text"), numMerges = 200,
+        maxWords = 20000)
+      text.Bpe.encodeStats(docs, col("doc_id"), col("text"), model)
+    }),
+    // OOV-word rate against the corpus top-1000 vocabulary — the
+    // oracled relational sibling of the BPE surface
+    "q_oov" -> ((s, d) =>
+      text.Bpe.oovRate(documents(s, d), col("doc_id"), col("text"), 1000)),
     // ExactSubstr span dedup: repeated >=8-token spans removed
     // everywhere but their first (doc_id, pos) occurrence, text
     // rebuilt from surviving tokens
@@ -1750,6 +1764,28 @@ object SparkEntry {
         |  floor(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / len(string_split_regex(text, '\s+')) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents""".stripMargin,
+
+    // Mirrors Bpe.oovRate: UNCAPPED histogram, top-v by (cnt desc,
+    // word), token-grain left join, cround'd rate
+    "q_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, word FROM tok WHERE length(word) > 0
+        |), h AS (
+        |  SELECT word, COUNT(*) AS cnt FROM t GROUP BY word
+        |), vcb AS (
+        |  SELECT word FROM (
+        |    SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rn
+        |    FROM h) WHERE rn <= 1000
+        |)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  floor(SUM(CASE WHEN v.word IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
+        |FROM t LEFT JOIN vcb v USING (word)
+        |GROUP BY t.doc_id""".stripMargin,
 
     // Mirrors SpanDedup: packed (doc_id*2^21+pos) canonical election,
     // island merge of overlapping/adjacent removed spans, rebuild
