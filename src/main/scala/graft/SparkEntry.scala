@@ -381,6 +381,16 @@ object SparkEntry {
       Binary.sampleFrameFeatures(s, Binary.withPayload(documents(s, d)), everyK = 2)
         .toDF()
         .withColumn("mean_px", graft.functions.Numeric.cround(col("mean_px"), 4))),
+    // cooccurrence (GLCM/Haralick) + first-order texture features per
+    // sampled frame — rows-only (no SQL-expressible oracle; math
+    // pinned by TextureGlcmSpec's hand-computed matrices)
+    "q_glcm" -> ((s, d) => {
+      val f = Binary.sampleFrameGlcm(s, Binary.withPayload(documents(s, d)), everyK = 2)
+        .toDF()
+      val r4 = Seq("glcm_contrast", "glcm_homog", "glcm_energy", "glcm_entropy",
+        "glcm_corr", "px_mean", "px_sd", "px_skew", "px_iqr")
+      r4.foldLeft(f)((df, c) => df.withColumn(c, graft.functions.Numeric.cround(col(c), 4)))
+    }),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
     "q_ml_classify" -> ((s, d) =>
       graft.ml.Models.classifyEmbeddings(embeddings(s, d)

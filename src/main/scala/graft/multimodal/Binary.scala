@@ -14,6 +14,16 @@ case class FrameFeature(doc_id: Long, frame_idx: Int, mean_px: Double,
                         tex_lh: Double, tex_hl: Double, tex_hh: Double,
                         checksum: Long)
 
+/** Per-sampled-frame cooccurrence + first-order texture features (the
+  * GLCM sibling of FrameFeature; math in Texture.glcmFeatures /
+  * firstOrderStats is real). */
+case class GlcmFrame(doc_id: Long, frame_idx: Int,
+                     glcm_contrast: Double, glcm_homog: Double,
+                     glcm_energy: Double, glcm_entropy: Double,
+                     glcm_corr: Double,
+                     px_mean: Double, px_sd: Double, px_skew: Double,
+                     px_iqr: Double)
+
 /** Multimodal column plumbing (reference: per-frame TIFF handling in
   * bin/frame_features_image.py — load_image / normalise / feature
   * extract). Images/audio/video are opaque `binary` columns with typed
@@ -73,16 +83,45 @@ object Binary {
       }
   }
 
+  /** Cooccurrence-texture variant of `sampleFrameFeatures`: the same
+    * one-pass batched decode (payload crosses once per asset), but the
+    * per-frame extraction is the GLCM/Haralick + first-order family
+    * (reference: the cooccurrence members of `extract_static_features`,
+    * bin/frame_features_image.py:58-66). Pixel source is the shared
+    * deterministic stub; the feature math is real. */
+  def sampleFrameGlcm(spark: SparkSession, df: DataFrame, everyK: Int = 2,
+                      batchSize: Int = 64, levels: Int = 8): Dataset[GlcmFrame] = {
+    import spark.implicits._
+    require(everyK >= 1)
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec init would happen here
+          batch.iterator.flatMap { case (id, bytes) =>
+            val nFrames = 1 + math.floorMod(bytes.length, 8)
+            (0 until nFrames by everyK).iterator.map { fi =>
+              val (px, _, _) = fabricatePixels(fi, bytes)
+              val (con, hom, en, ent, cor) =
+                Texture.glcmFeatures(px, FrameDim, FrameDim, levels)
+              val (m, sd, sk, iqr) = Texture.firstOrderStats(px, px.length)
+              GlcmFrame(id, fi, con, hom, en, ent, cor, m, sd, sk, iqr)
+            }
+          }
+        }
+      }
+  }
+
   private val FrameDim = 8
 
-  private def fakeFrameDecode(id: Long, frameIdx: Int, bytes: Array[Byte],
-                              downsampleBy: Int): FrameFeature = {
+  /** STUB pixel fabrication shared by both frame-feature paths: an 8x8
+    * block derived deterministically from the payload bytes and the
+    * frame index stands in for the decoded frame; the texture math
+    * downstream is real. Returns (pixels, checksum, mean byte value). */
+  private def fabricatePixels(frameIdx: Int, bytes: Array[Byte]): (Array[Double], Long, Double) = {
     var cs = 1469598103934665603L ^ frameIdx.toLong
     var sum = 0L
     var i = 0
-    // STUB pixel fabrication: an 8x8 block derived deterministically
-    // from the payload bytes and the frame index stands in for the
-    // decoded frame; the texture math downstream is real.
     val px = new Array[Double](FrameDim * FrameDim)
     while (i < bytes.length) {
       val p = (bytes(i) & 0xff) ^ (frameIdx & 0xff)
@@ -92,6 +131,12 @@ object Binary {
       i += 1
     }
     val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    (px, cs, mean)
+  }
+
+  private def fakeFrameDecode(id: Long, frameIdx: Int, bytes: Array[Byte],
+                              downsampleBy: Int): FrameFeature = {
+    val (px, cs, mean) = fabricatePixels(frameIdx, bytes)
     // resize between decode and feature extraction (real math; only
     // the pixel source above is the declared stub)
     val (rpx, rw, rh) = Texture.boxDownsample(px, FrameDim, FrameDim, downsampleBy)

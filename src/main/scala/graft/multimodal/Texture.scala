@@ -48,6 +48,140 @@ object Texture {
     (lh / n, hl / n, hh / n)
   }
 
+  /** Grey-level cooccurrence (Haralick) texture features — the "Coo"
+    * member of CellPhe's static texture family (the reference's
+    * `extract_static_features` computes cooccurrence-matrix texture
+    * descriptors from the ROI pixels alongside the wavelet energies;
+    * bin/frame_features_image.py:58-66). Pixels are min-max quantized
+    * into `levels` grey bins, the SYMMETRIC cooccurrence matrix is
+    * accumulated over the two axis-aligned unit displacements
+    * (right + down — the standard orientation-summed symmetric GLCM),
+    * normalized to probabilities, and the five classic Haralick
+    * statistics are returned:
+    *
+    *   contrast    = sum p(i,j) * (i-j)^2
+    *   homogeneity = sum p(i,j) / (1 + (i-j)^2)      (IDM)
+    *   energy      = sum p(i,j)^2                    (ASM)
+    *   entropy     = -sum p(i,j) * ln p(i,j)
+    *   correlation = sum (i-mu)(j-mu) p(i,j) / var   (0 if var == 0)
+    *
+    * A flat image (max == min) quantizes to a single bin: energy 1,
+    * contrast/entropy 0, correlation defined as 0. Images with no
+    * neighbour pair (1x1) return all zeros. Real, codec-free math —
+    * like the Haar energies, only the frame pipeline's pixel source is
+    * the declared stub. */
+  def glcmFeatures(px: Array[Double], width: Int, height: Int,
+                   levels: Int = 8): (Double, Double, Double, Double, Double) = {
+    require(levels >= 2, "levels must be >= 2")
+    require(px.length >= width * height, "pixel buffer smaller than width*height")
+    val n = width * height
+    if (n == 0 || (width < 2 && height < 2)) return (0.0, 0.0, 0.0, 0.0, 0.0)
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var i = 0
+    while (i < n) { val v = px(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+    val span = mx - mn
+    val q = new Array[Int](n)
+    if (span > 0) {
+      i = 0
+      while (i < n) {
+        val b = ((px(i) - mn) / span * levels).toInt
+        q(i) = if (b >= levels) levels - 1 else b
+        i += 1
+      }
+    }
+    val counts = new Array[Long](levels * levels)
+    var total = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = y * width
+      while (x < width) {
+        val a = q(row + x)
+        if (x + 1 < width) { // right neighbour, symmetric
+          val b = q(row + x + 1)
+          counts(a * levels + b) += 1; counts(b * levels + a) += 1; total += 2
+        }
+        if (y + 1 < height) { // down neighbour, symmetric
+          val b = q(row + width + x)
+          counts(a * levels + b) += 1; counts(b * levels + a) += 1; total += 2
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (total == 0L) return (0.0, 0.0, 0.0, 0.0, 0.0)
+    var contrast = 0.0; var homog = 0.0; var energy = 0.0; var entropy = 0.0
+    var mu = 0.0
+    var ii = 0
+    while (ii < levels) {
+      var jj = 0
+      while (jj < levels) {
+        val c = counts(ii * levels + jj)
+        if (c > 0L) {
+          val p = c.toDouble / total
+          val d = ii - jj
+          contrast += p * d * d
+          homog += p / (1.0 + d * d)
+          energy += p * p
+          entropy -= p * StrictMath.log(p)
+          mu += ii * p // row marginal mean (== column mean by symmetry)
+        }
+        jj += 1
+      }
+      ii += 1
+    }
+    var varr = 0.0; var cov = 0.0
+    ii = 0
+    while (ii < levels) {
+      var jj = 0
+      while (jj < levels) {
+        val c = counts(ii * levels + jj)
+        if (c > 0L) {
+          val p = c.toDouble / total
+          varr += (ii - mu) * (ii - mu) * p
+          cov += (ii - mu) * (jj - mu) * p
+        }
+        jj += 1
+      }
+      ii += 1
+    }
+    val corr = if (varr > 0) cov / varr else 0.0
+    (contrast, homog, energy, entropy, corr)
+  }
+
+  /** First-order intensity statistics — the non-spatial half of the
+    * static texture family: mean, population standard deviation,
+    * Fisher skewness (0 when sd == 0), and interquartile range using
+    * the type-7 (linear-interpolation) quantile convention shared by
+    * numpy/R defaults. */
+  def firstOrderStats(px: Array[Double], n: Int): (Double, Double, Double, Double) = {
+    require(n <= px.length)
+    if (n == 0) return (0.0, 0.0, 0.0, 0.0)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += px(i); i += 1 }
+    val mean = s / n
+    var m2 = 0.0; var m3 = 0.0
+    i = 0
+    while (i < n) {
+      val d = px(i) - mean
+      m2 += d * d; m3 += d * d * d
+      i += 1
+    }
+    val varp = m2 / n
+    val sd = math.sqrt(varp)
+    val skew = if (sd > 0) (m3 / n) / (sd * sd * sd) else 0.0
+    val sorted = java.util.Arrays.copyOf(px, n)
+    java.util.Arrays.sort(sorted)
+    def q7(p: Double): Double = {
+      val h = (n - 1) * p
+      val lo = h.toInt
+      val hi = math.min(lo + 1, n - 1)
+      sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    (mean, sd, skew, q7(0.75) - q7(0.25))
+  }
+
   /** Box-filter downsample by an integer factor: each output pixel is
     * the mean of its factor x factor source block (trailing partial
     * blocks average only the pixels they cover). This is the resize
