@@ -575,6 +575,12 @@ object SparkEntry {
     "q_ksamp" -> ((s, d) =>
       text.SampleK.sampleExactK(documents(s, d), col("doc_id"),
         col("source"), 17)),
+    // token-balanced output sharding: round-robin over the size-sorted
+    // corpus via the two-level distributed rank (no single-task window)
+    "q_shard" -> ((s, d) =>
+      text.Sharding.assignShards(
+        documents(s, d).withColumn("_tc", graft.functions.TokenCounts(col("text"))),
+        col("doc_id"), col("_tc.n_ws_tokens"), 8)),
     "q_sample_stratified" -> ((s, d) =>
       TextFeatures.sampleStratified(documents(s, d), col("doc_id"), col("lang"),
           Map("en" -> 0.25, "zh" -> 0.8), 1.0)
@@ -1926,6 +1932,14 @@ object SparkEntry {
         |      ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 17""".stripMargin,
+
+    "q_shard" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST((ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8
+        |    AS BIGINT) AS shard
+        |FROM (SELECT doc_id,
+        |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |      FROM documents)""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
