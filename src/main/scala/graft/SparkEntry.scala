@@ -554,6 +554,11 @@ object SparkEntry {
     // oracled relational sibling of the BPE surface
     "q_oov" -> ((s, d) =>
       text.Bpe.oovRate(documents(s, d), col("doc_id"), col("text"), 1000)),
+    // BM25 top-10 retrieval for three fixed keyword queries —
+    // broadcast-filtered postings, decimal score sums, two-phase top-k
+    "q_bm25" -> ((s, d) =>
+      text.Bm25.topK(documents(s, d), col("doc_id"), col("text"),
+        Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))),
     // ExactSubstr span dedup: repeated >=8-token spans removed
     // everywhere but their first (doc_id, pos) occurrence, text
     // rebuilt from surviving tokens
@@ -1802,6 +1807,49 @@ object SparkEntry {
         |    * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
         |FROM t LEFT JOIN vcb v USING (word)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // Mirrors Bm25.topK: Lucene idf, exact-integer avgdl, per-term
+    // IEEE scores summed as decimal(28,8), single global window (the
+    // two-phase pruning is exact, so the naive top-k is the oracle)
+    "q_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
+        |  (3,'customer'),(3,'table'),(3,'scan')
+        |), d AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+        |), f AS (
+        |  SELECT term, COUNT(*) AS dfreq FROM t GROUP BY 1
+        |), s AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(SUM(CAST(
+        |      ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5))
+        |      * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+        |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS score,
+        |    COUNT(*) AS n_terms
+        |  FROM t JOIN q USING (term) JOIN f USING (term)
+        |    JOIN d USING (doc_id) CROSS JOIN st
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s
+        |)
+        |SELECT query_id, doc_id, n_terms,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // Mirrors SpanDedup: packed (doc_id*2^21+pos) canonical election,
     // island merge of overlapping/adjacent removed spans, rebuild
