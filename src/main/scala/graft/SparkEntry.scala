@@ -10,7 +10,7 @@ import graft.dedup.{Decontaminate, Dedup, MinHashLSH}
 import graft.text.{Packing, TextFeatures}
 import graft.vector.Similarity
 import graft.streaming.StreamOps
-import graft.multimodal.Binary
+import graft.multimodal.{Audio, Binary}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query covers. Column names are aliased identically in `queries` and
@@ -391,6 +391,13 @@ object SparkEntry {
         "glcm_corr", "px_mean", "px_sd", "px_skew", "px_iqr")
       r4.foldLeft(f)((df, c) => df.withColumn(c, graft.functions.Numeric.cround(col(c), 4)))
     }),
+    // s16le PCM frame features (rms/zcr/peak) — the audio-side
+    // multimodal path; the byte-to-sample decode is real (no codec
+    // needed for raw PCM), math pinned by AudioSpec. Rows-only: the
+    // oracle cannot parse binary little-endian.
+    "q_audio" -> ((s, d) =>
+      Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
+        frameLen = 32, hop = 16).toDF()),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
     "q_ml_classify" -> ((s, d) =>
       graft.ml.Models.classifyEmbeddings(embeddings(s, d)

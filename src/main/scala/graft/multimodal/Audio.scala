@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.functions.Numeric
+
+/** Per-frame features of one audio asset: short-time RMS energy,
+  * zero-crossing rate, and peak amplitude — the standard cheap
+  * time-domain descriptors (silence/music/speech gating, clipping
+  * detection) a corpus build runs before anything model-based. */
+case class AudioFrame(doc_id: Long, frame_idx: Int, n_samples: Int,
+                      rms: Double, zcr: Double, peak: Int)
+
+/** Audio-side multimodal plumbing. Unlike the image path (whose codecs
+  * are not in this container and whose decode is therefore a declared
+  * stub), raw PCM needs no codec: the byte-to-sample conversion here
+  * IS the real decode for s16le data (a WAV `data` chunk, the wire
+  * format every audio toolchain bottoms out in), and the framing +
+  * feature math is the real computation. The test harness feeds text
+  * bytes as stand-in payloads; the operator treats any byte stream as
+  * PCM, which is exactly what it would do in production.
+  *
+  * Scale shape mirrors [[Binary]]: one batched `mapPartitions` pass —
+  * each payload crosses the wire once and fans out to its frames
+  * in-executor (never explode-then-join, which would ship the payload
+  * once per frame); per-batch init amortizes the way a real
+  * resampler/codec setup would. Per-frame sums run in fixed sample
+  * order, so results are partitioning-invariant (spec-pinned).
+  */
+object Audio {
+
+  /** Frame the payload as s16le PCM (`frameLen` samples every `hop`)
+    * and emit per-frame (rms, zcr, peak). A trailing odd byte is
+    * ignored; assets shorter than one frame emit nothing. rms rounds
+    * via the shared contract at 4 decimals, zcr at 6. */
+  def frameFeatures(spark: SparkSession, df: DataFrame,
+                    frameLen: Int = 256, hop: Int = 128,
+                    batchSize: Int = 64): Dataset[AudioFrame] = {
+    import spark.implicits._
+    require(frameLen >= 2 && hop >= 1)
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch decoder/resampler init would happen here
+          batch.iterator.flatMap { case (id, bytes) =>
+            val n = bytes.length / 2
+            val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+            (0 until nFrames).iterator.map { fi =>
+              var sumSq = 0.0
+              var zc = 0
+              var peak = 0
+              var prev = 0
+              var i = 0
+              while (i < frameLen) {
+                val off = 2 * (fi * hop + i)
+                val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
+                sumSq += s.toDouble * s.toDouble
+                val a = if (s < 0) -s else s
+                if (a > peak) peak = a
+                if (i > 0 && prev * s < 0) zc += 1
+                prev = s
+                i += 1
+              }
+              AudioFrame(id, fi, frameLen,
+                Numeric.croundD(math.sqrt(sumSq / frameLen), 4),
+                Numeric.croundD(zc.toDouble / (frameLen - 1), 6),
+                peak)
+            }
+          }
+        }
+      }
+  }
+}
