@@ -21,15 +21,24 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  /** events.ts is TIMESTAMP(NANOS) parquet; with NanosConf it loads as
-    * a nanosecond long, converted here to TimestampType by truncating
-    * to microseconds (floor division — matches DuckDB's epoch_us). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** events.ts has been TIMESTAMP(NANOS) or µs TIMESTAMP_NTZ across
+    * driver testdata generations; normalize both to TimestampType —
+    * nanos (a long under NanosConf) truncate to µs by floor division
+    * (matches DuckDB's epoch_us), NTZ casts losslessly under the UTC
+    * session timezone every entry point pins. TimestampType (not NTZ)
+    * is required by streaming event-time watermarks downstream. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName,
+          col(colName).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

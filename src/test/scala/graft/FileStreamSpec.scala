@@ -18,8 +18,8 @@ class FileStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val streamRaw = spark.readStream.schema(schema).parquet(dir.toString)
-    // same ns->µs conversion the batch loader applies
-    val stream = streamRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same ts normalization the batch loader applies
+    val stream = Tables.normalizeTs(streamRaw)
     val q = StreamOps.windowedCounts(stream, "1 hour", watermark = Some("1 hour"))
       .writeStream.format("memory").queryName("fs_out")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
