@@ -32,7 +32,8 @@ object Bench {
     val lineSkip = Set("q_rjr", "q_pq", "q_mix",
       "q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack", "q_chunk",
       "q_corpus", "q_semdedup", "q_ldedup", "q_dsir", "q_dsirs", "q_span",
-      "q_ksamp", "q_bpe", "q_oov", "q_glcm", "q_shard", "q_bm25", "q_audio")
+      "q_ksamp", "q_bpe", "q_oov", "q_glcm", "q_shard", "q_bm25", "q_audio",
+      "q_img_dedup")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

@@ -398,6 +398,16 @@ object SparkEntry {
     "q_audio" -> ((s, d) =>
       Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
         frameLen = 32, hop = 16).toDF()),
+    // perceptual image near-dup pairs (DCT pHash + banded Hamming —
+    // the image-modality dedup member). Rows-only: the hash rides a
+    // distributed decode pass no SQL oracle can replay; exactness at
+    // the radius is pinned by PhashSpec's brute-force parity. On the
+    // synthetic corpus every pair it finds at radius 6 is one of the
+    // PLANTED near-dup documents (a subset of q_jaccard_pairs) — the
+    // perceptual hash recovers text near-dups through the pixel stub.
+    "q_img_dedup" -> ((s, d) =>
+      multimodal.ImageDedup.nearDupPairs(
+        s, Binary.withPayload(documents(s, d)), maxHamming = 6)),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
     "q_ml_classify" -> ((s, d) =>
       graft.ml.Models.classifyEmbeddings(embeddings(s, d)

@@ -5,23 +5,40 @@ import org.apache.spark.sql.functions._
 import graft.functions.{HammingDistance, SimHash}
 
 /** SimHash near-duplicate pairs at scale: by the pigeonhole principle,
-  * two 30-bit fingerprints within Hamming distance d must agree on at
-  * least one of d+1 disjoint bit-bands, so candidates come from
+  * two fingerprints within Hamming distance d must agree on at least
+  * one of d+1 disjoint bit-bands, so candidates come from
   * band-equality joins (no all-pairs comparison) and are verified with
   * the codegen'd HammingDistance expression.
   */
 object SimHashDedup {
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 3, bits: Int = 30): DataFrame = {
+                   maxHamming: Int = 3, bits: Int = 30): DataFrame =
+    bandedHammingPairs(
+      df.select(id.as("doc_id"), SimHash(text, bits).as("fp")),
+      maxHamming, bits)
+
+  /** Generic banded-Hamming pair search over ANY long fingerprint
+    * column — the text SimHash path above and the perceptual image-hash
+    * path (multimodal.ImageDedup) share it. `fps` must have columns
+    * (doc_id, fp). EXACT for the given radius: bands = maxHamming+1
+    * disjoint bands guarantee no false negative (pigeonhole), and the
+    * codegen'd HammingDistance verify removes false positives. */
+  def bandedHammingPairs(fps: DataFrame, maxHamming: Int,
+                         bits: Int): DataFrame = {
+    require(bits >= 2 && bits <= 64, "fingerprint width must be 2..64 bits")
+    require(maxHamming >= 0 && maxHamming < bits)
     val bands = maxHamming + 1
     val bandBits = bits / bands // last band absorbs the remainder
-    val fps = df.select(id.as("doc_id"), SimHash(text, bits).as("fp"))
+    require(bandBits >= 1, "more bands than bits")
+    def mask(width: Int): Column =
+      if (width >= 64) lit(-1L) else lit((1L << width) - 1)
+    def bandVal(fp: Column, b: Int): Column = {
+      val lo = b * bandBits
+      val width = if (b == bands - 1) bits - lo else bandBits
+      shiftright(fp, lo).bitwiseAND(mask(width))
+    }
     val banded = fps.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until bands).map { b =>
-        val lo = b * bandBits
-        val width = if (b == bands - 1) bits - lo else bandBits
-        shiftright(col("fp"), lo).bitwiseAND(lit((1L << width) - 1))
-      }: _*)))
+      posexplode(array((0 until bands).map(b => bandVal(col("fp"), b)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     // one shuffle of the banded rows into bucket groups (the
     // Postings.coPairs shape, with the fingerprint riding along in the
@@ -34,11 +51,6 @@ object SimHashDedup {
     // agreeing band: a codegen'd scalar filter that makes global
     // uniqueness structural and drops the expansion's duplicate bulk
     // before it ever reaches a shuffle.
-    def bandVal(fp: Column, b: Int): Column = {
-      val lo = b * bandBits
-      val width = if (b == bands - 1) bits - lo else bandBits
-      shiftright(fp, lo).bitwiseAND(lit((1L << width) - 1))
-    }
     val firstAgree = (0 until bands).foldRight(lit(-1)) { (b, rest) =>
       when(bandVal(col("_a.fp"), b) === bandVal(col("_b.fp"), b), lit(b))
         .otherwise(rest)

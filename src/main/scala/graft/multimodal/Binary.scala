@@ -24,6 +24,10 @@ case class GlcmFrame(doc_id: Long, frame_idx: Int,
                      px_mean: Double, px_sd: Double, px_skew: Double,
                      px_iqr: Double)
 
+/** Per-asset perceptual hashes (DCT pHash + gradient dHash) from the
+  * (stubbed) first-frame decode; the hash math in Texture is real. */
+case class AssetHash(doc_id: Long, phash: Long, dhash: Long)
+
 /** Multimodal column plumbing (reference: per-frame TIFF handling in
   * bin/frame_features_image.py — load_image / normalise / feature
   * extract). Images/audio/video are opaque `binary` columns with typed
@@ -107,6 +111,30 @@ object Binary {
               val (m, sd, sk, iqr) = Texture.firstOrderStats(px, px.length)
               GlcmFrame(id, fi, con, hom, en, ent, cor, m, sd, sk, iqr)
             }
+          }
+        }
+      }
+  }
+
+  /** Per-asset perceptual hashes over the first frame, produced in the
+    * same batched one-pass decode as the other frame paths (the payload
+    * crosses the wire exactly once per asset; at 100 TB of media the
+    * payload copy is the whole cost). The hash math (Texture.phash64 /
+    * dhash64 — DCT median hash and gradient hash) is real and
+    * codec-free; only the pixel source is the declared stub. */
+  def perceptualHashes(spark: SparkSession, df: DataFrame,
+                       batchSize: Int = 64): Dataset[AssetHash] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec init would happen here
+          batch.iterator.map { case (id, bytes) =>
+            val (px, _, _) = fabricatePixels(0, bytes)
+            AssetHash(id,
+              Texture.phash64(px, FrameDim, FrameDim),
+              Texture.dhash64(px, FrameDim, FrameDim))
           }
         }
       }

@@ -182,6 +182,119 @@ object Texture {
     (mean, sd, skew, q7(0.75) - q7(0.25))
   }
 
+  /** Bilinear resample to an exact (ow x oh) target — the general
+    * resize both perceptual hashes need (boxDownsample only shrinks by
+    * integer factors). Sample points are pixel centers mapped by the
+    * scale ratio; edge samples clamp. Deterministic, codec-free. */
+  def resampleBilinear(px: Array[Double], width: Int, height: Int,
+                       ow: Int, oh: Int): Array[Double] = {
+    require(width >= 1 && height >= 1 && ow >= 1 && oh >= 1)
+    require(px.length >= width * height, "pixel buffer smaller than width*height")
+    val out = new Array[Double](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      val sy = (oy + 0.5) * height / oh - 0.5
+      val y0 = math.max(0, math.min(height - 1, math.floor(sy).toInt))
+      val y1 = math.min(height - 1, y0 + 1)
+      val fy = math.max(0.0, math.min(1.0, sy - y0))
+      var ox = 0
+      while (ox < ow) {
+        val sx = (ox + 0.5) * width / ow - 0.5
+        val x0 = math.max(0, math.min(width - 1, math.floor(sx).toInt))
+        val x1 = math.min(width - 1, x0 + 1)
+        val fx = math.max(0.0, math.min(1.0, sx - x0))
+        val top = px(y0 * width + x0) * (1 - fx) + px(y0 * width + x1) * fx
+        val bot = px(y1 * width + x0) * (1 - fx) + px(y1 * width + x1) * fx
+        out(oy * ow + ox) = top * (1 - fy) + bot * fy
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  private val PhashInput = 32 // DCT input side
+  private val PhashBlock = 8  // retained low-frequency block side
+
+  /** Perceptual DCT hash (pHash, Zauner 2010's DCT variant): resample
+    * to 32x32, 2-D DCT-II, keep the top-left 8x8 low-frequency block,
+    * and emit bit k = 1 iff coefficient k exceeds the MEDIAN of the 63
+    * AC coefficients (the DC term is excluded from both the median and
+    * the hash — bit 0 is always 0, so the hash is effectively 63-bit).
+    * Median thresholding makes the hash invariant to any positive
+    * affine brightness change: an offset moves only the excluded DC
+    * term, and a positive scale multiplies every AC coefficient AND
+    * their median, preserving each comparison. */
+  def phash64(px: Array[Double], width: Int, height: Int): Long = {
+    val small = resampleBilinear(px, width, height, PhashInput, PhashInput)
+    val block = dct2dLowFreq(small, PhashInput, PhashBlock)
+    // median of the 63 AC coefficients (skip [0][0])
+    val ac = java.util.Arrays.copyOfRange(block, 1, block.length)
+    java.util.Arrays.sort(ac)
+    val median = ac(ac.length / 2)
+    var hash = 0L
+    var k = 1
+    while (k < block.length) {
+      if (block(k) > median) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Difference hash (dHash): resample to 9x8 and emit one bit per
+    * horizontal gradient sign (64 bits exactly). Invariant to positive
+    * affine brightness changes (strict inequality is preserved). */
+  def dhash64(px: Array[Double], width: Int, height: Int): Long = {
+    val g = resampleBilinear(px, width, height, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Separable 2-D DCT-II of an (n x n) image, returning only the
+    * top-left (block x block) coefficients row-major (all a pHash
+    * needs — O(n^2 * block) per axis instead of the full O(n^3)). */
+  private def dct2dLowFreq(px: Array[Double], n: Int, block: Int): Array[Double] = {
+    // rows: for each row y, DCT coefficients u < block
+    val rows = new Array[Double](n * block)
+    val scale = math.Pi / (2.0 * n)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < block) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += px(y * n + x) * math.cos((2 * x + 1) * u * scale); x += 1 }
+        rows(y * block + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // columns: for each kept u, DCT over y with v < block
+    val out = new Array[Double](block * block)
+    var v = 0
+    while (v < block) {
+      var u = 0
+      while (u < block) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rows(yy * block + u) * math.cos((2 * yy + 1) * v * scale); yy += 1 }
+        out(v * block + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
   /** Box-filter downsample by an integer factor: each output pixel is
     * the mean of its factor x factor source block (trailing partial
     * blocks average only the pixels they cover). This is the resize
