@@ -7,7 +7,7 @@ import graft.functions.Numeric._
 import graft.olap.Relational
 import graft.operators.{ConnectedComponents, Density, GapFill, Movement, Quality, Sessionize, TimeSeries}
 import graft.dedup.{Decontaminate, Dedup, MinHashLSH}
-import graft.text.{Packing, TextFeatures}
+import graft.text.{Chunker, Packing, TextFeatures}
 import graft.vector.Similarity
 import graft.streaming.StreamOps
 import graft.multimodal.{Audio, Binary}
@@ -522,6 +522,12 @@ object SparkEntry {
         Packing.chunkSpans(docs, col("doc_id"), col("_tc.n_ws_tokens"), 512L),
         512L)
     }),
+    // RAG sliding-window chunking: per-doc overlapping token windows
+    // (width 64, stride 32) — map-only scan, windows from an in-row
+    // sequence+explode
+    "q_ragc" -> ((s, d) =>
+      Chunker.chunks(documents(s, d), col("doc_id"), col("text"),
+        width = 64, stride = 32)),
     "q_text_tokens" -> ((s, d) =>
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
@@ -623,6 +629,16 @@ object SparkEntry {
         documents(s, d).withColumn("_lined", lined),
         col("doc_id"), col("_lined"), maxDocs = 20L)
     }),
+    // fused attribute pass: every per-doc quality/repetition/lang-ID
+    // signal in ONE map-only scan (the Dolma attributes-file shape);
+    // columns match the standalone operators, oracle composed from
+    // their oracles
+    "q_attrs" -> ((s, d) => {
+      val lined = regexp_replace(
+        regexp_replace(col("text"), "\\s+", " "), "(\\S+ \\S+) ", "$1\n")
+      TextFeatures.attributes(documents(s, d), col("doc_id"), col("text"),
+        lined)
+    }),
     "q_text_lines" -> ((s, d) => {
       // two codegen'd regex passes: pair tokens into lines (every
       // non-final 2nd token gains "\n"), then group lines into
@@ -649,7 +665,31 @@ object SparkEntry {
   // disagrees on boundary doubles); epoch_us(ts)//1000000 for seconds;
   // strings not DATE/TIMESTAMP outputs; per-entity ordering by the
   // unique event_id (never the ns-vs-µs-truncated timestamp).
-  def oracleSql: Map[String, String] = Map(
+  /** The fused-attributes oracle is COMPOSED from the standalone
+    * operators' oracles (each wrapped as a CTE and joined on doc_id) —
+    * drift between a component oracle and the fused one is impossible
+    * by construction. Repetition joins LEFT (docs under two tokens
+    * carry NULL attributes in both engines). */
+  def oracleSql: Map[String, String] = oracleSqlBase + ("q_attrs" ->
+    s"""WITH _tok AS (${oracleSqlBase("q_text_tokens")}),
+       |_qual AS (${oracleSqlBase("q_text_quality")}),
+       |_rep AS (${oracleSqlBase("q_text_repetition")}),
+       |_lin AS (${oracleSqlBase("q_text_lines")}),
+       |_lang AS (${oracleSqlBase("q_lang_id")})
+       |SELECT _tok.doc_id, _tok.n_ws_tokens, _tok.n_bpe_tokens,
+       |  _tok.n_alpha_tokens, _tok.avg_token_len,
+       |  _qual.n_chars_m, _qual.punct_ratio, _qual.digit_ratio,
+       |  _qual.stop_ratio, _qual.keep,
+       |  _rep.max_run, _rep.dup_word_frac, _rep.top2gram_frac,
+       |  _lin.n_lines, _lin.dup_line_frac, _lin.dup_line_char_frac,
+       |  _lang.pred_lang
+       |FROM _tok
+       |JOIN _qual ON _tok.doc_id = _qual.doc_id
+       |LEFT JOIN _rep ON _tok.doc_id = _rep.doc_id
+       |JOIN _lin ON _tok.doc_id = _lin.doc_id
+       |JOIN _lang ON _tok.doc_id = _lang.doc_id""".stripMargin)
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
@@ -2189,6 +2229,23 @@ object SparkEntry {
         |  CAST(SUM(LEAST(tok_offset + n_tokens, (chunk_id + 1) * 512)
         |    - GREATEST(tok_offset, chunk_id * 512)) AS BIGINT) AS n_tokens
         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_ragc" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk,
+        |    len(string_split_regex(text, '\s+')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tk, n, CAST(g AS INT) AS chunk_idx
+        |  FROM t, UNNEST(range(0,
+        |    1 + GREATEST(0, CAST(ceil((n - 64) / 32.0) AS BIGINT)))) AS u(g)
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * 32 AS start_tok,
+        |  LEAST(64, n - chunk_idx * 32) AS n_tok,
+        |  array_to_string(list_slice(tk, chunk_idx * 32 + 1,
+        |    chunk_idx * 32 + LEAST(64, n - chunk_idx * 32)), ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "q_hh_tokens" ->
       """WITH t AS (

@@ -229,6 +229,79 @@ object TextFeatures {
           col("_ls.para_chars")).as("dup_para_char_frac"))
   }
 
+  /** Fused per-document attribute pass — the "attributes file" a
+    * production corpus pipeline materializes once and filters on many
+    * times (Dolma ships exactly this shape: one pass tagging every doc
+    * with its quality/repetition/language signals, downstream builds
+    * read the tags, never the text). Everything here is a per-row
+    * function of the document, so the whole table is ONE map-only scan
+    * over the corpus: the four codegen kernels (TokenCounts,
+    * RepetitionStats, LineStats) plus the quality/lang-ID column
+    * expressions evaluate side by side in a single whole-stage-codegen
+    * select — at 100 TB this replaces five separate full-corpus scans
+    * with one. Columns and rounding match the standalone operators
+    * (tokenStats/quality/repetition/lineRepetition/langId) exactly;
+    * repetition columns are NULL for docs with fewer than two tokens
+    * (the standalone operator drops them — here every doc keeps its
+    * row, the attribute is just undefined). `lined` is the synthesized
+    * line layout `q_text_lines` documents (this corpus has no
+    * newlines). */
+  def attributes(df: DataFrame, id: Column, text: Column,
+                 lined: Column): DataFrame = {
+    def cr(c: Column, r: Int): Column = graft.functions.Numeric.cround(c, r)
+    val tk = tokens(text)
+    val nTok = size(tk)
+    val stopCnt = size(filter(tk, t =>
+      StopWords.foldLeft(lit(false))((acc, s) => acc || t === s)))
+    def score(words: Seq[String]): Column =
+      size(filter(tk, t => words.foldLeft(lit(false))((acc, s) => acc || t === s)))
+    val en = score(Seq("the", "is", "and", "of"))
+    val fr = score(Seq("le", "la", "et", "les"))
+    val es = score(Seq("el", "los", "y", "que"))
+    val de = score(Seq("der", "und", "die", "nicht"))
+    val zh = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+    val best = greatest(en, fr, es, de)
+    def lineFrac(num: Column, den: Column): Column =
+      when(den > 0, cr(num.cast("double") / den, 6)).otherwise(lit(0.0))
+    df.withColumn("_tc", graft.functions.TokenCounts(text))
+      .withColumn("_rs", graft.functions.RepetitionStats(text))
+      .withColumn("_ls", graft.functions.LineStats(lined))
+      .select(
+        id.as("doc_id"),
+        // tokenStats
+        col("_tc.n_ws_tokens").as("n_ws_tokens"),
+        col("_tc.n_bpe_tokens").as("n_bpe_tokens"),
+        col("_tc.n_alpha_tokens").as("n_alpha_tokens"),
+        cr(col("_tc.n_nonws_chars").cast("double") / col("_tc.n_ws_tokens"), 4)
+          .as("avg_token_len"),
+        // quality
+        length(text).as("n_chars_m"),
+        cr(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+          / length(text), 4).as("punct_ratio"),
+        cr(regexp_count(text, lit("[0-9]")).cast("double") / length(text), 4)
+          .as("digit_ratio"),
+        cr(stopCnt.cast("double") / nTok.cast("double"), 4).as("stop_ratio"),
+        qualityKeep(text).as("keep"),
+        // repetition (undefined below two tokens)
+        when(col("_rs.n_tokens") >= 2, col("_rs.max_run")).as("max_run"),
+        when(col("_rs.n_tokens") >= 2,
+          cr((col("_rs.n_tokens") - col("_rs.n_distinct")).cast("double")
+            / col("_rs.n_tokens"), 6)).as("dup_word_frac"),
+        when(col("_rs.n_tokens") >= 2,
+          cr(col("_rs.top2gram_n").cast("double") / col("_rs.n_2grams"), 6))
+          .as("top2gram_frac"),
+        // structural (line) repetition over the synthesized layout
+        col("_ls.n_lines").as("n_lines"),
+        lineFrac(col("_ls.n_lines") - col("_ls.n_distinct_lines"),
+          col("_ls.n_lines")).as("dup_line_frac"),
+        lineFrac(col("_ls.line_chars") - col("_ls.distinct_line_chars"),
+          col("_ls.line_chars")).as("dup_line_char_frac"),
+        // language id
+        when(zh > 0, "zh").when(best === 0, "und").when(en === best, "en")
+          .when(fr === best, "fr").when(es === best, "es").otherwise("de")
+          .as("pred_lang"))
+  }
+
   /** Heuristic language-ID: marker-word scores per language with a fixed
     * precedence order for the argmax (en > fr > es > de), plus a CJK
     * character check for zh. Deterministic, SQL-expressible. */
