@@ -431,9 +431,24 @@ object SparkEntry {
       val emb = embeddings(s, d)
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // hard-negative mining: most-similar different-label vectors per
+    // query (contrastive-training negatives); bruteTopK's scan shape
+    // with the label gate in the join condition
+    "q_hardneg" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64, probes = 3)
+    }),
+    // cluster-balanced diversity sampling: exact per-cell quota over
+    // the shared IVF quantizer cells. Rows-only (KMeans cells are not
+    // SQL-expressible); quota exactness + determinism pinned by
+    // ClusterSampleSpec
+    "q_csamp" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      vector.ClusterSample.sample(d, emb, nlist = 16, k = 20)
     }),
     "q_ann_ivf" -> ((s, d) => {
       // index built once per corpus (quantizeCached), queried here: the
@@ -1832,6 +1847,23 @@ object SparkEntry {
         |  FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT q_id, rank, n_id FROM (
         |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q_hardneg" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * c.nrm) AS sim
+        |  FROM v q, v c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+        |SELECT q_id, rank, n_id, n_label FROM (
+        |  SELECT q_id, n_id, n_label,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
 
     "q_text_tokens" ->

@@ -122,6 +122,31 @@ object Similarity {
       .select("d1", "d2", "sim")
   }
 
+  /** Hard-negative mining — for each query vector, the k most-similar
+    * corpus vectors carrying a DIFFERENT label (the negatives a
+    * contrastive/embedding training run wants: close enough to be
+    * confusable, labeled otherwise). Same scan shape as bruteTopK
+    * (broadcast queries, one corpus scan, no shuffle before the
+    * per-query top-k window); the label gate rides in the join
+    * condition so rejected candidates never materialize. For corpora
+    * where brute force is off the table, the same gate composes with
+    * the IVF/LSH candidate generators — mine from their candidate
+    * stream and keep the first k per query. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("n_emb"), norm(col("embedding")).as("n_norm"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm")))
+    val scored = c.join(q,
+        col("n_id") =!= col("q_id") && col("n_label") =!= col("q_label"))
+      .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). The query side must be small; it is
     * broadcast so the corpus is scanned once with no shuffle. */
