@@ -49,7 +49,10 @@ object Plans {
       "q_rjr" -> "range join written NAIVELY (inequality-only condition — stock Spark: BroadcastNestedLoopJoin) and rewritten by the injected RangeJoinRule to the binned equi-join: point-bin vs sequence-exploded interval bins, original predicate re-applied",
       "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, within-cell pair join, component closure over the pair evidence",
       "q_span" -> "ExactSubstr span dedup: map-side gram materialization from the token array, ONE corpus shuffle electing canonical occurrences via packed-long min (HASH aggregate), output-sized dup-start join-back, island merge + rebuild as map-side array folds",
-      "q_dsir" -> "DSIR data selection: one cached BigramCounts kernel pass feeds BOTH corpus LMs in a single bounded aggregate (≤39² rows collected), scoring is the fused map-only BigramScore kernel on the cached arrays — no second corpus scan")
+      "q_dsir" -> "DSIR data selection: one cached BigramCounts kernel pass feeds BOTH corpus LMs in a single bounded aggregate (≤39² rows collected), scoring is the fused map-only BigramScore kernel on the cached arrays — no second corpus scan",
+      "q_attrs" -> "fused attribute pass: every per-doc quality/repetition/lang-ID signal in ONE map-only whole-stage-codegen select over ONE corpus scan — at 100 TB this replaces five separate scans",
+      "q_ragc" -> "RAG chunking with overlap: split once per row, windows from an in-row sequence+explode — map-only, no shuffle, no window function",
+      "q_hardneg" -> "hard-negative mining: broadcast queries, one corpus scan with the label gate inside the join condition, per-query top-k via WindowGroupLimit pushdown")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
