@@ -414,6 +414,11 @@ object SparkEntry {
         .withColumn("label", (element_at(col("embedding"), 1) > 0.0f).cast("int")))),
     "q_ml_cluster" -> ((s, d) =>
       graft.ml.Models.clusterEmbeddings(embeddings(s, d), 10)),
+    // PCA reduction of the embedding table (the pre-quantization step
+    // of a vector index). Rows-only: distributed SVD is not
+    // SQL-expressible; invariants pinned by PcaSpec
+    "q_pca" -> ((s, d) =>
+      graft.ml.Models.pcaEmbeddings(embeddings(s, d), 8)),
 
     // ---- §2.3 training-data pipeline ------------------------------
     "q_dedup_exact" -> ((s, d) =>

@@ -42,4 +42,30 @@ object Models {
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20).fit(prepared)
     model.transform(prepared).select(col("vec_id"), col("prediction").as("cluster"))
   }
+
+  /** PCA dimensionality reduction of the embedding table — the
+    * preprocessing step a billion-vector index runs before
+    * quantization (PQ codebooks train better in a decorrelated,
+    * energy-compacted basis; OPQ is PCA plus a rotation refinement).
+    * Training is one covariance aggregate over the corpus (MLlib
+    * computes it distributed; the k x dim basis is a driver-sized
+    * artifact broadcast back), projection is map-only. Returns
+    * (vec_id, pc1..pck) as SCALAR columns, rounded for cross-run
+    * stability — component SIGNS are an SVD implementation choice, so
+    * consumers must treat each column as defined up to sign (the spec
+    * pins the invariant quantities: orthonormality, captured variance,
+    * reconstruction error). */
+  def pcaEmbeddings(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val prepared = embeddings.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(k).setInputCol("features").setOutputCol("pca")
+      .fit(prepared)
+    val projected = model.transform(prepared)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("pca")).as("_p"))
+    val comps = (1 to k).map(i => graft.functions.Numeric.cround(
+      element_at(col("_p"), i), 4).as(s"pc$i"))
+    projected.select(col("vec_id") +: comps: _*)
+  }
 }
