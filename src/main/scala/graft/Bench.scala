@@ -33,7 +33,8 @@ object Bench {
       "q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack", "q_chunk",
       "q_corpus", "q_semdedup", "q_ldedup", "q_dsir", "q_dsirs", "q_span",
       "q_ksamp", "q_bpe", "q_oov", "q_glcm", "q_shard", "q_bm25", "q_audio",
-      "q_img_dedup", "q_ragc", "q_attrs", "q_hardneg", "q_csamp", "q_pca")
+      "q_img_dedup", "q_ragc", "q_attrs", "q_hardneg", "q_csamp", "q_pca",
+      "q_ebin")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

@@ -554,6 +554,12 @@ object SparkEntry {
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
     "q_entropy" -> ((s, d) =>
       TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"))),
+    // perplexity-stratified balanced sampling: fixed-width entropy
+    // bins, exact per-bin quota — the kept subset spans the quality
+    // spectrum instead of collapsing onto the most-typical mass
+    "q_ebin" -> ((s, d) =>
+      text.EntropyBin.sample(documents(s, d), col("doc_id"), col("text"),
+        binWidth = 0.05, k = 20)),
     // frequent tokens at >= 1% of the corpus: Misra-Gries sketch
     // (constant memory) proposes candidates, an exact pass verifies —
     // output is exactly the >= 1% set, so the oracle is plain SQL
@@ -707,7 +713,20 @@ object SparkEntry {
        |JOIN _qual ON _tok.doc_id = _qual.doc_id
        |LEFT JOIN _rep ON _tok.doc_id = _rep.doc_id
        |JOIN _lin ON _tok.doc_id = _lin.doc_id
-       |JOIN _lang ON _tok.doc_id = _lang.doc_id""".stripMargin)
+       |JOIN _lang ON _tok.doc_id = _lang.doc_id""".stripMargin
+  ) + ("q_ebin" ->
+    // composed: the q_entropy oracle scores, a fixed-width bin, and
+    // the naive per-bin ROW_NUMBER semantics sampleExactK must equal
+    s"""WITH _e AS (${oracleSqlBase("q_entropy")})
+       |SELECT doc_id, bucket FROM (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(cross_entropy / 0.05) AS BIGINT) AS bucket,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY CAST(FLOOR(cross_entropy / 0.05) AS BIGINT)
+       |      ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id
+       |    ) AS rn
+       |  FROM _e)
+       |WHERE rn <= 20""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
