@@ -398,6 +398,15 @@ object SparkEntry {
     "q_audio" -> ((s, d) =>
       Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
         frameLen = 32, hop = 16).toDF()),
+    // video scene-cut detection over the sampled frame features —
+    // per-asset temporal segmentation (clip extraction). Rows-only:
+    // rides the distributed decode; math pinned by SceneCutSpec
+    "q_scut" -> ((s, d) => {
+      val frames = Binary.sampleFrameFeatures(
+        s, Binary.withPayload(documents(s, d)), everyK = 2).toDF()
+      multimodal.SceneCut.cuts(frames, threshold = 30.0)
+        .withColumn("delta", graft.functions.Numeric.cround(col("delta"), 4))
+    }),
     // perceptual image near-dup pairs (DCT pHash + banded Hamming —
     // the image-modality dedup member). Rows-only: the hash rides a
     // distributed decode pass no SQL oracle can replay; exactness at
