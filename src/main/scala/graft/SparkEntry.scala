@@ -563,6 +563,10 @@ object SparkEntry {
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
     "q_entropy" -> ((s, d) =>
       TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"))),
+    // order-3 LM quality scoring: trigram cross-entropy, same fused
+    // one-pass shape as q_entropy with a 39³-bounded model
+    "q_entropy3" -> ((s, d) =>
+      TextFeatures.charTrigramEntropy(documents(s, d), col("doc_id"), col("text"))),
     // perplexity-stratified balanced sampling: fixed-width entropy
     // bins, exact per-bin quota — the kept subset spans the quality
     // spectrum instead of collapsing onto the most-typical mass
@@ -2347,6 +2351,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
         |  floor(-CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
         |    * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "q_entropy3" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+        |  FROM documents
+        |), dd AS (
+        |  SELECT * FROM d WHERE length(t) >= 3
+        |), g AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tg, COUNT(*) AS k
+        |  FROM dd, UNNEST(range(1, length(t) - 1)) AS r(i)
+        |  GROUP BY 1, 2
+        |), model AS (
+        |  SELECT tg, SUM(k) AS c FROM g GROUP BY tg
+        |), tot AS (
+        |  SELECT SUM(c) AS tot, COUNT(*) AS v FROM model
+        |), lp AS (
+        |  SELECT g.doc_id, g.k,
+        |    g.k * ln((model.c + 1.0) / (tot.tot + tot.v)) AS klp
+        |  FROM g JOIN model USING (tg) CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_trigrams,
+        |  floor(-CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy3
         |FROM lp GROUP BY doc_id""".stripMargin,
 
     "q_text_repetition" ->

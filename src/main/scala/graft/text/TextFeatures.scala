@@ -144,6 +144,39 @@ object TextFeatures {
           -col("_s.lp") / col("_s.n"), 6).as("cross_entropy"))
   }
 
+  /** Order-3 upgrade of [[charBigramEntropy]]: corpus character-
+    * TRIGRAM cross-entropy, the sharper model-based quality signal
+    * (trigrams see one more character of context, so structured junk
+    * that happens to use plausible character PAIRS still scores as an
+    * outlier). Identical shape — one TrigramCounts kernel pass cached
+    * at doc grain, the model aggregate collapses map-side and collects
+    * (≤39³ ≈ 59k rows, still driver-sized by the normalization
+    * alphabet), scoring is the fused map-only TrigramScore kernel with
+    * decimal-exact log-prob sums. Docs need ≥3 normalized chars. */
+  def charTrigramEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
+    val grams = df.select(id.as("doc_id"), norm.as("_t"))
+      .filter(length(col("_t")) >= 3)
+      .select(col("doc_id"), graft.functions.TrigramCounts(col("_t")).as("_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = grams.select(explode(col("_a")).as("_e"))
+      .groupBy(col("_e.tg").as("tg")).agg(sum(col("_e.k")).as("_c"))
+      .collect()
+    val tot = counts.iterator.map(_.getLong(1)).sum
+    val v = counts.length.toLong
+    val sorted = counts.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val model = new graft.functions.TrigramModel(
+      sorted.map(_._1),
+      sorted.map { case (_, c) =>
+        StrictMath.log((c + 1.0) / (tot + v).toDouble)
+      })
+    grams.select(col("doc_id"),
+        graft.functions.TrigramScore(col("_a"), model).as("_s"))
+      .select(col("doc_id"), col("_s.n").as("n_trigrams"),
+        graft.functions.Numeric.cround(
+          -col("_s.lp") / col("_s.n"), 6).as("cross_entropy3"))
+  }
+
   /** Quality scoring: length, punctuation/digit/stopword ratios and a
     * boolean keep flag (the usual pre-training corpus filters). */
   /** The keep rule `quality` reports — shared with the composed

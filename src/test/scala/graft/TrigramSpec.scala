@@ -1,0 +1,57 @@
+package graft
+
+import graft.text.TextFeatures
+import org.apache.spark.sql.functions._
+
+class TrigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("char-trigram cross-entropy: hand-computed two-doc corpus") {
+    // normalized docs "abc" and "xyz": model {abc:1, xyz:1}, tot=2,
+    // V=2; every trigram's smoothed logprob = ln(2/4) -> H = -ln(0.5)
+    val df = Seq((1L, "abc"), (2L, "xyz")).toDF("doc_id", "text")
+    val got = TextFeatures.charTrigramEntropy(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    val h = math.floor(-math.log(0.5) * 1e6 + 0.5) / 1e6
+    assert(got == List((1L, 1L, h), (2L, 1L, h)))
+    // a 2-char doc has no trigram and is out of scope
+    val short = Seq((1L, "abcd"), (2L, "ab")).toDF("doc_id", "text")
+    assert(TextFeatures.charTrigramEntropy(short, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("trigram sees context bigrams miss: pair-plausible junk scores as outlier") {
+    // "ababab..." uses only bigrams {ab, ba} that also dominate the
+    // inliers, but its TRIGRAM set {aba, bab} never appears in them
+    val inliers = (1 to 8).map(i => (i.toLong, "abc abc abc abc abc"))
+    val junk = (99L, "ababababababababab")
+    val df = (inliers :+ junk).toDF("doc_id", "text")
+    val e3 = TextFeatures.charTrigramEntropy(df, col("doc_id"), col("text"))
+      .select("doc_id", "cross_entropy3").as[(Long, Double)].collect().toMap
+    assert(e3(99L) > e3(1L), "trigram model must flag the outlier")
+  }
+
+  test("TrigramCounts kernel matches the naive formulation on real docs") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "#").as("t"))
+      .filter(length(col("t")) >= 3)
+    val naive = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.sliding(3).toSeq.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+    }.toMap
+    val got = docs.select(col("doc_id"),
+        graft.functions.TrigramCounts(col("t")).as("a"))
+      .select(col("doc_id"), explode(col("a")).as("e"))
+      .select(col("doc_id"), col("e.tg"), col("e.k"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map { case (_, tg, k) =>
+        val s = new String(Array(
+          ((tg >> 32) & 0xffff).toChar, ((tg >> 16) & 0xffff).toChar,
+          (tg & 0xffff).toChar))
+        s -> k
+      }.toMap).toMap
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (id, m) => assert(m == naive(id), s"doc $id") }
+  }
+}
