@@ -34,7 +34,7 @@ object Bench {
       "q_corpus", "q_semdedup", "q_ldedup", "q_dsir", "q_dsirs", "q_span",
       "q_ksamp", "q_bpe", "q_oov", "q_glcm", "q_shard", "q_bm25", "q_audio",
       "q_img_dedup", "q_ragc", "q_attrs", "q_hardneg", "q_csamp", "q_pca",
-      "q_ebin", "q_scut", "q_entropy3")
+      "q_ebin", "q_scut", "q_entropy3", "q_fdecon")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

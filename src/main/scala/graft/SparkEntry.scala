@@ -524,6 +524,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 11 === 0), col("doc_id"), col("text"),
         n = 8, minShared = 1L)
     }),
+    // fuzzy decontamination: Jaccard-level corpus-vs-eval overlap —
+    // catches paraphrased/re-tokenized benchmark items the verbatim
+    // 8-gram gate misses (same eval split as q_decon)
+    "q_fdecon" -> ((s, d) => {
+      val docs = documents(s, d)
+      Decontaminate.fuzzyOverlapPairs(
+        docs.filter(col("doc_id") % 11 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 11 === 0), col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+    }),
     // the whole corpus build composed end-to-end: quality gate ->
     // exact dedup -> near-dup cluster keep -> decontamination ->
     // stratified sampling, every stage on the previous stage's
@@ -2200,6 +2210,31 @@ object SparkEntry {
         |FROM sh c JOIN sh e ON c.g = e.g
         |WHERE c.doc_id % 11 <> 0 AND e.doc_id % 11 = 0
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_fdecon" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(tk) - 1)) AS t(i)
+        |  WHERE len(tk) >= 3
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), p AS (
+        |  SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, COUNT(*) AS shared
+        |  FROM sh c JOIN sh e ON c.g = e.g
+        |  WHERE c.doc_id % 11 <> 0 AND e.doc_id % 11 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_id, p.eval_id, p.shared,
+        |  floor(CAST(p.shared AS DOUBLE) / (cs.n + es.n - p.shared)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM p
+        |JOIN sz cs ON cs.doc_id = p.doc_id
+        |JOIN sz es ON es.doc_id = p.eval_id
+        |WHERE floor(CAST(p.shared AS DOUBLE) / (cs.n + es.n - p.shared)
+        |  * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+        |""".stripMargin,
 
     "q_corpus" ->
       """WITH RECURSIVE base AS (

@@ -41,6 +41,41 @@ object Decontaminate {
       .filter(col("shared") >= minShared)
   }
 
+  /** FUZZY decontamination — the near-duplicate-level check modern
+    * eval-contamination audits run alongside the verbatim n-gram gate
+    * (a lightly paraphrased or re-tokenized benchmark item shares few
+    * long verbatim n-grams but most of its SHORT shingles): exact
+    * Jaccard similarity between each corpus document and each eval
+    * document over distinct word k-grams, thresholded. Same scale
+    * shape as [[overlapPairs]] — the eval side is broadcast, the
+    * corpus is scanned once, only matched postings shuffle — with the
+    * shingle-set sizes riding the exploded rows so the Jaccard
+    * denominator needs no join-back. Exact (no MinHash needed: the
+    * eval side is fixed-size, so the candidate set is already
+    * index-gated). */
+  def fuzzyOverlapPairs(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                        eval: DataFrame, evalId: Column, evalText: Column,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(n >= 1 && minJaccard > 0.0 && minJaccard <= 1.0)
+    val evalSh = eval.select(evalId.as("eval_id"),
+        graft.functions.WordShingles(evalText, n).as("_gs"))
+      .select(col("eval_id"), size(col("_gs")).as("_en"),
+        explode(col("_gs")).as("_g"))
+    val corpSh = corpus.select(corpusId.as("doc_id"),
+        graft.functions.WordShingles(corpusText, n).as("_gs"))
+      .select(col("doc_id"), size(col("_gs")).as("_cn"),
+        explode(col("_gs")).as("_g"))
+    corpSh.join(broadcast(evalSh), Seq("_g"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("_cn")).as("_cn"), max(col("_en")).as("_en"))
+      .withColumn("jaccard", graft.functions.Numeric.cround(
+        col("shared").cast("double")
+          / (col("_cn") + col("_en") - col("shared")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("eval_id"), col("shared"), col("jaccard"))
+  }
+
   /** The corpus with contaminated documents removed — the anti-join a
     * pipeline actually ships. Same plan shape as [[overlapPairs]] with
     * the pair evidence reduced to a distinct flagged-doc set before
