@@ -52,7 +52,9 @@ object Plans {
       "q_dsir" -> "DSIR data selection: one cached BigramCounts kernel pass feeds BOTH corpus LMs in a single bounded aggregate (≤39² rows collected), scoring is the fused map-only BigramScore kernel on the cached arrays — no second corpus scan",
       "q_attrs" -> "fused attribute pass: every per-doc quality/repetition/lang-ID signal in ONE map-only whole-stage-codegen select over ONE corpus scan — at 100 TB this replaces five separate scans",
       "q_ragc" -> "RAG chunking with overlap: split once per row, windows from an in-row sequence+explode — map-only, no shuffle, no window function",
-      "q_hardneg" -> "hard-negative mining: broadcast queries, one corpus scan with the label gate inside the join condition, per-query top-k via WindowGroupLimit pushdown")
+      "q_hardneg" -> "hard-negative mining: broadcast queries, one corpus scan with the label gate inside the join condition, per-query top-k via WindowGroupLimit pushdown",
+      "q_entropy3" -> "trigram-LM scoring: one TrigramCounts kernel pass cached at doc grain, the 39³-bounded model collected and re-entering as a plan literal inside the fused map-only TrigramScore kernel",
+      "q_fdecon" -> "fuzzy decontamination: eval shingles broadcast, corpus scanned once, shingle-set sizes riding the matched postings so the Jaccard denominator needs no join-back")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
