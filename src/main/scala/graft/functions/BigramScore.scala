@@ -13,8 +13,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   * vocabulary. Serializable: rides the expression into the plan like a
   * literal (the model is driver-sized by construction — the normalized
   * alphabet caps the vocabulary at 39²). */
-final class BigramModel(val codes: Array[Int], val lps: Array[Double])
+final class BigramModel(val codes: Array[Int], val lps: Array[Double],
+                        val unseenLp: Double)
   extends Serializable {
+
+  /** Strict mode: an unseen gram throws (the self-trained parity path —
+    * scoring the exact corpus the model was trained on, where a miss is
+    * a bug, not data). */
+  def this(codes: Array[Int], lps: Array[Double]) =
+    this(codes, lps, Double.NaN)
 
   /** Per-document score: n = Σk and the EXACT decimal(…,8) sum of
     * k·logprob per distinct bigram, converted to double at the end —
@@ -33,10 +40,12 @@ final class BigramModel(val codes: Array[Int], val lps: Array[Double])
       val bg = row.getInt(0)
       val k = row.getLong(1)
       val j = java.util.Arrays.binarySearch(codes, bg)
-      if (j < 0)
-        throw new IllegalStateException(
+      val lp =
+        if (j >= 0) lps(j)
+        else if (!java.lang.Double.isNaN(unseenLp)) unseenLp
+        else throw new IllegalStateException(
           s"bigram $bg not in the corpus-trained model (model/corpus mismatch)")
-      val klp = k * lps(j)
+      val klp = k * lp
       sq8 += new java.math.BigDecimal(java.lang.Double.toString(klp))
         .setScale(8, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()

@@ -14,8 +14,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   * the normalization alphabet at any corpus scale). The per-document
   * sum replicates `sum(cast(k*lp as decimal(28,8)))` bit-for-bit
   * exactly as BigramModel.score does. */
-final class TrigramModel(val codes: Array[Long], val lps: Array[Double])
+final class TrigramModel(val codes: Array[Long], val lps: Array[Double],
+                         val unseenLp: Double)
   extends Serializable {
+
+  /** Strict mode: an unseen gram throws (the self-trained parity path —
+    * scoring the exact corpus the model was trained on, where a miss is
+    * a bug, not data). */
+  def this(codes: Array[Long], lps: Array[Double]) =
+    this(codes, lps, Double.NaN)
 
   def score(arr: ArrayData): GenericInternalRow = {
     var n = 0L
@@ -27,10 +34,12 @@ final class TrigramModel(val codes: Array[Long], val lps: Array[Double])
       val tg = row.getLong(0)
       val k = row.getLong(1)
       val j = java.util.Arrays.binarySearch(codes, tg)
-      if (j < 0)
-        throw new IllegalStateException(
+      val lp =
+        if (j >= 0) lps(j)
+        else if (!java.lang.Double.isNaN(unseenLp)) unseenLp
+        else throw new IllegalStateException(
           s"trigram $tg not in the corpus-trained model (model/corpus mismatch)")
-      val klp = k * lps(j)
+      val klp = k * lp
       sq8 += new java.math.BigDecimal(java.lang.Double.toString(klp))
         .setScale(8, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()

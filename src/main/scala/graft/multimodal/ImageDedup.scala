@@ -24,12 +24,14 @@ object ImageDedup {
   /** Near-duplicate asset pairs (d1 < d2, with their Hamming distance)
     * among the payloads of `df` (expects doc_id + payload from
     * Binary.withPayload). Exact for the radius: bands guarantee recall,
-    * the Hamming verify removes false positives. pHash is effectively
-    * 63-bit (DC bit always 0), hence bits = 63. */
+    * the Hamming verify removes false positives. Banding covers all 64
+    * bits so every informative AC-sign bit (pHash populates bits 1..63;
+    * bit 0 is the always-zero DC slot) participates in candidate
+    * discrimination. */
   def nearDupPairs(spark: SparkSession, df: DataFrame,
                    maxHamming: Int = 6): DataFrame =
     graft.dedup.SimHashDedup.bandedHammingPairs(
       Binary.perceptualHashes(spark, df).toDF()
         .select(col("doc_id"), col("phash").as("fp")),
-      maxHamming, bits = 63)
+      maxHamming, bits = 64)
 }

@@ -17,19 +17,15 @@ object ExactlyOnce {
   /** The foreachBatch handler: write `batch` under `path` partitioned
     * by batch_id, overwriting only the partitions present in this
     * batch (dynamic mode). Safe to call twice with the same
-    * (batch, batchId) — the second call replaces the first's files. */
+    * (batch, batchId) — the second call replaces the first's files.
+    * The overwrite mode is set per-WRITER (the DataFrameWriter option
+    * takes precedence over the session conf), so concurrent sinks on
+    * one SparkSession can never race a session-global flag into
+    * 'static' — which would turn a replay into a full-path overwrite. */
   def writeBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
   }
 }

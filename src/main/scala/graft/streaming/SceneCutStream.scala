@@ -36,6 +36,11 @@ object SceneCutStream {
             val (delta, isCut) = cur match {
               case None => (None: Option[Double], false)
               case Some(s) =>
+                if (f.frame_idx <= s.lastIdx)
+                  throw new IllegalStateException(
+                    s"out-of-order frame for asset $doc: frame_idx " +
+                      s"${f.frame_idx} after ${s.lastIdx} — the decode " +
+                      "source's monotone-arrival contract is violated")
                 val d = f.mean_px - s.lastMean
                 (Some(d), math.abs(d) > threshold)
             }

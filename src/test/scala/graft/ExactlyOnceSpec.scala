@@ -30,6 +30,52 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(got == Set((1L, "fresh"), (2L, "new")))
   }
 
+  test("session conf is never touched: replay stays partition-scoped even with the session set to static") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo4").toString
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      ExactlyOnce.writeBatch(dir)(Seq((1L, "a")).toDF("id", "v"), 0L)
+      ExactlyOnce.writeBatch(dir)(Seq((2L, "b")).toDF("id", "v"), 1L)
+      // replay of batch 0 with the session conf in the dangerous mode:
+      // the per-writer option must still confine the overwrite
+      ExactlyOnce.writeBatch(dir)(Seq((1L, "a")).toDF("id", "v"), 0L)
+      assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static",
+        "writeBatch must not mutate the session conf")
+      val got = spark.read.parquet(dir)
+        .select("batch_id", "id", "v").as[(Long, Long, String)].collect().toSet
+      assert(got == Set((0L, 1L, "a"), (1L, 2L, "b")),
+        "batch 1's partition survives a batch-0 replay under a static session conf")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("two concurrent sinks on one session replay without clobbering each other") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_eoA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_eoB").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future {
+      (0 until 4).foreach { i =>
+        ExactlyOnce.writeBatch(dirA)(Seq((i.toLong, "a")).toDF("id", "v"), i.toLong)
+        // immediate replay of the same batch (at-least-once delivery)
+        ExactlyOnce.writeBatch(dirA)(Seq((i.toLong, "a")).toDF("id", "v"), i.toLong)
+      }
+    }
+    val fb = Future {
+      (0 until 4).foreach { i =>
+        ExactlyOnce.writeBatch(dirB)(Seq((i.toLong, "b")).toDF("id", "v"), i.toLong)
+        ExactlyOnce.writeBatch(dirB)(Seq((i.toLong, "b")).toDF("id", "v"), i.toLong)
+      }
+    }
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    val a = spark.read.parquet(dirA).select("id", "v").as[(Long, String)].collect().toSet
+    val b = spark.read.parquet(dirB).select("id", "v").as[(Long, String)].collect().toSet
+    assert(a == (0 until 4).map(i => (i.toLong, "a")).toSet,
+      "sink A: every batch present exactly once after interleaved replays")
+    assert(b == (0 until 4).map(i => (i.toLong, "b")).toSet,
+      "sink B: every batch present exactly once after interleaved replays")
+  }
+
   test("wired into a real stream via foreachBatch") {
     implicit val sql = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime

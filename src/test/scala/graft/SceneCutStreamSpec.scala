@@ -42,4 +42,33 @@ class SceneCutStreamSpec extends SparkSpec {
     val split = runStream(Seq(a, b), 30.0, "scs_split")
     assert(split == exp, "state must carry deltas across micro-batches")
   }
+
+  test("out-of-order cross-batch arrival fails fast instead of mis-segmenting") {
+    // frame 5 arrives in batch 1, then frame 3 in batch 2 — a violation
+    // of the decode source's monotone-arrival contract. Computing the
+    // delta against the wrong predecessor would silently diverge from
+    // the batch operator, so the stream must throw. (Explicit
+    // processAllAvailable boundaries: AvailableNow would fold both
+    // adds into one micro-batch, where the in-batch sort absorbs the
+    // disorder legitimately.)
+    implicit val sql = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FrameIn]
+    val q = SceneCutStream.cuts(stream.toDS(), 30.0)
+      .writeStream.format("memory").queryName("scs_ooo")
+      .outputMode("append").start()
+    val ex = try {
+      stream.addData(Seq(FrameIn(7L, 5, 100.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(FrameIn(7L, 3, 10.0)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage != null && c.getMessage.contains("out-of-order frame")),
+      s"expected the contract violation to surface, got: $ex")
+  }
 }

@@ -31,6 +31,40 @@ class TrigramSpec extends SparkSpec {
     assert(e3(99L) > e3(1L), "trigram model must flag the outlier")
   }
 
+  test("held-out scoring: unseen grams hit the smoothed floor; strict mode still throws") {
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // model trained on one "abc" occurrence: tot=1, v=1, floor=ln(1/2)
+    val floor = StrictMath.log(1.0 / 2.0)
+    val tgAbc = ('a'.toLong << 32) | ('b'.toLong << 16) | 'c'.toLong
+    val held = Seq((1L, "abd")).toDF("doc_id", "t")
+      .select(col("doc_id"), graft.functions.TrigramCounts(col("t")).as("a"))
+    val lenient = new graft.functions.TrigramModel(
+      Array(tgAbc), Array(StrictMath.log(2.0 / 2.0)), floor)
+    val got = held
+      .select(graft.functions.TrigramScore(col("a"), lenient).as("s"))
+      .select(col("s.n"), col("s.lp")).as[(Long, Double)].head()
+    assert(got._1 == 1L)
+    assert(math.abs(got._2 - floor) < 1e-7, "unseen trigram scores at the floor")
+    val strict = new graft.functions.TrigramModel(
+      Array(tgAbc), Array(StrictMath.log(2.0 / 2.0)))
+    val ex = intercept[Throwable] {
+      held.select(graft.functions.TrigramScore(col("a"), strict).as("s")).collect()
+    }
+    assert(causes(ex).exists(_.isInstanceOf[IllegalStateException]),
+      "the self-trained parity path keeps the model/corpus-mismatch throw")
+    // the bigram kernel shares the design — same floor semantics
+    val bgAb = ('a' << 16) | 'b'
+    val heldBg = Seq((1L, "ac")).toDF("doc_id", "t")
+      .select(col("doc_id"), graft.functions.BigramCounts(col("t")).as("a"))
+    val bgLenient = new graft.functions.BigramModel(
+      Array(bgAb), Array(StrictMath.log(1.0)), floor)
+    val gotBg = heldBg
+      .select(graft.functions.BigramScore(col("a"), bgLenient).as("s"))
+      .select(col("s.lp")).as[Double].head()
+    assert(math.abs(gotBg - floor) < 1e-7, "unseen bigram scores at the floor")
+  }
+
   test("TrigramCounts kernel matches the naive formulation on real docs") {
     val docs = Tables.documents(spark, sfDir).limit(100)
       .select(col("doc_id"),
