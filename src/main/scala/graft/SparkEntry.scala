@@ -221,7 +221,8 @@ object SparkEntry {
           cround(col("last_signup_value"), 4).as("last_signup_value"))
     }),
     "q_connected_components" -> ((s, d) =>
-      // order/part bipartite graph from lineitem (disjoint id spaces)
+      // order/part bipartite graph from lineitem (disjoint id spaces);
+      // oracled via unrolled min-label propagation (see ccOracleSql)
       ConnectedComponents.run(lineitem(s, d)
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")))),
     "q_track_split" -> ((s, d) => {
@@ -393,14 +394,16 @@ object SparkEntry {
     }),
     // s16le PCM frame features (rms/zcr/peak) — the audio-side
     // multimodal path; the byte-to-sample decode is real (no codec
-    // needed for raw PCM), math pinned by AudioSpec. Rows-only: the
-    // oracle cannot parse binary little-endian.
+    // needed for raw PCM), math pinned by AudioSpec. Oracled: DuckDB
+    // replays the little-endian byte decode via hex() char pairs, and
+    // rms is deterministic (integer sum of squares + one IEEE sqrt).
     "q_audio" -> ((s, d) =>
       Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
         frameLen = 32, hop = 16).toDF()),
     // video scene-cut detection over the sampled frame features —
-    // per-asset temporal segmentation (clip extraction). Rows-only:
-    // rides the distributed decode; math pinned by SceneCutSpec
+    // per-asset temporal segmentation (clip extraction); math pinned
+    // by SceneCutSpec, and oracled: the stub decode's mean_px is an
+    // exact integer-sum mean DuckDB reproduces byte-for-byte
     "q_scut" -> ((s, d) => {
       val frames = Binary.sampleFrameFeatures(
         s, Binary.withPayload(documents(s, d)), everyK = 2).toDF()
@@ -466,11 +469,17 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, d) => {
       // index built once per corpus (quantizeCached), queried here: the
-      // serving shape — query cost excludes quantizer training
+      // serving shape — query cost excludes quantizer training. Run at
+      // nprobe = nlist, where IVF degrades gracefully to the exact
+      // result by construction (candidates = whole corpus; final
+      // ranking is the same exact cosine as bruteTopK) — which makes
+      // the query DuckDB-oracled. Cell PRUNING (nprobe < nlist) recall
+      // is pinned by IvfAnnSpec; the probe/join machinery executes
+      // identically here.
       val emb = embeddings(s, d)
       val (assigned, cents) = vector.IvfAnn.quantizeCached(d, emb, nlist = 16)
       vector.IvfAnn.topKWith(assigned, cents, emb,
-        emb.filter(col("vec_id") < 10), 5, nprobe = 4)
+        emb.filter(col("vec_id") < 10), 5, nprobe = 16)
     }),
     // IVF-PQ: same probe, but candidates ranked on m-byte codes (ADC)
     // with exact re-rank of the survivors — the billion-vector serving
@@ -749,7 +758,55 @@ object SparkEntry {
        |      ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id
        |    ) AS rn
        |  FROM _e)
-       |WHERE rn <= 20""".stripMargin)
+       |WHERE rn <= 20""".stripMargin
+  ) + ("q_connected_components" -> ccOracleSql()
+  ) + ("q_simhash_pairs" ->
+    // the banded pair search is EXACT at its radius (pigeonhole bands
+    // + full-width Hamming verify), so the oracle is the definition:
+    // all fingerprint pairs within Hamming 3 — fingerprints from the
+    // q_simhash oracle's own CTE chain (already hash-matched), pairs
+    // by bit_count(xor()). The sort_array collection orders d1 < d2.
+    s"""WITH _f AS (${oracleSqlBase("q_simhash")})
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM _f a JOIN _f b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  ) + ("q_ann_ivf" ->
+    // at nprobe = nlist the probed cells cover the corpus and the
+    // final exact-cosine ranking is bruteTopK's — the oracle is the
+    // brute-force one, and IVF must agree exactly by construction
+    oracleSqlBase("q_ann_cosine"))
+
+  /** Connected-components oracle: unrolled min-label propagation over
+    * the same bipartite order/part graph the Spark query builds. Each
+    * round lowers every node's label to the minimum over itself and
+    * its neighbourhood, so the component's minimum id reaches every
+    * member within eccentricity(min-node) <= diameter rounds; this
+    * random bipartite graph converges in 6 rounds at sf0.01 (8 at
+    * sf0.1, measured), so 24 is a 3-4x margin. A recursive-CTE
+    * reachability closure (the q_dedup_clusters shape) would be
+    * quadratic in the giant component here. CTEs are MATERIALIZED:
+    * every round references the previous one twice, so inlining
+    * would expand the plan exponentially. */
+  private def ccOracleSql(rounds: Int = 24): String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT) AS src,
+        |    CAST(l_partkey * 2 + 1 AS BIGINT) AS dst FROM lineitem
+        |), ed AS MATERIALIZED (
+        |  SELECT src AS u, dst AS v FROM e0 UNION ALL SELECT dst, src FROM e0
+        |), l0 AS MATERIALIZED (
+        |  SELECT u AS node, u AS lbl FROM ed GROUP BY u
+        |)""".stripMargin)
+    for (k <- 1 to rounds)
+      sb.append(s""", l$k AS MATERIALIZED (
+                   |  SELECT p.node, least(p.lbl, min(q.lbl)) AS lbl
+                   |  FROM l${k - 1} p JOIN ed ON ed.u = p.node
+                   |  JOIN l${k - 1} q ON q.node = ed.v
+                   |  GROUP BY p.node, p.lbl
+                   |)""".stripMargin)
+    sb.append(s"\nSELECT node, lbl AS component FROM l$rounds").toString
+  }
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1735,6 +1792,158 @@ object SparkEntry {
         |  FROM h, range(30) r(b) GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // audio s16le PCM frames: payload bytes = UTF-8 text bytes (the
+    // harness's withPayload contract), extracted in DuckDB via hex()
+    // character pairs. All math is deterministic across engines: the
+    // per-frame sum of squares is an exact integer, sqrt is a single
+    // correctly-rounded IEEE op, zcr/peak are integer-derived.
+    // frameLen 32, hop 16 mirror the Spark query.
+    "q_audio" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, h, CAST(UNNEST(range((nb // 2 - 32) // 16 + 1)) AS INT) AS frame_idx
+        |  FROM hx WHERE nb // 2 >= 32
+        |), sm AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(
+        |      list_transform(range(32), i ->
+        |        (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+1 : 4*(frame_idx*16+i)+1]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+2 : 4*(frame_idx*16+i)+2]) - 1)
+        |        + ((strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+3 : 4*(frame_idx*16+i)+3]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+4 : 4*(frame_idx*16+i)+4]) - 1)) * 256),
+        |      v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
+        |  FROM fr
+        |)
+        |SELECT doc_id, frame_idx, CAST(32 AS INT) AS n_samples,
+        |  floor(sqrt(CAST(list_sum(list_transform(s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) / 32) * 10000.0 + 0.5) / 10000.0 AS rms,
+        |  floor(CAST(len(list_filter(range(2, 33), i -> s[i-1] * s[i] < 0)) AS DOUBLE) / 31 * 1000000.0 + 0.5) / 1000000.0 AS zcr,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak
+        |FROM sm""".stripMargin,
+
+    // scene cuts over the stub decode's frame means: mean_px is an
+    // exact integer-sum mean (bytes xor frame_idx), frames sampled
+    // every 2 of 1 + n_bytes % 8; the window chain mirrors
+    // SceneCut.cuts (threshold 30, delta rounded at 4)
+    "q_scut" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, h, nb, CAST(UNNEST(range(0, 1 + nb % 8, 2)) AS INT) AS frame_idx
+        |  FROM hx
+        |), mp AS (
+        |  SELECT doc_id, frame_idx,
+        |    CASE WHEN nb = 0 THEN 0.0 ELSE
+        |      CAST(list_sum(list_transform(range(nb), j ->
+        |        xor((strpos('0123456789ABCDEF', h[2*j+1 : 2*j+1]) - 1) * 16
+        |          + (strpos('0123456789ABCDEF', h[2*j+2 : 2*j+2]) - 1), frame_idx))) AS DOUBLE) / nb
+        |    END AS mean_px
+        |  FROM fr
+        |), d AS (
+        |  SELECT doc_id, frame_idx, mean_px - lag(mean_px) OVER w AS delta
+        |  FROM mp
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        |), c AS (
+        |  SELECT doc_id, frame_idx, delta,
+        |    COALESCE(abs(delta) > 30.0, FALSE) AS is_cut
+        |  FROM d
+        |)
+        |SELECT doc_id, frame_idx,
+        |  floor(delta * 10000.0 + 0.5) / 10000.0 AS delta,
+        |  is_cut,
+        |  CAST(SUM(CAST(is_cut AS INT)) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment
+        |FROM c""".stripMargin,
+
+    // decode-stub metadata incl. the FNV-1a checksum replayed in
+    // HUGEINT arithmetic: the xor of one byte only touches the low 8
+    // bits (a - a%256 + xor(a%256, p)), the 64-bit wrap is % 2^64,
+    // and the product stays under 2^104 < HUGEINT range; width/height
+    // read the unsigned value where Scala floorMod reads the signed
+    // one (equal because 2^64 = 0 mod 512 and mod-2^16-shift)
+    "q_mm_decode" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), cs AS (
+        |  SELECT doc_id, nb,
+        |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |      list_transform(range(nb), j ->
+        |        CAST((strpos('0123456789ABCDEF', h[2*j+1 : 2*j+1]) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', h[2*j+2 : 2*j+2]) - 1) AS HUGEINT))),
+        |      (a, p) -> ((a - a % 256 + xor(CAST(a % 256 AS BIGINT), CAST(p AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616) AS u
+        |  FROM hx
+        |)
+        |SELECT doc_id, 'image/fake' AS kind, CAST(nb AS INT) AS n_bytes,
+        |  CAST(16 + u % 512 AS INT) AS width,
+        |  CAST(16 + (u // 65536) % 512 AS INT) AS height,
+        |  CAST(1 + nb % 8 AS INT) AS n_frames,
+        |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS checksum
+        |FROM cs""".stripMargin,
+
+    // sampled-frame features: the 8x8 stub pixel block is rebuilt
+    // relationally (byte xor frame_idx accumulated by index mod 64),
+    // Haar band energies are sums of exact dyadic rationals (halves
+    // squared, /16) so raw doubles match bit-for-bit in any sum
+    // order; the checksum reuses the FNV HUGEINT replay with the
+    // frame-salted seed
+    "q_mm_frames" ->
+      """WITH hx AS MATERIALIZED (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), fr AS MATERIALIZED (
+        |  SELECT doc_id, CAST(UNNEST(range(0, 1 + nb % 8, 2)) AS INT) AS frame_idx FROM hx
+        |), byt AS MATERIALIZED (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    (strpos('0123456789ABCDEF', h[2*j+1 : 2*j+1]) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', h[2*j+2 : 2*j+2]) - 1) AS b
+        |  FROM hx, UNNEST(range(nb)) t(j)
+        |), cell AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx, y.j % 64 AS cj, SUM(xor(y.b, f.frame_idx)) AS v
+        |  FROM fr f JOIN byt y USING (doc_id) GROUP BY 1, 2, 3
+        |), px AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx, CAST(g.j AS INT) AS cj,
+        |    CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+        |  FROM fr f CROSS JOIN (SELECT UNNEST(range(64)) AS j) g
+        |  LEFT JOIN cell c ON c.doc_id = f.doc_id AND c.frame_idx = f.frame_idx AND c.cj = g.j
+        |), blocks AS MATERIALIZED (
+        |  SELECT a.doc_id, a.frame_idx,
+        |    (a.v + b.v - c.v - d.v) / 2.0 AS vlh,
+        |    (a.v - b.v + c.v - d.v) / 2.0 AS vhl,
+        |    (a.v - b.v - c.v + d.v) / 2.0 AS vhh
+        |  FROM px a
+        |  JOIN px b ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx AND b.cj = a.cj + 1
+        |  JOIN px c ON c.doc_id = a.doc_id AND c.frame_idx = a.frame_idx AND c.cj = a.cj + 8
+        |  JOIN px d ON d.doc_id = a.doc_id AND d.frame_idx = a.frame_idx AND d.cj = a.cj + 9
+        |  WHERE (a.cj % 8) % 2 = 0 AND (a.cj // 8) % 2 = 0
+        |), tex AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx,
+        |    SUM(vlh * vlh) / 16.0 AS tex_lh,
+        |    SUM(vhl * vhl) / 16.0 AS tex_hl,
+        |    SUM(vhh * vhh) / 16.0 AS tex_hh
+        |  FROM blocks GROUP BY 1, 2
+        |), mp AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx,
+        |    CAST(SUM(xor(y.b, f.frame_idx)) AS DOUBLE) / x.nb AS mean_px
+        |  FROM fr f JOIN byt y USING (doc_id) JOIN hx x USING (doc_id)
+        |  GROUP BY f.doc_id, f.frame_idx, x.nb
+        |), cks AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx,
+        |    list_reduce(list_prepend(CAST(xor(1469598103934665603, f.frame_idx) AS HUGEINT),
+        |      list_transform(list(y.b ORDER BY y.j), p -> CAST(xor(p, f.frame_idx) AS HUGEINT))),
+        |      (a, p) -> ((a - a % 256 + xor(CAST(a % 256 AS BIGINT), CAST(p AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616) AS u
+        |  FROM fr f JOIN byt y USING (doc_id) GROUP BY f.doc_id, f.frame_idx
+        |)
+        |SELECT t.doc_id, t.frame_idx,
+        |  floor(m.mean_px * 10000.0 + 0.5) / 10000.0 AS mean_px,
+        |  t.tex_lh, t.tex_hl, t.tex_hh,
+        |  CAST(CASE WHEN c.u >= 9223372036854775808 THEN c.u - 18446744073709551616 ELSE c.u END AS BIGINT) AS checksum
+        |FROM tex t JOIN mp m USING (doc_id, frame_idx) JOIN cks c USING (doc_id, frame_idx)""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
