@@ -485,10 +485,12 @@ object SparkEntry {
     // with exact re-rank of the survivors — the billion-vector serving
     // shape. Rows-only: recall/parity are spec-pinned (PqAnnSpec).
     "q_pq" -> ((s, d) => {
+      // index (IVF cells + PQ codebooks + encoded codes) built once per
+      // corpus and cached — the serving shape; the query pays only the
+      // probe, the ADC code scan and the exact re-rank
       val emb = embeddings(s, d)
       val (assigned, cents) = vector.IvfAnn.quantizeCached(d, emb, nlist = 16)
-      val book = vector.PqAnn.collectBook(vector.PqAnn.train(emb, 64, 8, 16))
-      val encoded = vector.PqAnn.encode(emb, book, 64)
+      val (book, encoded) = vector.PqAnn.encodeCached(d, emb, 64, 8, 16)
       vector.PqAnn.topKWith(assigned, cents, encoded, book, emb,
         emb.filter(col("vec_id") < 10), 5, dim = 64, nprobe = 4, rerank = 8)
     }),

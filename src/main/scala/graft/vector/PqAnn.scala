@@ -152,6 +152,43 @@ object PqAnn {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int, Int, Int, Double),
+    (Array[Array[Array[Float]]], DataFrame)]()
+
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  /** Build-once PQ index reuse across query batches over the same
+    * corpus — the same serving-shape stand-in as
+    * [[IvfAnn.quantizeCached]]: the codebooks (m KMeans fits) and the
+    * encoded (vec_id, codes, v_norm) table are index-build artifacts a
+    * real deployment writes once and queries forever, so repeated
+    * batches pay only the probe + ADC joins. Keyed by session +
+    * caller-supplied corpus identity + all training parameters;
+    * evicted when the owning context shuts down. */
+  def encodeCached(key: String, corpus: DataFrame, dim: Int, m: Int,
+                   ksub: Int, sampleFraction: Double = 1.0)
+      : (Array[Array[Array[Float]]], DataFrame) = {
+    val session = corpus.sparkSession
+    if (evictionHooked.add(session)) {
+      session.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.keySet.removeIf(_._1 eq session)
+            evictionHooked.remove(session)
+          }
+        })
+    }
+    cache.computeIfAbsent((session, key, dim, m, ksub, sampleFraction), _ => {
+      val book = collectBook(train(corpus, dim, m, ksub, sampleFraction))
+      val encoded = encode(corpus, book, dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (book, encoded)
+    })
+  }
+
   /** Convenience: build the full IVF-PQ index and search. Serving
     * builds once and queries forever — this is the test/bench entry. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
