@@ -420,6 +420,17 @@ object SparkEntry {
     "q_img_dedup" -> ((s, d) =>
       multimodal.ImageDedup.nearDupPairs(
         s, Binary.withPayload(documents(s, d)), maxHamming = 6)),
+    // the composed MULTIMODAL corpus build — image near-dup keep ->
+    // scene-stability gate -> audio silence gate -> text gate, each on
+    // the previous stage's survivors (the media twin of q_corpus).
+    // Rows-only: the perceptual-hash stage rides the distributed
+    // decode; stage bites + composition are pinned by
+    // MultimodalCorpusSpec's planted casualties. Gates tuned to the
+    // synthetic corpus's byte statistics (cut deltas ~0.5-1.2, rms
+    // ~23k-28k) so each stage bites without emptying the output.
+    "q_mm_corpus" -> ((s, d) =>
+      multimodal.MultimodalCorpus.run(
+        Binary.withPayload(documents(s, d)))),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
     "q_ml_classify" -> ((s, d) =>
       graft.ml.Models.classifyEmbeddings(embeddings(s, d)
