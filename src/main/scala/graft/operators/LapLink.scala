@@ -298,12 +298,15 @@ object LapLink {
     * ALLOW_TRACK_SPLITTING / ALLOW_TRACK_MERGING are reference
     * surface): sources are segment ENDS and (when splitting) segment
     * MIDDLES; targets are segment STARTS and (when merging) MIDDLES.
-    * Blocks: end→start within `maxGap` frames (gap closing),
-    * end→middle at frame gap 1 (merging), middle→start at frame gap 1
-    * (splitting) — all distance-gated by `maxDist`, solved together by
-    * [[assignEdges]] (weight 2L − d², exact per component), so a start
-    * goes to the gap-close OR the split source that the GLOBAL optimum
-    * prefers, never both.
+    * Blocks: end→start within `maxGap` frames (gap closing, gated by
+    * `maxDist`), end→middle at frame gap 1 (merging, gated by
+    * `mergeDist` — TrackMate's MERGING_MAX_DISTANCE — defaulting to
+    * `maxDist`), middle→start at frame gap 1 (splitting, gated by
+    * `splitDist` / SPLITTING_MAX_DISTANCE likewise). Middle→middle
+    * pairs belong to NO TrackMate block and are never candidates.
+    * All blocks are solved together by [[assignEdges]] (weight
+    * 2L − d², exact per component), so a start goes to the gap-close
+    * OR the split source that the GLOBAL optimum prefers, never both.
     *
     * Label semantics are deliberately unchanged by split/merge links:
     * the engine's (and reference pipeline's) track identity rules make
@@ -322,12 +325,18 @@ object LapLink {
                    maxDist: Double, maxGap: Int,
                    videoOf: Long => Long,
                    allowSplit: Boolean = true,
-                   allowMerge: Boolean = true): DataFrame = {
+                   allowMerge: Boolean = true,
+                   splitDist: Option[Double] = None,
+                   mergeDist: Option[Double] = None): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     require(maxGap >= 1, "maxGap must be >= 1")
+    require(splitDist.forall(_ > 0.0), "splitDist must be positive")
+    require(mergeDist.forall(_ > 0.0), "mergeDist must be positive")
     val spark = spots.sparkSession
     import spark.implicits._
     val maxD2 = maxDist * maxDist
+    val splitD2 = splitDist.map(d => d * d).getOrElse(maxD2)
+    val mergeD2 = mergeDist.map(d => d * d).getOrElse(maxD2)
     val rows = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
         x.cast("double").as("x"), y.cast("double").as("y"))
       .join(labels.select(col("id").cast("long").as("id"),
@@ -371,13 +380,19 @@ object LapLink {
             if (p.track != c.track) {
               val df = c.frame - p.frame
               // gap block: end->start within maxGap; split/merge
-              // blocks: frame gap exactly 1 (TrackMate's contract)
-              val gateOk =
-                if (pIsEnd && cIsStart) df >= 1 && df <= maxGap
-                else df == 1
-              if (gateOk) {
+              // blocks: frame gap exactly 1 (TrackMate's contract);
+              // middle->middle pairs belong to no block
+              val gateD2 =
+                if (pIsEnd && cIsStart) {
+                  if (df >= 1 && df <= maxGap) maxD2 else -1.0
+                } else if (df == 1) {
+                  if (pIsEnd) mergeD2        // end -> middle: merge
+                  else if (cIsStart) splitD2 // middle -> start: split
+                  else -1.0                  // middle -> middle: never
+                } else -1.0
+              if (gateD2 >= 0.0) {
                 val d2 = d2Of(p, c)
-                if (d2 <= maxD2) edges += ((pi, ci, d2))
+                if (d2 <= gateD2) edges += ((pi, ci, d2))
               }
             }
             ci += 1

@@ -26,17 +26,22 @@ import org.json4s.jackson.JsonMethods
   *  - ALLOW_TRACK_SPLITTING / ALLOW_TRACK_MERGING -> [[lineage]]'s
   *       full-Jaqaman blocks (TrackMate models splits/merges as graph
   *       edges, not label merges — hence the separate surface)
+  *  - SPLITTING_MAX_DISTANCE / MERGING_MAX_DISTANCE -> the split and
+  *       merge blocks' own distance gates (the reference templates set
+  *       all three gates differently — e.g. gap 90 / merge 50 /
+  *       split 5); absent keys fall back to the gap-closing gate
   *  - KALMAN_SEARCH_RADIUS      -> the Kalman prediction gate
   *  - MIN_IOU                   -> the Overlap tracker's IoU floor
   *  - GRID_CELL_SIZE            -> graft extension: the Overlap
   *       tracker's candidate grid pitch (no TrackMate analogue; its
   *       kd-tree equivalent is internal)
   *
-  * Simplifications vs TrackMate, declared: the SparseLAP second phase
-  * uses ONE distance gate (GAP_CLOSING_MAX_DISTANCE) for gap/split/
-  * merge rather than three, and ALTERNATIVE_LINKING_COST_FACTOR /
-  * CUTOFF_PERCENTILE (cost-matrix conditioning of the dense solver)
-  * have no analogue in the sparse gated Hungarian.
+  * Simplifications vs TrackMate, declared: ALTERNATIVE_LINKING_COST_
+  * FACTOR / CUTOFF_PERCENTILE (cost-matrix conditioning of the dense
+  * solver) have no analogue in the sparse gated Hungarian, and the
+  * per-block FEATURE penalty maps (GAP_CLOSING/SPLITTING/MERGING_
+  * FEATURE_PENALTIES) are accepted but not applied in the second
+  * phase — penalties act in the LINKING phase only.
   *
   * `config` may be a whole template (the `tracking` object is used) or
   * the tracking object itself. `spots` is (id, frame, x, y) —
@@ -56,6 +61,7 @@ object TrackerConfig {
       case JDecimal(v) => v.toDouble
     }
     def d(k: String, dflt: Double): Double = num(k).getOrElse(dflt)
+    def opt(k: String): Option[Double] = num(k)
     def i(k: String, dflt: Int): Int = num(k).map(_.toInt).getOrElse(dflt)
     def b(k: String, dflt: Boolean): Boolean = settings.get(k).collect {
       case JBool(v) => v
@@ -188,6 +194,8 @@ object TrackerConfig {
       maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", linkDist),
       maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf,
       allowSplit = cfg.b("ALLOW_TRACK_SPLITTING", dflt = false),
-      allowMerge = cfg.b("ALLOW_TRACK_MERGING", dflt = false))
+      allowMerge = cfg.b("ALLOW_TRACK_MERGING", dflt = false),
+      splitDist = cfg.opt("SPLITTING_MAX_DISTANCE"),
+      mergeDist = cfg.opt("MERGING_MAX_DISTANCE"))
   }
 }

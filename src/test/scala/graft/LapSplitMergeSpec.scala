@@ -63,6 +63,37 @@ class LapSplitMergeSpec extends SparkSpec {
     assert(full.toSet === Set((204L, 105L, "merge")), s"got ${full.toSeq}")
   }
 
+  test("per-block gates: SPLITTING/MERGING_MAX_DISTANCE tighter than the gap gate") {
+    // the planted split from above sits at distance ~1.58 from the
+    // mother's middle; a splitDist below that drops it while the
+    // gap-close gate (4.0) is untouched
+    val a = (0 to 8).map(f => (100L + f, f.toLong, f * 2.0, 0.0))
+    val b = (4 to 8).map(f => (200L + f, f.toLong, 6.0 + (f - 4) * 0.3,
+      1.5 + (f - 4) * 3.0))
+    val spots = a ++ b
+    val labels = labelsOf(spots, maxDist = 4.0)
+    val tight = LapLink.gapCloseFull(toDf(spots), labels,
+        col("id"), col("frame"), col("x"), col("y"), 4.0, 3, _ / 1000000L,
+        splitDist = Some(1.0))
+      .select("kind").as[String].collect()
+    assert(!tight.contains("split"), "split candidate must fail its own gate")
+    val loose = LapLink.gapCloseFull(toDf(spots), labels,
+        col("id"), col("frame"), col("x"), col("y"), 4.0, 3, _ / 1000000L,
+        splitDist = Some(2.0))
+      .select("src", "dst", "kind").as[(Long, Long, String)].collect()
+    assert(loose.toSet === Set((103L, 204L, "split")))
+    // merge twin: the planted merge sits at distance 3 from B's middle
+    val b2 = (0 to 10).map(f => (100L + f, f.toLong, f * 2.0, 0.0))
+    val a2 = (0 to 4).map(f => (200L + f, f.toLong, 10.0, 8.0 - f * 1.25))
+    val spots2 = a2 ++ b2
+    val labels2 = labelsOf(spots2, maxDist = 4.0)
+    val tight2 = LapLink.gapCloseFull(toDf(spots2), labels2,
+        col("id"), col("frame"), col("x"), col("y"), 4.0, 3, _ / 1000000L,
+        mergeDist = Some(2.5))
+      .select("kind").as[String].collect()
+    assert(!tight2.contains("merge"), "merge candidate must fail its own gate")
+  }
+
   test("blocks disabled: gapCloseFull equals gapClose on random instances") {
     val rnd = new scala.util.Random(23)
     for (_ <- 0 until 10) {
@@ -124,6 +155,7 @@ class LapSplitMergeSpec extends SparkSpec {
         (pk, p) <- parents
         (ck, c) <- children
         if p._1 / 100L != c._1 / 100L
+        if !(pk == "m" && ck == "m") // middle->middle: no TrackMate block
         df2 = c._2 - p._2
         if (if (pk == "e" && ck == "s") df2 >= 1 && df2 <= 3 else df2 == 1)
         d2 = (c._3 - p._3) * (c._3 - p._3) + (c._4 - p._4) * (c._4 - p._4)

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LapLink, TrackAssignment, TrackerConfig}
+
+/** Table-driven parity over the reference's FULL public template
+  * inventory (the templates dir ships ten microscope configs — SAM,
+  * cyto3, three iolight revisions, two livecyte variants, openflexure
+  * and two tomocube combinations). Every one of them carries the same
+  * tracking STRUCTURE: algorithm "SparseLAP" plus the 14-key
+  * TrackerKeys settings surface — the three ALLOW flags, three
+  * per-block distance gates (gap/split/merge set DIFFERENTLY), the
+  * frame-gap bound, four per-block feature-penalty objects (the
+  * merging one non-empty), and the dense-solver conditioning keys
+  * (ALTERNATIVE_LINKING_COST_FACTOR, CUTOFF_PERCENTILE — declared
+  * no-ops here). This spec synthesizes ten templates of exactly that
+  * structure (values vary per row; the files themselves are not
+  * embedded) and pins both dispatch surfaces against the direct call
+  * chain, so any reference template's tracking section runs
+  * unmodified. */
+class TrackerTemplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vid: Long => Long = _ / 1000L
+
+  // two videos, a rejoinable gap, a split-shaped fork, an AREA column
+  private def spots = Seq(
+    (1001L, 0L, 10.0, 10.0, 5.0), (1002L, 1L, 12.0, 11.0, 5.2),
+    (1003L, 2L, 14.0, 12.0, 5.1), (1004L, 4L, 18.0, 14.0, 5.3),
+    (1007L, 5L, 20.0, 15.0, 5.2),
+    (1005L, 0L, 50.0, 50.0, 9.0), (1006L, 1L, 51.0, 52.0, 9.1),
+    // fork: 1009 starts next to A's frame-3 middle (1008) and walks
+    // away with 1010 — the 1-1 front end leaves it unmatched (1004 is
+    // closer), so the second phase's split block must claim it
+    (1008L, 3L, 16.5, 13.5, 5.0), (1009L, 4L, 17.0, 17.0, 5.1),
+    (1010L, 5L, 17.5, 20.5, 5.0),
+    (2001L, 0L, 5.0, 5.0, 3.0), (2002L, 1L, 6.0, 6.0, 3.1),
+    (2003L, 2L, 7.0, 7.0, 3.0)
+  ).toDF("id", "frame", "x", "y", "AREA")
+
+  /** One synthesized template per reference file, full 14-key surface.
+    * (name, link, gap, split, merge dists, maxGap, linkPenalty on AREA,
+    * mergePenalty on AREA, allowSplit, allowMerge) */
+  private val inventory: Seq[(String, Double, Double, Double, Double, Int,
+      Option[Double], Double, Boolean, Boolean)] = Seq(
+    ("SAM",                 10.0, 12.0,  5.0,  8.0, 3, None,      1.0, true,  true),
+    ("cyto3",               10.0, 12.0,  4.0,  7.0, 3, None,      1.0, true,  true),
+    ("iolight_a",            8.0, 11.0,  5.0,  6.0, 2, None,      0.5, true,  true),
+    ("iolight_b",            9.0, 13.0,  6.0,  9.0, 4, None,      0.5, true,  true),
+    ("iolight_c",           10.0, 14.0,  5.5,  8.5, 3, None,      2.0, true,  true),
+    ("livecyte_bf",         11.0, 12.5,  4.5,  7.5, 3, Some(0.5), 1.0, true,  true),
+    ("livecyte_phase",       9.5, 11.5,  5.0,  8.0, 2, Some(0.3), 1.0, true,  true),
+    ("openflexure",         10.0, 12.0,  5.0,  8.0, 3, None,      1.0, false, true),
+    ("tomocube_cyto3",      12.0, 15.0,  6.0, 10.0, 4, None,      1.5, true,  false),
+    ("tomocube_livecyte",   10.5, 12.5,  5.5,  8.5, 3, None,      1.0, true,  true))
+
+  private def templateJson(row: (String, Double, Double, Double, Double, Int,
+      Option[Double], Double, Boolean, Boolean)): String = {
+    val (_, link, gap, split, merge, maxGap, linkPen, mergePen, aSplit, aMerge) = row
+    val linkPenJson = linkPen.map(w => s"""{"AREA": $w}""").getOrElse("{}")
+    s"""{
+      "run": {"tracking": true},
+      "tracking": {
+        "algorithm": "SparseLAP",
+        "settings": {
+          "LINKING_MAX_DISTANCE": $link,
+          "LINKING_FEATURE_PENALTIES": $linkPenJson,
+          "ALLOW_GAP_CLOSING": true,
+          "GAP_CLOSING_MAX_DISTANCE": $gap,
+          "GAP_CLOSING_FEATURE_PENALTIES": {},
+          "MAX_FRAME_GAP": $maxGap,
+          "ALLOW_TRACK_SPLITTING": $aSplit,
+          "SPLITTING_MAX_DISTANCE": $split,
+          "SPLITTING_FEATURE_PENALTIES": {},
+          "ALLOW_TRACK_MERGING": $aMerge,
+          "MERGING_MAX_DISTANCE": $merge,
+          "MERGING_FEATURE_PENALTIES": {"AREA": $mergePen},
+          "ALTERNATIVE_LINKING_COST_FACTOR": 1.05,
+          "CUTOFF_PERCENTILE": 0.9
+        }
+      },
+      "QC": {"minimum_observations": 50, "minimum_cell_size": 50}
+    }"""
+  }
+
+  test("all ten template structures: tracks() equals the direct call chain") {
+    for (row <- inventory) {
+      val (name, link, gap, _, _, maxGap, linkPen, _, _, _) = row
+      val got = TrackerConfig.tracks(spots, templateJson(row), vid)
+        .as[(Long, Long)].collect().toSet
+      val pens = linkPen.map(w => Seq((col("AREA"), w))).getOrElse(Nil)
+      val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
+        col("x"), col("y"), link, pens)
+      val want = TrackAssignment.divisionAwareGapClosedByVideo(
+          spots, edges.select("src", "dst"), gap, maxGap, vid)
+        .as[(Long, Long)].collect().toSet
+      assert(got === want && got.nonEmpty, s"template $name")
+    }
+  }
+
+  test("all ten template structures: lineage() equals gapCloseFull with per-block gates") {
+    for (row <- inventory) {
+      val (name, link, gap, split, merge, maxGap, linkPen, _, aSplit, aMerge) = row
+      val got = TrackerConfig.lineage(spots, templateJson(row), vid)
+        .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
+      val pens = linkPen.map(w => Seq((col("AREA"), w))).getOrElse(Nil)
+      val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
+        col("x"), col("y"), link, pens)
+      val labels = TrackAssignment.divisionAwareByVideo(spots,
+        edges.select("src", "dst"), vid)
+      val want = LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),
+          col("x"), col("y"), gap, maxGap, vid,
+          allowSplit = aSplit, allowMerge = aMerge,
+          splitDist = Some(split), mergeDist = Some(merge))
+        .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
+      assert(got === want, s"template $name")
+    }
+  }
+
+  test("the split gate from the template bites: a tiny SPLITTING_MAX_DISTANCE drops the fork edge") {
+    // default-gate template finds lineage edges for the fork video;
+    // shrinking only SPLITTING_MAX_DISTANCE to 0.1 removes exactly
+    // the split-kind edges while gc edges survive
+    val base = inventory.head
+    val wide = TrackerConfig.lineage(spots, templateJson(base), vid)
+      .select("kind").as[String].collect().toSet
+    assert(wide.contains("split"),
+      s"the fork video must produce a split edge at the template gates; got $wide")
+    val tightRow = base.copy(_4 = 0.1)
+    val tight = TrackerConfig.lineage(spots, templateJson(tightRow), vid)
+      .select("kind").as[String].collect().toSet
+    assert(!tight.contains("split"))
+    assert(wide.contains("gc") == tight.contains("gc"),
+      "gap-close edges are untouched by the split gate")
+  }
+}
