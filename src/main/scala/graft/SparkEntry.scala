@@ -383,8 +383,12 @@ object SparkEntry {
         .toDF()
         .withColumn("mean_px", graft.functions.Numeric.cround(col("mean_px"), 4))),
     // cooccurrence (GLCM/Haralick) + first-order texture features per
-    // sampled frame — rows-only (no SQL-expressible oracle; math
-    // pinned by TextureGlcmSpec's hand-computed matrices)
+    // sampled frame. Oracled (r8): feature sums accumulate per-term
+    // decimal-quantized at scale 8 (Texture.DecSum — the BigramScore
+    // contract), so DuckDB's SUM(CAST(term AS DECIMAL(28,8))) over the
+    // relationally-rebuilt stub pixels reproduces every value exactly
+    // in any aggregation order; math pinned by TextureGlcmSpec's
+    // hand-computed matrices
     "q_glcm" -> ((s, d) => {
       val f = Binary.sampleFrameGlcm(s, Binary.withPayload(documents(s, d)), everyK = 2)
         .toDF()
@@ -1897,6 +1901,87 @@ object SparkEntry {
         |  CAST(1 + nb % 8 AS INT) AS n_frames,
         |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS checksum
         |FROM cs""".stripMargin,
+
+    // cooccurrence texture per sampled frame: the 8x8 stub pixel block
+    // rebuilt relationally (as in q_mm_frames), min-max quantization to
+    // 8 levels, symmetric right+down cooccurrence pairs, features as
+    // per-term DECIMAL(28,8) sums — mirroring Texture.DecSum exactly,
+    // so sum order cannot move a rounding boundary
+    "q_glcm" ->
+      """WITH hx AS MATERIALIZED (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), fr AS MATERIALIZED (
+        |  SELECT doc_id, CAST(UNNEST(range(0, 1 + nb % 8, 2)) AS INT) AS frame_idx FROM hx
+        |), byt AS MATERIALIZED (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    (strpos('0123456789ABCDEF', h[2*j+1 : 2*j+1]) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', h[2*j+2 : 2*j+2]) - 1) AS b
+        |  FROM hx, UNNEST(range(nb)) t(j)
+        |), cell AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx, y.j % 64 AS cj, SUM(xor(y.b, f.frame_idx)) AS v
+        |  FROM fr f JOIN byt y USING (doc_id) GROUP BY 1, 2, 3
+        |), px AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx, CAST(g.j AS INT) AS cj,
+        |    CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+        |  FROM fr f CROSS JOIN (SELECT UNNEST(range(64)) AS j) g
+        |  LEFT JOIN cell c ON c.doc_id = f.doc_id AND c.frame_idx = f.frame_idx AND c.cj = g.j
+        |), qv AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx, cj,
+        |    CASE WHEN mx > mn THEN least(CAST(floor(((v - mn) / (mx - mn)) * 8) AS INT), 7)
+        |         ELSE 0 END AS q
+        |  FROM (SELECT doc_id, frame_idx, cj, v,
+        |          min(v) OVER f AS mn, max(v) OVER f AS mx
+        |        FROM px WINDOW f AS (PARTITION BY doc_id, frame_idx))
+        |), pr AS MATERIALIZED (
+        |  SELECT a.doc_id, a.frame_idx, a.q AS qa, b.q AS qb
+        |  FROM qv a JOIN qv b ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx
+        |    AND ((b.cj = a.cj + 1 AND a.cj % 8 < 7) OR b.cj = a.cj + 8)
+        |), cp AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx, i, j, c / SUM(c) OVER (PARTITION BY doc_id, frame_idx) AS p
+        |  FROM (
+        |    SELECT doc_id, frame_idx, i, j, CAST(COUNT(*) AS DOUBLE) AS c
+        |    FROM (SELECT doc_id, frame_idx, qa AS i, qb AS j FROM pr
+        |          UNION ALL SELECT doc_id, frame_idx, qb, qa FROM pr)
+        |    GROUP BY 1, 2, 3, 4)
+        |), f1 AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(SUM(CAST(p * (i - j) * (i - j) AS DECIMAL(28,8))) AS DOUBLE) AS contrast,
+        |    CAST(SUM(CAST(p / (1.0 + (i - j) * (i - j)) AS DECIMAL(28,8))) AS DOUBLE) AS homog,
+        |    CAST(SUM(CAST(p * p AS DECIMAL(28,8))) AS DOUBLE) AS energy,
+        |    0.0 - CAST(SUM(CAST(p * ln(p) AS DECIMAL(28,8))) AS DOUBLE) AS entropy,
+        |    CAST(SUM(CAST(i * p AS DECIMAL(28,8))) AS DOUBLE) AS mu
+        |  FROM cp GROUP BY 1, 2
+        |), f2 AS MATERIALIZED (
+        |  SELECT c.doc_id, c.frame_idx,
+        |    CAST(SUM(CAST((c.i - f.mu) * (c.i - f.mu) * c.p AS DECIMAL(28,8))) AS DOUBLE) AS varr,
+        |    CAST(SUM(CAST((c.i - f.mu) * (c.j - f.mu) * c.p AS DECIMAL(28,8))) AS DOUBLE) AS cov
+        |  FROM cp c JOIN f1 f USING (doc_id, frame_idx) GROUP BY 1, 2
+        |), fo AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx, SUM(v) / 64.0 AS mean FROM px GROUP BY 1, 2
+        |), fo2 AS MATERIALIZED (
+        |  SELECT p.doc_id, p.frame_idx,
+        |    CAST(SUM(CAST((p.v - o.mean) * (p.v - o.mean) AS DECIMAL(28,8))) AS DOUBLE) AS m2,
+        |    CAST(SUM(CAST((p.v - o.mean) * (p.v - o.mean) * (p.v - o.mean) AS DECIMAL(28,8))) AS DOUBLE) AS m3
+        |  FROM px p JOIN fo o USING (doc_id, frame_idx) GROUP BY 1, 2
+        |), srt AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx, list_sort(list(v)) AS s FROM px GROUP BY 1, 2
+        |)
+        |SELECT f1.doc_id, f1.frame_idx,
+        |  floor(f1.contrast * 10000.0 + 0.5) / 10000.0 AS glcm_contrast,
+        |  floor(f1.homog * 10000.0 + 0.5) / 10000.0 AS glcm_homog,
+        |  floor(f1.energy * 10000.0 + 0.5) / 10000.0 AS glcm_energy,
+        |  floor(f1.entropy * 10000.0 + 0.5) / 10000.0 AS glcm_entropy,
+        |  floor((CASE WHEN f2.varr > 0 THEN f2.cov / f2.varr ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS glcm_corr,
+        |  floor(fo.mean * 10000.0 + 0.5) / 10000.0 AS px_mean,
+        |  floor(sqrt(fo2.m2 / 64.0) * 10000.0 + 0.5) / 10000.0 AS px_sd,
+        |  floor((CASE WHEN sqrt(fo2.m2 / 64.0) > 0
+        |    THEN (fo2.m3 / 64.0) / (sqrt(fo2.m2 / 64.0) * sqrt(fo2.m2 / 64.0) * sqrt(fo2.m2 / 64.0))
+        |    ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS px_skew,
+        |  floor(((srt.s[48] + 0.25 * (srt.s[49] - srt.s[48]))
+        |       - (srt.s[16] + 0.75 * (srt.s[17] - srt.s[16]))) * 10000.0 + 0.5) / 10000.0 AS px_iqr
+        |FROM f1 JOIN f2 USING (doc_id, frame_idx) JOIN fo USING (doc_id, frame_idx)
+        |  JOIN fo2 USING (doc_id, frame_idx) JOIN srt USING (doc_id, frame_idx)""".stripMargin,
 
     // sampled-frame features: the 8x8 stub pixel block is rebuilt
     // relationally (byte xor frame_idx accumulated by index mod 64),

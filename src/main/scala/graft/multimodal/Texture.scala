@@ -19,6 +19,22 @@ package graft.multimodal
   */
 object Texture {
 
+  /** Per-term decimal-quantized accumulator (scale 8, HALF_UP via the
+    * shortest decimal representation — the BigramModel.score contract):
+    * decimal addition is exact, so the sum is ORDER-INDEPENDENT and
+    * replicates `SUM(CAST(term AS DECIMAL(28,8)))` bit-for-bit on any
+    * engine. The GLCM features need this because their terms are
+    * rationals like (c/224)² that land exactly on rounding boundaries,
+    * where a float-sum's order-dependent ulp decides the rounded
+    * output. */
+  private final class DecSum {
+    private var acc = java.math.BigDecimal.ZERO
+    def add(x: Double): Unit =
+      acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(8, java.math.RoundingMode.HALF_UP))
+    def value: Double = acc.doubleValue()
+  }
+
   /** Mean squared detail energies (LH, HL, HH) of one decomposition
     * level over a row-major (height x width) pixel array. Odd trailing
     * rows/columns are ignored (standard single-level behaviour). */
@@ -110,8 +126,9 @@ object Texture {
       y += 1
     }
     if (total == 0L) return (0.0, 0.0, 0.0, 0.0, 0.0)
-    var contrast = 0.0; var homog = 0.0; var energy = 0.0; var entropy = 0.0
-    var mu = 0.0
+    val contrast = new DecSum; val homog = new DecSum
+    val energy = new DecSum; val negEntropy = new DecSum
+    val muS = new DecSum
     var ii = 0
     while (ii < levels) {
       var jj = 0
@@ -120,17 +137,18 @@ object Texture {
         if (c > 0L) {
           val p = c.toDouble / total
           val d = ii - jj
-          contrast += p * d * d
-          homog += p / (1.0 + d * d)
-          energy += p * p
-          entropy -= p * StrictMath.log(p)
-          mu += ii * p // row marginal mean (== column mean by symmetry)
+          contrast.add(p * d * d)
+          homog.add(p / (1.0 + d * d))
+          energy.add(p * p)
+          negEntropy.add(p * StrictMath.log(p))
+          muS.add(ii * p) // row marginal mean (== column mean by symmetry)
         }
         jj += 1
       }
       ii += 1
     }
-    var varr = 0.0; var cov = 0.0
+    val mu = muS.value
+    val varrS = new DecSum; val covS = new DecSum
     ii = 0
     while (ii < levels) {
       var jj = 0
@@ -138,15 +156,16 @@ object Texture {
         val c = counts(ii * levels + jj)
         if (c > 0L) {
           val p = c.toDouble / total
-          varr += (ii - mu) * (ii - mu) * p
-          cov += (ii - mu) * (jj - mu) * p
+          varrS.add((ii - mu) * (ii - mu) * p)
+          covS.add((ii - mu) * (jj - mu) * p)
         }
         jj += 1
       }
       ii += 1
     }
-    val corr = if (varr > 0) cov / varr else 0.0
-    (contrast, homog, energy, entropy, corr)
+    val varr = varrS.value
+    val corr = if (varr > 0) covS.value / varr else 0.0
+    (contrast.value, homog.value, energy.value, -negEntropy.value, corr)
   }
 
   /** First-order intensity statistics — the non-spatial half of the
@@ -161,13 +180,15 @@ object Texture {
     var i = 0
     while (i < n) { s += px(i); i += 1 }
     val mean = s / n
-    var m2 = 0.0; var m3 = 0.0
+    val m2S = new DecSum; val m3S = new DecSum
     i = 0
     while (i < n) {
       val d = px(i) - mean
-      m2 += d * d; m3 += d * d * d
+      m2S.add(d * d); m3S.add(d * d * d)
       i += 1
     }
+    val m2 = m2S.value
+    val m3 = m3S.value
     val varp = m2 / n
     val sd = math.sqrt(varp)
     val skew = if (sd > 0) (m3 / n) / (sd * sd * sd) else 0.0

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * surface. */
 class TextureGlcmSpec extends SparkSpec {
 
-  private val eps = 1e-12
+  // features accumulate per-term decimal-quantized at scale 8 (the
+  // order-independent cross-engine contract behind the q_glcm oracle),
+  // so hand-computed expectations hold to ~64 * 5e-9
+  private val eps = 1e-6
 
   test("glcm: hand-computed 1x4 two-level image") {
     // [0, 0, 1, 1] at 2 levels -> horizontal pairs (0,0) (0,1) (1,1),
