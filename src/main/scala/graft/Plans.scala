@@ -54,7 +54,8 @@ object Plans {
       "q_ragc" -> "RAG chunking with overlap: split once per row, windows from an in-row sequence+explode — map-only, no shuffle, no window function",
       "q_hardneg" -> "hard-negative mining: broadcast queries, one corpus scan with the label gate inside the join condition, per-query top-k via WindowGroupLimit pushdown",
       "q_entropy3" -> "trigram-LM scoring: one TrigramCounts kernel pass cached at doc grain, the 39³-bounded model collected and re-entering as a plan literal inside the fused map-only TrigramScore kernel",
-      "q_fdecon" -> "fuzzy decontamination: eval shingles broadcast, corpus scanned once, shingle-set sizes riding the matched postings so the Jaccard denominator needs no join-back")
+      "q_fdecon" -> "fuzzy decontamination: eval shingles broadcast, corpus scanned once, shingle-set sizes riding the matched postings so the Jaccard denominator needs no join-back",
+      "q_mm_corpus" -> "multimodal corpus build: the image-dedup stage shuffles 8-byte perceptual hashes (never pixels), the scene/audio gates aggregate the OUTPUTS of batched decode passes, cluster closure is the log-round CC, and each stage's survivor set persists into the next")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
