@@ -597,18 +597,23 @@ object SparkEntry {
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
+    // corpus LM models are train-once artifacts (cacheKey = the corpus
+    // dir, the quantizeCached pattern): q_entropy / q_ebin share one
+    // bigram model per corpus; scoring stays the fused map-only kernel
     "q_entropy" -> ((s, d) =>
-      TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"))),
+      TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"),
+        cacheKey = Some(d))),
     // order-3 LM quality scoring: trigram cross-entropy, same fused
     // one-pass shape as q_entropy with a 39³-bounded model
     "q_entropy3" -> ((s, d) =>
-      TextFeatures.charTrigramEntropy(documents(s, d), col("doc_id"), col("text"))),
+      TextFeatures.charTrigramEntropy(documents(s, d), col("doc_id"), col("text"),
+        cacheKey = Some(d))),
     // perplexity-stratified balanced sampling: fixed-width entropy
     // bins, exact per-bin quota — the kept subset spans the quality
     // spectrum instead of collapsing onto the most-typical mass
     "q_ebin" -> ((s, d) =>
       text.EntropyBin.sample(documents(s, d), col("doc_id"), col("text"),
-        binWidth = 0.05, k = 20)),
+        binWidth = 0.05, k = 20, cacheKey = Some(d))),
     // frequent tokens at >= 1% of the corpus: Misra-Gries sketch
     // (constant memory) proposes candidates, an exact pass verifies —
     // output is exactly the >= 1% set, so the oracle is plain SQL

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * sort). */
 object EntropyBin {
   def sample(df: DataFrame, id: Column, text: Column,
-             binWidth: Double = 0.05, k: Int = 20): DataFrame = {
+             binWidth: Double = 0.05, k: Int = 20,
+             cacheKey: Option[String] = None): DataFrame = {
     require(binWidth > 0.0)
-    val scored = TextFeatures.charBigramEntropy(df, id, text)
+    val scored = TextFeatures.charBigramEntropy(df, id, text, cacheKey)
       .select(col("doc_id"),
         floor(col("cross_entropy") / binWidth).cast("long").as("bucket"))
     SampleK.sampleExactK(scored, col("doc_id"), col("bucket"), k)
