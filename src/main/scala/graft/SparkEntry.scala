@@ -671,12 +671,14 @@ object SparkEntry {
     // decontamination eval split doing double duty as the "domain"):
     // per-doc average log-ratio of the two corpus bigram LMs, then the
     // Gumbel-top-k resample of 100 docs on the perturbed logit.
+    // the diff model is a train-once artifact shared by scores+sample
+    // (cacheKey identifies corpus AND target-slice definition)
     "q_dsir" -> ((s, d) =>
       text.Dsir.scores(documents(s, d), col("doc_id"), col("text"),
-        col("doc_id") % 11 === 0)),
+        col("doc_id") % 11 === 0, cacheKey = Some(d + "#mod11"))),
     "q_dsirs" -> ((s, d) =>
       text.Dsir.sample(documents(s, d), col("doc_id"), col("text"),
-        col("doc_id") % 11 === 0, 100)),
+        col("doc_id") % 11 === 0, 100, cacheKey = Some(d + "#mod11"))),
     // exact-17-per-source eval split: bucket-histogram rank-k, no
     // full per-group sort (oracle states the semantics as the naive
     // window — the implementations must agree exactly)

@@ -45,31 +45,45 @@ object Audio {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch decoder/resampler init would happen here
           batch.iterator.flatMap { case (id, bytes) =>
-            val n = bytes.length / 2
-            val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
-            (0 until nFrames).iterator.map { fi =>
-              var sumSq = 0.0
-              var zc = 0
-              var peak = 0
-              var prev = 0
-              var i = 0
-              while (i < frameLen) {
-                val off = 2 * (fi * hop + i)
-                val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
-                sumSq += s.toDouble * s.toDouble
-                val a = if (s < 0) -s else s
-                if (a > peak) peak = a
-                if (i > 0 && prev * s < 0) zc += 1
-                prev = s
-                i += 1
-              }
-              AudioFrame(id, fi, frameLen,
-                Numeric.croundD(math.sqrt(sumSq / frameLen), 4),
-                Numeric.croundD(zc.toDouble / (frameLen - 1), 6),
-                peak)
+            (0 until frameCount(bytes, frameLen, hop)).iterator.map { fi =>
+              val (rms, zcr, peak) = pcmFrameStats(bytes, fi, frameLen, hop)
+              AudioFrame(id, fi, frameLen, rms, zcr, peak)
             }
           }
         }
       }
+  }
+
+  /** Number of hop-overlapped frames the payload yields (trailing odd
+    * byte ignored; sub-frame assets yield none). */
+  private[graft] def frameCount(bytes: Array[Byte], frameLen: Int, hop: Int): Int = {
+    val n = bytes.length / 2
+    if (n < frameLen) 0 else (n - frameLen) / hop + 1
+  }
+
+  /** The per-frame kernel — (rms rounded at 4, zcr at 6, peak) of frame
+    * `fi` — shared by the batch decode pass above and the streaming
+    * per-asset gate (MultimodalCorpusStream), so the two surfaces
+    * cannot drift on sample decode or rounding. */
+  private[graft] def pcmFrameStats(bytes: Array[Byte], fi: Int,
+                                   frameLen: Int, hop: Int): (Double, Double, Int) = {
+    var sumSq = 0.0
+    var zc = 0
+    var peak = 0
+    var prev = 0
+    var i = 0
+    while (i < frameLen) {
+      val off = 2 * (fi * hop + i)
+      val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
+      sumSq += s.toDouble * s.toDouble
+      val a = if (s < 0) -s else s
+      if (a > peak) peak = a
+      if (i > 0 && prev * s < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    (Numeric.croundD(math.sqrt(sumSq / frameLen), 4),
+      Numeric.croundD(zc.toDouble / (frameLen - 1), 6),
+      peak)
   }
 }

@@ -140,6 +140,15 @@ object Binary {
       }
   }
 
+  /** Per-sampled-frame mean pixel values of ONE asset — the scalar the
+    * scene-cut detector consumes — via the same stub decode as
+    * `sampleFrameFeatures`, shared with the streaming per-asset gate
+    * (MultimodalCorpusStream) so the two surfaces cannot drift. */
+  private[graft] def sampledFrameMeans(bytes: Array[Byte], everyK: Int): Array[Double] = {
+    val nFrames = 1 + math.floorMod(bytes.length, 8)
+    (0 until nFrames by everyK).map(fi => fabricatePixels(fi, bytes)._3).toArray
+  }
+
   private val FrameDim = 8
 
   /** STUB pixel fabrication shared by both frame-feature paths: an 8x8

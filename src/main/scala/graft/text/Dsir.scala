@@ -47,8 +47,8 @@ object Dsir {
     * bigram are dropped (no score is defined), as in
     * `charBigramEntropy`. */
   def scores(df: DataFrame, id: Column, text: Column,
-             isTarget: Column): DataFrame =
-    scored(df, id, text, isTarget)
+             isTarget: Column, cacheKey: Option[String] = None): DataFrame =
+    scored(df, id, text, isTarget, cacheKey)
       .select(col("doc_id"), col("_s.n").as("n_bigrams"),
         Numeric.cround(col("_s.lp") / col("_s.n"), 6).as("avg_log_ratio"))
 
@@ -59,7 +59,7 @@ object Dsir {
     * quantization ties break by doc_id, so the draw is exactly
     * reproducible cross-engine. */
   def sample(df: DataFrame, id: Column, text: Column, isTarget: Column,
-             k: Int): DataFrame = {
+             k: Int, cacheKey: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     // Lehmer uniform in (0,1) from doc_id, then standard Gumbel
     // −ln(−ln u). The +0.5 centers the 1e-6 lattice away from {0,1}.
@@ -67,38 +67,44 @@ object Dsir {
       % 1000000L + lit(0.5)) / 1000000.0
     val key = Numeric.cround(
       Numeric.cround(col("_s.lp") / col("_s.n"), 6) - log(-log(u)), 6)
-    scored(df, id, text, isTarget)
+    scored(df, id, text, isTarget, cacheKey)
       .select(col("doc_id"), key.as("skey"))
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(k)
   }
 
   /** Shared pass: cached per-doc gram arrays scored by the collected
-    * diff model — (doc_id, _s = (n, Σ k·(lp_t − lp_r))). */
+    * diff model — (doc_id, _s = (n, Σ k·(lp_t − lp_r))). The diff
+    * model is a train-once corpus artifact (TextFeatures.lmCached with
+    * a caller-supplied corpus identity — the caller's key must also
+    * identify the TARGET slice definition). */
   private def scored(df: DataFrame, id: Column, text: Column,
-                     isTarget: Column): DataFrame = {
+                     isTarget: Column,
+                     cacheKey: Option[String]): DataFrame = {
     val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
     val grams = df
       .select(id.as("doc_id"), isTarget.as("_tgt"), norm.as("_t"))
       .filter(length(col("_t")) >= 2)
       .select(col("doc_id"), col("_tgt"), BigramCounts(col("_t")).as("_a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = grams.select(col("_tgt"), explode(col("_a")).as("_e"))
-      .groupBy(col("_e.bg").as("bg"))
-      .agg(sum(col("_e.k")).as("_c"),
-        sum(when(col("_tgt"), col("_e.k")).otherwise(0L)).as("_ct"))
-      .collect()
-    val v = counts.length.toLong
-    val tot = counts.iterator.map(_.getLong(1)).sum
-    val totT = counts.iterator.map(_.getLong(2)).sum
-    val sorted = counts.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val diff = new BigramModel(
-      sorted.map(_._1),
-      sorted.map { case (_, c, ct) =>
-        StrictMath.log((ct + 1.0) / (totT + v).toDouble) -
-          StrictMath.log((c + 1.0) / (tot + v).toDouble)
-      })
+    val diff = TextFeatures.lmCached(df.sparkSession, cacheKey, 20) {
+      val counts = grams.select(col("_tgt"), explode(col("_a")).as("_e"))
+        .groupBy(col("_e.bg").as("bg"))
+        .agg(sum(col("_e.k")).as("_c"),
+          sum(when(col("_tgt"), col("_e.k")).otherwise(0L)).as("_ct"))
+        .collect()
+      val v = counts.length.toLong
+      val tot = counts.iterator.map(_.getLong(1)).sum
+      val totT = counts.iterator.map(_.getLong(2)).sum
+      val sorted = counts.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      new BigramModel(
+        sorted.map(_._1),
+        sorted.map { case (_, c, ct) =>
+          StrictMath.log((ct + 1.0) / (totT + v).toDouble) -
+            StrictMath.log((c + 1.0) / (tot + v).toDouble)
+        })
+    }
     grams.select(col("doc_id"), BigramScore(col("_a"), diff).as("_s"))
   }
 }

@@ -27,9 +27,11 @@ object TextFeatures {
   private val lmEvictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
-  private def lmCached[M <: AnyRef](spark: org.apache.spark.sql.SparkSession,
-                                    key: Option[String], order: Int)
-                                   (train: => M): M = key match {
+  /** Shared with [[Dsir]] (order namespaces the model kind: 2/3 =
+    * self-trained n-gram LMs, 20 = the DSIR diff model). */
+  private[text] def lmCached[M <: AnyRef](
+      spark: org.apache.spark.sql.SparkSession,
+      key: Option[String], order: Int)(train: => M): M = key match {
     case None => train
     case Some(k) =>
       if (lmEvictionHooked.add(spark)) {
