@@ -305,8 +305,14 @@ object LapLink {
     * `splitDist` / SPLITTING_MAX_DISTANCE likewise). Middle→middle
     * pairs belong to NO TrackMate block and are never candidates.
     * All blocks are solved together by [[assignEdges]] (weight
-    * 2L − d², exact per component), so a start goes to the gap-close
-    * OR the split source that the GLOBAL optimum prefers, never both.
+    * 2L − d² with L = maxDist², exact per component), so a start goes
+    * to the gap-close OR the split source that the GLOBAL optimum
+    * prefers, never both. The alternative cost L is shared across
+    * blocks (declared, mirroring the one-ALTERNATIVE_LINKING_COST
+    * structure of the dense solver): a split/merge gate above
+    * √2·maxDist admits candidates the alternative cost then dominates
+    * (weight ≤ 0 ⇒ never matched) — the reference templates keep both
+    * gates well below the gap gate, where the rule is inert.
     *
     * Label semantics are deliberately unchanged by split/merge links:
     * the engine's (and reference pipeline's) track identity rules make
