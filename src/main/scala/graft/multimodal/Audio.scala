@@ -61,6 +61,29 @@ object Audio {
     if (n < frameLen) 0 else (n - frameLen) / hop + 1
   }
 
+  /** Mean frame RMS of one asset under Numeric.davg's decimal-sum
+    * contract (exact decimal(_,4) sum of the 1e-4-rounded frame
+    * values, double division, cround 4) — None when the asset is too
+    * short to frame. Shared by the batch profile pass
+    * (Binary.assetProfiles) and the streaming per-asset gate so the
+    * surfaces cannot drift. */
+  private[graft] def meanRms(bytes: Array[Byte], frameLen: Int,
+                             hop: Int): Option[Double] = {
+    val nF = frameCount(bytes, frameLen, hop)
+    if (nF == 0) None
+    else {
+      var acc = java.math.BigDecimal.ZERO
+      var fi = 0
+      while (fi < nF) {
+        acc = acc.add(new java.math.BigDecimal(
+            java.lang.Double.toString(pcmFrameStats(bytes, fi, frameLen, hop)._1))
+          .setScale(4, java.math.RoundingMode.HALF_UP))
+        fi += 1
+      }
+      Some(Numeric.croundD(acc.doubleValue() / nF, 4))
+    }
+  }
+
   /** The per-frame kernel — (rms rounded at 4, zcr at 6, peak) of frame
     * `fi` — shared by the batch decode pass above and the streaming
     * per-asset gate (MultimodalCorpusStream), so the two surfaces

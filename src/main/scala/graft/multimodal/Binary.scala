@@ -28,6 +28,13 @@ case class GlcmFrame(doc_id: Long, frame_idx: Int,
   * (stubbed) first-frame decode; the hash math in Texture is real. */
 case class AssetHash(doc_id: Long, phash: Long, dhash: Long)
 
+/** One asset's corpus-build profile from the fused single decode pass
+  * (see Binary.assetProfiles): perceptual hash, scene-cut count at the
+  * profile's threshold, and the mean frame RMS (has_audio = false when
+  * the asset is too short to frame). */
+case class AssetProfile(doc_id: Long, phash: Long, n_cuts: Long,
+                        has_audio: Boolean, avg_rms: Double)
+
 /** Multimodal column plumbing (reference: per-frame TIFF handling in
   * bin/frame_features_image.py — load_image / normalise / feature
   * extract). Images/audio/video are opaque `binary` columns with typed
@@ -135,6 +142,43 @@ object Binary {
             AssetHash(id,
               Texture.phash64(px, FrameDim, FrameDim),
               Texture.dhash64(px, FrameDim, FrameDim))
+          }
+        }
+      }
+  }
+
+  /** Per-asset corpus-build profile: everything the multimodal gates
+    * need, from ONE batched decode pass — perceptual hash (stage-1
+    * pair search), scene-cut count at `sceneThreshold` over the
+    * sampled frame means, and the mean frame RMS (None = too short to
+    * frame). At 100 TB this is the pass that matters: the payload
+    * crosses the wire ONCE for the whole build, where the staged
+    * formulation decoded survivors once per gate. Built on the same
+    * shared kernels as the streaming gate (sampledFrameMeans,
+    * Audio.meanRms), so batch, stream and profile cannot drift. */
+  def assetProfiles(spark: SparkSession, df: DataFrame,
+                    sceneThreshold: Double, everyK: Int,
+                    frameLen: Int, hop: Int,
+                    batchSize: Int = 64): Dataset[AssetProfile] = {
+    import spark.implicits._
+    require(everyK >= 1 && frameLen >= 2 && hop >= 1)
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec init would happen here
+          batch.iterator.map { case (id, bytes) =>
+            val (px, _, _) = fabricatePixels(0, bytes)
+            val means = sampledFrameMeans(bytes, everyK)
+            var cuts = 0L
+            var i = 1
+            while (i < means.length) {
+              if (math.abs(means(i) - means(i - 1)) > sceneThreshold) cuts += 1
+              i += 1
+            }
+            val rms = Audio.meanRms(bytes, frameLen, hop)
+            AssetProfile(id, Texture.phash64(px, FrameDim, FrameDim),
+              cuts, rms.isDefined, rms.getOrElse(0.0))
           }
         }
       }

@@ -4,8 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.Numeric
-
 /** The multimodal twin of [[graft.text.CorpusBuild]]: a corpus build
   * over ASSETS (payload-carrying documents), composing the r7 media
   * operators the way CorpusBuild composes the text stages — each stage
@@ -25,15 +23,14 @@ import graft.functions.Numeric
   *   4. text gate — the SAME qualityKeep rule the text corpus build
   *      uses, so the two builds cannot drift on text semantics.
   *
-  * Scale shape: the pair search shuffles 8-byte hashes (never pixels);
-  * scene cuts and the RMS gate aggregate the OUTPUT of batched decode
-  * passes, so each surviving payload crosses the wire once per decode
-  * pass (hash pass + frame pass + audio pass — fusing them into one
-  * decode is the obvious next step a real codec stack would take, and
-  * changes nothing downstream of the per-frame rows); cluster closure
-  * is the log-round CC used everywhere; the gates themselves are
-  * one-aggregate-per-asset joins. Survivor sets persist between stages
-  * exactly like CorpusBuild.
+  * Scale shape: ONE fused decode pass ([[Binary.assetProfiles]])
+  * computes every gate's per-asset attributes — the payload crosses
+  * the wire ONCE for the whole build. That fusion cannot change the
+  * survivor set: stage 1 hashes every asset regardless, and stages
+  * 2-4 are per-asset predicates, so gating the profile in stage order
+  * equals decoding each stage's survivors separately. The pair search
+  * shuffles 8-byte hashes (never pixels) and cluster closure is the
+  * log-round CC used everywhere.
   *
   * Expects assets shaped by [[Binary.withPayload]]:
   * (doc_id, text, lang, source, payload).
@@ -46,27 +43,29 @@ object MultimodalCorpus {
           minRms: Double = 24500.0,
           frameLen: Int = 32, hop: Int = 16, everyK: Int = 2): DataFrame = {
     val spark = assets.sparkSession
-    // 1. image near-dup canonical keep
-    val pairs = ImageDedup.nearDupPairs(spark, assets, maxHamming)
-    val canon = graft.dedup.Dedup.clusters(assets, col("doc_id"), pairs)
+    // ONE fused decode pass profiles every asset (phash + cut count +
+    // mean RMS — Binary.assetProfiles): stage 1 needs every asset's
+    // hash anyway, and stages 2-4 are per-asset predicates over the
+    // profile, so the survivor set is identical to decoding each
+    // stage's survivors separately — minus two full payload passes.
+    val prof = Binary.assetProfiles(spark, assets, sceneThreshold,
+        everyK, frameLen, hop).toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 1. image near-dup canonical keep (8-byte hashes shuffle, never
+    // pixels; cluster closure is the log-round CC)
+    val pairs = graft.dedup.SimHashDedup.bandedHammingPairs(
+      prof.select(col("doc_id"), col("phash").as("fp")), maxHamming, bits = 64)
+    val canon = graft.dedup.Dedup.clusters(prof, col("doc_id"), pairs)
       .filter(col("keep") === 1).select("doc_id")
-    val img = assets.join(canon, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // 2. scene-stability gate over the batched frame-decode OUTPUT
-    val frames = Binary.sampleFrameFeatures(spark, img, everyK = everyK).toDF()
-    val stable = SceneCut.cuts(frames, sceneThreshold)
-      .groupBy(col("doc_id")).agg(max(col("segment")).as("n_cuts"))
+    // 2.-3. scene-stability + audio silence gates on the profile
+    // (frameless assets are unmeasurable -> silent); 4. text gate
+    // (shared rule — see TextFeatures.qualityKeep)
+    assets.join(canon, Seq("doc_id"), "left_semi")
+      .join(prof.select(col("doc_id"), col("n_cuts"), col("has_audio"),
+        col("avg_rms")), Seq("doc_id"))
       .filter(col("n_cuts") <= maxCuts)
-    val sc = img.join(stable, Seq("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // 3. audio silence gate (assets too short for one frame have no
-    // rows and drop at the inner join — nothing measurable = silent)
-    val loud = Audio.frameFeatures(spark, sc, frameLen, hop).toDF()
-      .groupBy(col("doc_id")).agg(Numeric.davg(col("rms")).as("avg_rms"))
-      .filter(col("avg_rms") >= minRms)
-    val au = sc.join(loud, Seq("doc_id"))
-    // 4. text gate (shared rule — see TextFeatures.qualityKeep)
-    au.filter(graft.text.TextFeatures.qualityKeep(col("text")))
+      .filter(col("has_audio") && col("avg_rms") >= minRms)
+      .filter(graft.text.TextFeatures.qualityKeep(col("text")))
       .select(col("doc_id"), col("lang"), col("source"),
         (col("n_cuts") + 1).as("n_scenes"), col("avg_rms"))
   }

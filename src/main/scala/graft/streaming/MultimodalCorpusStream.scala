@@ -56,26 +56,13 @@ object MultimodalCorpusStream {
           }
           if (cuts > maxCuts) None
           else {
-            // audio silence gate: mean frame RMS via the decimal-sum
-            // average contract (Numeric.davg: exact decimal(_,4) sum
-            // of the 1e-4-rounded frame values, double division,
-            // cround 4); frameless assets are unmeasurable -> silent
-            val nF = Audio.frameCount(a.payload, frameLen, hop)
-            if (nF == 0) None
-            else {
-              var acc = java.math.BigDecimal.ZERO
-              var fi = 0
-              while (fi < nF) {
-                val rms = Audio.pcmFrameStats(a.payload, fi, frameLen, hop)._1
-                acc = acc.add(new java.math.BigDecimal(
-                    java.lang.Double.toString(rms))
-                  .setScale(4, java.math.RoundingMode.HALF_UP))
-                fi += 1
-              }
-              val avg = graft.functions.Numeric.croundD(
-                acc.doubleValue() / nF, 4)
-              if (avg < minRms) None
-              else Some(AssetKept(a.doc_id, a.lang, a.source, cuts + 1, avg))
+            // audio silence gate: mean frame RMS via the shared
+            // decimal-sum kernel (Audio.meanRms — the Numeric.davg
+            // contract); frameless assets are unmeasurable -> silent
+            Audio.meanRms(a.payload, frameLen, hop) match {
+              case Some(avg) if avg >= minRms =>
+                Some(AssetKept(a.doc_id, a.lang, a.source, cuts + 1, avg))
+              case _ => None
             }
           }
         }
