@@ -130,3 +130,44 @@ object HyperplaneBuckets {
     new GenericArrayData(buckets)
   }
 }
+
+/** ADC lookup-table sum — the IVF-PQ candidate scan's inner loop:
+  * Σ_m tab[m][codes[m]] over a candidate's m codebook codes and the
+  * query's per-subspace lookup table. The composable formulation
+  * (`aggregate(zip_with(codes, tab, (cd, t) => element_at(t, cd+1)))`)
+  * is interpreted and allocates a zipped array per CANDIDATE row — on
+  * the one path PQ exists to make cheap. One fused loop per row,
+  * codegen'd via a static call; accumulation is double left-to-right
+  * from 0.0, so results are bit-equal to the previous formulation. */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(codes: Any, tab: Any): Any =
+    AdcSum.compute(codes.asInstanceOf[ArrayData], tab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) =>
+      s"${ev.value} = graft.functions.AdcSum.compute($c, $t);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcSum =
+    copy(left = l, right = r)
+}
+
+object AdcSum {
+  def apply(codes: Column, tab: Column): Column =
+    GraftBridge.column(AdcSum(GraftBridge.expression(codes), GraftBridge.expression(tab)))
+
+  /** Static kernel (called from generated code): codes int[m],
+    * tab double[m][ksub]. */
+  def compute(codes: ArrayData, tab: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += tab.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+}

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * table are MAP-SIDE literal-array expressions over the codegen'd
   * [[graft.functions.DotProduct]] — no shuffle is added to either
   * pass. The ADC scan ranks candidates on codes alone
-  * (`zip_with`-lookup sum), keeps `rerank·k` survivors per query, and
+  * (the codegen AdcSum lookup loop), keeps `rerank·k` survivors per query, and
   * only the survivors' full embeddings are joined back for the exact
   * cosine final ranking — so results degrade gracefully: with every
   * cell probed and rerank covering the corpus the output EQUALS
@@ -132,8 +132,8 @@ object PqAnn {
         Seq("n_id"))
       .join(q, Seq("q_id"))
       .withColumn("_adc",
-        aggregate(zip_with(col("codes"), col("_tab"), (cd, t) => element_at(t, cd + 1)),
-          lit(0.0d), (acc, x) => acc + x) / (col("q_norm") * col("v_norm")))
+        graft.functions.AdcSum(col("codes"), col("_tab"))
+          / (col("q_norm") * col("v_norm")))
     val surv = adc.withColumn("_ar", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("_adc").desc, col("n_id"))))
       .filter(col("_ar") <= rerank.toLong * k)
