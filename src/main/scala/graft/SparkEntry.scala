@@ -603,6 +603,18 @@ object SparkEntry {
     "q_entropy" -> ((s, d) =>
       TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"),
         cacheKey = Some(d))),
+    // CROSS-corpus LM scoring (CCNet-style): the reference LM trains
+    // on the doc_id%11 slice (the eval split doing double duty as the
+    // clean/target corpus, as in q_decon/q_dsir) and the REST of the
+    // corpus is scored against it — unseen grams hit the smoothed
+    // floor, the held-out path the strict self-trained kernel forbids
+    "q_xent" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextFeatures.charBigramEntropyAgainst(
+        docs.filter(col("doc_id") % 11 === 0), col("text"),
+        docs.filter(col("doc_id") % 11 =!= 0), col("doc_id"), col("text"),
+        cacheKey = Some(d + "#xent11"))
+    }),
     // order-3 LM quality scoring: trigram cross-entropy, same fused
     // one-pass shape as q_entropy with a 39³-bounded model
     "q_entropy3" -> ((s, d) =>
@@ -2696,6 +2708,40 @@ object SparkEntry {
         |  SELECT g.doc_id, g.k,
         |    g.k * ln((model.c + 1.0) / (tot.tot + tot.v)) AS klp
         |  FROM g JOIN model USING (bg) CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  floor(-CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    // cross-corpus scoring: model CTEs over the reference slice, LEFT
+    // join at gram grain with the smoothed floor for unseen grams
+    // (ln(NULL) is NULL, so COALESCE lands exactly on the model's
+    // unseen log-prob); per-gram terms decimal-quantized as in
+    // q_entropy
+    "q_xent" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+        |  FROM documents
+        |), refd AS (
+        |  SELECT t FROM d WHERE doc_id % 11 = 0 AND length(t) >= 2
+        |), rg AS (
+        |  SELECT substr(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS c
+        |  FROM refd, UNNEST(range(1, length(t))) AS r(i)
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(c) AS tot, COUNT(*) AS v FROM rg
+        |), dd AS (
+        |  SELECT doc_id, t FROM d WHERE doc_id % 11 <> 0 AND length(t) >= 2
+        |), g AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS k
+        |  FROM dd, UNNEST(range(1, length(t))) AS r(i)
+        |  GROUP BY 1, 2
+        |), lp AS (
+        |  SELECT g.doc_id, g.k,
+        |    g.k * COALESCE(ln((rg.c + 1.0) / (tot.tot + tot.v)),
+        |                   ln(1.0 / (tot.tot + tot.v))) AS klp
+        |  FROM g LEFT JOIN rg USING (bg) CROSS JOIN tot
         |)
         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
         |  floor(-CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)

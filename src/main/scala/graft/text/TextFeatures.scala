@@ -182,6 +182,48 @@ object TextFeatures {
           -col("_s.lp") / col("_s.n"), 6).as("cross_entropy"))
   }
 
+  /** Cross-corpus LM quality scoring — the CCNet/KenLM production
+    * pattern the self-trained [[charBigramEntropy]] stands in for: the
+    * reference LM trains on a CLEAN corpus (`ref` — Wikipedia-grade
+    * text, or a target domain) and every document of `df` is scored
+    * against it; low cross-entropy = reference-like, the primary
+    * model-based keep signal of a crawl build. Grams the reference
+    * never saw score at the smoothed floor ln(1/(tot+v)) — the
+    * held-out path [[graft.functions.BigramModel]]'s optional unseen
+    * floor exists for (self-trained scoring keeps the strict throw).
+    * Scale shape: the model is driver-sized by the 39²-capped
+    * alphabet; training is one pass over the (small) reference and
+    * scoring one fused map-only kernel pass over the corpus. */
+  def charBigramEntropyAgainst(ref: DataFrame, refText: Column,
+                               df: DataFrame, id: Column, text: Column,
+                               cacheKey: Option[String] = None): DataFrame = {
+    def norm(c: Column) = regexp_replace(lower(c), "[^a-z0-9 ]", "#")
+    val model = lmCached(df.sparkSession, cacheKey, 4) {
+      val counts = ref.select(norm(refText).as("_t"))
+        .filter(length(col("_t")) >= 2)
+        .select(explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
+        .groupBy(col("_e.bg").as("bg")).agg(sum(col("_e.k")).as("_c"))
+        .collect()
+      val tot = counts.iterator.map(_.getLong(1)).sum
+      val v = counts.length.toLong
+      val sorted = counts.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      new graft.functions.BigramModel(
+        sorted.map(_._1),
+        sorted.map { case (_, c) =>
+          StrictMath.log((c + 1.0) / (tot + v).toDouble)
+        },
+        StrictMath.log(1.0 / (tot + v).toDouble))
+    }
+    df.select(id.as("doc_id"), norm(text).as("_t"))
+      .filter(length(col("_t")) >= 2)
+      .select(col("doc_id"), graft.functions.BigramCounts(col("_t")).as("_a"))
+      .select(col("doc_id"),
+        graft.functions.BigramScore(col("_a"), model).as("_s"))
+      .select(col("doc_id"), col("_s.n").as("n_bigrams"),
+        graft.functions.Numeric.cround(
+          -col("_s.lp") / col("_s.n"), 6).as("cross_entropy"))
+  }
+
   /** Order-3 upgrade of [[charBigramEntropy]]: corpus character-
     * TRIGRAM cross-entropy, the sharper model-based quality signal
     * (trigrams see one more character of context, so structured junk

@@ -65,6 +65,33 @@ class TrigramSpec extends SparkSpec {
     assert(math.abs(gotBg - floor) < 1e-7, "unseen bigram scores at the floor")
   }
 
+  test("cross-corpus scoring: hand-computed floor case and reference-likeness ordering") {
+    import graft.text.TextFeatures
+    // reference "abc": model {ab:1, bc:1}, tot=2, V=2, floor=ln(1/4).
+    // scoring "abd": ab seen -> ln(2/4); bd unseen -> floor.
+    val ref = Seq((100L, "abc")).toDF("doc_id", "text")
+    val got = TextFeatures.charBigramEntropyAgainst(
+        ref, col("text"),
+        Seq((1L, "abd")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().toList
+    val q8 = (x: Double) => new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expCe = math.floor(
+      -(q8(math.log(0.5)) + q8(math.log(0.25))) / 2 * 1e6 + 0.5) / 1e6
+    assert(got == List((1L, 2L, expCe)))
+    // a reference-like doc must score lower than alphabet junk
+    val ref2 = (1 to 6).map(i => (100L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val scored = TextFeatures.charBigramEntropyAgainst(
+        ref2, col("text"),
+        Seq((1L, "the cat sat on a mat"), (2L, "zqxv jkwp zzqq xxvv"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(scored(1L) < scored(2L),
+      "reference-like text scores lower cross-entropy than junk")
+  }
+
   test("TrigramCounts kernel matches the naive formulation on real docs") {
     val docs = Tables.documents(spark, sfDir).limit(100)
       .select(col("doc_id"),
