@@ -76,6 +76,32 @@ class ExactlyOnceSpec extends SparkSpec {
       "sink B: every batch present exactly once after interleaved replays")
   }
 
+  test("the per-batch layout compacts: many micro-batch files -> few, data intact") {
+    // the sink's partition-by-batch_id output IS the small-files shape
+    // sources.Compaction exists for — pin the claimed composition
+    val dir = java.nio.file.Files.createTempDirectory("graft_eoc").toString
+    (0 until 8).foreach { i =>
+      ExactlyOnce.writeBatch(dir)(
+        Seq((i.toLong * 10, s"v$i")).toDF("id", "v").repartition(4), i.toLong)
+    }
+    def parquetFiles(p: String): Int = {
+      val fs = new java.io.File(p)
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(fs)
+    }
+    val before = parquetFiles(dir)
+    assert(before >= 8, s"micro-batches left many files, got $before")
+    val compacted = java.nio.file.Files.createTempDirectory("graft_eoc2").toString
+    graft.sources.Compaction.compact(
+      spark.read.parquet(dir), compacted, targetFiles = 1)
+    assert(parquetFiles(compacted) === 1)
+    val got = graft.sources.Compaction.read(spark, compacted)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got === (0 until 8).map(i => (i.toLong * 10, s"v$i")).toSet)
+  }
+
   test("wired into a real stream via foreachBatch") {
     implicit val sql = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime
