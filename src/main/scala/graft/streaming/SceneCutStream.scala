@@ -16,20 +16,30 @@ case class CutState(lastIdx: Int, lastMean: Double, segments: Long)
 
 /** Streaming scene-cut detection — [[graft.multimodal.SceneCut]] on an
   * unbounded frame stream: state per asset is ONE (last frame, scene
-  * counter) pair, so memory is bounded by live assets, not stream
-  * length. Frames are processed in frame_idx order within each
-  * micro-batch (the same in-batch sort the movement stream uses);
-  * monotone arrival across batches is the declared contract — the
-  * decode source emits an asset's frames in order. */
+  * counter) pair, so memory is bounded by LIVE assets, not stream
+  * length — `idleTimeoutMs` > 0 expires the state of assets that stop
+  * producing frames (a finished video's entry would otherwise live for
+  * the stream's lifetime; 0 disables expiry for drain-style parity
+  * tests, the same contract as the stateful trackers). Frames are
+  * processed in frame_idx order within each micro-batch (the same
+  * in-batch sort the movement stream uses); monotone arrival across
+  * batches is the decode source's contract, ENFORCED — an out-of-order
+  * frame fails fast instead of silently mis-segmenting. */
 object SceneCutStream {
 
-  def cuts(frames: Dataset[FrameIn], threshold: Double): Dataset[CutOut] = {
+  def cuts(frames: Dataset[FrameIn], threshold: Double,
+           idleTimeoutMs: Long = 3600000L): Dataset[CutOut] = {
     require(threshold > 0.0)
     import frames.sparkSession.implicits._
+    val conf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     frames.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[CutState, CutOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[CutState, CutOut](OutputMode.Append, conf) {
         (doc: Long, rows: Iterator[FrameIn], state: GroupState[CutState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val sorted = rows.toArray.sortBy(_.frame_idx)
           var cur = state.getOption
           val out = sorted.map { f =>
@@ -49,7 +59,9 @@ object SceneCutStream {
             CutOut(doc, f.frame_idx, delta, isCut, segments)
           }
           cur.foreach(state.update)
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
           out.iterator
+          }
       }
   }
 }

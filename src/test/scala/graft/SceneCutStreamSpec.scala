@@ -13,7 +13,7 @@ class SceneCutStreamSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[FrameIn]
-    val q = SceneCutStream.cuts(stream.toDS(), threshold)
+    val q = SceneCutStream.cuts(stream.toDS(), threshold, idleTimeoutMs = 0L)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
     batches.foreach(b => stream.addData(b))
@@ -54,7 +54,7 @@ class SceneCutStreamSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[FrameIn]
-    val q = SceneCutStream.cuts(stream.toDS(), 30.0)
+    val q = SceneCutStream.cuts(stream.toDS(), 30.0, idleTimeoutMs = 0L)
       .writeStream.format("memory").queryName("scs_ooo")
       .outputMode("append").start()
     val ex = try {
