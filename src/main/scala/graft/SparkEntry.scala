@@ -457,6 +457,16 @@ object SparkEntry {
       Dedup.clusters(docs, col("doc_id"),
         Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, 1000L))
     }),
+    // incremental snapshot-vs-batch dedup: the doc_id%3!=0 slice stands
+    // in for yesterday's deduped corpus, %3==0 for today's crawl batch;
+    // certainly-new rows are cleared map-side by the broadcast Bloom
+    // probe, only dups + the fpp sliver reach the verify join
+    "q_incdedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.dedup.IncrementalDedup.dedupAgainst(
+        docs.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       MinHashLSH.nearDupPairs(documents(s, d), col("doc_id"), col("text"), 3, 64, 16, 0.5)),
     "q_ann_cosine" -> ((s, d) => {
@@ -593,6 +603,13 @@ object SparkEntry {
     "q_ragc" -> ((s, d) =>
       Chunker.chunks(documents(s, d), col("doc_id"), col("text"),
         width = 64, stride = 32)),
+    // source/domain-grain quality gate (C4/RefinedWeb shape): one
+    // corpus pass -> per-source health stats + the wholesale gate
+    // decision; the doc filter that consumes it is a broadcast semi
+    // join (SourceGateSpec pins the plan)
+    "q_srcgate" -> ((s, d) =>
+      graft.text.SourceGate.stats(documents(s, d),
+        col("doc_id"), col("text"), col("source"))),
     "q_text_tokens" -> ((s, d) =>
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
     "q_text_quality" -> ((s, d) =>
@@ -2091,6 +2108,17 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
 
+    // the operator joins on xxhash64(text); text-equality join is the
+    // same relation absent 64-bit collisions (none at driver SFs)
+    "q_incdedup" ->
+      """WITH idx AS (
+        |  SELECT text, MIN(doc_id) AS dup_of FROM documents
+        |  WHERE doc_id % 3 <> 0 GROUP BY text)
+        |SELECT b.doc_id, i.dup_of,
+        |  CASE WHEN i.dup_of IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM documents b LEFT JOIN idx i USING (text)
+        |WHERE b.doc_id % 3 = 0""".stripMargin,
+
     // the LSH pipeline's contract IS the exact-Jaccard pair set: false
     // positives are impossible (candidates are verified with TRUE
     // per-pair set intersection — no df cap anywhere since r5) and at
@@ -2521,6 +2549,29 @@ object SparkEntry {
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
+
+    "q_srcgate" ->
+      """WITH t AS (
+        |  SELECT source, text, length(text) AS ln,
+        |    len(string_split_regex(text, '\s+')) AS ntk,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS stop_cnt
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, text, ln,
+        |    CASE WHEN ntk >= 5 AND ntk <= 2000
+        |      AND CAST(stop_cnt AS DOUBLE) / ntk >= 0.05 THEN 1 ELSE 0 END AS kp
+        |  FROM t),
+        |s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    floor(AVG(kp) * 10000.0 + 0.5) / 10000.0 AS keep_rate,
+        |    floor((1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS dup_ratio,
+        |    floor(AVG(CAST(ln AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_chars
+        |  FROM k GROUP BY source)
+        |SELECT source, n_docs, keep_rate, dup_ratio, mean_chars,
+        |  CASE WHEN n_docs >= 10 AND keep_rate >= 0.6 AND dup_ratio <= 0.5
+        |    THEN 1 ELSE 0 END AS gated_in
+        |FROM s""".stripMargin,
 
     "q_decon" ->
       """WITH tok AS (
