@@ -35,6 +35,70 @@ object Models {
     model.transform(test).select(col("vec_id"), col("label"), col("prediction"))
   }
 
+  /** FastText-style text quality classifier — the FineWeb-Edu / DCLM
+    * pattern: a cheap linear model over HASHED bag-of-token features
+    * (the hashing trick bounds the feature space at `numFeatures`
+    * regardless of vocabulary — no vocab build pass, no OOV) is
+    * trained on weak labels and then scores the whole corpus map-only.
+    * Training cost is the labeled slice; inference is one HashingTF +
+    * one dot product per document — the only classifier shape that
+    * runs at 100 TB. Features are token counts (binary=false), split
+    * on whitespace lowercased — the same tokenization the quality and
+    * langId kernels use. Returns every document with its weak label,
+    * the model's prediction, and the positive-class probability
+    * (rounded: LBFGS float reduction order is not bit-stable, the
+    * decision and 4-decimal score are). */
+  private val clsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int),
+    org.apache.spark.ml.classification.LogisticRegressionModel]()
+  private val clsEvictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  def textClassifier(docs: DataFrame, id: org.apache.spark.sql.Column,
+                     text: org.apache.spark.sql.Column,
+                     label: org.apache.spark.sql.Column,
+                     numFeatures: Int = 1 << 18,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val prepared = docs.select(id.as("doc_id"),
+      split(lower(text), "\\s+").as("_toks"),
+      label.cast("double").as("label"))
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("_toks").setOutputCol("features")
+      .setNumFeatures(numFeatures)
+    val feat = tf.transform(prepared)
+    def train() = {
+      val (tr, _) = hashSplit(feat, "doc_id")
+      new LogisticRegression()
+        .setMaxIter(50).setRegParam(0.01).setTol(1e-6)
+        .fit(tr)
+    }
+    // train-once per (session, corpus identity): the model is a
+    // driver-sized artifact (numFeatures weights), the quantizeCached /
+    // lmCached pattern — repeated scoring queries pay only the map-only
+    // transform
+    val model = cacheKey match {
+      case None => train()
+      case Some(k) =>
+        val session = docs.sparkSession
+        if (clsEvictionHooked.add(session)) {
+          session.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                clsCache.keySet.removeIf(_._1 eq session)
+                clsEvictionHooked.remove(session)
+              }
+            })
+        }
+        clsCache.computeIfAbsent((session, k, numFeatures), _ => train())
+    }
+    model.transform(feat)
+      .withColumn("_p1", org.apache.spark.ml.functions
+        .vector_to_array(col("probability")).getItem(1))
+      .select(col("doc_id"), col("label"), col("prediction"),
+        graft.functions.Numeric.cround(col("_p1"), 4).as("score"))
+  }
+
   /** KMeans phenotype clustering; returns (vec_id, cluster). */
   def clusterEmbeddings(embeddings: DataFrame, k: Int = 10): DataFrame = {
     val prepared = embeddings.select(col("vec_id"),

@@ -52,6 +52,33 @@ object Mixture {
     out
   }
 
+  /** Temperature-scaled mixture (the mT5/UniMax-family balancing rule):
+    * target weights are the domains' OWN empirical token shares raised
+    * to `alpha` in (0, 1] — alpha 1 keeps the natural mixture, alpha
+    * below 1 flattens it toward uniform, boosting low-resource domains
+    * without a hand-written weight table (p_d^alpha is scale-invariant
+    * here because [[rates]] normalizes, so t_d^alpha is used directly).
+    * Same machinery as [[sample]]: one D-row capacity aggregate,
+    * driver-side water-filling (domains a flattened mixture would
+    * over-draw pin to rate 1 and re-flow), then the deterministic
+    * map-only Lehmer filter. alpha = 0.5 makes the weight computation
+    * an IEEE-exact sqrt — bit-identical across engines, which the
+    * DuckDB oracle relies on. */
+  def temperatureSample(df: DataFrame, id: Column, domain: Column,
+                        tokens: Column, alpha: Double,
+                        budgetFraction: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(budgetFraction >= 0, s"budgetFraction must be >= 0")
+    val totals = df.groupBy(domain.as("_dom")).agg(sum(tokens).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = totals.map { case (dm, t) =>
+      dm -> (if (alpha == 0.5) math.sqrt(t.toDouble)
+             else math.pow(t.toDouble, alpha)) }
+    val budget = budgetFraction * totals.values.map(_.toDouble).sum
+    TextFeatures.sampleStratified(df, id, domain,
+      rates(totals, weights, budget), defaultRate = 0.0)
+  }
+
   /** Sample `df` to a `budgetFraction` of its total token mass at the
     * target mixture. `tokens` must be an integral per-row token (or
     * char) count. Returns the surviving rows unchanged. */

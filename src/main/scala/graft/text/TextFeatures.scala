@@ -134,6 +134,45 @@ object TextFeatures {
         emailRe, "<EMAIL>")).as("scrubbed_len"))
   }
 
+  /** PII detection + redaction beyond URL/email ([[urlScrub]]): phone
+    * numbers (international dashed form), IPv4 addresses, and long
+    * digit runs (card/account-shaped, 12-19 digits). Counts per class
+    * plus the length after replacing each with a fixed placeholder —
+    * the redaction pass itself, not just the detector. Map-only, all
+    * codegen'd regexp kernels; patterns are RE2-safe (no lookaround /
+    * backreferences) so the DuckDB oracle runs the identical automata.
+    * Redaction order phone -> ip -> idnum: each earlier replacement
+    * removes its digits, so later classes cannot re-match inside a
+    * placeholder (and an IPv4's dot-separated octets can never form a
+    * 12-digit run). */
+  def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val idRe = "[0-9]{12,19}"
+    df.select(
+      id.as("doc_id"),
+      regexp_count(text, lit(phoneRe)).as("n_phones"),
+      regexp_count(text, lit(ipRe)).as("n_ips"),
+      regexp_count(text, lit(idRe)).as("n_idnums"),
+      length(regexp_replace(regexp_replace(regexp_replace(text,
+        phoneRe, "<PHONE>"), ipRe, "<IP>"), idRe, "<ID>")).as("scrubbed_len"))
+  }
+
+  /** Compression-ratio quality signal: DEFLATE size over raw UTF-8
+    * size per document. Both quality tails are pathological —
+    * repetitive/templated text compresses far below the prose band,
+    * base64/binary spill sits near (or above) 1.0 — and corpus builds
+    * cut on both ends. Map-only, one codegen'd kernel pass
+    * ([[graft.functions.DeflateSize]]); rows-only correctness (no SQL
+    * zlib), parity + tail behavior pinned by CompressionSpec. */
+  def compressionRatio(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        octet_length(text).cast("long").as("n_bytes"),
+        graft.functions.DeflateSize(text).as("n_deflate"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("ratio", graft.functions.Numeric.cround(
+        col("n_deflate").cast("double") / col("n_bytes"), 6))
+
   /** Corpus character-bigram cross-entropy — the model-based quality
     * signal corpus builds filter on (the KenLM-perplexity stand-in,
     * deterministic and engine-independent): a bigram language model is

@@ -57,4 +57,54 @@ class MixtureSpec extends SparkSpec {
     val lo = (5 until 19).map(i => kept.getOrElse(s"src$i", 0L)).sum / 14.0
     assert(hi > lo * 2, s"hi=$hi lo=$lo")
   }
+
+  test("temperature alpha=1 keeps the natural mixture (every rate == budget fraction)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "b", 800L))
+      .toDF("id", "dom", "tk")
+    // alpha=1: weights proportional to capacity -> rate = bf everywhere
+    // (proportional allocation never caps)
+    val r = Mixture.rates(Map("a" -> 200L, "b" -> 800L),
+      Map("a" -> 200.0, "b" -> 800.0), budget = 500.0)
+    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
+    val kept = Mixture.temperatureSample(df, col("id"), col("dom"), col("tk"),
+      alpha = 1.0, budgetFraction = 1.0).count()
+    assert(kept == 3L, "bf=1 at alpha=1 must keep everything")
+  }
+
+  test("temperature alpha<1 boosts low-resource domains; capping re-flows") {
+    // capacities 100 vs 10000; sqrt weights 10 vs 100 -> the small
+    // domain's allocation (budget*10/110) exceeds its relative share
+    val r = {
+      val t = Map("small" -> 100L, "big" -> 10000L)
+      Mixture.rates(t, t.map { case (d, c) => d -> math.sqrt(c.toDouble) },
+        budget = 1100.0)
+    }
+    // small: 1100*10/110 = 100 = capacity -> pins to 1, surplus 0
+    assert(r("small") === 1.0)
+    // big gets the remaining 1000 of 10000 -> 0.1
+    assert(math.abs(r("big") - 0.1) < 1e-12)
+    // natural mixture would have given small only 1100*100/10100 ~ 10.9
+    // tokens (rate ~0.109): alpha=0.5 boosted it ~9x
+  }
+
+  test("temperatureSample on real docs: flattened rates order inversely with domain mass") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Mixture.temperatureSample(docs, col("doc_id"), col("source"),
+      col("n_chars"), alpha = 0.5, budgetFraction = 0.35)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = docs.groupBy("source").agg(sum("n_chars").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the computed keep-rates themselves must be anti-monotone in
+    // capacity across the extremes (sampling noise-free check)
+    val r = Mixture.rates(tot,
+      tot.map { case (d, c) => d -> math.sqrt(c.toDouble) },
+      0.35 * tot.values.map(_.toDouble).sum)
+    val sorted = tot.toSeq.sortBy(_._2)
+    val loDom = sorted.head._1; val hiDom = sorted.last._1
+    assert(r(loDom) >= r(hiDom),
+      s"low-resource $loDom rate ${r(loDom)} < $hiDom ${r(hiDom)}")
+    assert(out.count() > 0 && kept.nonEmpty)
+  }
 }
