@@ -48,7 +48,11 @@ object Bench {
       "q07_nation_volume", "q10_returned_items", "q13_order_histogram",
       "q14_promo_revenue", "q16_distinct_suppliers", "q17_small_qty",
       "q19_disjunctive", "q22_idle_customers", "q_qc_track_summary",
-      "q_sample_stratified")
+      "q_sample_stratified",
+      // freed for the r8 additions (q_incdedup/q_srcgate/q_pii/q_tmix/
+      // q_shuf/q_comp/q_qcls...): more flat r5-r7 relational rows
+      "q11_important_parts", "q12_late_counts", "q15_top_supplier",
+      "q18_large_orders", "q20_excess_suppliers", "q_rollup", "q_pivot")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

@@ -441,6 +441,16 @@ object SparkEntry {
         .withColumn("label", (element_at(col("embedding"), 1) > 0.0f).cast("int")))),
     "q_ml_cluster" -> ((s, d) =>
       graft.ml.Models.clusterEmbeddings(embeddings(s, d), 10)),
+    // fastText-shaped quality classifier distilling the heuristic
+    // qualityKeep gate (the DCLM/FineWeb pattern: cheap model trained
+    // on rule/LLM labels, then scored corpus-wide map-only). Rows-only:
+    // iterative LBFGS is not SQL-expressible; held-out label recovery
+    // pinned by TextClassifierSpec
+    "q_qcls" -> ((s, d) =>
+      graft.ml.Models.textClassifier(documents(s, d), col("doc_id"),
+        col("text"),
+        graft.text.TextFeatures.qualityKeep(col("text")).cast("int"),
+        cacheKey = Some(d))),
     // PCA reduction of the embedding table (the pre-quantization step
     // of a vector index). Rows-only: distributed SVD is not
     // SQL-expressible; invariants pinned by PcaSpec
@@ -603,6 +613,17 @@ object SparkEntry {
     "q_ragc" -> ((s, d) =>
       Chunker.chunks(documents(s, d), col("doc_id"), col("text"),
         width = 64, stride = 32)),
+    // deterministic corpus shuffle: splitmix64-keyed global order ->
+    // contiguous (shard, pos) blocks; two-level distributed rank scan
+    "q_shuf" -> ((s, d) =>
+      graft.text.Shuffle.permute(documents(s, d), col("doc_id"), nShards = 8)),
+    // temperature-flattened mixture at alpha=0.5 (weights = sqrt of
+    // domain token mass — IEEE-exact in both engines): low-resource
+    // sources sample at a higher rate than their natural share
+    "q_tmix" -> ((s, d) =>
+      graft.text.Mixture.temperatureSample(documents(s, d), col("doc_id"),
+          col("source"), col("n_chars"), alpha = 0.5, budgetFraction = 0.35)
+        .select(col("doc_id"), col("source"))),
     // source/domain-grain quality gate (C4/RefinedWeb shape): one
     // corpus pass -> per-source health stats + the wholesale gate
     // decision; the doc filter that consumes it is a broadcast semi
@@ -612,8 +633,37 @@ object SparkEntry {
         col("doc_id"), col("text"), col("source"))),
     "q_text_tokens" -> ((s, d) =>
       TextFeatures.tokenStats(documents(s, d), col("doc_id"), col("text"))),
+    // PII scrub over deterministically-constructed digit-bearing text
+    // (the corpus tables carry no digits, so the event stream's ids
+    // seed phone/IP/card-shaped fragments per event type — the same
+    // construction the oracle mirrors; the OPERATOR is general)
+    "q_pii" -> ((s, d) => {
+      val u = col("user_id"); val e = col("event_id")
+      val piiText = concat(
+        lit("session "), col("event_type"), lit(" from user "), u.cast("string"),
+        when(col("event_type") === "click",
+          concat(lit(" at 10."), pmod(u, lit(256L)).cast("string"), lit("."),
+            pmod(e, lit(256L)).cast("string"), lit("."),
+            pmod(u + e, lit(256L)).cast("string"))).otherwise(lit("")),
+        when(col("event_type") === "signup",
+          concat(lit(" phone +"), (pmod(u, lit(90L)) + lit(10L)).cast("string"),
+            lit("-"), lpad(pmod(e, lit(1000L)).cast("string"), 3, "0"),
+            lit("-"), lpad(pmod(u * lit(7L) + e, lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("event_type") === "purchase",
+          concat(lit(" card "),
+            lpad(pmod(e * lit(31L) + u, lit(100000000L)).cast("string"), 8, "0"),
+            lpad(pmod(u * lit(17L) + e, lit(100000000L)).cast("string"), 8, "0")))
+          .otherwise(lit("")))
+      TextFeatures.piiScrub(
+        events(s, d).withColumn("_pt", piiText), col("event_id"), col("_pt"))
+    }),
     "q_text_quality" -> ((s, d) =>
       TextFeatures.quality(documents(s, d), col("doc_id"), col("text"))),
+    // compression-ratio quality signal (deflate/raw per doc). Rows-only:
+    // no SQL zlib; kernel parity + tail behavior pinned by CompressionSpec
+    "q_comp" -> ((s, d) =>
+      TextFeatures.compressionRatio(documents(s, d), col("doc_id"), col("text"))),
     // corpus LM models are train-once artifacts (cacheKey = the corpus
     // dir, the quantizeCached pattern): q_entropy / q_ebin share one
     // bigram model per corpus; scoring stays the fused map-only kernel
@@ -2548,6 +2598,71 @@ object SparkEntry {
         |  floor(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
+        |FROM t""".stripMargin,
+
+    // splitmix64 replayed in HUGEINT (wrapping 64-bit multiplies split
+    // into 32-bit halves so INT128 never overflows); key >> 1 keeps the
+    // result in signed-BIGINT range on both engines
+    "q_shuf" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+        |    % 18446744073709551616 AS z FROM documents),
+        |p1 AS (SELECT doc_id, xor(z, z >> 30) AS a FROM s0),
+        |m1 AS (SELECT doc_id, ((a % 4294967296) * 484763065
+        |  + (((a % 4294967296) * 3210233709 + (a // 4294967296) * 484763065)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p1),
+        |p2 AS (SELECT doc_id, xor(z, z >> 27) AS a FROM m1),
+        |m2 AS (SELECT doc_id, ((a % 4294967296) * 321982955
+        |  + (((a % 4294967296) * 2496678331 + (a // 4294967296) * 321982955)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p2),
+        |k AS (SELECT doc_id, CAST(xor(z, z >> 31) >> 1 AS BIGINT) AS shuffle_key FROM m2),
+        |r AS (SELECT doc_id, shuffle_key,
+        |  ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS r0,
+        |  (COUNT(*) OVER () + 7) // 8 AS ssize FROM k)
+        |SELECT doc_id, shuffle_key, r0 // ssize AS shard, r0 % ssize AS pos
+        |FROM r""".stripMargin,
+
+    // uncapped water-filling branch (verified: every rate < 1 at these
+    // parameters); sqrt weights are bit-identical across engines
+    "q_tmix" ->
+      """WITH tot AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS t
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, t, sqrt(t) AS wt FROM tot
+        |), r AS (
+        |  SELECT source,
+        |    CAST(FLOOR(((0.35 * (SELECT SUM(t) FROM tot)) * wt)
+        |      / (SELECT SUM(wt) FROM w) / t * 10000 + 0.5) AS BIGINT) AS bps
+        |  FROM w
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (d.doc_id % 2147483647) * 48271 % 2147483647 % 10000 < r.bps""".stripMargin,
+
+    "q_pii" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    'session ' || event_type || ' from user ' || CAST(user_id AS VARCHAR) ||
+        |    CASE WHEN event_type = 'click' THEN ' at 10.' ||
+        |      CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) ||
+        |      '.' || CAST((user_id + event_id) % 256 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN event_type = 'signup' THEN ' phone +' ||
+        |      CAST(user_id % 90 + 10 AS VARCHAR) || '-' ||
+        |      lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST((user_id * 7 + event_id) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN event_type = 'purchase' THEN ' card ' ||
+        |      lpad(CAST((event_id * 31 + user_id) % 100000000 AS VARCHAR), 8, '0') ||
+        |      lpad(CAST((user_id * 17 + event_id) % 100000000 AS VARCHAR), 8, '0') ELSE '' END AS pt
+        |  FROM events)
+        |SELECT event_id AS doc_id,
+        |  len(regexp_extract_all(pt, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(pt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        |  len(regexp_extract_all(pt, '[0-9]{12,19}')) AS n_idnums,
+        |  length(regexp_replace(regexp_replace(regexp_replace(pt,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{12,19}', '<ID>', 'g')) AS scrubbed_len
         |FROM t""".stripMargin,
 
     "q_srcgate" ->
