@@ -613,6 +613,28 @@ object SparkEntry {
     "q_ragc" -> ((s, d) =>
       Chunker.chunks(documents(s, d), col("doc_id"), col("text"),
         width = 64, stride = 32)),
+    // audio clipping gate: per-asset clipped-sample fraction over the
+    // s16le decode (threshold 30000 ~ 91.6% FS: text-byte stand-in
+    // payloads top out near 31487, so the production 98.4% default
+    // would be trivially zero here — the MATH is threshold-independent)
+    "q_clip" -> ((s, d) =>
+      graft.multimodal.Audio.clipStats(s,
+        graft.multimodal.Binary.withPayload(documents(s, d)),
+        threshold = 30000).toDF()),
+    // image blur gate: per-sampled-frame Laplacian variance over the
+    // stub decode's pixel block. Rows-only (the 64-bin pixel fold has
+    // no SQL replay); math invariants pinned by BlurClipSpec
+    "q_blur" -> ((s, d) =>
+      graft.multimodal.Binary.sampleFrameBlur(s,
+        graft.multimodal.Binary.withPayload(documents(s, d)), everyK = 2).toDF()),
+    // corpus drift report between the two snapshot halves: per-token
+    // smoothed-KL contributions, most-over-represented-in-A first
+    "q_drift" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.text.CorpusDiff.tokenDrift(
+        docs.filter(col("doc_id") % 2 === 0), col("text"),
+        docs.filter(col("doc_id") % 2 =!= 0), col("text"), k = 100)
+    }),
     // deterministic corpus shuffle: splitmix64-keyed global order ->
     // contiguous (shard, pos) blocks; two-level distributed rank scan
     "q_shuf" -> ((s, d) =>
@@ -2599,6 +2621,51 @@ object SparkEntry {
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
+
+    // identical s16le decode to the q_audio oracle, unframed, counting
+    // |s| >= 30000 over every full sample pair
+    "q_clip" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), sm AS (
+        |  SELECT doc_id, nb // 2 AS n,
+        |    list_transform(
+        |      list_transform(range(nb // 2), i ->
+        |        (strpos('0123456789ABCDEF', h[4*i+1 : 4*i+1]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*i+2 : 4*i+2]) - 1)
+        |        + ((strpos('0123456789ABCDEF', h[4*i+3 : 4*i+3]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*i+4 : 4*i+4]) - 1)) * 256),
+        |      v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
+        |  FROM hx WHERE nb // 2 >= 1
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(len(list_filter(s, x -> abs(x) >= 30000)) AS BIGINT) AS n_clipped,
+        |  floor(CAST(len(list_filter(s, x -> abs(x) >= 30000)) AS DOUBLE) / n
+        |    * 1000000.0 + 0.5) / 1000000.0 AS clip_frac
+        |FROM sm""".stripMargin,
+
+    "q_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ca AS (SELECT token, COUNT(*) AS cnt_a FROM ta
+        |  WHERE length(token) > 0 GROUP BY token),
+        |tb AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |cb AS (SELECT token, COUNT(*) AS cnt_b FROM tb
+        |  WHERE length(token) > 0 GROUP BY token),
+        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |t AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS v FROM j)
+        |SELECT token, cnt_a, cnt_b,
+        |  floor((cnt_a + 1.0) / (na + v) *
+        |    ln(((cnt_a + 1.0) / (na + v)) / ((cnt_b + 1.0) / (nb + v)))
+        |    * 100000000.0 + 0.5) / 100000000.0 AS contrib
+        |FROM j CROSS JOIN t
+        |ORDER BY contrib DESC, token LIMIT 100""".stripMargin,
 
     // splitmix64 replayed in HUGEINT (wrapping 64-bit multiplies split
     // into 32-bit halves so INT128 never overflows); key >> 1 keeps the

@@ -12,6 +12,10 @@ import graft.functions.Numeric
 case class AudioFrame(doc_id: Long, frame_idx: Int, n_samples: Int,
                       rms: Double, zcr: Double, peak: Int)
 
+/** Per-asset clipping summary (see Audio.clipStats). */
+case class ClipStats(doc_id: Long, n_samples: Long, n_clipped: Long,
+                     clip_frac: Double)
+
 /** Audio-side multimodal plumbing. Unlike the image path (whose codecs
   * are not in this container and whose decode is therefore a declared
   * stub), raw PCM needs no codec: the byte-to-sample conversion here
@@ -48,6 +52,42 @@ object Audio {
             (0 until frameCount(bytes, frameLen, hop)).iterator.map { fi =>
               val (rms, zcr, peak) = pcmFrameStats(bytes, fi, frameLen, hop)
               AudioFrame(id, fi, frameLen, rms, zcr, peak)
+            }
+          }
+        }
+      }
+  }
+
+  /** Per-asset clipping stats over ALL samples (unframed): sample
+    * count, count at-or-above `threshold` in magnitude, and the
+    * clipped fraction — the audio-side junk gate (a recording that
+    * spends a visible fraction of its samples at full scale is
+    * distorted; corpus builds cut on clip_frac). Default threshold
+    * 32256 = 98.4% of s16 full scale. Same batched one-pass shape as
+    * [[frameFeatures]]; integer counts, so the DuckDB oracle replays
+    * the identical s16le decode exactly. */
+  def clipStats(spark: SparkSession, df: DataFrame,
+                threshold: Int = 32256, batchSize: Int = 64): Dataset[ClipStats] = {
+    import spark.implicits._
+    require(threshold > 0)
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            val n = bytes.length / 2
+            if (n == 0) Iterator.empty
+            else {
+              var clipped = 0L
+              var i = 0
+              while (i < n) {
+                val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+                val a = if (s < 0) -s else s
+                if (a >= threshold) clipped += 1
+                i += 1
+              }
+              Iterator.single(ClipStats(id, n.toLong, clipped,
+                Numeric.croundD(clipped.toDouble / n, 6)))
             }
           }
         }

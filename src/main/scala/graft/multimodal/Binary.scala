@@ -28,6 +28,9 @@ case class GlcmFrame(doc_id: Long, frame_idx: Int,
   * (stubbed) first-frame decode; the hash math in Texture is real. */
 case class AssetHash(doc_id: Long, phash: Long, dhash: Long)
 
+/** Per-sampled-frame focus measure (see Binary.sampleFrameBlur). */
+case class BlurFrame(doc_id: Long, frame_idx: Int, lap_var: Double)
+
 /** One asset's corpus-build profile from the fused single decode pass
   * (see Binary.assetProfiles): perceptual hash, scene-cut count at the
   * profile's threshold, and the mean frame RMS (has_audio = false when
@@ -89,6 +92,32 @@ object Binary {
             val nFrames = 1 + math.floorMod(bytes.length, 8)
             (0 until nFrames by everyK).iterator
               .map(fi => fakeFrameDecode(id, fi, bytes, downsampleBy))
+          }
+        }
+      }
+  }
+
+  /** Blur/focus variant of `sampleFrameFeatures`: the same one-pass
+    * batched decode (payload crosses once per asset), per-frame
+    * measure = variance of the Laplacian ([[Texture.laplacianVar]] —
+    * real math over the stub's pixel block): the image-side quality
+    * gate (defocused frames score low and a corpus build cuts them,
+    * the blur member of every multimodal filter stack). */
+  def sampleFrameBlur(spark: SparkSession, df: DataFrame, everyK: Int = 2,
+                      batchSize: Int = 64): Dataset[BlurFrame] = {
+    import spark.implicits._
+    require(everyK >= 1)
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec init would happen here
+          batch.iterator.flatMap { case (id, bytes) =>
+            val nFrames = 1 + math.floorMod(bytes.length, 8)
+            (0 until nFrames by everyK).iterator.map { fi =>
+              val (px, _, _) = fabricatePixels(fi, bytes)
+              BlurFrame(id, fi, Texture.laplacianVar(px, FrameDim, FrameDim))
+            }
           }
         }
       }

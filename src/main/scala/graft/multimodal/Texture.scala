@@ -262,6 +262,34 @@ object Texture {
     hash
   }
 
+  /** Variance of the 4-neighbour Laplacian response over the interior
+    * pixels — the standard focus/blur measure (a sharp frame has
+    * strong second derivatives everywhere; defocus suppresses them,
+    * so low variance = blurry). Exact for integral pixels: the
+    * variance is computed as (n*Σr² − (Σr)²)/n² from integer-exact
+    * sums, so the result is partitioning- and order-invariant.
+    * Requires width, height >= 3 (no interior otherwise → 0.0). */
+  def laplacianVar(px: Array[Double], width: Int, height: Int): Double = {
+    if (width < 3 || height < 3) return 0.0
+    var sum = 0.0
+    var sumSq = 0.0
+    var n = 0
+    var y = 1
+    while (y < height - 1) {
+      var x = 1
+      while (x < width - 1) {
+        val r = 4.0 * px(y * width + x) - px((y - 1) * width + x) -
+          px((y + 1) * width + x) - px(y * width + x - 1) - px(y * width + x + 1)
+        sum += r
+        sumSq += r * r
+        n += 1
+        x += 1
+      }
+      y += 1
+    }
+    graft.functions.Numeric.croundD((n * sumSq - sum * sum) / (n.toDouble * n), 4)
+  }
+
   /** Difference hash (dHash): resample to 9x8 and emit one bit per
     * horizontal gradient sign (64 bits exactly). Invariant to positive
     * affine brightness changes (strict inequality is preserved). */
