@@ -431,10 +431,12 @@ object SparkEntry {
     // decode; stage bites + composition are pinned by
     // MultimodalCorpusSpec's planted casualties. Gates tuned to the
     // synthetic corpus's byte statistics (cut deltas ~0.5-1.2, rms
-    // ~23k-28k) so each stage bites without emptying the output.
+    // ~23k-28k, max_lap p5 ~30e3, clip_frac p95 ~0.12) so each stage
+    // bites without emptying the output.
     "q_mm_corpus" -> ((s, d) =>
       multimodal.MultimodalCorpus.run(
-        Binary.withPayload(documents(s, d)))),
+        Binary.withPayload(documents(s, d)),
+        minSharp = 30000.0, maxClip = 0.12)),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.full(events(s, d))),
     "q_ml_classify" -> ((s, d) =>
       graft.ml.Models.classifyEmbeddings(embeddings(s, d)

@@ -75,23 +75,36 @@ object Audio {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, bytes) =>
-            val n = bytes.length / 2
+            val (n, clipped) = clipCounts(bytes, threshold)
             if (n == 0) Iterator.empty
-            else {
-              var clipped = 0L
-              var i = 0
-              while (i < n) {
-                val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
-                val a = if (s < 0) -s else s
-                if (a >= threshold) clipped += 1
-                i += 1
-              }
-              Iterator.single(ClipStats(id, n.toLong, clipped,
-                Numeric.croundD(clipped.toDouble / n, 6)))
-            }
+            else Iterator.single(ClipStats(id, n.toLong, clipped,
+              Numeric.croundD(clipped.toDouble / n, 6)))
           }
         }
       }
+  }
+
+  /** Core clip counter: (sample count, samples at/above `threshold` in
+    * magnitude). Shared by [[clipStats]] and the corpus-build gates
+    * (batch + streaming) so the surfaces cannot drift. */
+  private[graft] def clipCounts(bytes: Array[Byte], threshold: Int): (Int, Long) = {
+    val n = bytes.length / 2
+    var clipped = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      val a = if (s < 0) -s else s
+      if (a >= threshold) clipped += 1
+      i += 1
+    }
+    (n, clipped)
+  }
+
+  /** Clipped fraction under the shared rounding contract — None when
+    * the asset has no full sample (unmeasurable). */
+  private[graft] def clipFraction(bytes: Array[Byte], threshold: Int): Option[Double] = {
+    val (n, clipped) = clipCounts(bytes, threshold)
+    if (n == 0) None else Some(Numeric.croundD(clipped.toDouble / n, 6))
   }
 
   /** Number of hop-overlapped frames the payload yields (trailing odd

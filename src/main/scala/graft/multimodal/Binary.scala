@@ -36,7 +36,8 @@ case class BlurFrame(doc_id: Long, frame_idx: Int, lap_var: Double)
   * profile's threshold, and the mean frame RMS (has_audio = false when
   * the asset is too short to frame). */
 case class AssetProfile(doc_id: Long, phash: Long, n_cuts: Long,
-                        has_audio: Boolean, avg_rms: Double)
+                        has_audio: Boolean, avg_rms: Double,
+                        max_lap: Double, clip_frac: Double)
 
 /** Multimodal column plumbing (reference: per-frame TIFF handling in
   * bin/frame_features_image.py — load_image / normalise / feature
@@ -207,7 +208,9 @@ object Binary {
             }
             val rms = Audio.meanRms(bytes, frameLen, hop)
             AssetProfile(id, Texture.phash64(px, FrameDim, FrameDim),
-              cuts, rms.isDefined, rms.getOrElse(0.0))
+              cuts, rms.isDefined, rms.getOrElse(0.0),
+              maxSampledLapVar(bytes, everyK),
+              Audio.clipFraction(bytes, ClipThreshold).getOrElse(1.0))
           }
         }
       }
@@ -223,6 +226,28 @@ object Binary {
   }
 
   private val FrameDim = 8
+
+  /** Clip gate threshold the corpus-build profile uses (91.6% of s16
+    * full scale — see Audio.clipStats for why the text-byte stand-in
+    * payloads need a sub-98% setting to be non-trivial). */
+  private[graft] val ClipThreshold = 30000
+
+  /** Sharpest sampled frame's Laplacian variance — the blur gate's
+    * per-asset scalar (if even the sharpest frame is below the focus
+    * floor, the asset is unusable). Shared by the batch profile pass
+    * and the streaming gate. */
+  private[graft] def maxSampledLapVar(bytes: Array[Byte], everyK: Int): Double = {
+    val nFrames = 1 + math.floorMod(bytes.length, 8)
+    var m = 0.0
+    var fi = 0
+    while (fi < nFrames) {
+      val (px, _, _) = fabricatePixels(fi, bytes)
+      val v = Texture.laplacianVar(px, FrameDim, FrameDim)
+      if (v > m) m = v
+      fi += everyK
+    }
+    m
+  }
 
   /** STUB pixel fabrication shared by both frame-feature paths: an 8x8
     * block derived deterministically from the payload bytes and the

@@ -41,6 +41,7 @@ object MultimodalCorpus {
           maxHamming: Int = 6,
           sceneThreshold: Double = 0.5, maxCuts: Long = 2,
           minRms: Double = 24500.0,
+          minSharp: Double = 0.0, maxClip: Double = 1.0,
           frameLen: Int = 32, hop: Int = 16, everyK: Int = 2): DataFrame = {
     val spark = assets.sparkSession
     // ONE fused decode pass profiles every asset (phash + cut count +
@@ -60,13 +61,20 @@ object MultimodalCorpus {
     // 2.-3. scene-stability + audio silence gates on the profile
     // (frameless assets are unmeasurable -> silent); 4. text gate
     // (shared rule — see TextFeatures.qualityKeep)
+    // 2.-3b. scene-stability, audio silence, blur (r8: even the
+    // SHARPEST sampled frame below the focus floor -> unusable) and
+    // clipping (r8: distorted audio) gates on the profile; 4. text
+    // gate (shared rule — see TextFeatures.qualityKeep)
     assets.join(canon, Seq("doc_id"), "left_semi")
       .join(prof.select(col("doc_id"), col("n_cuts"), col("has_audio"),
-        col("avg_rms")), Seq("doc_id"))
+        col("avg_rms"), col("max_lap"), col("clip_frac")), Seq("doc_id"))
       .filter(col("n_cuts") <= maxCuts)
       .filter(col("has_audio") && col("avg_rms") >= minRms)
+      .filter(col("max_lap") >= minSharp)
+      .filter(col("clip_frac") <= maxClip)
       .filter(graft.text.TextFeatures.qualityKeep(col("text")))
       .select(col("doc_id"), col("lang"), col("source"),
-        (col("n_cuts") + 1).as("n_scenes"), col("avg_rms"))
+        (col("n_cuts") + 1).as("n_scenes"), col("avg_rms"),
+        col("max_lap"), col("clip_frac"))
   }
 }

@@ -12,7 +12,8 @@ case class AssetIn(doc_id: Long, text: String, lang: String,
 /** A surviving asset with its media attributes (the batch build's
   * output row shape). */
 case class AssetKept(doc_id: Long, lang: String, source: String,
-                     n_scenes: Long, avg_rms: Double)
+                     n_scenes: Long, avg_rms: Double,
+                     max_lap: Double, clip_frac: Double)
 
 /** Streaming form of [[graft.multimodal.MultimodalCorpus]] — the
   * multimodal sibling of CorpusStream: the PER-ASSET stages (scene
@@ -37,6 +38,7 @@ object MultimodalCorpusStream {
   def filtered(assets: Dataset[AssetIn],
                sceneThreshold: Double = 0.5, maxCuts: Long = 2,
                minRms: Double = 24500.0,
+               minSharp: Double = 0.0, maxClip: Double = 1.0,
                frameLen: Int = 32, hop: Int = 16,
                everyK: Int = 2): Dataset[AssetKept] = {
     require(sceneThreshold > 0.0)
@@ -56,12 +58,19 @@ object MultimodalCorpusStream {
           }
           if (cuts > maxCuts) None
           else {
-            // audio silence gate: mean frame RMS via the shared
-            // decimal-sum kernel (Audio.meanRms — the Numeric.davg
-            // contract); frameless assets are unmeasurable -> silent
-            Audio.meanRms(a.payload, frameLen, hop) match {
+            // blur gate (shared kernel with the batch profile pass) +
+            // clipping gate, then the audio silence gate: mean frame
+            // RMS via the shared decimal-sum kernel (Audio.meanRms —
+            // the Numeric.davg contract); frameless assets are
+            // unmeasurable -> silent, sample-less assets -> clipped
+            val lap = Binary.maxSampledLapVar(a.payload, everyK)
+            val clip = Audio.clipFraction(a.payload, Binary.ClipThreshold)
+              .getOrElse(1.0)
+            if (lap < minSharp || clip > maxClip) None
+            else Audio.meanRms(a.payload, frameLen, hop) match {
               case Some(avg) if avg >= minRms =>
-                Some(AssetKept(a.doc_id, a.lang, a.source, cuts + 1, avg))
+                Some(AssetKept(a.doc_id, a.lang, a.source, cuts + 1, avg,
+                  lap, clip))
               case _ => None
             }
           }

@@ -86,6 +86,36 @@ class MultimodalCorpusSpec extends SparkSpec {
     assert(Seq(1L, 3L, 4L, 7L).forall(keep))
   }
 
+  test("blur gate: a focus floor between the survivors' max_lap drops exactly the softer one") {
+    // measured stub profiles: A (id 1) max_lap ~22800, F (id 7) ~33894
+    // — minSharp 30000 sits between, so only A additionally drops
+    val kept = MultimodalCorpus.run(assets, maxHamming = 6,
+        sceneThreshold = 0.5, maxCuts = 2, minRms = 5000.0,
+        minSharp = 30000.0, frameLen = 8, hop = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(7L))
+  }
+
+  test("clipping gate: the zz-heavy asset exceeds maxClip=0.5 and only that gate explains its absence") {
+    // 'zz'/' z' byte pairs decode to s16 samples >= 30000 for ~2/3 of
+    // the asset; it passes scene (1 cut), audio (rms ~25k) and text
+    // (1/15 stopwords) — measured clip_frac 0.6364 vs <= 0.11 for the
+    // other survivors
+    val clipText = "zz zz zz zz the zz zz zz zz zz zz zz zz zz zz"
+    val extended = Binary.withPayload(Seq(
+      (1L, aText, "en", "web"), (3L, aText, "en", "web"),
+      (4L, cText, "en", "web"), (5L, dText, "en", "web"),
+      (6L, eText, "en", "web"), (7L, fText, "en", "web"),
+      (8L, clipText, "en", "web")
+    ).toDF("doc_id", "text", "lang", "source"))
+    def go(maxClip: Double) = MultimodalCorpus.run(extended, maxHamming = 6,
+        sceneThreshold = 0.5, maxCuts = 2, minRms = 5000.0,
+        maxClip = maxClip, frameLen = 8, hop = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(go(1.0) === Set(1L, 7L, 8L), "clip gate off: the asset survives everything else")
+    assert(go(0.5) === Set(1L, 7L), "clip gate on: only the planted asset drops")
+  }
+
   test("image-dedup keep is the cluster canonical, not an arbitrary member") {
     // swap ids 1 and 3: the canonical follows min id, so 1 survives
     val swapped = assets.withColumn("doc_id",

@@ -29,12 +29,15 @@ class MultimodalCorpusStreamSpec extends SparkSpec {
   private def dupFree = rows(
     1L -> aText, 4L -> cText, 5L -> dText, 6L -> eText, 7L -> fText)
 
-  private def runStream(batches: Seq[Seq[AssetIn]], name: String): Set[AssetKept] = {
+  private def runStream(batches: Seq[Seq[AssetIn]], name: String,
+                        minSharp: Double = 0.0,
+                        maxClip: Double = 1.0): Set[AssetKept] = {
     implicit val sql = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[AssetIn]
     val q = MultimodalCorpusStream.filtered(stream.toDS(),
         sceneThreshold = 0.5, maxCuts = 2, minRms = 5000.0,
+        minSharp = minSharp, maxClip = maxClip,
         frameLen = 8, hop = 4)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
@@ -44,11 +47,13 @@ class MultimodalCorpusStreamSpec extends SparkSpec {
     spark.table(name).as[AssetKept].collect().toSet
   }
 
-  private def runBatch(assets: Seq[AssetIn]): Set[AssetKept] =
+  private def runBatch(assets: Seq[AssetIn], minSharp: Double = 0.0,
+                       maxClip: Double = 1.0): Set[AssetKept] =
     MultimodalCorpus.run(
         Binary.withPayload(assets.map(a => (a.doc_id, a.text, a.lang, a.source))
           .toDF("doc_id", "text", "lang", "source")),
         maxHamming = 6, sceneThreshold = 0.5, maxCuts = 2, minRms = 5000.0,
+        minSharp = minSharp, maxClip = maxClip,
         frameLen = 8, hop = 4)
       .as[AssetKept].collect().toSet
 
@@ -62,6 +67,17 @@ class MultimodalCorpusStreamSpec extends SparkSpec {
     val want = runBatch(dupFree)
     val (x, y) = dupFree.partition(_.doc_id <= 4L)
     assert(runStream(Seq(x, y), "mmcs_split") === want)
+  }
+
+  test("blur + clip gates active: stream still equals batch, attributes bit-for-bit") {
+    // minSharp 30000 sits between the two survivors' max_lap (A ~22800,
+    // F ~33894) so the gate actively bites in BOTH surfaces; shared
+    // kernels (Binary.maxSampledLapVar, Audio.clipFraction) make the
+    // attribute values identical, not just the survivor set
+    val want = runBatch(dupFree, minSharp = 30000.0, maxClip = 0.5)
+    assert(want.map(_.doc_id) === Set(7L), "fixture sanity: only F stays")
+    assert(runStream(Seq(dupFree), "mmcs_gates",
+      minSharp = 30000.0, maxClip = 0.5) === want)
   }
 
   test("declared divergence: the batch-only image-dedup stage keeps dups in the stream") {
