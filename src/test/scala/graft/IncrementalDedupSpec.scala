@@ -84,6 +84,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(candidates <= 200, s"bloom gate leaked $candidates of 2000 rows into the join")
   }
 
+  test("streaming batch side: the operator runs unchanged on an unbounded stream") {
+    // the crawl arrives as a stream, the snapshot is static: the bloom
+    // probe is a literal expression (stream-safe map-side filter) and
+    // the verify join is a stream-static join — so the SAME operator
+    // code serves both surfaces; results must equal the batch run
+    implicit val sql = spark.sqlContext
+    val (corpus, batch) = corpusBatch()
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = IncrementalDedup.dedupAgainst(
+      corpus, col("id"), col("text"),
+      stream.toDS().toDF("id", "text"), col("id"), col("text"))
+    val q = out.writeStream.format("memory").queryName("incdedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    stream.addData(batch.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val run = q.start()
+    try assert(run.awaitTermination(60000)) finally run.stop()
+    val got = spark.table("incdedup_stream").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == expected, "stream result diverged from batch")
+  }
+
   test("sf0.001 documents: bloom-gated result equals the plain text join") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)

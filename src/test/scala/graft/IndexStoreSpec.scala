@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.{IndexStore, IvfAnn, PqAnn}
+
+class IndexStoreSpec extends SparkSpec {
+
+  private val dir = "/tmp/graft_test_index"
+
+  test("IVF round-trip: queries over the loaded index equal the fresh index exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val (assigned, cents) = IvfAnn.quantize(emb, nlist = 8)
+    val fresh = IvfAnn.topKWith(assigned, cents, emb, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    IndexStore.saveIvf(dir, emb, assigned, cents)
+    val (a2, c2, corpus2) = IndexStore.loadIvf(spark, dir)
+    val loaded = IvfAnn.topKWith(a2, c2, corpus2, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(loaded == fresh, "loaded-index results diverged from the fresh index")
+  }
+
+  test("cell filters on the loaded vector table prune partitions") {
+    val (a2, _, _) = IndexStore.loadIvf(spark, dir)
+    val plan = a2.filter(col("cell").isin(1, 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("cell#") || plan.contains("cell IN")),
+      s"expected partition pruning on cell:\n${plan.take(1200)}")
+    // and the pruned read returns only those cells
+    val cells = a2.filter(col("cell").isin(1, 3))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(1, 3)))
+  }
+
+  test("PQ round-trip: ADC + re-rank over loaded artifacts equals the fresh pipeline") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val (assigned, cents) = IvfAnn.quantize(emb, nlist = 8)
+    val book = PqAnn.train(emb, dim = 64, m = 8, ksub = 16)
+    val encoded = PqAnn.encode(emb, PqAnn.collectBook(book), dim = 64)
+    val fresh = PqAnn.topKWith(assigned, cents, encoded, PqAnn.collectBook(book),
+        emb, queries, 5, dim = 64, nprobe = 4, rerank = 8)
+      .collect().map(_.toSeq).toSet
+    IndexStore.savePq(dir, book, encoded)
+    val (book2, enc2) = IndexStore.loadPq(spark, dir)
+    val loaded = PqAnn.topKWith(assigned, cents, enc2, PqAnn.collectBook(book2),
+        emb, queries, 5, dim = 64, nprobe = 4, rerank = 8)
+      .collect().map(_.toSeq).toSet
+    assert(loaded == fresh, "loaded PQ artifacts diverged from fresh")
+  }
+}
