@@ -615,6 +615,24 @@ object SparkEntry {
     "q_ragc" -> ((s, d) =>
       Chunker.chunks(documents(s, d), col("doc_id"), col("text"),
         width = 64, stride = 32)),
+    // id-grain snapshot diff: %7!=0 is release A, %5!=0 release B, and
+    // B rewrote the %11==0 slice — added/removed/changed audit rows
+    "q_snapdiff" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.text.SnapshotDiff.diff(
+        docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    }),
+    // padding-efficiency report for length-bucketed batching at the
+    // usual power-of-two bounds (whitespace token counts)
+    "q_padbatch" -> ((s, d) =>
+      graft.text.PadBatch.bucketStats(
+        documents(s, d)
+          .withColumn("_tc", graft.functions.TokenCounts(col("text"))),
+        col("doc_id"), col("_tc.n_ws_tokens"),
+        Seq(64L, 128L, 256L, 512L, 1024L))),
     // audio clipping gate: per-asset clipped-sample fraction over the
     // s16le decode (threshold 30000 ~ 91.6% FS: text-byte stand-in
     // payloads top out near 31487, so the production 98.4% default
@@ -2623,6 +2641,43 @@ object SparkEntry {
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
+
+    // text-equality comparison mirrors the operator's xxhash64 compare
+    // (same relation absent 64-bit collisions)
+    "q_snapdiff" ->
+      """WITH a AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |b AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    a.text AS ta, b.text AS tb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN ta IS NULL THEN 'added'
+        |       WHEN tb IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM j WHERE ta IS NULL OR tb IS NULL OR ta <> tb""".stripMargin,
+
+    "q_padbatch" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |         WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |         ELSE 1024 END AS bucket
+        |  FROM t)
+        |SELECT bucket, COUNT(*) AS n_docs, SUM(n) AS n_tokens,
+        |  SUM(CASE WHEN n > bucket THEN n ELSE bucket END) AS padded_tokens,
+        |  floor(CAST(SUM(n) AS DOUBLE) /
+        |    SUM(CASE WHEN n > bucket THEN n ELSE bucket END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS efficiency
+        |FROM k GROUP BY bucket""".stripMargin,
 
     // identical s16le decode to the q_audio oracle, unframed, counting
     // |s| >= 30000 over every full sample pair
