@@ -55,7 +55,11 @@ object Plans {
       "q_hardneg" -> "hard-negative mining: broadcast queries, one corpus scan with the label gate inside the join condition, per-query top-k via WindowGroupLimit pushdown",
       "q_entropy3" -> "trigram-LM scoring: one TrigramCounts kernel pass cached at doc grain, the 39³-bounded model collected and re-entering as a plan literal inside the fused map-only TrigramScore kernel",
       "q_fdecon" -> "fuzzy decontamination: eval shingles broadcast, corpus scanned once, shingle-set sizes riding the matched postings so the Jaccard denominator needs no join-back",
-      "q_mm_corpus" -> "multimodal corpus build: the image-dedup stage shuffles 8-byte perceptual hashes (never pixels), the scene/audio gates aggregate the OUTPUTS of batched decode passes, cluster closure is the log-round CC, and each stage's survivor set persists into the next")
+      "q_mm_corpus" -> "multimodal corpus build: the image-dedup stage shuffles 8-byte perceptual hashes (never pixels), the scene/audio gates aggregate the OUTPUTS of batched decode passes, cluster closure is the log-round CC, and each stage's survivor set persists into the next",
+      "q_incdedup" -> "incremental snapshot-vs-batch dedup: the corpus shuffles ONCE into the hash index, the Bloom filter rides the plan as a binary literal probed by the codegen'd might_contain FILTER below the join, and the verify join reuses the index's hash partitioning — bloom-negative rows never enter any exchange",
+      "q_srcgate" -> "source-grain quality gate: ONE corpus scan with the qualityKeep predicate fused map-side into the per-source hash aggregate (countDistinct two-phase for the dup mass); the doc-level filter this feeds is a broadcast left-semi join",
+      "q_shuf" -> "deterministic corpus shuffle: splitmix64 key computed in the scan project, ONE range exchange, per-partition row_number in parallel, width-bounded counts collect, broadcast prefix add — no single-task global window",
+      "q_drift" -> "corpus drift: two token-grain map-side-combined aggregates (the only corpus-sized shuffles), a vocabulary-grain full outer join, totals as an in-plan broadcast one-row aggregate, TakeOrdered top-k")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
