@@ -615,6 +615,11 @@ object SparkEntry {
     "q_ragc" -> ((s, d) =>
       Chunker.chunks(documents(s, d), col("doc_id"), col("text"),
         width = 64, stride = 32)),
+    // one-row dataset card: doc/token/char mass, dup mass, quality
+    // rate and the per-language token mix from ONE corpus scan
+    "q_card" -> ((s, d) =>
+      graft.text.DatasetCard.card(documents(s, d),
+        col("doc_id"), col("text"), col("lang"))),
     // id-grain snapshot diff: %7!=0 is release A, %5!=0 release B, and
     // B rewrote the %11==0 slice — added/removed/changed audit rows
     "q_snapdiff" -> ((s, d) => {
@@ -2640,6 +2645,32 @@ object SparkEntry {
         |  floor(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
+        |FROM t""".stripMargin,
+
+    "q_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |    CASE WHEN len(string_split_regex(text, '\s+')) >= 5
+        |      AND len(string_split_regex(text, '\s+')) <= 2000
+        |      AND CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(string_split_regex(text, '\s+')) >= 0.05
+        |      THEN 1 ELSE 0 END AS kp
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs, SUM(tok) AS n_tokens,
+        |  SUM(length(text)) AS n_chars,
+        |  COUNT(DISTINCT text) AS n_distinct_texts,
+        |  floor((1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio,
+        |  floor(AVG(kp) * 1000000.0 + 0.5) / 1000000.0 AS keep_rate,
+        |  SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END) AS en_tokens,
+        |  SUM(CASE WHEN lang = 'zh' THEN tok ELSE 0 END) AS zh_tokens,
+        |  SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END) AS de_tokens,
+        |  SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END) AS es_tokens,
+        |  SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS fr_tokens,
+        |  SUM(CASE WHEN lang NOT IN ('en','zh','de','es','fr') THEN tok
+        |    ELSE 0 END) AS other_tokens
         |FROM t""".stripMargin,
 
     // text-equality comparison mirrors the operator's xxhash64 compare
