@@ -479,6 +479,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"),
         docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
     }),
+    // content-defined chunk-level dup evidence (Gear/FastCDC): shared
+    // chunks across assets by content hash. Rows-only (rolling-hash
+    // boundaries have no SQL replay); shift-robustness, partition
+    // exactness and planted-embed recovery pinned by CdcSpec
+    "q_cdc" -> ((s, d) =>
+      graft.dedup.Cdc.sharedChunks(
+        graft.dedup.Cdc.chunks(s, Binary.withPayload(documents(s, d))))),
     "q_minhash_pairs" -> ((s, d) =>
       MinHashLSH.nearDupPairs(documents(s, d), col("doc_id"), col("text"), 3, 64, 16, 0.5)),
     "q_ann_cosine" -> ((s, d) => {
@@ -615,6 +622,17 @@ object SparkEntry {
     "q_ragc" -> ((s, d) =>
       Chunker.chunks(documents(s, d), col("doc_id"), col("text"),
         width = 64, stride = 32)),
+    // encoding-junk gate over constructed text (the corpus carries no
+    // control chars, so event ids seed one char in 1..40 per row —
+    // control for ids landing below 0x20 — and purchases get a U+FFFD;
+    // the same construction the oracle mirrors, the OPERATOR is general)
+    "q_enc" -> ((s, d) => {
+      val encText = concat(lit("evt "), col("event_type"),
+        expr("char(user_id % 40 + 1)"), lit(" tail"),
+        when(col("event_type") === "purchase", lit("�")).otherwise(lit("")))
+      TextFeatures.encodingQuality(
+        events(s, d).withColumn("_et", encText), col("event_id"), col("_et"))
+    }),
     // one-row dataset card: doc/token/char mass, dup mass, quality
     // rate and the per-language token mix from ONE corpus scan
     "q_card" -> ((s, d) =>
@@ -2645,6 +2663,22 @@ object SparkEntry {
         |  floor(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
+        |FROM t""".stripMargin,
+
+    "q_enc" ->
+      """WITH t AS (
+        |  SELECT event_id AS doc_id,
+        |    'evt ' || event_type || chr(CAST(user_id % 40 + 1 AS INT)) || ' tail' ||
+        |    CASE WHEN event_type = 'purchase' THEN chr(65533) ELSE '' END AS et
+        |  FROM events)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(et, '\x{FFFD}')) AS n_replacement,
+        |  len(regexp_extract_all(et,
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]')) AS n_control,
+        |  floor((len(regexp_extract_all(et, '\x{FFFD}'))
+        |    + len(regexp_extract_all(et,
+        |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]')))
+        |    / CAST(length(et) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS junk_ratio
         |FROM t""".stripMargin,
 
     "q_card" ->

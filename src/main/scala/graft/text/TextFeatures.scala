@@ -173,6 +173,24 @@ object TextFeatures {
       .withColumn("ratio", graft.functions.Numeric.cround(
         col("n_deflate").cast("double") / col("n_bytes"), 6))
 
+  /** Encoding-junk gate: counts of U+FFFD replacement characters (the
+    * footprint of a failed charset transcode — mojibake) and of
+    * non-whitespace C0/C1 control characters (binary spill into text
+    * columns), plus their ratio — the cheap encoding-health signal a
+    * crawl pipeline cuts on before any model-based scoring. Map-only
+    * codegen regexp kernels; RE2-safe so DuckDB oracles it. */
+  def encodingQuality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val repl = "\uFFFD"
+    val ctrl = "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F-\u009F]"
+    df.select(
+      id.as("doc_id"),
+      regexp_count(text, lit(repl)).as("n_replacement"),
+      regexp_count(text, lit(ctrl)).as("n_control"),
+      graft.functions.Numeric.cround(
+        (regexp_count(text, lit(repl)) + regexp_count(text, lit(ctrl)))
+          .cast("double") / length(text), 6).as("junk_ratio"))
+  }
+
   /** Corpus character-bigram cross-entropy — the model-based quality
     * signal corpus builds filter on (the KenLM-perplexity stand-in,
     * deterministic and engine-independent): a bigram language model is
