@@ -479,6 +479,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"),
         docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
     }),
+    // exact edit-distance fuzzy join (PassJoin pigeonhole blocking):
+    // original customer names vs deterministically-corrupted copies
+    // (one char deleted at c_custkey % len); output EQUALS the
+    // brute-force levenshtein<=1 relation the oracle computes
+    // left side sliced to %10==0: the generated names share a
+    // corpus-constant "Customer#" prefix, so one segment block is
+    // degenerate (every left row in it) — the adversarial case for ANY
+    // exact-recall pigeonhole blocking; the slice bounds that block's
+    // fanout while the relation stays a full cross-size fuzzy join
+    "q_editjoin" -> ((s, d) => {
+      val cust = customer(s, d)
+      val corrupted = cust.select(col("c_custkey"),
+        expr("""concat(substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT)),
+               |  substring(c_name, CAST(c_custkey % length(c_name) AS INT) + 2))"""
+          .stripMargin).as("bn"))
+      graft.operators.EditJoin.pairs(
+        cust.filter(col("c_custkey") % 100 === 0), col("c_custkey"), col("c_name"),
+        corrupted, col("c_custkey"), col("bn"), d = 1)
+    }),
     // content-defined chunk-level dup evidence (Gear/FastCDC): shared
     // chunks across assets by content hash. Rows-only (rolling-hash
     // boundaries have no SQL replay); shift-robustness, partition
@@ -2664,6 +2683,19 @@ object SparkEntry {
         |  floor(CAST(stop_cnt AS DOUBLE) / len(tk) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  (len(tk) >= 5 AND len(tk) <= 2000 AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05) AS keep
         |FROM t""".stripMargin,
+
+    // ground-truth brute force: the operator's pigeonhole blocking has
+    // total recall by construction, so the relations must be EQUAL
+    "q_editjoin" ->
+      """WITH a AS (SELECT c_custkey AS a_id, c_name AS an FROM customer
+        |  WHERE c_custkey % 100 = 0),
+        |b AS (SELECT c_custkey AS b_id,
+        |  substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+        |  substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS bn
+        |  FROM customer)
+        |SELECT a_id, b_id, levenshtein(an, bn) AS dist
+        |FROM a JOIN b ON abs(length(an) - length(bn)) <= 1
+        |WHERE length(an) >= 2 AND levenshtein(an, bn) <= 1""".stripMargin,
 
     "q_enc" ->
       """WITH t AS (
