@@ -701,6 +701,15 @@ object SparkEntry {
     // contiguous (shard, pos) blocks; two-level distributed rank scan
     "q_shuf" -> ((s, d) =>
       graft.text.Shuffle.permute(documents(s, d), col("doc_id"), nShards = 8)),
+    // curriculum export: the same layout machinery keyed by the LM
+    // difficulty score (easy-to-hard shard order); shares the cached
+    // per-corpus bigram model with q_entropy
+    "q_curr" -> ((s, d) => {
+      val scored = TextFeatures.charBigramEntropy(documents(s, d),
+        col("doc_id"), col("text"), cacheKey = Some(d))
+      graft.text.Shuffle.layoutBy(scored, col("doc_id"),
+        col("cross_entropy"), nShards = 8)
+    }),
     // temperature-flattened mixture at alpha=0.5 (weights = sqrt of
     // domain token mass — IEEE-exact in both engines): low-resource
     // sources sample at a higher rate than their natural share
@@ -2841,6 +2850,39 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS r0,
         |  (COUNT(*) OVER () + 7) // 8 AS ssize FROM k)
         |SELECT doc_id, shuffle_key, r0 // ssize AS shard, r0 % ssize AS pos
+        |FROM r""".stripMargin,
+
+    // the q_entropy model/scoring CTEs verbatim, then the rank/shard
+    // arithmetic over (score, id) — kept in lockstep with q_entropy
+    "q_curr" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+        |  FROM documents
+        |), dd AS (
+        |  SELECT * FROM d WHERE length(t) >= 2
+        |), g AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS k
+        |  FROM dd, UNNEST(range(1, length(t))) AS r(i)
+        |  GROUP BY 1, 2
+        |), model AS (
+        |  SELECT bg, SUM(k) AS c FROM g GROUP BY bg
+        |), tot AS (
+        |  SELECT SUM(c) AS tot, COUNT(*) AS v FROM model
+        |), lp AS (
+        |  SELECT g.doc_id, g.k,
+        |    g.k * ln((model.c + 1.0) / (tot.tot + tot.v)) AS klp
+        |  FROM g JOIN model USING (bg) CROSS JOIN tot
+        |), score AS (
+        |  SELECT doc_id,
+        |    floor(-CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS sort_key
+        |  FROM lp GROUP BY doc_id
+        |), r AS (
+        |  SELECT doc_id, sort_key,
+        |    ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) - 1 AS r0,
+        |    (COUNT(*) OVER () + 7) // 8 AS ssize
+        |  FROM score)
+        |SELECT doc_id, sort_key, r0 // ssize AS shard, r0 % ssize AS pos
         |FROM r""".stripMargin,
 
     // uncapped water-filling branch (verified: every rate < 1 at these

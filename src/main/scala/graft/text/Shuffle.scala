@@ -40,18 +40,28 @@ object Shuffle {
   /** Per-document shuffled layout: (doc_id, shuffle_key, shard, pos).
     * `width` <= 0 uses the session shuffle parallelism. */
   def permute(df: DataFrame, id: Column, nShards: Int,
-              width: Int = 0): DataFrame = {
+              width: Int = 0): DataFrame =
+    layoutBy(df, id, shuffleKey(id), nShards, width)
+      .withColumnRenamed("sort_key", "shuffle_key")
+
+  /** The general form: contiguous (shard, pos) blocks over the global
+    * (sortKey ASC, id ASC) order — [[permute]] is this with the Mix64
+    * key, and a CURRICULUM export is this with a difficulty score as
+    * the key (easy-to-hard ordering the dataloader then reads in shard
+    * sequence). Key type must be orderable; ties break on id. */
+  def layoutBy(df: DataFrame, id: Column, sortKey: Column, nShards: Int,
+               width: Int = 0): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val w =
       if (width > 0) width
       else spark.sessionState.conf.numShufflePartitions
-    val base = df.select(id.as("doc_id"), shuffleKey(id).as("shuffle_key"))
-      .repartitionByRange(w, col("shuffle_key"), col("doc_id"))
+    val base = df.select(id.as("doc_id"), sortKey.as("sort_key"))
+      .repartitionByRange(w, col("sort_key"), col("doc_id"))
       .withColumn("_part", spark_partition_id())
     val win = Window.partitionBy("_part")
-      .orderBy(col("shuffle_key"), col("doc_id"))
+      .orderBy(col("sort_key"), col("doc_id"))
     val local = base.withColumn("_rn", row_number().over(win))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = local.groupBy("_part").agg(max("_rn").as("_n"))
@@ -60,7 +70,7 @@ object Shuffle {
     if (n == 0L) {
       local.unpersist()
       return df.sparkSession.emptyDataFrame
-        .withColumn("doc_id", lit(0L)).withColumn("shuffle_key", lit(0L))
+        .withColumn("doc_id", lit(0L)).withColumn("sort_key", lit(0L))
         .withColumn("shard", lit(0L)).withColumn("pos", lit(0L))
         .limit(0)
     }
@@ -74,6 +84,6 @@ object Shuffle {
       .withColumn("_r0", col("_pref") + col("_rn") - 1L)
       .withColumn("shard", expr(s"_r0 div ${shardSize}L")) // integer div, no double rounding
       .withColumn("pos", col("_r0") % lit(shardSize))
-      .select("doc_id", "shuffle_key", "shard", "pos")
+      .select("doc_id", "sort_key", "shard", "pos")
   }
 }

@@ -41,6 +41,22 @@ class ShuffleSpec extends SparkSpec {
     assert((0L to 6L).forall(sizes(_) == 126L) && sizes(7L) == 121L, sizes.toString)
   }
 
+  test("layoutBy orders by an arbitrary key: curriculum easy-to-hard layout") {
+    val df = spark.range(0, 100).select(col("id").as("doc_id"),
+      (lit(1000L) - col("id") * 10L).as("difficulty"))
+    val out = graft.text.Shuffle.layoutBy(df, col("doc_id"),
+      col("difficulty"), nShards = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // difficulty DESCENDS with id, so slot order must REVERSE id order
+    val slotByDoc = rows.map(r => r._1 -> (r._3 * 25 + r._4)).toMap
+    (0L until 99L).foreach { i =>
+      assert(slotByDoc(i) > slotByDoc(i + 1), s"doc $i vs ${i + 1}")
+    }
+    // shard 0 holds the 25 easiest (lowest difficulty = highest ids)
+    val shard0 = rows.filter(_._3 == 0L).map(_._1).toSet
+    assert(shard0 == (75L until 100L).toSet)
+  }
+
   test("breaks id locality: consecutive doc_ids land in different shards") {
     val df = spark.range(0, 1000).select(col("id").as("doc_id"))
     val shardOf = Shuffle.permute(df, col("doc_id"), 8)
