@@ -91,6 +91,7 @@ object SparkEntry {
     "q21_last_shipper" -> ((s, d) =>
       Relational.lastShipperBlame(lineitem(s, d), supplier(s, d))),
     "q_rollup" -> ((s, d) => Relational.rollupCounts(events(s, d))),
+    "q_cube" -> ((s, d) => Relational.cubeCounts(events(s, d))),
     "q_pivot" -> ((s, d) => Relational.pivotCounts(events(s, d),
       Seq("click", "view", "purchase", "signup", "error"))),
     "q_set_except" -> ((s, d) => Relational.clickersWithoutPurchase(events(s, d))),
@@ -1917,6 +1918,10 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        |FROM events GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))""".stripMargin,
 
     "q_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

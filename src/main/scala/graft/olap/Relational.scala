@@ -103,6 +103,15 @@ object Relational {
       .rollup(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
 
+  /** CUBE: every grouping-set combination in one pass — the QC
+    * summary-at-all-grains sibling of [[rollupCounts]] (rollup emits
+    * the hierarchy prefixes; cube adds the (day-only) slice). Same
+    * expand-based single-shuffle plan. */
+  def cubeCounts(events: DataFrame): DataFrame =
+    events.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+
   /** Pivot: one column per event type (conditional aggregation — the
     * portable formulation every engine shares). */
   def pivotCounts(events: DataFrame, types: Seq[String]): DataFrame = {
