@@ -53,7 +53,7 @@ object Bench {
       // q_shuf/q_comp/q_qcls...): more flat r5-r7 relational rows
       "q11_important_parts", "q12_late_counts", "q15_top_supplier",
       "q18_large_orders", "q20_excess_suppliers", "q_rollup", "q_pivot", "q_cube",
-      "q_set_except", "q_window_rank")
+      "q_set_except", "q_window_rank", "q_anti_join", "q05_local_supplier")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

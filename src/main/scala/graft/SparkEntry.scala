@@ -702,6 +702,16 @@ object SparkEntry {
     // contiguous (shard, pos) blocks; two-level distributed rank scan
     "q_shuf" -> ((s, d) =>
       graft.text.Shuffle.permute(documents(s, d), col("doc_id"), nShards = 8)),
+    // per-shard release manifest over the shuffled layout: membership
+    // counts + order-independent bit_xor fingerprint checksums
+    "q_manifest" -> ((s, d) => {
+      val docs = documents(s, d)
+      val layout = graft.text.Shuffle.permute(docs, col("doc_id"), nShards = 8)
+      graft.text.Manifest.shardManifest(
+        docs.join(layout.select("doc_id", "shard"), Seq("doc_id")),
+        col("shard"), size(split(col("text"), "\\s+")),
+        graft.functions.PolyFingerprint(col("text")))
+    }),
     // curriculum export: the same layout machinery keyed by the LM
     // difficulty score (easy-to-hard shard order); shares the cached
     // per-corpus bigram model with q_entropy
@@ -2856,6 +2866,34 @@ object SparkEntry {
         |  (COUNT(*) OVER () + 7) // 8 AS ssize FROM k)
         |SELECT doc_id, shuffle_key, r0 // ssize AS shard, r0 % ssize AS pos
         |FROM r""".stripMargin,
+
+    // the q_shuf layout CTEs + the q_fingerprint polynomial hash,
+    // bit_xor'd per shard
+    "q_manifest" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, text, (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+        |    % 18446744073709551616 AS z FROM documents),
+        |p1 AS (SELECT doc_id, text, xor(z, z >> 30) AS a FROM s0),
+        |m1 AS (SELECT doc_id, text, ((a % 4294967296) * 484763065
+        |  + (((a % 4294967296) * 3210233709 + (a // 4294967296) * 484763065)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p1),
+        |p2 AS (SELECT doc_id, text, xor(z, z >> 27) AS a FROM m1),
+        |m2 AS (SELECT doc_id, text, ((a % 4294967296) * 321982955
+        |  + (((a % 4294967296) * 2496678331 + (a // 4294967296) * 321982955)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p2),
+        |k AS (SELECT doc_id, text, CAST(xor(z, z >> 31) >> 1 AS BIGINT) AS sk FROM m2),
+        |r AS (SELECT doc_id, text,
+        |  ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS r0,
+        |  (COUNT(*) OVER () + 7) // 8 AS ssize FROM k),
+        |f AS (SELECT r0 // ssize AS shard,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM r)
+        |SELECT shard, COUNT(*) AS n_docs, SUM(tok) AS n_tokens,
+        |  bit_xor(fp) AS checksum
+        |FROM f GROUP BY shard""".stripMargin,
 
     // the q_entropy model/scoring CTEs verbatim, then the rank/shard
     // arithmetic over (score, id) — kept in lockstep with q_entropy
