@@ -32,12 +32,14 @@ object Bench {
     // ROTATES per round so every registry query gets a driver timing
     // at least every other round (the r7 verdict's blind-spot fix):
     // - THIS round (rotation A) skips ten queries benched through r7
-    //   plus sixteen stable sub-second relational rows whose r5-r7
-    //   numbers are flat, and benches the 22 training-data queries
-    //   that had never received a driver number.
-    // - NEXT round (rotation B): swap the two groups — restore the
+    //   plus the flat sub/near-second relational rows below (grown as
+    //   the session added new training-data queries — every addition
+    //   is benched THIS round), and benches every query that had
+    //   never received a driver number.
+    // - NEXT round (rotation B): swap the groups — restore the
     //   relational rows and q_rjr/q_mix/q_kf/q_kf2/q_gcf/q_decon/
-    //   q_pack/q_chunk/q_ksamp/q_shard, skip rotation A's additions.
+    //   q_pack/q_chunk/q_ksamp/q_shard, rest an equal number of this
+    //   round's now-benched stable additions instead.
     val lineSkip = Set(
       // benched in r5-r7, resting this round
       "q_rjr", "q_mix", "q_kf", "q_kf2", "q_gcf", "q_decon", "q_pack",
