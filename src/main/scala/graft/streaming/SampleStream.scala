@@ -42,13 +42,17 @@ object SampleStream {
 
   private[streaming] def priority(id: Long): Long = (id % M) * 48271L % M
 
-  /** Fold rows into a bounded sorted top-k list. */
+  /** Fold rows into a bounded sorted top-k list. Re-deliveries of an
+    * id already held are dropped (ids are expected unique per window —
+    * document ids — but an at-least-once source replaying a row must
+    * not let one id occupy two sample slots). */
   private[streaming] def fold(s: TopKState, k: Int,
                               rows: Iterator[Long]): TopKState = {
     var entries = s.keys.zip(s.ids)
     rows.foreach { id =>
       val e = (priority(id), id)
-      if (entries.size < k || implicitly[Ordering[(Long, Long)]].lt(e, entries.last)) {
+      if (!entries.contains(e) &&
+          (entries.size < k || implicitly[Ordering[(Long, Long)]].lt(e, entries.last))) {
         entries = ((e :: entries).sorted).take(k)
       }
     }

@@ -68,11 +68,14 @@ object Shuffle {
       .collect().map(r => (r.getInt(0), r.getInt(1).toLong)).sortBy(_._1)
     val n = counts.map(_._2).sum
     if (n == 0L) {
+      // empty input: derive the empty frame from the computed shape so
+      // sort_key keeps the CALLER'S key type (a hardcoded long here
+      // would break schema-sensitive downstream unions for double-keyed
+      // curriculum layouts)
+      val empty = local.select(col("doc_id"), col("sort_key"),
+        lit(0L).as("shard"), lit(0L).as("pos")).limit(0)
       local.unpersist()
-      return df.sparkSession.emptyDataFrame
-        .withColumn("doc_id", lit(0L)).withColumn("sort_key", lit(0L))
-        .withColumn("shard", lit(0L)).withColumn("pos", lit(0L))
-        .limit(0)
+      return empty
     }
     val shardSize = (n + nShards - 1) / nShards
     val prefix = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>

@@ -62,6 +62,19 @@ class SampleStreamSpec extends SparkSpec {
     assert(SampleStream.finalizeK(cands.toDF(), 5).count() == 5L)
   }
 
+  test("replayed ids do not occupy two slots (at-least-once delivery)") {
+    val rows = (0L until 30L).map(i => IdAt(at(1L + i % 20), 2000L + i))
+    // deliver the first ten rows twice across micro-batches
+    val cands = run(Seq(rows, rows.take(10)), windowSec = 60L, k = 8, shards = 2)
+    val ids = SampleStream.finalizeK(cands.toDF(), 8)
+      .as[(Long, Long)].collect().map(_._2)
+    assert(ids.length == ids.distinct.length, "a replayed id duplicated in the draw")
+    // and the draw equals the no-replay run
+    val clean = run(Seq(rows), windowSec = 60L, k = 8, shards = 2)
+    assert(SampleStream.finalizeK(cands.toDF(), 8).as[(Long, Long)].collect().toSet ==
+      SampleStream.finalizeK(clean.toDF(), 8).as[(Long, Long)].collect().toSet)
+  }
+
   test("micro-batch split invariance: the same membership yields the same draw") {
     val rows = (0L until 60L).map(i => IdAt(at(1L + i % 50), 1000L + i))
     val a = run(Seq(rows), 60L, 6, 4)
