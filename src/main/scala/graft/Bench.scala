@@ -54,7 +54,7 @@ object Bench {
       // freed for the r8 additions (q_incdedup/q_srcgate/q_pii/q_tmix/
       // q_shuf/q_comp/q_qcls...): more flat r5-r7 relational rows
       "q11_important_parts", "q12_late_counts", "q15_top_supplier",
-      "q18_large_orders", "q20_excess_suppliers", "q_rollup", "q_pivot", "q_cube",
+      "q18_large_orders", "q20_excess_suppliers", "q_rollup", "q_pivot",
       "q_set_except", "q_window_rank", "q_anti_join", "q05_local_supplier")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>

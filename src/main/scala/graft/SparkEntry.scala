@@ -484,7 +484,7 @@ object SparkEntry {
     // original customer names vs deterministically-corrupted copies
     // (one char deleted at c_custkey % len); output EQUALS the
     // brute-force levenshtein<=1 relation the oracle computes
-    // left side sliced to %10==0: the generated names share a
+    // left side sliced to %100==0: the generated names share a
     // corpus-constant "Customer#" prefix, so one segment block is
     // degenerate (every left row in it) — the adversarial case for ANY
     // exact-recall pigeonhole blocking; the slice bounds that block's
@@ -2759,8 +2759,11 @@ object SparkEntry {
         |  SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END) AS de_tokens,
         |  SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END) AS es_tokens,
         |  SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS fr_tokens,
-        |  SUM(CASE WHEN lang NOT IN ('en','zh','de','es','fr') THEN tok
-        |    ELSE 0 END) AS other_tokens
+        |  SUM(tok) - SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END)
+        |    - SUM(CASE WHEN lang = 'zh' THEN tok ELSE 0 END)
+        |    - SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END)
+        |    - SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END)
+        |    - SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS other_tokens
         |FROM t""".stripMargin,
 
     // text-equality comparison mirrors the operator's xxhash64 compare
@@ -2961,15 +2964,20 @@ object SparkEntry {
         |      lpad(CAST((event_id * 31 + user_id) % 100000000 AS VARCHAR), 8, '0') ||
         |      lpad(CAST((user_id * 17 + event_id) % 100000000 AS VARCHAR), 8, '0') ELSE '' END AS pt
         |  FROM events)
-        |SELECT event_id AS doc_id,
+        |, seq AS (
+        |  SELECT doc_id, pt,
+        |    regexp_replace(pt, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS p1
+        |  FROM (SELECT event_id AS doc_id, pt FROM t))
+        |, seq2 AS (
+        |  SELECT doc_id, pt, p1,
+        |    regexp_replace(p1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS p2
+        |  FROM seq)
+        |SELECT doc_id,
         |  len(regexp_extract_all(pt, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
-        |  len(regexp_extract_all(pt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
-        |  len(regexp_extract_all(pt, '[0-9]{12,19}')) AS n_idnums,
-        |  length(regexp_replace(regexp_replace(regexp_replace(pt,
-        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |    '[0-9]{12,19}', '<ID>', 'g')) AS scrubbed_len
-        |FROM t""".stripMargin,
+        |  len(regexp_extract_all(p1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        |  len(regexp_extract_all(p2, '[0-9]{12,19}')) AS n_idnums,
+        |  length(regexp_replace(p2, '[0-9]{12,19}', '<ID>', 'g')) AS scrubbed_len
+        |FROM seq2""".stripMargin,
 
     "q_srcgate" ->
       """WITH t AS (

@@ -90,7 +90,7 @@ object Binary {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec init would happen here
           batch.iterator.flatMap { case (id, bytes) =>
-            val nFrames = 1 + math.floorMod(bytes.length, 8)
+            val nFrames = stubFrameCount(bytes)
             (0 until nFrames by everyK).iterator
               .map(fi => fakeFrameDecode(id, fi, bytes, downsampleBy))
           }
@@ -114,7 +114,7 @@ object Binary {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec init would happen here
           batch.iterator.flatMap { case (id, bytes) =>
-            val nFrames = 1 + math.floorMod(bytes.length, 8)
+            val nFrames = stubFrameCount(bytes)
             (0 until nFrames by everyK).iterator.map { fi =>
               val (px, _, _) = fabricatePixels(fi, bytes)
               BlurFrame(id, fi, Texture.laplacianVar(px, FrameDim, FrameDim))
@@ -140,7 +140,7 @@ object Binary {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec init would happen here
           batch.iterator.flatMap { case (id, bytes) =>
-            val nFrames = 1 + math.floorMod(bytes.length, 8)
+            val nFrames = stubFrameCount(bytes)
             (0 until nFrames by everyK).iterator.map { fi =>
               val (px, _, _) = fabricatePixels(fi, bytes)
               val (con, hom, en, ent, cor) =
@@ -198,8 +198,9 @@ object Binary {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec init would happen here
           batch.iterator.map { case (id, bytes) =>
-            val (px, _, _) = fabricatePixels(0, bytes)
-            val means = sampledFrameMeans(bytes, everyK)
+            // ONE decode per sampled frame feeds the scene means, the
+            // blur measure AND the frame-0 phash block
+            val (means, maxLap, px0) = sampledFrameStats(bytes, everyK)
             var cuts = 0L
             var i = 1
             while (i < means.length) {
@@ -207,22 +208,54 @@ object Binary {
               i += 1
             }
             val rms = Audio.meanRms(bytes, frameLen, hop)
-            AssetProfile(id, Texture.phash64(px, FrameDim, FrameDim),
-              cuts, rms.isDefined, rms.getOrElse(0.0),
-              maxSampledLapVar(bytes, everyK),
+            AssetProfile(id, Texture.phash64(px0, FrameDim, FrameDim),
+              cuts, rms.isDefined, rms.getOrElse(0.0), maxLap,
               Audio.clipFraction(bytes, ClipThreshold).getOrElse(1.0))
           }
         }
       }
   }
 
+  /** The stub decoder's frame count — ONE derivation shared by every
+    * frame-iterating path (the six hand-copied formulas this replaces
+    * would each need the same edit when a real codec lands, and a
+    * missed one would silently desynchronize the gates' frame sets). */
+  private[graft] def stubFrameCount(bytes: Array[Byte]): Int =
+    1 + math.floorMod(bytes.length, 8)
+
   /** Per-sampled-frame mean pixel values of ONE asset — the scalar the
     * scene-cut detector consumes — via the same stub decode as
     * `sampleFrameFeatures`, shared with the streaming per-asset gate
     * (MultimodalCorpusStream) so the two surfaces cannot drift. */
-  private[graft] def sampledFrameMeans(bytes: Array[Byte], everyK: Int): Array[Double] = {
-    val nFrames = 1 + math.floorMod(bytes.length, 8)
-    (0 until nFrames by everyK).map(fi => fabricatePixels(fi, bytes)._3).toArray
+  private[graft] def sampledFrameMeans(bytes: Array[Byte], everyK: Int): Array[Double] =
+    (0 until stubFrameCount(bytes) by everyK)
+      .map(fi => fabricatePixels(fi, bytes)._3).toArray
+
+  /** Fused per-sampled-frame stats: ONE decode per frame yields the
+    * scene-cut mean, the blur measure, and frame 0's pixel block for
+    * the perceptual hash — the shape the profile pass and the
+    * streaming gate both consume, so the "one fused decode pass"
+    * contract is literal: no frame is decoded twice (with a real
+    * codec, decode IS the cost). Returns (means in sample order,
+    * max Laplacian variance, frame-0 pixels). */
+  private[graft] def sampledFrameStats(bytes: Array[Byte], everyK: Int)
+      : (Array[Double], Double, Array[Double]) = {
+    val frames = 0 until stubFrameCount(bytes) by everyK
+    val means = new Array[Double](frames.length)
+    var maxLap = 0.0
+    var px0: Array[Double] = null
+    var j = 0
+    frames.foreach { fi =>
+      val (px, _, mean) = fabricatePixels(fi, bytes)
+      means(j) = mean
+      val v = Texture.laplacianVar(px, FrameDim, FrameDim)
+      if (v > maxLap) maxLap = v
+      if (fi == 0) px0 = px
+      j += 1
+    }
+    // everyK >= 1 always samples frame 0, but guard the contract
+    if (px0 == null) px0 = fabricatePixels(0, bytes)._1
+    (means, maxLap, px0)
   }
 
   private val FrameDim = 8
@@ -234,20 +267,10 @@ object Binary {
 
   /** Sharpest sampled frame's Laplacian variance — the blur gate's
     * per-asset scalar (if even the sharpest frame is below the focus
-    * floor, the asset is unusable). Shared by the batch profile pass
-    * and the streaming gate. */
-  private[graft] def maxSampledLapVar(bytes: Array[Byte], everyK: Int): Double = {
-    val nFrames = 1 + math.floorMod(bytes.length, 8)
-    var m = 0.0
-    var fi = 0
-    while (fi < nFrames) {
-      val (px, _, _) = fabricatePixels(fi, bytes)
-      val v = Texture.laplacianVar(px, FrameDim, FrameDim)
-      if (v > m) m = v
-      fi += everyK
-    }
-    m
-  }
+    * floor, the asset is unusable). Thin view over the fused
+    * [[sampledFrameStats]] pass. */
+  private[graft] def maxSampledLapVar(bytes: Array[Byte], everyK: Int): Double =
+    sampledFrameStats(bytes, everyK)._2
 
   /** STUB pixel fabrication shared by both frame-feature paths: an 8x8
     * block derived deterministically from the payload bytes and the
@@ -285,6 +308,6 @@ object Binary {
     while (i < bytes.length) { cs = (cs ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1 }
     val w = 16 + math.floorMod(cs, 512).toInt
     val h = 16 + math.floorMod(cs >> 16, 512).toInt
-    MediaMeta(id, kind, bytes.length, w, h, 1 + math.floorMod(bytes.length, 8), cs)
+    MediaMeta(id, kind, bytes.length, w, h, stubFrameCount(bytes), cs)
   }
 }

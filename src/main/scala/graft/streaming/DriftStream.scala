@@ -36,21 +36,28 @@ object DriftStream {
 
   /** Build the reference from a static corpus: top-V tokens by count
     * (ties break on token), add-one-smoothed probabilities over the
-    * V+1 buckets (OOV = -1). */
+    * V+1 buckets. The OOV bucket (-1) holds the reference's ACTUAL
+    * tail mass — every token beyond the top V — not a smoothed zero:
+    * on Zipfian text the tail is a large constant share of any normal
+    * window, and pricing it at ~1/total would charge every undrifted
+    * window several nats of phantom drift, burying the real alarm.
+    * Two aggregates: the top-V row set and the one-row grand total
+    * (the tail mass is their difference — no second token pass). */
   def reference(df: DataFrame, text: org.apache.spark.sql.Column,
                 topV: Int = 256): DriftRef = {
     require(topV >= 1)
-    val counts = df.select(explode(split(lower(text), "\\s+")).as("tok"))
+    val toks = df.select(explode(split(lower(text), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(topV)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    val grandTotal = toks.count()
     val index = counts.map(_._1).zipWithIndex.toMap
-    val total = counts.map(_._2).sum
+    val tail = grandTotal - counts.map(_._2).sum
     val v = counts.length + 1
     val probs = counts.zipWithIndex.map { case ((_, c), i) =>
-      i -> (c + 1.0) / (total + v)
-    }.toMap + (-1 -> 1.0 / (total + v))
+      i -> (c + 1.0) / (grandTotal + v)
+    }.toMap + (-1 -> (tail + 1.0) / (grandTotal + v))
     DriftRef(index, probs)
   }
 

@@ -37,9 +37,14 @@ object DatasetCard {
           .as("dup_ratio"),
         graft.functions.Numeric.cround(avg(col("_keep")), 6).as("keep_rate")) ++
       langs.map(l =>
-        sum(when(col("_l") === l, col("_tok")).otherwise(0L)).as(s"${l}_tokens")) :+
-      sum(when(!col("_l").isin(langs.map(lit): _*), col("_tok"))
-        .otherwise(0L)).as("other_tokens")
+        sum(when(col("_l") === l, col("_tok")).otherwise(0L)).as(s"${l}_tokens"))
+    // other_tokens by SUBTRACTION, not a NOT-IN predicate: a null lang
+    // fails both `=== l` and `NOT isin`, and its mass must land in
+    // other_tokens (the card's partition invariant: named columns +
+    // other_tokens == n_tokens, always)
     base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("other_tokens",
+        col("n_tokens") - langs.map(l => col(s"${l}_tokens"))
+          .reduce(_ + _))
   }
 }

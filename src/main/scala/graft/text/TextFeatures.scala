@@ -144,18 +144,23 @@ object TextFeatures {
     * Redaction order phone -> ip -> idnum: each earlier replacement
     * removes its digits, so later classes cannot re-match inside a
     * placeholder (and an IPv4's dot-separated octets can never form a
-    * 12-digit run). */
+    * 12-digit run). Counts run on the SAME sequentially-redacted text
+    * the replacements see — never the raw text — so every counted item
+    * corresponds to a placeholder in the output (an id-run overlapping
+    * a phone match is neither counted nor redacted twice; counting raw
+    * text would report detections the redaction provably never made). */
   def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
     val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
     val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
     val idRe = "[0-9]{12,19}"
+    val afterPhone = regexp_replace(text, phoneRe, "<PHONE>")
+    val afterIp = regexp_replace(afterPhone, ipRe, "<IP>")
     df.select(
       id.as("doc_id"),
       regexp_count(text, lit(phoneRe)).as("n_phones"),
-      regexp_count(text, lit(ipRe)).as("n_ips"),
-      regexp_count(text, lit(idRe)).as("n_idnums"),
-      length(regexp_replace(regexp_replace(regexp_replace(text,
-        phoneRe, "<PHONE>"), ipRe, "<IP>"), idRe, "<ID>")).as("scrubbed_len"))
+      regexp_count(afterPhone, lit(ipRe)).as("n_ips"),
+      regexp_count(afterIp, lit(idRe)).as("n_idnums"),
+      length(regexp_replace(afterIp, idRe, "<ID>")).as("scrubbed_len"))
   }
 
   /** Compression-ratio quality signal: DEFLATE size over raw UTF-8

@@ -32,6 +32,13 @@ class DatasetCardSpec extends SparkSpec {
     val docs = Seq((1L, "alpha beta", "xx")).toDF("doc_id", "text", "lang")
     val r = DatasetCard.card(docs, col("doc_id"), col("text"), col("lang")).head()
     assert(r.getAs[Long]("other_tokens") == 2L && r.getAs[Long]("en_tokens") == 0L)
+    // NULL lang mass must land in other_tokens too (the partition
+    // invariant: named columns + other_tokens == n_tokens, always)
+    val withNull = Seq((1L, "one two three", null.asInstanceOf[String]),
+      (2L, "the cat", "en")).toDF("doc_id", "text", "lang")
+    val rn = DatasetCard.card(withNull, col("doc_id"), col("text"), col("lang")).head()
+    assert(rn.getAs[Long]("other_tokens") == 3L, "null-lang tokens vanished")
+    assert(rn.getAs[Long]("en_tokens") == 2L)
     val plan = DatasetCard.card(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), col("lang")).queryExecution.executedPlan.toString
     // one scan of the corpus: a single FileScan in the whole plan

@@ -33,10 +33,19 @@ class DriftStreamSpec extends SparkSpec {
     val docs = Seq((1L, "a a a b b c")).toDF("id", "text")
     val ref = DriftStream.reference(docs, col("text"), topV = 2)
     assert(ref.index == Map("a" -> 0, "b" -> 1))
-    // counts: a=3, b=2, total in-vocab 5, v = 3 buckets
-    assert(math.abs(ref.probs(0) - 4.0 / 8) < 1e-12)
-    assert(math.abs(ref.probs(1) - 3.0 / 8) < 1e-12)
-    assert(math.abs(ref.probs(-1) - 1.0 / 8) < 1e-12)
+    // counts: a=3, b=2, tail (c)=1, grand total 6, v = 3 buckets —
+    // the OOV bucket carries the ACTUAL tail mass, add-one smoothed
+    assert(math.abs(ref.probs(0) - 4.0 / 9) < 1e-12)
+    assert(math.abs(ref.probs(1) - 3.0 / 9) < 1e-12)
+    assert(math.abs(ref.probs(-1) - 2.0 / 9) < 1e-12)
+    // a window drawn from the reference itself scores near zero even
+    // though a third of its tokens are OOV (the phantom-drift case a
+    // smoothed-zero OOV bucket fails)
+    val selfCounts = Seq((0L, 0, 3L), (0L, 1, 2L), (0L, -1, 1L))
+      .toDF("window_start", "bucket", "cnt")
+    val selfKl = DriftStream.klPerWindow(selfCounts, ref)
+      .head().getDouble(1)
+    assert(selfKl < 0.05, s"self-drift must be near zero, got $selfKl")
   }
 
   test("stream window counts equal batch bucket counts; KL flags the drifted window") {

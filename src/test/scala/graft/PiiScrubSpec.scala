@@ -41,6 +41,17 @@ class PiiScrubSpec extends SparkSpec {
     assert(ip(10L) == ((0, 1, 0, 4)))
   }
 
+  test("counts run on sequentially-redacted text: an id-run overlapping a phone is not double-reported") {
+    // raw text holds a 15-digit run, but the phone redaction consumes
+    // its first 4 digits leaving 11 (below the id floor): the count
+    // must agree with the redaction output (no <ID> placeholder)
+    val out = run((1L, "+1-234-567890123456789"))
+    assert(out(1L)._1 == 1 && out(1L)._3 == 0,
+      s"counted an id-run the redaction never scrubbed: ${out(1L)}")
+    // "<PHONE>" + 11 digits = 18 chars
+    assert(out(1L)._4 == 18)
+  }
+
   test("scrubbed_len arithmetic: placeholders substitute in place") {
     val out = run((1L, "x 1.2.3.4 y"))
     // "x <IP> y" = 8 chars
