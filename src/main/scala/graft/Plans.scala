@@ -59,7 +59,9 @@ object Plans {
       "q_incdedup" -> "incremental snapshot-vs-batch dedup: the corpus shuffles ONCE into the hash index, the Bloom filter rides the plan as a binary literal probed by the codegen'd might_contain FILTER below the join, and the verify join reuses the index's hash partitioning — bloom-negative rows never enter any exchange",
       "q_srcgate" -> "source-grain quality gate: ONE corpus scan with the qualityKeep predicate fused map-side into the per-source hash aggregate (countDistinct two-phase for the dup mass); the doc-level filter this feeds is a broadcast left-semi join",
       "q_shuf" -> "deterministic corpus shuffle: splitmix64 key computed in the scan project, ONE range exchange, per-partition row_number in parallel, width-bounded counts collect, broadcast prefix add — no single-task global window",
-      "q_drift" -> "corpus drift: two token-grain map-side-combined aggregates (the only corpus-sized shuffles), a vocabulary-grain full outer join, totals as an in-plan broadcast one-row aggregate, TakeOrdered top-k")
+      "q_drift" -> "corpus drift: two token-grain map-side-combined aggregates (the only corpus-sized shuffles), a vocabulary-grain full outer join, totals as an in-plan broadcast one-row aggregate, TakeOrdered top-k",
+      "q_editjoin" -> "exact edit-distance fuzzy join: codegen'd array-transform segment/probe generation (no UDF), an EQUI-join on (length, segment, substring) — no cartesian, no BroadcastNestedLoopJoin — and the bounded-threshold levenshtein gate BEFORE the pair dedup",
+      "q_manifest" -> "release manifest: the shuffle layout's one range exchange + rank, a doc_id join back to the payload, and ONE map-side-combined bit_xor aggregate per shard — checksums are membership functions, so no sort appears anywhere")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
