@@ -34,9 +34,20 @@ object CorpusBuild {
           shingleK: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000L,
           deconN: Int = 8,
           rates: Map[String, Double] = Map.empty,
-          defaultRate: Double = 1.0): DataFrame = {
+          defaultRate: Double = 1.0,
+          sourceGate: Option[(Long, Double, Double)] = None): DataFrame = {
+    // 0. (optional) provenance gate — cut pathological SOURCES wholesale
+    // BEFORE any per-doc stage (r8: the C4/RefinedWeb ordering — a junk
+    // domain's borderline members must not leak through the doc gate);
+    // SourceGate shares qualityKeep, so the two grains cannot drift
+    val gated = sourceGate match {
+      case None => corpus
+      case Some((minDocs, minKeepRate, maxDupRatio)) =>
+        SourceGate.filterDocs(corpus, col("doc_id"), col("text"),
+          col("source"), minDocs, minKeepRate, maxDupRatio)
+    }
     // 1. quality gate (map-only; the same rule TextFeatures.quality reports)
-    val q = corpus.filter(TextFeatures.qualityKeep(col("text")))
+    val q = gated.filter(TextFeatures.qualityKeep(col("text")))
     // 2. exact dedup: keep the min doc_id per identical text
     val keepIds = q.groupBy(xxhash64(col("text")).as("_h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")

@@ -32,6 +32,24 @@ class CorpusBuildSpec extends SparkSpec {
     assert(kept === Set(1L, 6L))
   }
 
+  test("stage 0 provenance gate: a junk source's GOOD documents drop wholesale") {
+    // junkfarm's keep rate is 1/3 (< 0.6): docs 11/12 fail quality on
+    // their own, and 10 — which passes every per-doc stage — must drop
+    // with its source (the leak the doc-level gate alone cannot stop)
+    val withFarm = corpus.union(Seq(
+      (10L, "a perfectly fine sentence with the usual stopwords in it", "en", "junkfarm"),
+      (11L, "junk", "en", "junkfarm"),
+      (12L, "noise", "en", "junkfarm")
+    ).toDF("doc_id", "text", "lang", "source"))
+    val ungated = CorpusBuild.run(withFarm, eval, rates = Map("xx" -> 0.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ungated === Set(1L, 6L, 10L), "without the gate the farm doc leaks")
+    val gated = CorpusBuild.run(withFarm, eval, rates = Map("xx" -> 0.0),
+        sourceGate = Some((3L, 0.6, 0.5)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated === Set(1L, 6L), "stage 0 must cut the whole junk source")
+  }
+
   test("without sampling rates the language survives; the rest still drop") {
     val kept = CorpusBuild.run(corpus, eval)
       .select("doc_id").as[Long].collect().toSet
