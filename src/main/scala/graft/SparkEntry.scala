@@ -696,8 +696,10 @@ object SparkEntry {
         graft.multimodal.Binary.withPayload(documents(s, d)),
         threshold = 30000).toDF()),
     // image blur gate: per-sampled-frame Laplacian variance over the
-    // stub decode's pixel block. Rows-only (the 64-bin pixel fold has
-    // no SQL replay); math invariants pinned by BlurClipSpec
+    // stub decode's pixel block. Oracled (r9): DuckDB rebuilds the
+    // stub pixels relationally (the q_glcm CTEs) and the variance is
+    // integer-exact — (36*Σr² − (Σr)²)/1296 from BIGINT sums, one IEEE
+    // division + the shared cround(4); invariants pinned by BlurClipSpec
     "q_blur" -> ((s, d) =>
       graft.multimodal.Binary.sampleFrameBlur(s,
         graft.multimodal.Binary.withPayload(documents(s, d)), everyK = 2).toDF()),
@@ -851,6 +853,16 @@ object SparkEntry {
     // oracled relational sibling of the BPE surface
     "q_oov" -> ((s, d) =>
       text.Bpe.oovRate(documents(s, d), col("doc_id"), col("text"), 1000)),
+    // Unigram-LM (SentencePiece) tokenizer trained on the same word
+    // histogram (1k pieces, 20k-word cap), then per-doc Viterbi piece
+    // stats under it — rows-only (EM + pruning are iterative float
+    // training no SQL replays); UnigramSpec pins the algorithm
+    "q_ulm" -> ((s, d) => {
+      val docs = documents(s, d)
+      val model = text.Unigram.train(docs, col("text"), vocabSize = 1000,
+        maxWords = 20000)
+      text.Unigram.encodeStats(docs, col("doc_id"), col("text"), model)
+    }),
     // BM25 top-10 retrieval for three fixed keyword queries —
     // broadcast-filtered postings, decimal score sums, two-phase top-k
     "q_bm25" -> ((s, d) =>
@@ -2188,6 +2200,48 @@ object SparkEntry {
         |FROM f1 JOIN f2 USING (doc_id, frame_idx) JOIN fo USING (doc_id, frame_idx)
         |  JOIN fo2 USING (doc_id, frame_idx) JOIN srt USING (doc_id, frame_idx)""".stripMargin,
 
+    // blur gate: the q_glcm pixel-rebuild CTEs (byte xor frame_idx
+    // accumulated by index mod 64), then the 4-neighbour Laplacian over
+    // the 36 interior cells in PURE INTEGER arithmetic — r is integral
+    // because the stub pixels are integer sums, so variance =
+    // (36*SUM(r*r) - SUM(r)^2) / 1296 has an exact BIGINT numerator
+    // (|r| < 2^21 at any plausible doc size) and ONE IEEE division +
+    // the shared cround(4) contract, matching Texture.laplacianVar in
+    // any aggregation order
+    "q_blur" ->
+      """WITH hx AS MATERIALIZED (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), fr AS MATERIALIZED (
+        |  SELECT doc_id, CAST(UNNEST(range(0, 1 + nb % 8, 2)) AS INT) AS frame_idx FROM hx
+        |), byt AS MATERIALIZED (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    (strpos('0123456789ABCDEF', h[2*j+1 : 2*j+1]) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', h[2*j+2 : 2*j+2]) - 1) AS b
+        |  FROM hx, UNNEST(range(nb)) t(j)
+        |), cell AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx, y.j % 64 AS cj, SUM(xor(y.b, f.frame_idx)) AS v
+        |  FROM fr f JOIN byt y USING (doc_id) GROUP BY 1, 2, 3
+        |), px AS MATERIALIZED (
+        |  SELECT f.doc_id, f.frame_idx, CAST(g.j AS INT) AS cj,
+        |    CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+        |  FROM fr f CROSS JOIN (SELECT UNNEST(range(64)) AS j) g
+        |  LEFT JOIN cell c ON c.doc_id = f.doc_id AND c.frame_idx = f.frame_idx AND c.cj = g.j
+        |), lap AS (
+        |  SELECT c.doc_id, c.frame_idx,
+        |    4 * c.v - up.v - dn.v - lf.v - rt.v AS rv
+        |  FROM px c
+        |  JOIN px up ON up.doc_id = c.doc_id AND up.frame_idx = c.frame_idx AND up.cj = c.cj - 8
+        |  JOIN px dn ON dn.doc_id = c.doc_id AND dn.frame_idx = c.frame_idx AND dn.cj = c.cj + 8
+        |  JOIN px lf ON lf.doc_id = c.doc_id AND lf.frame_idx = c.frame_idx AND lf.cj = c.cj - 1
+        |  JOIN px rt ON rt.doc_id = c.doc_id AND rt.frame_idx = c.frame_idx AND rt.cj = c.cj + 1
+        |  WHERE c.cj % 8 BETWEEN 1 AND 6 AND c.cj // 8 BETWEEN 1 AND 6
+        |)
+        |SELECT doc_id, frame_idx,
+        |  floor(CAST(36 * SUM(rv * rv) - SUM(rv) * SUM(rv) AS DOUBLE) / 1296.0
+        |    * 10000.0 + 0.5) / 10000.0 AS lap_var
+        |FROM lap GROUP BY doc_id, frame_idx""".stripMargin,
+
     // sampled-frame features: the 8x8 stub pixel block is rebuilt
     // relationally (byte xor frame_idx accumulated by index mod 64),
     // Haar band energies are sums of exact dyadic rationals (halves
@@ -2759,22 +2813,22 @@ object SparkEntry {
         |        / len(string_split_regex(text, '\s+')) >= 0.05
         |      THEN 1 ELSE 0 END AS kp
         |  FROM documents)
-        |SELECT COUNT(*) AS n_docs, SUM(tok) AS n_tokens,
-        |  SUM(length(text)) AS n_chars,
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  COUNT(DISTINCT text) AS n_distinct_texts,
         |  floor((1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*))
         |    * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio,
         |  floor(AVG(kp) * 1000000.0 + 0.5) / 1000000.0 AS keep_rate,
-        |  SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END) AS en_tokens,
-        |  SUM(CASE WHEN lang = 'zh' THEN tok ELSE 0 END) AS zh_tokens,
-        |  SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END) AS de_tokens,
-        |  SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END) AS es_tokens,
-        |  SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS fr_tokens,
-        |  SUM(tok) - SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END)
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END) AS BIGINT) AS en_tokens,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN tok ELSE 0 END) AS BIGINT) AS zh_tokens,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END) AS BIGINT) AS de_tokens,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END) AS BIGINT) AS es_tokens,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS BIGINT) AS fr_tokens,
+        |  CAST(SUM(tok) - SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END)
         |    - SUM(CASE WHEN lang = 'zh' THEN tok ELSE 0 END)
         |    - SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END)
         |    - SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END)
-        |    - SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS other_tokens
+        |    - SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS BIGINT) AS other_tokens
         |FROM t""".stripMargin,
 
     // text-equality comparison mirrors the operator's xxhash64 compare
@@ -2807,8 +2861,8 @@ object SparkEntry {
         |         WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
         |         ELSE 1024 END AS bucket
         |  FROM t)
-        |SELECT bucket, COUNT(*) AS n_docs, SUM(n) AS n_tokens,
-        |  SUM(CASE WHEN n > bucket THEN n ELSE bucket END) AS padded_tokens,
+        |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n > bucket THEN n ELSE bucket END) AS BIGINT) AS padded_tokens,
         |  floor(CAST(SUM(n) AS DOUBLE) /
         |    SUM(CASE WHEN n > bucket THEN n ELSE bucket END)
         |    * 1000000.0 + 0.5) / 1000000.0 AS efficiency
@@ -2905,7 +2959,7 @@ object SparkEntry {
         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |  FROM r)
-        |SELECT shard, COUNT(*) AS n_docs, SUM(tok) AS n_tokens,
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
         |  bit_xor(fp) AS checksum
         |FROM f GROUP BY shard""".stripMargin,
 

@@ -92,6 +92,9 @@ object IncrementalDedup {
     val checked = probed.filter(col("_maybe"))
       .join(idx, Seq("h"), "left")
       .select(col("doc_id"), col("corpus_id").as("dup_of"))
+    // the verify join is idx's last reader: release the cache once the
+    // caller materializes the result (best-effort — see CacheRelease)
+    graft.functions.CacheRelease.afterNextExecution(idx)
     fresh.unionByName(checked)
       .withColumn("is_new", col("dup_of").isNull.cast("int"))
   }

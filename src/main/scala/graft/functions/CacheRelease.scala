@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** One-shot cleanup for operator-internal persists.
+  *
+  * Several operators persist an intermediate to share it between an
+  * internal driver-side materialization (a count/collect that sizes a
+  * filter or a prefix table) and the plan they return — layoutBy's
+  * per-partition ranks, IncrementalDedup's corpus index. The persist
+  * must OUTLIVE the operator call (the returned plan still reads it),
+  * so the operator cannot unpersist before returning; but leaving it
+  * cached forever accumulates blocks in a long-lived session.
+  *
+  * [[afterNextExecution]] unpersists the intermediate after the NEXT
+  * query execution on its session completes (success or failure) —
+  * normally the caller materializing the returned plan, which is the
+  * last reader. Semantics are best-effort, never unsafe: unpersisting
+  * only drops the cache, the lineage stays valid, so an early release
+  * (an unrelated query running first) or a caller that materializes
+  * the result twice costs a recompute, not correctness. Callers that
+  * re-materialize repeatedly should persist the RESULT themselves.
+  */
+object CacheRelease {
+
+  /** Unpersist `cached` after the next query execution on its session
+    * finishes, then deregister the listener (exactly-once). */
+  def afterNextExecution(cached: DataFrame): Unit = {
+    val spark = cached.sparkSession
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new QueryExecutionListener {
+      private def release(self: QueryExecutionListener): Unit =
+        if (released.compareAndSet(false, true)) {
+          try cached.unpersist(blocking = false)
+          finally spark.listenerManager.unregister(self)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = release(this)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = release(this)
+    }
+    spark.listenerManager.register(listener)
+  }
+}

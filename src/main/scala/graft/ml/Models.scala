@@ -48,8 +48,19 @@ object Models {
     * the model's prediction, and the positive-class probability
     * (rounded: LBFGS float reduction order is not bit-stable, the
     * decision and 4-decimal score are). */
+  /** Train-once model cache. STALENESS CONTRACT (the quantizeCached
+    * one): `cacheKey` is the CALLER'S PROMISE of corpus identity —
+    * passing the same key for a different `docs` relation returns the
+    * previously trained model unchanged (by design: repeated scoring
+    * of one corpus is the serving pattern; a corpus revision needs a
+    * new key). The key also folds in numFeatures and the text/label
+    * EXPRESSIONS, so reusing a key with different columns or
+    * hyperparameter surface trains a fresh entry rather than silently
+    * serving a stale one. Entries are evicted on application end; a
+    * session stopped mid-application keeps its (driver-sized) models
+    * until then — the same declared bound quantizeCached carries. */
   private val clsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int),
+    (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.ml.classification.LogisticRegressionModel]()
   private val clsEvictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
@@ -90,7 +101,11 @@ object Models {
               }
             })
         }
-        clsCache.computeIfAbsent((session, k, numFeatures), _ => train())
+        // fold the parameter surface into the key (see clsCache doc)
+        val fullKey = s"$k|$numFeatures|" +
+          s"${org.apache.spark.sql.GraftBridge.expression(text).sql}|" +
+          s"${org.apache.spark.sql.GraftBridge.expression(label).sql}"
+        clsCache.computeIfAbsent((session, fullKey), _ => train())
     }
     model.transform(feat)
       .withColumn("_p1", org.apache.spark.ml.functions

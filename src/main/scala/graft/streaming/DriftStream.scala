@@ -41,17 +41,27 @@ object DriftStream {
     * on Zipfian text the tail is a large constant share of any normal
     * window, and pricing it at ~1/total would charge every undrifted
     * window several nats of phantom drift, burying the real alarm.
-    * Two aggregates: the top-V row set and the one-row grand total
-    * (the tail mass is their difference — no second token pass). */
+    * The corpus is tokenized ONCE: both the top-V head and the grand
+    * total are read off the same persisted vocab-sized count table
+    * (the tail mass is their difference — no second explode pass). */
   def reference(df: DataFrame, text: org.apache.spark.sql.Column,
                 topV: Int = 256): DriftRef = {
     require(topV >= 1)
     val toks = df.select(explode(split(lower(text), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // ONE tokenize/explode pass over the reference corpus: the vocab-
+    // sized count table is persisted, both the top-V head and the grand
+    // total read it, and it unpersists before returning (both actions
+    // are internal, so cleanup is synchronous — no listener needed)
+    val countTable = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = countTable
       .orderBy(col("c").desc, col("tok")).limit(topV)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val grandTotal = toks.count()
+    val grandTotal = countTable.agg(sum("c")).collect()
+      .headOption.flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
+    countTable.unpersist(blocking = false)
     val index = counts.map(_._1).zipWithIndex.toMap
     val tail = grandTotal - counts.map(_._2).sum
     val v = counts.length + 1

@@ -83,6 +83,9 @@ object Shuffle {
     }
     val prefDf = counts.map(_._1).zip(prefix.map(_._2).init)
       .toSeq.toDF("_part", "_pref")
+    // the returned plan is local's last reader: release the cache once
+    // the caller materializes it (best-effort — see CacheRelease)
+    graft.functions.CacheRelease.afterNextExecution(local)
     local.join(broadcast(prefDf), Seq("_part"))
       .withColumn("_r0", col("_pref") + col("_rn") - 1L)
       .withColumn("shard", expr(s"_r0 div ${shardSize}L")) // integer div, no double rounding

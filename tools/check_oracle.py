@@ -43,6 +43,17 @@ for name in sorted(oracle):
         print(f"{name:24s} SCHEMA got={list(g.columns)} exp={list(e.columns)}"); fails.append(name); continue
     if len(g) != len(e):
         print(f"{name:24s} ROWS got={len(g)} exp={len(e)}"); fails.append(name); continue
+    # The driver hashes FORMATTED values, so an int64 Spark column vs a
+    # float64 oracle column (DuckDB HUGEINT sums -> float64) hash-mismatches
+    # even when numerically equal. Fail on any int-vs-float dtype split.
+    dtype_bad = [c for c in g.columns
+                 if {g[c].values.dtype.kind, e[c].values.dtype.kind} == {'i', 'f'}
+                 or {g[c].values.dtype.kind, e[c].values.dtype.kind} == {'u', 'f'}]
+    if dtype_bad:
+        for c in dtype_bad:
+            print(f"{name:24s} DTYPE col={c} spark={g[c].values.dtype} oracle={e[c].values.dtype}"
+                  f" (driver hashes formatted values: cast the oracle, e.g. CAST(SUM(..) AS BIGINT))")
+        fails.append(name); continue
     bad = None
     for c in g.columns:
         gv, ev = g[c].values, e[c].values
