@@ -863,6 +863,16 @@ object SparkEntry {
         maxWords = 20000)
       text.Unigram.encodeStats(docs, col("doc_id"), col("text"), model)
     }),
+    // WordPiece tokenizer (BERT's): likelihood-ratio merges on the
+    // same histogram (200 merges, 20k-word cap), then per-doc greedy
+    // longest-match stats — rows-only (the merge loop is iterative
+    // like BPE's); WordPieceSpec pins the algorithm
+    "q_wp" -> ((s, d) => {
+      val docs = documents(s, d)
+      val model = text.WordPiece.train(docs, col("text"), numMerges = 200,
+        maxWords = 20000)
+      text.WordPiece.encodeStats(docs, col("doc_id"), col("text"), model)
+    }),
     // BM25 top-10 retrieval for three fixed keyword queries —
     // broadcast-filtered postings, decimal score sums, two-phase top-k
     "q_bm25" -> ((s, d) =>

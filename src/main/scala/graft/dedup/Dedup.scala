@@ -52,6 +52,8 @@ object Dedup {
     val sizes = arr.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"))
     val post = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
     val pairs = Postings.coPairs(post, Seq(col("fp")), col("doc_id"), maxDf, minShared)
+    // the returned plan is arr's last reader (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(arr)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_fp", "n1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_fp", "n2"), Seq("d2"))
@@ -110,6 +112,8 @@ object Dedup {
     val post = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val pairs = Postings.coPairs(post, Seq(col("shingle")), col("doc_id"), maxDf)
       .withColumnRenamed("shared", "inter")
+    // the returned plan is arr's last reader (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(arr)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))

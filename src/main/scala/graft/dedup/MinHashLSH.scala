@@ -78,7 +78,12 @@ object MinHashLSH {
       .select(id.as("doc_id"), graft.functions.WordShingles(text, shingleK).as("shs"))
       .filter(size(col("shs")) > 0)
       .persist(lvl)
-    arr.count()
+    arr.count() // also populates cand's cache (arr semi-joins the candidate ids)
+    // sigs fed cand only, and cand is materialized now: drop it here;
+    // cand + arr are last read by the returned verify join
+    sigs.unpersist(blocking = false)
+    graft.functions.CacheRelease.afterNextExecution(cand)
+    graft.functions.CacheRelease.afterNextExecution(arr)
     cand
       .join(arr.select(col("doc_id").as("d1"), col("shs").as("_s1")), Seq("d1"))
       .join(arr.select(col("doc_id").as("d2"), col("shs").as("_s2")), Seq("d2"))

@@ -25,21 +25,25 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheRelease {
 
-  /** Unpersist `cached` after the next query execution on its session
-    * finishes, then deregister the listener (exactly-once). */
-  def afterNextExecution(cached: DataFrame): Unit = {
+  /** Unpersist `cached` after the next `uses` query executions on its
+    * session finish, then deregister the listener (exactly-once).
+    * `uses` > 1 serves operators returning several DataFrames off one
+    * cached parse (e.g. a clean/quarantine split the caller writes as
+    * two actions). */
+  def afterNextExecution(cached: DataFrame, uses: Int = 1): Unit = {
+    require(uses >= 1, "uses must be >= 1")
     val spark = cached.sparkSession
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val remaining = new java.util.concurrent.atomic.AtomicInteger(uses)
     val listener = new QueryExecutionListener {
-      private def release(self: QueryExecutionListener): Unit =
-        if (released.compareAndSet(false, true)) {
+      private def countDown(self: QueryExecutionListener): Unit =
+        if (remaining.decrementAndGet() == 0) {
           try cached.unpersist(blocking = false)
           finally spark.listenerManager.unregister(self)
         }
       override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = release(this)
+                             durationNs: Long): Unit = countDown(this)
       override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = release(this)
+                             exception: Exception): Unit = countDown(this)
     }
     spark.listenerManager.register(listener)
   }

@@ -65,6 +65,9 @@ object MultimodalCorpus {
     // SHARPEST sampled frame below the focus floor -> unusable) and
     // clipping (r8: distorted audio) gates on the profile; 4. text
     // gate (shared rule — see TextFeatures.qualityKeep)
+    // prof's last readers are in the returned plan (the pair/CC stage
+    // materialized the cache); release after the caller's action
+    graft.functions.CacheRelease.afterNextExecution(prof)
     assets.join(canon, Seq("doc_id"), "left_semi")
       .join(prof.select(col("doc_id"), col("n_cuts"), col("has_audio"),
         col("avg_rms"), col("max_lap"), col("clip_frac")), Seq("doc_id"))

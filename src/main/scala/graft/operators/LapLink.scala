@@ -441,6 +441,9 @@ object LapLink {
     val minT = lbl.groupBy(col("head")).agg(min(col("id")).as("_new"))
     val remap = lbl.join(minT, Seq("head"))
       .select(col("id").as("track_id"), col("_new"))
+    // the returned relabel join is lb's last reader (gap-close and the
+    // chain labeling above already materialized the cache)
+    graft.functions.CacheRelease.afterNextExecution(lb)
     lb.join(remap, Seq("track_id"), "left")
       .select(col("id"), coalesce(col("_new"), col("track_id")).as("track_id"))
   }

@@ -181,6 +181,9 @@ object Quality {
           .map(_._1).collect()
         cround(lit(mids.sum / mids.length), 4)
       }
+    // the returned aggregate is steps' last reader (the count and the
+    // median selection above already materialized the cache)
+    graft.functions.CacheRelease.afterNextExecution(steps)
     steps.agg(count(lit(1)).as("n_steps"),
       cround(min(col("_d")), 4).as("min_dist"),
       medianCol.as("median_dist"),

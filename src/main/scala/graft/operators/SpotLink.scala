@@ -133,6 +133,9 @@ object SpotLink {
         shiftrightunsigned(col("_bp"), idBits).bitwiseAND((1L << d2Bits) - 1).as("_q"))
     val asParent = best.filter(col("_bc").isNotNull)
       .select(col("id").as("src"), col("_bc").bitwiseAND(idMask).as("dst"))
+    // both semi-join sides read best inside the returned plan:
+    // release after the caller's action (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(best)
     asChild.join(asParent, Seq("src", "dst"), "left_semi")
       .select(col("src"), col("dst"), col("gap"),
         cround(sqrt(col("_q") / D2Scale), 4).as("dist"))

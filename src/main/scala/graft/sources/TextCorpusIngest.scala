@@ -57,6 +57,9 @@ object TextCorpusIngest {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val quarantine = once.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
+    // the caller writes clean and quarantine as two actions off the
+    // one cached parse: release after the second (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(once, uses = 2)
     (clean, quarantine)
   }
 }

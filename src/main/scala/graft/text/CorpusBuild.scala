@@ -63,6 +63,12 @@ object CorpusBuild {
     // 4. test-set decontamination
     val dc = Decontaminate.clean(nd, col("doc_id"), col("text"),
       eval, col("doc_id"), col("text"), deconN)
+    // ex's cache was populated by the stage-3 internal actions and is
+    // last read when the caller's action computes nd; nd's last
+    // readers are the decon subtrees of the returned plan. Both
+    // release after that one action (best-effort cleanup).
+    graft.functions.CacheRelease.afterNextExecution(ex)
+    graft.functions.CacheRelease.afterNextExecution(nd)
     // 5. mixture rebalancing (deterministic Lehmer-hash sampling)
     TextFeatures.sampleStratified(dc, col("doc_id"), col("lang"),
         rates, defaultRate)

@@ -105,6 +105,9 @@ object Dsir {
             StrictMath.log((c + 1.0) / (tot + v).toDouble)
         })
     }
+    // the returned scoring plan is grams' last reader (on a model-cache
+    // hit the internal collect never ran; either way, best-effort)
+    graft.functions.CacheRelease.afterNextExecution(grams)
     grams.select(col("doc_id"), BigramScore(col("_a"), diff).as("_s"))
   }
 }

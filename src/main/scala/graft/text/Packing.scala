@@ -62,6 +62,8 @@ object Packing {
     } // scan pairs part p with the sum of totals up to AND INCLUDING p
     val prefDf = totals.map(_._1).zip(prefix.map(_._2).init)
       .toSeq.toDF("_part", "_pref") // part -> sum of totals BEFORE it
+    // the returned plan is local's last reader (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(local)
     local.join(broadcast(prefDf), Seq("_part"))
       .withColumn("offset", col("_pref") + col("_cum") - col("n_tokens"))
       .withColumn("chunk_first",

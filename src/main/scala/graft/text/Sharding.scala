@@ -59,6 +59,8 @@ object Sharding {
     }
     val prefDf = counts.map(_._1).zip(prefix.map(_._2).init)
       .toSeq.toDF("_part", "_pref") // part -> ranks before it
+    // the returned plan is local's last reader (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(local)
     local.join(broadcast(prefDf), Seq("_part"))
       .withColumn("shard",
         (col("_pref") + col("_rn") - 1L) % lit(nShards.toLong))

@@ -53,6 +53,9 @@ object SpanDedup {
     val winners = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("_c"), min(col("_pk")).as("_first"))
       .filter(col("_c") > 1)
+    // winners + starts both read grams inside the returned plan:
+    // release after the caller's action (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(grams)
     // removal starts: non-canonical occurrences of duplicated grams,
     // collapsed to one sorted array per affected doc (output-sized)
     val starts = grams.join(winners, "gram")

@@ -237,6 +237,9 @@ object TextFeatures {
           StrictMath.log((c + 1.0) / (tot + v).toDouble)
         })
     }
+    // the returned scoring plan is grams' last reader (on an LM-cache
+    // hit the training collect never ran; either way, best-effort)
+    graft.functions.CacheRelease.afterNextExecution(grams)
     grams.select(col("doc_id"),
         graft.functions.BigramScore(col("_a"), model).as("_s"))
       .select(col("doc_id"), col("_s.n").as("n_bigrams"),
@@ -315,6 +318,8 @@ object TextFeatures {
           StrictMath.log((c + 1.0) / (tot + v).toDouble)
         })
     }
+    // same best-effort release as the bigram sibling above
+    graft.functions.CacheRelease.afterNextExecution(grams)
     grams.select(col("doc_id"),
         graft.functions.TrigramScore(col("_a"), model).as("_s"))
       .select(col("doc_id"), col("_s.n").as("n_trigrams"),

@@ -63,6 +63,9 @@ object SemDedup {
       .select(col("cell"), col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides live in the returned plan: release after
+    // the caller's action (best-effort cleanup)
+    graft.functions.CacheRelease.afterNextExecution(v)
     v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim",
