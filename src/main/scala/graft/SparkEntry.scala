@@ -480,6 +480,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"),
         docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
     }),
+    // incremental NEAR-dup dedup: the same corpus/batch split probed
+    // against the corpus's MinHash band index — rows-only (the XXH64
+    // signature kernel has no SQL replay; the banding semantics are
+    // oracled via q_minhash_pairs and the spec pins cross-pair parity)
+    "q_incnear" -> ((s, d) => {
+      val docs = documents(s, d)
+      val idx = graft.dedup.IncrementalMinHash.buildIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"))
+      graft.dedup.IncrementalMinHash.dedupAgainst(idx,
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+        threshold = 0.5)
+    }),
     // exact edit-distance fuzzy join (PassJoin pigeonhole blocking):
     // original customer names vs deterministically-corrupted copies
     // (one char deleted at c_custkey % len); output EQUALS the

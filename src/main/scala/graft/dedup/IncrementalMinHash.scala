@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental NEAR-dup dedup against a persisted signature index —
+  * the near-duplicate sibling of [[IncrementalDedup]] (which answers
+  * "does the snapshot already have these EXACT texts"): a
+  * continuously-crawled corpus builds its MinHash band index ONCE,
+  * persists it, and every new batch probes the index — no re-scan of
+  * the corpus, ever (at 100 TB the corpus re-shingle IS the cost).
+  *
+  * Scale shape: the index is (band, bh, doc_id, sig) — one row per
+  * (doc, band), 8-byte bucket keys plus the k-long signature; the
+  * batch probe is an EQUI-join on (band, bh), so only bucket
+  * collisions shuffle, and similarity is the signature estimate
+  * (matching coordinates / k — the [[graft.streaming.MinHashStream]]
+  * estimator), computed without touching corpus text. Persistence is
+  * directory-partitioned BY BAND (the IndexStore layout rule): a
+  * probe reads all bands, but band partitioning keeps rewrite units
+  * (index refreshes append per band) and parallelism aligned.
+  *
+  * The estimate-vs-exact divergence is declared exactly as the
+  * streaming member declares it: candidates can't false-negative at
+  * the banding grain (a pair sharing a bucket IS probed), and the
+  * estimator is unbiased; a caller needing exact Jaccard joins the
+  * surviving (sliver-sized) pair set back to text — the batch
+  * [[MinHashLSH.nearDupPairs]] verify.
+  */
+object IncrementalMinHash {
+
+  /** Build the band index from the corpus: one map-only signature
+    * pass, one explode to band grain. */
+  def buildIndex(corpus: DataFrame, id: Column, text: Column,
+                 shingleK: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    MinHashLSH.signatures(corpus, id, text, shingleK, k)
+      .select(col("doc_id").as("corpus_id"), col("sig"),
+        posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
+      .select("band", "bh", "corpus_id", "sig")
+  }
+
+  /** Persist the index partitioned by band. */
+  def saveIndex(index: DataFrame, dir: String): Unit =
+    index.write.mode(SaveMode.Overwrite).partitionBy("band").parquet(dir)
+
+  /** Load a persisted index. */
+  def loadIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Probe the index with a batch: every (batch doc, corpus doc) pair
+    * sharing at least one band bucket, with the signature-estimated
+    * Jaccard. One signature pass over the batch, one equi-join on the
+    * 8-byte bucket key. */
+  def probe(index: DataFrame, batch: DataFrame, bId: Column, bText: Column,
+            shingleK: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val probes = MinHashLSH.signatures(batch, bId, bText, shingleK, k)
+      .select(col("doc_id").as("batch_id"), col("sig").as("_bsig"),
+        posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
+    probes.join(index, Seq("band", "bh"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(first(col("_bsig")).as("_bsig"), first(col("sig")).as("_csig"))
+      .withColumn("est_jaccard", graft.functions.Numeric.cround(
+        aggregate(zip_with(col("_bsig"), col("_csig"),
+            (a, b) => (a === b).cast("long")),
+          lit(0L), (acc, m) => acc + m).cast("double") / k, 6))
+      .select("batch_id", "corpus_id", "est_jaccard")
+  }
+
+  /** The full incremental answer: every batch row with its best
+    * near-dup in the corpus at `threshold` (`dup_of`, smallest
+    * corpus id among the highest-estimate candidates — deterministic)
+    * and an `is_new` flag. Batch-internal near-dups are NOT collapsed
+    * here (that is the in-batch pair generator's job); this answers
+    * "which of these rows does the INDEXED corpus already have". */
+  def dedupAgainst(index: DataFrame, batch: DataFrame, bId: Column,
+                   bText: Column, threshold: Double,
+                   shingleK: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val cand = probe(index, batch, bId, bText, shingleK, k, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("batch_id"))
+      .agg(min_by(col("corpus_id"),
+        struct((-col("est_jaccard")).as("s"), col("corpus_id"))).as("dup_of"))
+    batch.select(bId.as("batch_id"))
+      .join(cand, Seq("batch_id"), "left")
+      .select(col("batch_id").as("doc_id"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("is_new"))
+  }
+}

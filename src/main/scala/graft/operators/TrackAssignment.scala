@@ -54,10 +54,8 @@ object TrackAssignment {
     // universe (and may itself be an expensive subtree — e.g. the
     // SpotLink candidate join); persist it so downstream references
     // re-read a materialized table instead of re-running the producer.
-    // Blocks back the returned DataFrame and are released by Spark's
-    // ContextCleaner once the caller drops the plan (same lifecycle
-    // note as ConnectedComponents.run; callers needing deterministic
-    // release persist/unpersist the RESULT themselves)
+    // Released after the caller's action by the one-shot CacheRelease
+    // listener registered below (r9 — previously ContextCleaner/GC)
     val ed = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -106,6 +104,10 @@ object TrackAssignment {
     val lbl = ChainLabel.heads(chain)
     val minId = lbl.groupBy(col("head")).agg(min(col("id")).as("track_id"))
     val cc = lbl.join(minId, Seq("head")).select(col("id"), col("track_id"))
+    // the returned plan is the last reader of both caches (the chain
+    // labeling above already materialized them); best-effort cleanup
+    graft.functions.CacheRelease.afterNextExecution(ed)
+    graft.functions.CacheRelease.afterNextExecution(e)
     universe.join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("track_id"), col("id")).as("track_id"))
   }

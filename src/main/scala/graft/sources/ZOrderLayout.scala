@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Z-ordered write layout — multi-dimensional data skipping for the
+  * release store (the OPTIMIZE ZORDER BY of the table formats,
+  * expressed Spark-first): rows are range-partitioned AND sorted by
+  * the Morton key of the two clustering columns, so every output
+  * file's min/max footer range is narrow in BOTH dimensions and a
+  * filter on EITHER prunes files/row-groups at read time. A
+  * lexicographic sort gives this only for its leading column — the
+  * trailing column's per-file range spans the whole domain, and
+  * nothing prunes.
+  *
+  * At 100 TB this is the difference between "point-in-time slice of
+  * one id range" reading 0.01% or 100% of a corpus keyed by
+  * (id, time): the write costs ONE range exchange + in-partition sort
+  * (exactly what any sorted write costs) and pays back on every
+  * selective read. */
+object ZOrderLayout {
+
+  /** The clustered frame (range-partitioned + sorted by the Morton
+    * key), for writing or further composition. */
+  def cluster(df: DataFrame, a: Column, b: Column,
+              numFiles: Int): DataFrame = {
+    require(numFiles >= 1)
+    val key = graft.functions.ZOrder2(a, b)
+    df.withColumn("_z", key)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+
+  /** Write `df` Z-ordered by (a, b) into `numFiles` files. */
+  def write(df: DataFrame, path: String, a: Column, b: Column,
+            numFiles: Int, fmt: String = "parquet"): Unit =
+    cluster(df, a, b, numFiles)
+      .write.mode(SaveMode.Overwrite).format(fmt).save(path)
+}
