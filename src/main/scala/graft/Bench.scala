@@ -58,10 +58,10 @@ object Bench {
       "q_stream_window", "q_sketch_stats", "q_dsir", "q_dsirs",
       "q_ebin", "q_hh_tokens", "q_entropy3", "q_ragc", "q_hardneg",
       "q_winnow", "q_audio", "q_clip",
-      // rested mid-round to fund the q_wp/q_incnear additions' line
-      // chars (both benched in r8, so the r8 ∪ r9 union still covers
-      // the full registry)
-      "q_oov", "q_bm25")
+      // rested mid-round to fund the q_wp/q_incnear/q_norm/q_profile
+      // additions' line chars (all three benched in r8, so the
+      // r8 ∪ r9 union still covers the full registry)
+      "q_oov", "q_bm25", "q_fdecon")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

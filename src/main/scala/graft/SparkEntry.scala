@@ -676,6 +676,25 @@ object SparkEntry {
       TextFeatures.encodingQuality(
         events(s, d).withColumn("_et", encText), col("event_id"), col("_et"))
     }),
+    // unicode normalization: a decomposed accent (e + COMBINING ACUTE),
+    // a per-row control char and a double-space run are appended to
+    // each doc (the corpus itself is ASCII-clean), then the NFC +
+    // ctl-strip + collapse + trim kernel runs — oracled exactly via
+    // DuckDB's nfc_normalize (NFC is canonical: conformant
+    // implementations agree byte-for-byte)
+    "q_norm" -> ((s, d) => {
+      val et = concat(col("text"), lit(" xe\u0301"),  // e + COMBINING ACUTE (decomposed)
+        expr("chr(doc_id % 31 + 1)"), lit("  tail "))
+      documents(s, d).withColumn("_et", et)
+        .withColumn("text_norm", graft.functions.NfcClean(col("_et")))
+        .select(col("doc_id"), col("text_norm"),
+          (col("text_norm") =!= col("_et")).cast("int").as("changed"))
+    }),
+    // per-column data profile: null/distinct/min/max/top-3 for every
+    // documents column from ONE value-grain shuffle (stacked pairs)
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // one-row dataset card: doc/token/char mass, dup mass, quality
     // rate and the per-language token mix from ONE corpus scan
     "q_card" -> ((s, d) =>
@@ -2823,6 +2842,47 @@ object SparkEntry {
         |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]')))
         |    / CAST(length(et) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS junk_ratio
         |FROM t""".stripMargin,
+
+    // the stacked (column, value) pairs rebuilt as a UNION ALL; string
+    // min/max compare binary in both engines
+    "q_profile" ->
+      """WITH kv AS (
+        |  SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        |cnt AS (SELECT c, v, COUNT(*) AS n FROM kv GROUP BY 1, 2),
+        |st AS (SELECT c, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+        |  min(v) AS min_v, max(v) AS max_v
+        |  FROM cnt GROUP BY 1),
+        |rk AS (SELECT c, v,
+        |  ROW_NUMBER() OVER (PARTITION BY c ORDER BY n DESC, v) AS rn
+        |  FROM cnt WHERE v IS NOT NULL),
+        |tp AS (SELECT c, string_agg(v, ',' ORDER BY rn) AS top_values
+        |  FROM rk WHERE rn <= 3 GROUP BY c)
+        |SELECT st.c AS column_name, n_rows, n_null, n_distinct, min_v, max_v,
+        |  COALESCE(top_values, '') AS top_values
+        |FROM st LEFT JOIN tp ON st.c = tp.c""".stripMargin,
+
+    // the same constructed text; NFC via nfc_normalize, the ctl class
+    // mirrors the kernel exactly (C0 minus \t \n, plus DEL)
+    "q_norm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' x' || 'e' || chr(769)
+        |      || chr(CAST(doc_id % 31 + 1 AS INT)) || '  tail ' AS et
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, et,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(et),
+        |      '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'), ' ') AS text_norm
+        |  FROM t)
+        |SELECT doc_id, text_norm, CAST(text_norm <> et AS INT) AS changed
+        |FROM n""".stripMargin,
 
     "q_card" ->
       """WITH t AS (
