@@ -61,7 +61,7 @@ object Bench {
       // rested mid-round to fund the q_wp/q_incnear/q_norm/q_profile
       // additions' line chars (all three benched in r8, so the
       // r8 ∪ r9 union still covers the full registry)
-      "q_oov", "q_bm25", "q_fdecon")
+      "q_oov", "q_bm25", "q_fdecon", "q_entropy", "q_winnow_containment")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

@@ -129,6 +129,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           cround(col("dis"), 4).as("dis"), cround(col("trac"), 4).as("trac"),
           cround(col("d2t"), 6).as("d2t"), cround(col("vel"), 6).as("vel"))),
+    // track-interaction: per-(track, day) canonical positions (min
+    // event), grid-binned proximity candidates at maxDist 3, then the
+    // decimal-exact directional correlation over shared step frames
+    "q_interact" -> ((s, d) => {
+      val e = eventsXY(s, d).select(col("user_id"),
+        expr("ts_s div 86400").as("f"), col("event_id"), col("x"), col("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("f")).orderBy(col("event_id"))
+      val first = e.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+      graft.operators.Interaction.pairs(first, col("user_id"), col("f"),
+        col("x"), col("y"), maxDist = 3.0, minShared = 3)
+    }),
     "q_frame_stats" -> ((s, d) =>
       Quality.frameStats(events(s, d).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
         Seq(col("event_type"), col("day")), col("value"))),
@@ -1394,6 +1407,47 @@ object SparkEntry {
         |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+
+    // positions: min-event per (track, day); candidates: the naive
+    // same-frame distance join (the grid is exact by 3x3 coverage, so
+    // the sets are equal); correlation sums decimal-quantized
+    "q_interact" ->
+      """WITH base AS (
+        |  SELECT user_id AS t, epoch_us(ts)//1000000//86400 AS f, event_id,
+        |    value AS x,
+        |    CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS DOUBLE) AS y
+        |  FROM events
+        |), pos AS (
+        |  SELECT t, f, x, y FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY t, f ORDER BY event_id) AS rn
+        |    FROM base) WHERE rn = 1
+        |), steps AS (
+        |  SELECT t, f, x, y,
+        |    x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+        |  FROM pos WINDOW w AS (PARTITION BY t ORDER BY f)
+        |), st AS (
+        |  SELECT * FROM steps WHERE dx IS NOT NULL
+        |), cand AS (
+        |  SELECT DISTINCT a.t AS u1, b.t AS u2
+        |  FROM pos a JOIN pos b ON a.f = b.f AND a.t < b.t
+        |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 9.0
+        |), sh AS (
+        |  SELECT c.u1, c.u2, a.f, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb,
+        |    a.dx AS dxa, a.dy AS dya, b.dx AS dxb, b.dy AS dyb
+        |  FROM cand c JOIN st a ON a.t = c.u1 JOIN st b ON b.t = c.u2 AND b.f = a.f
+        |), ag AS (
+        |  SELECT u1, u2, COUNT(*) AS n_shared,
+        |    min(sqrt((xa-xb)*(xa-xb) + (ya-yb)*(ya-yb))) AS md,
+        |    CAST(SUM(CAST(dxa*dxb + dya*dyb AS DECIMAL(28,8))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(dxa*dxa + dya*dya AS DECIMAL(28,8))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(dxb*dxb + dyb*dyb AS DECIMAL(28,8))) AS DOUBLE) AS sb
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT u1, u2, n_shared,
+        |  floor(md * 10000.0 + 0.5) / 10000.0 AS min_dist,
+        |  floor((CASE WHEN sa > 0 AND sb > 0
+        |      THEN s / (sqrt(sa) * sqrt(sb)) ELSE 0.0 END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dir_corr
+        |FROM ag WHERE n_shared >= 3""".stripMargin,
 
     "q_movement" ->
       """WITH base AS (

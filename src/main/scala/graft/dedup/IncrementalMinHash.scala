@@ -40,31 +40,66 @@ object IncrementalMinHash {
       .select("band", "bh", "corpus_id", "sig")
   }
 
-  /** Persist the index partitioned by band. */
-  def saveIndex(index: DataFrame, dir: String): Unit =
-    index.write.mode(SaveMode.Overwrite).partitionBy("band").parquet(dir)
+  /** Persist the index partitioned by band, WITH its build parameters:
+    * the stored index is the cross-job handoff point, so it must be
+    * self-describing — a probe with mismatched (shingleK, k, bands)
+    * would silently miss every dup (different band keys; null padded
+    * signature compares). [[probeStored]] reads the parameters back
+    * and cannot mismatch. */
+  def saveIndex(index: DataFrame, dir: String,
+                shingleK: Int, k: Int, bands: Int): Unit = {
+    index.write.mode(SaveMode.Overwrite).partitionBy("band").parquet(s"$dir/index")
+    val spark = index.sparkSession
+    import spark.implicits._
+    Seq((shingleK, k, bands)).toDF("shingle_k", "k", "bands")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
 
-  /** Load a persisted index. */
-  def loadIndex(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  /** Load a persisted index with its build parameters:
+    * (index, shingleK, k, bands). */
+  def loadIndex(spark: SparkSession, dir: String): (DataFrame, Int, Int, Int) = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    (spark.read.parquet(s"$dir/index"),
+      meta.getAs[Int]("shingle_k"), meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+  }
+
+  /** Probe a PERSISTED index: the batch is signed with the index's own
+    * stored parameters, so a parameter mismatch cannot happen. */
+  def probeStored(spark: SparkSession, dir: String, batch: DataFrame,
+                  bId: Column, bText: Column): DataFrame = {
+    val (index, shingleK, k, bands) = loadIndex(spark, dir)
+    probe(index, batch, bId, bText, shingleK, k, bands)
+  }
 
   /** Probe the index with a batch: every (batch doc, corpus doc) pair
     * sharing at least one band bucket, with the signature-estimated
     * Jaccard. One signature pass over the batch, one equi-join on the
-    * 8-byte bucket key. */
+    * 8-byte bucket key. The match count is computed per JOIN row, so
+    * only an 8-byte count (not the two k-long signatures) crosses the
+    * pair-grain exchange. A one-row width check fails fast when the
+    * index was built at a different k than the probe — a mismatch
+    * makes the bucket keys incomparable, so the join would quietly
+    * return nothing and every batch row would sail through as new
+    * (the silent failure [[probeStored]] exists to prevent). */
   def probe(index: DataFrame, batch: DataFrame, bId: Column, bText: Column,
             shingleK: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    index.select(size(col("sig")).as("_w")).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"index signature width ${r.getInt(0)} != probe k=$k — " +
+          "the index was built with different parameters (use probeStored)")
+    }
     val probes = MinHashLSH.signatures(batch, bId, bText, shingleK, k)
       .select(col("doc_id").as("batch_id"), col("sig").as("_bsig"),
         posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
     probes.join(index, Seq("band", "bh"))
+      .withColumn("_m", aggregate(zip_with(col("_bsig"), col("sig"),
+          (a, b) => (a === b).cast("long")),
+        lit(0L), (acc, m) => acc + m))
       .groupBy(col("batch_id"), col("corpus_id"))
-      .agg(first(col("_bsig")).as("_bsig"), first(col("sig")).as("_csig"))
-      .withColumn("est_jaccard", graft.functions.Numeric.cround(
-        aggregate(zip_with(col("_bsig"), col("_csig"),
-            (a, b) => (a === b).cast("long")),
-          lit(0L), (acc, m) => acc + m).cast("double") / k, 6))
+      .agg(max(col("_m")).as("_m"))
+      .withColumn("est_jaccard",
+        graft.functions.Numeric.cround(col("_m").cast("double") / k, 6))
       .select("batch_id", "corpus_id", "est_jaccard")
   }
 

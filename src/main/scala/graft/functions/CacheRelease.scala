@@ -14,36 +14,57 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * so the operator cannot unpersist before returning; but leaving it
   * cached forever accumulates blocks in a long-lived session.
   *
-  * [[afterNextExecution]] unpersists the intermediate after the NEXT
-  * query execution on its session completes (success or failure) —
-  * normally the caller materializing the returned plan, which is the
-  * last reader. Semantics are best-effort, never unsafe: unpersisting
-  * only drops the cache, the lineage stays valid, so an early release
-  * (an unrelated query running first) or a caller that materializes
-  * the result twice costs a recompute, not correctness. Callers that
-  * re-materialize repeatedly should persist the RESULT themselves.
+  * [[afterNextExecution]] unpersists the intermediate after the next
+  * `uses` query executions that actually READ it complete — matched by
+  * the cached frame's analyzed plan appearing as a subtree of the
+  * execution's analyzed plan, so an unrelated query run between the
+  * operator call and the caller's action does not release the cache
+  * early (the r9 review finding: a health-check collect in between
+  * would have forfeited the corpus build's persist savings). A skip
+  * cap backstops the matcher: after `maxSkips` non-matching executions
+  * the cache releases anyway, so an abandoned plan cannot pin blocks
+  * for the session's lifetime.
+  *
+  * Semantics are best-effort, never unsafe: unpersisting only drops
+  * the cache, the lineage stays valid, so an early or late release
+  * costs a recompute, not correctness. Callers that re-materialize the
+  * result repeatedly should persist the RESULT themselves.
   */
 object CacheRelease {
 
-  /** Unpersist `cached` after the next `uses` query executions on its
-    * session finish, then deregister the listener (exactly-once).
-    * `uses` > 1 serves operators returning several DataFrames off one
-    * cached parse (e.g. a clean/quarantine split the caller writes as
-    * two actions). */
-  def afterNextExecution(cached: DataFrame, uses: Int = 1): Unit = {
+  /** Unpersist `cached` after `uses` executions that read it (or after
+    * `maxSkips` executions that don't), then deregister. */
+  def afterNextExecution(cached: DataFrame, uses: Int = 1,
+                         maxSkips: Int = 64): Unit = {
     require(uses >= 1, "uses must be >= 1")
+    require(maxSkips >= 1, "maxSkips must be >= 1")
     val spark = cached.sparkSession
+    val target = cached.queryExecution.analyzed
     val remaining = new java.util.concurrent.atomic.AtomicInteger(uses)
+    val skips = new java.util.concurrent.atomic.AtomicInteger(maxSkips)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new QueryExecutionListener {
-      private def countDown(self: QueryExecutionListener): Unit =
-        if (remaining.decrementAndGet() == 0) {
+      /** True when the execution's analyzed plan contains the cached
+        * subtree. Matching must never break release: any failure
+        * counts as a read. */
+      private def reads(qe: QueryExecution): Boolean =
+        try qe.analyzed.collectFirst {
+          case n if n.sameResult(target) => ()
+        }.isDefined
+        catch { case _: Throwable => true }
+      private def release(self: QueryExecutionListener): Unit =
+        if (done.compareAndSet(false, true)) {
           try cached.unpersist(blocking = false)
           finally spark.listenerManager.unregister(self)
         }
+      private def seen(self: QueryExecutionListener, qe: QueryExecution): Unit =
+        if (reads(qe)) {
+          if (remaining.decrementAndGet() <= 0) release(self)
+        } else if (skips.decrementAndGet() <= 0) release(self)
       override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = countDown(this)
+                             durationNs: Long): Unit = seen(this, qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = countDown(this)
+                             exception: Exception): Unit = seen(this, qe)
     }
     spark.listenerManager.register(listener)
   }

@@ -60,7 +60,7 @@ object Models {
     * session stopped mid-application keeps its (driver-sized) models
     * until then — the same declared bound quantizeCached carries. */
   private val clsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.SparkSession, String, Int, String, String),
     org.apache.spark.ml.classification.LogisticRegressionModel]()
   private val clsEvictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
@@ -101,11 +101,12 @@ object Models {
               }
             })
         }
-        // fold the parameter surface into the key (see clsCache doc)
-        val fullKey = s"$k|$numFeatures|" +
-          s"${org.apache.spark.sql.GraftBridge.expression(text).sql}|" +
-          s"${org.apache.spark.sql.GraftBridge.expression(label).sql}"
-        clsCache.computeIfAbsent((session, fullKey), _ => train())
+        // the full parameter surface as a TUPLE key (a delimited string
+        // could collide when an expression's SQL contains the delimiter)
+        clsCache.computeIfAbsent((session, k, numFeatures,
+          org.apache.spark.sql.GraftBridge.expression(text).sql,
+          org.apache.spark.sql.GraftBridge.expression(label).sql),
+          _ => train())
     }
     model.transform(feat)
       .withColumn("_p1", org.apache.spark.ml.functions

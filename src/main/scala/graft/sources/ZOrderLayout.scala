@@ -25,11 +25,15 @@ object ZOrderLayout {
   def cluster(df: DataFrame, a: Column, b: Column,
               numFiles: Int): DataFrame = {
     require(numFiles >= 1)
+    // key column name must not collide with (and silently drop) a
+    // user column
+    val zc = Iterator.from(0).map(i => s"_zorder$i")
+      .find(n => !df.columns.contains(n)).get
     val key = graft.functions.ZOrder2(a, b)
-    df.withColumn("_z", key)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    df.withColumn(zc, key)
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 
   /** Write `df` Z-ordered by (a, b) into `numFiles` files. */

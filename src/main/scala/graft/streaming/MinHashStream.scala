@@ -61,34 +61,38 @@ object MinHashStream {
 
   /** Deterministic in-batch fold: rows sorted by (ts, doc_id), replay
     * of an id already stored is dropped (at-least-once sources),
-    * members older than the retention horizon pruned before pairing
-    * (state is in event-time order, so pruning pops from the head). */
+    * members older than the retention horizon pruned before pairing.
+    * LATE (watermark-admitted) arrivals make neither the batch nor the
+    * stored timestamps monotonic, so pruning FILTERS the whole member
+    * list against the arrival's cutoff (not a head-pop) and inserts
+    * keep event-time order by re-sorting — member counts are cap-bounded,
+    * so the per-arrival O(cap) walk is the declared constant. */
   private[streaming] def fold(s0: BucketState, cap: Int, k: Int,
                               retentionMs: Long,
                               rows: Seq[BandAt]): (BucketState, List[NearDupCand]) = {
-    var ids = s0.ids
-    var sigs = s0.sigs
-    var tss = s0.tss
+    // (ts, id, sig) members in event-time order
+    var members: List[(Long, Long, Array[Long])] =
+      s0.tss.lazyZip(s0.ids).lazyZip(s0.sigs).toList
     val out = List.newBuilder[NearDupCand]
     rows.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
       val cutoff = r.ts.getTime - retentionMs
-      while (tss.nonEmpty && tss.head < cutoff) {
-        ids = ids.tail; sigs = sigs.tail; tss = tss.tail
-      }
-      if (!ids.contains(r.doc_id)) {
-        val targets = if (ids.size < cap) ids.zip(sigs)
-                      else ids.headOption.map(h => (h, sigs.head)).toList
-        targets.foreach { case (id, sig) =>
+      members = members.filter(_._1 >= cutoff)
+      if (!members.exists(_._2 == r.doc_id)) {
+        val targets = if (members.size < cap) members
+                      else members.headOption.toList // oldest live member
+        targets.foreach { case (_, id, sig) =>
           val est = estJaccard(sig, r.sig, k)
           out += NearDupCand(math.min(id, r.doc_id), math.max(id, r.doc_id),
             graft.functions.Numeric.croundD(est, 6))
         }
-        if (ids.size < cap) {
-          ids = ids :+ r.doc_id; sigs = sigs :+ r.sig; tss = tss :+ r.ts.getTime
+        if (members.size < cap) {
+          members = ((r.ts.getTime, r.doc_id, r.sig) :: members)
+            .sortBy(m => (m._1, m._2))
         }
       }
     }
-    (BucketState(ids, sigs, tss), out.result())
+    (BucketState(members.map(_._2), members.map(_._3), members.map(_._1)),
+      out.result())
   }
 
   /** Fraction of matching MinHash coordinates — the standard unbiased
@@ -131,7 +135,12 @@ object MinHashStream {
             val prev = state.getOption.getOrElse(BucketState(Nil, Nil, Nil))
             val (next, cands) = fold(prev, cap, k, retentionSec * 1000L, batch)
             state.update(next)
-            val maxTs = batch.iterator.map(_.ts.getTime).max
+            // GC horizon from the LIVE members (a late batch must not
+            // shrink an earlier member's horizon): max member ts, not
+            // this batch's max
+            val maxTs =
+              if (next.tss.nonEmpty) next.tss.max
+              else batch.iterator.map(_.ts.getTime).max
             state.setTimeoutTimestamp(math.max(
               maxTs + retentionSec * 1000L,
               state.getCurrentWatermarkMs() + 1L))
@@ -147,4 +156,42 @@ object MinHashStream {
     cands.groupBy(col("d1"), col("d2"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+
+  /** Probe a STATIC corpus band index (the
+    * [[graft.dedup.IncrementalMinHash]] artifact) from a stream — the
+    * live-crawl front of INCREMENTAL near-dup dedup: every arriving
+    * doc is checked against yesterday's indexed corpus. Entirely
+    * STATELESS — signatures and band hashes are map-side kernels and
+    * the lookup is a stream-static equi-join on the 8-byte bucket key
+    * (Spark broadcasts or shuffle-joins the static side per
+    * micro-batch; no streaming state at all, so there is no horizon,
+    * no cap, and exactly the batch probe's semantics). Batch/stream
+    * parity is structural: same kernels, same join, same estimate —
+    * the spec pins result equality per micro-batch. Emits every
+    * candidate at estimate >= threshold; combine with
+    * [[nearDupCandidates]] when the stream must also be deduped
+    * against its own recent past. */
+  def probeIndexStream(docs: Dataset[SigAt], index: DataFrame,
+                       shingleK: Int = 3, k: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val probes = docs.toDF()
+      .withColumn("sig", graft.functions.MinHashSignature(col("text"), shingleK, k))
+      .filter(col("sig").isNotNull)
+      .select(col("ts"), col("doc_id").as("batch_id"), col("sig").as("_bsig"),
+        posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
+    probes.join(index, Seq("band", "bh"))
+      .withColumn("est_jaccard", graft.functions.Numeric.cround(
+        aggregate(zip_with(col("_bsig"), col("sig"),
+            (a, b) => (a === b).cast("long")),
+          lit(0L), (acc, m) => acc + m).cast("double") / k, 6))
+      .filter(col("est_jaccard") >= threshold)
+      // a pair sharing several buckets emits once per shared bucket —
+      // deduping here would need streaming state (contradicting the
+      // stateless design); every duplicate carries the identical
+      // estimate and the batch finalize collapses them, the
+      // stream-proposes/batch-finalizes grain every streaming member
+      // uses
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+  }
 }

@@ -51,18 +51,33 @@ class IncrementalMinHashSpec extends SparkSpec {
     }
   }
 
-  test("a persisted index probes identically to a fresh one") {
+  test("a persisted index probes identically to a fresh one, with its own parameters") {
     val dir = "/tmp/graft_minhash_index"
-    val idx = IncrementalMinHash.buildIndex(corpus, col("doc_id"), col("text"))
-    IncrementalMinHash.saveIndex(idx, dir)
-    val loaded = IncrementalMinHash.loadIndex(spark, dir)
-    def res(i: org.apache.spark.sql.DataFrame) =
-      IncrementalMinHash.probe(i, batch, col("doc_id"), col("text"))
-        .orderBy("batch_id", "corpus_id").collect().toSeq
-    assert(res(loaded) == res(idx))
+    // build at NON-default parameters: probeStored must recover them
+    val idx = IncrementalMinHash.buildIndex(corpus, col("doc_id"), col("text"),
+      shingleK = 2, k = 32, bands = 8)
+    IncrementalMinHash.saveIndex(idx, dir, shingleK = 2, k = 32, bands = 8)
+    val (loaded, sk, k, b) = IncrementalMinHash.loadIndex(spark, dir)
+    assert((sk, k, b) == ((2, 32, 8)))
+    val fresh = IncrementalMinHash.probe(idx, batch, col("doc_id"), col("text"),
+        shingleK = 2, k = 32, bands = 8)
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    val stored = IncrementalMinHash.probeStored(spark, dir, batch,
+        col("doc_id"), col("text"))
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    assert(stored == fresh)
+    assert(fresh.nonEmpty) // the identical pair survives at these params
     // the serving layout is band-partitioned on disk
-    assert(new java.io.File(dir).listFiles()
+    assert(new java.io.File(s"$dir/index").listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("band=")))
+    // a MISMATCHED manual probe fails fast (a k mismatch makes bucket
+    // keys incomparable: the join would quietly return nothing and
+    // every batch row would pass as new)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalMinHash.probe(loaded, batch, col("doc_id"), col("text"),
+        shingleK = 3, k = 64, bands = 8)
+    }
+    assert(ex.getMessage.contains("signature width"))
   }
 
   test("dedupAgainst flags known near-dups and passes novel docs") {

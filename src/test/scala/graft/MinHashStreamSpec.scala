@@ -98,4 +98,45 @@ class MinHashStreamSpec extends SparkSpec {
     assert(MinHashStream.finalizePairs(got.toDF(), 0.9)
       .select("d1", "d2").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
   }
+
+  test("the static-index stream probe equals the batch probe after finalize") {
+    implicit val sql = spark.sqlContext
+    val corpus = Seq((10L, near1), (11L, near2), (12L, far)).toDF("doc_id", "text")
+    val index = graft.dedup.IncrementalMinHash.buildIndex(
+      corpus, col("doc_id"), col("text"))
+    n += 1
+    val name = s"mh_probe_$n"
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SigAt]
+    val q = MinHashStream.probeIndexStream(stream.toDS(), index, threshold = 0.0)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      stream.addData(SigAt(at(1), 20L, near1), SigAt(at(2), 21L, far))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .groupBy("batch_id", "corpus_id").agg(max("est_jaccard").as("est_jaccard"))
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    val batchSide = graft.dedup.IncrementalMinHash.probe(index,
+        Seq((20L, near1), (21L, far)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    assert(streamed == batchSide)
+    assert(streamed.nonEmpty)
+  }
+
+  test("a late arrival neither revives expired members nor shrinks live horizons") {
+    // doc 1 @100s stored; batch 2 delivers LATE doc 2 @96s (admitted:
+    // watermark is still behind) — stored member order is no longer
+    // monotonic. doc 3 @107s then probes with retention 10s: cutoff
+    // 97s expires ONLY doc 2; the pair must be (1,3), never (2,3).
+    val got = run(
+      Seq(Seq(SigAt(at(100), 1L, near1)),
+        Seq(SigAt(at(96), 2L, near1)),
+        Seq(SigAt(at(107), 3L, near1))),
+      retentionSec = 10)
+    val pairs = MinHashStream.finalizePairs(got.toDF(), 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)), pairs.toString)
+    assert(!pairs.contains((2L, 3L)), pairs.toString)
+  }
 }
