@@ -64,7 +64,8 @@ object Plans {
       "q_manifest" -> "release manifest: the shuffle layout's one range exchange + rank, a doc_id join back to the payload, and ONE map-side-combined bit_xor aggregate per shard — checksums are membership functions, so no sort appears anywhere",
       "q_corpus2" -> "corpus build v2 (the registry's most expensive genuine query): the provenance gate is ONE extra source-grain aggregate + a broadcast-semi doc filter prepended as stage 0 — the corpus itself never shuffles for the gate; downstream, each stage's survivor id-set persists and re-enters as the next stage's semi-join side, exact dedup shuffles 8-byte hashes, the jaccard stage reuses the shingle-posting kernel, and the final keep-list is the log-round CC closure — no stage rescans the raw corpus",
       "q_incnear" -> "incremental near-dup against the corpus band index: ONE map-only signature pass per side, candidates from an EQUI-join on the 8-byte (band, bh) bucket key — only bucket collisions shuffle, corpus text never re-shingled — estimate as a codegen'd zip_with/aggregate over the carried signatures, dup_of by packed min_by",
-      "q_profile" -> "one-pass data profiling: the stacked (column, value) explode feeds ONE map-side-combined value-grain count — the only full-data exchange; distincts, null mass, min/max and the top-k heads all aggregate that small table at column grain")
+      "q_profile" -> "one-pass data profiling: the stacked (column, value) explode feeds ONE map-side-combined value-grain count — the only full-data exchange; distincts, null mass, min/max and the top-k heads all aggregate that small table at column grain",
+      "q_interact" -> "track interaction: grid-binned same-frame proximity join (equi-keys (f, cx, cy), 3x3 probe explode — no track-pair cross join), candidate pairs distinct, then ONLY the candidate sliver joins back to the persisted step series; decimal-quantized correlation sums aggregate map-side")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
