@@ -544,6 +544,16 @@ object SparkEntry {
       val emb = embeddings(s, d)
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // semantic decontamination: the vec_id%17 slice stands in for the
+    // eval suite; every remaining corpus vector gets its best eval
+    // match + a threshold flag — the paraphrase-catching decon member
+    "q_sdecon" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      graft.vector.SemDecontaminate.flag(
+        emb.filter(col("vec_id") % 17 =!= 0), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") % 17 === 0), col("vec_id"), col("embedding"),
+        threshold = 0.4)
+    }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64, probes = 3)
@@ -2567,6 +2577,32 @@ object SparkEntry {
         |SELECT q_id, rank, n_id FROM (
         |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // the ann_cosine dot-product replay (sequential double sums are
+    // bit-equal), argmax via rank over (sim DESC, eval_id); the flag
+    // compares the RAW sim, mirroring the operator
+    "q_sdecon" ->
+      """WITH e AS (
+        |  SELECT vec_id AS eval_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS enrm
+        |  FROM embeddings WHERE vec_id % 17 = 0
+        |), c AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id % 17 <> 0
+        |), s AS (
+        |  SELECT c.vec_id, e.eval_id,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (c.nrm * e.enrm) AS sim
+        |  FROM c, e
+        |), r AS (
+        |  SELECT vec_id, eval_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+        |  FROM s)
+        |SELECT vec_id, eval_id, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS sim,
+        |  CAST(sim >= 0.4 AS INT) AS flagged
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q_hardneg" ->
       """WITH v AS (
