@@ -2592,9 +2592,11 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id % 17 <> 0
         |), s AS (
         |  SELECT c.vec_id, e.eval_id,
-        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
-        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-        |      / (c.nrm * e.enrm) AS sim
+        |    CASE WHEN c.nrm * e.enrm > 0 THEN
+        |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |        / (c.nrm * e.enrm)
+        |    ELSE 0.0 END AS sim
         |  FROM c, e
         |), r AS (
         |  SELECT vec_id, eval_id, sim,

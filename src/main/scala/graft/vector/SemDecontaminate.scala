@@ -23,7 +23,14 @@ object SemDecontaminate {
 
   /** Every corpus vector with its best eval match: (vec_id, eval_id,
     * sim rounded to 6, flagged = sim >= threshold). Ties at the max
-    * break to the smallest eval id — deterministic. */
+    * break to the smallest eval id — deterministic. A zero-norm vector
+    * on either side has no direction: its cosine is DEFINED as 0 here
+    * (Spark's raw 0/0 would be NaN — which its ordering treats as
+    * LARGEST, spuriously flagging everything — where DuckDB yields
+    * NULL; pinning 0 keeps both engines identical and unflagged at
+    * any positive threshold). An EMPTY eval set fails fast rather
+    * than silently returning zero rows against the one-row-per-corpus
+    * contract. */
   def flag(corpus: DataFrame, cId: Column, cEmb: Column,
            eval: DataFrame, eId: Column, eEmb: Column,
            threshold: Double): DataFrame = {
@@ -31,9 +38,12 @@ object SemDecontaminate {
       Similarity.norm(cEmb).as("_cn"))
     val e = eval.select(eId.as("_eid"), eEmb.as("_ee"),
       Similarity.norm(eEmb).as("_en"))
+    require(e.take(1).nonEmpty,
+      "empty eval set: nothing to decontaminate against")
     c.crossJoin(broadcast(e))
-      .withColumn("_sim",
+      .withColumn("_sim", when(col("_cn") * col("_en") > 0.0,
         Similarity.dot(col("_ce"), col("_ee")) / (col("_cn") * col("_en")))
+        .otherwise(lit(0.0)))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("_sim").as("s"), (-col("_eid")).as("nid"))).as("_m"))
       .select(col("vec_id"), (-col("_m.nid")).as("eval_id"),

@@ -7,8 +7,8 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs at sf0.001 and every oracle key has a query") {
-    SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k), k))
+  test("every query runs at sf0.001") {
+    // (oracle-key/query consistency is RegistrySpec's job)
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n >= 0, s"$name failed")

@@ -44,6 +44,23 @@ class SemDecontaminateSpec extends SparkSpec {
     assert(got(1L) == ((100L, 1.0, 1)))
   }
 
+  test("zero-norm vectors score a defined 0 instead of NaN/NULL") {
+    val corpus = Seq(1L -> Array(1f, 0f), 2L -> Array(0f, 0f))
+    val eval = Seq(10L -> Array(0f, 0f), 11L -> Array(1f, 0f))
+    val got = run(corpus, eval, threshold = 0.5)
+    // the zero EVAL vector must not win any argmax (Spark's raw 0/0
+    // NaN would); the zero CORPUS vector reports sim 0, unflagged
+    assert(got(1L) == ((11L, 1.0, 1)))
+    assert(got(2L) == ((10L, 0.0, 0))) // tie at 0 -> smallest eval id
+  }
+
+  test("an empty eval set fails fast") {
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq(1L -> Array(1f, 0f)), Seq.empty, threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("empty eval set"))
+  }
+
   test("q_sdecon runs end-to-end with one row per corpus vector") {
     val out = SparkEntry.queries("q_sdecon")(spark, sfDir).collect()
     val emb = Tables.load(spark, sfDir, "embeddings")
