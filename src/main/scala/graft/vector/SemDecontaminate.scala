@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * decontamination that motivates embedding-based audits.
   *
   * Scale shape: an eval suite is benchmark-sized (thousands of
-  * items), so it rides the BROADCAST side whole; the corpus scans
-  * ONCE through a broadcast cross join (the declared
-  * crossJoin-against-broadcast-table pattern the centroid scorers
-  * use) and the per-doc best match reduces MAP-SIDE (partial max of
-  * a packed (sim, -eval_id) struct per partition) — no corpus-sized
-  * shuffle, no corpus-side index to build. This is the EXACT member:
-  * at extreme eval sizes the IVF/LSH candidate generators bound the
-  * per-row compare, exactly as they do for ANN serving. */
+  * items), so it COLLECTS driver-side and rides into the corpus scan
+  * inside ONE codegen'd kernel ([[graft.functions.ArgmaxCosine]],
+  * the broadcast-model pattern): each corpus row computes its best
+  * match in-row and emits exactly one output row — map-only, NO
+  * shuffle, and none of the |corpus| x |eval| row amplification the
+  * crossJoin formulation pays before its aggregate (three orders of
+  * magnitude of intermediate rows at a realistic eval size). This is
+  * the EXACT member: at extreme eval sizes the IVF/LSH candidate
+  * generators bound the per-row compare, exactly as in ANN serving. */
 object SemDecontaminate {
 
   /** Every corpus vector with its best eval match: (vec_id, eval_id,
@@ -34,20 +35,16 @@ object SemDecontaminate {
   def flag(corpus: DataFrame, cId: Column, cEmb: Column,
            eval: DataFrame, eId: Column, eEmb: Column,
            threshold: Double): DataFrame = {
-    val c = corpus.select(cId.as("vec_id"), cEmb.as("_ce"),
-      Similarity.norm(cEmb).as("_cn"))
-    val e = eval.select(eId.as("_eid"), eEmb.as("_ee"),
-      Similarity.norm(eEmb).as("_en"))
-    require(e.take(1).nonEmpty,
+    val evalRows = eval.select(eId.cast("long").as("_eid"), eEmb.as("_ee"))
+      .collect().map(r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    require(evalRows.nonEmpty,
       "empty eval set: nothing to decontaminate against")
-    c.crossJoin(broadcast(e))
-      .withColumn("_sim", when(col("_cn") * col("_en") > 0.0,
-        Similarity.dot(col("_ce"), col("_ee")) / (col("_cn") * col("_en")))
-        .otherwise(lit(0.0)))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("_sim").as("s"), (-col("_eid")).as("nid"))).as("_m"))
-      .select(col("vec_id"), (-col("_m.nid")).as("eval_id"),
-        graft.functions.Numeric.cround(col("_m.s"), 6).as("sim"),
-        (col("_m.s") >= threshold).cast("int").as("flagged"))
+    val m = graft.functions.EvalMatrix.fromSorted(evalRows.toSeq)
+    corpus
+      .select(cId.as("vec_id"), graft.functions.ArgmaxCosine(cEmb, m).as("_m"))
+      .select(col("vec_id"), col("_m.eval_id").as("eval_id"),
+        graft.functions.Numeric.cround(col("_m.sim"), 6).as("sim"),
+        (col("_m.sim") >= threshold).cast("int").as("flagged"))
   }
 }
