@@ -58,7 +58,11 @@ object IncrementalMinHash {
   /** Load a persisted index with its build parameters:
     * (index, shingleK, k, bands). */
   def loadIndex(spark: SparkSession, dir: String): (DataFrame, Int, Int, Int) = {
-    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val metaRows = spark.read.parquet(s"$dir/meta").collect()
+    require(metaRows.length == 1,
+      s"index meta at $dir/meta has ${metaRows.length} rows, expected 1 — " +
+        "the index directory was appended across saveIndex runs; rebuild it")
+    val meta = metaRows(0)
     (spark.read.parquet(s"$dir/index"),
       meta.getAs[Int]("shingle_k"), meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
   }
@@ -76,19 +80,28 @@ object IncrementalMinHash {
     * Jaccard. One signature pass over the batch, one equi-join on the
     * 8-byte bucket key. The match count is computed per JOIN row, so
     * only an 8-byte count (not the two k-long signatures) crosses the
-    * pair-grain exchange. A one-row width check fails fast when the
-    * index was built at a different k than the probe — a mismatch
-    * makes the bucket keys incomparable, so the join would quietly
-    * return nothing and every batch row would sail through as new
-    * (the silent failure [[probeStored]] exists to prevent). */
+    * pair-grain exchange. A width check over EVERY index row (min and
+    * max signature size in one aggregate — a single extra read of the
+    * sig column, which the join reads anyway) fails fast when the
+    * index holds ANY row built at a different k than the probe: a
+    * mismatch makes that row's bucket keys incomparable, so the join
+    * would quietly skip it and its near-dups would sail through as
+    * new (the silent failure [[probeStored]] exists to prevent). A
+    * heterogeneous index — parquet appended across saveIndex runs
+    * with different parameters — is caught here even when its first
+    * row happens to match. An EMPTY index is vacuously consistent:
+    * no indexed corpus row means no possible near-dup, and the probe
+    * correctly reports every batch row as unmatched. */
   def probe(index: DataFrame, batch: DataFrame, bId: Column, bText: Column,
             shingleK: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    index.select(size(col("sig")).as("_w")).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"index signature width ${r.getInt(0)} != probe k=$k — " +
-          "the index was built with different parameters (use probeStored)")
-    }
+    val w = index.agg(min(size(col("sig"))).as("lo"),
+      max(size(col("sig"))).as("hi")).head()
+    if (!w.isNullAt(0))
+      require(w.getInt(0) == k && w.getInt(1) == k,
+        s"index signature widths span [${w.getInt(0)}, ${w.getInt(1)}], " +
+          s"probe expects k=$k — the index was built with different " +
+          "parameters (or appended across runs); use probeStored")
     val probes = MinHashLSH.signatures(batch, bId, bText, shingleK, k)
       .select(col("doc_id").as("batch_id"), col("sig").as("_bsig"),
         posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))

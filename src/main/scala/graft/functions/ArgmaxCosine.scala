@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** A driver-sized reference table of vectors (ids + embeddings +
   * precomputed norms) that rides into [[ArgmaxCosine]] like a literal
@@ -15,6 +16,12 @@ final class EvalMatrix(val ids: Array[Long],
                        val vecs: Array[Array[Double]]) extends Serializable {
   require(ids.length == vecs.length && ids.nonEmpty,
     "EvalMatrix must be non-empty with one id per vector")
+  /** Every eval vector must share one dimensionality; a document of a
+    * different width is a corpus/eval mismatch and fails fast below
+    * rather than silently deflating similarities. */
+  val dim: Int = vecs(0).length
+  require(vecs.forall(_.length == dim),
+    s"EvalMatrix vectors must all have dimension $dim")
   val norms: Array[Double] = vecs.map { v =>
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -28,22 +35,29 @@ final class EvalMatrix(val ids: Array[Long],
     * Zero-norm pairs score a DEFINED 0 (see SemDecontaminate). */
   def best(doc: ArrayData): GenericInternalRow = {
     val n = doc.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"document embedding has $n elements but the eval matrix is $dim-dimensional")
+    // copy + norm ONCE per document (both invariant across the j-loop;
+    // the copy also swaps ArrayData virtual-call reads for flat-array
+    // reads in the hot dot-product loop)
+    val d = new Array[Double](n)
+    var dn = 0.0
+    var i = 0
+    while (i < n) {
+      val x = doc.getFloat(i).toDouble
+      d(i) = x; dn += x * x; i += 1
+    }
+    val docNorm = math.sqrt(dn)
     var bi = 0
     var bs = Double.NegativeInfinity
     var j = 0
     while (j < vecs.length) {
       val v = vecs(j)
       var s = 0.0
-      var dn = 0.0
-      var i = 0
-      while (i < math.min(n, v.length)) {
-        val d = doc.getFloat(i).toDouble
-        s += d * v(i)
-        i += 1
-      }
       i = 0
-      while (i < n) { val d = doc.getFloat(i).toDouble; dn += d * d; i += 1 }
-      val denom = math.sqrt(dn) * norms(j)
+      while (i < n) { s += d(i) * v(i); i += 1 }
+      val denom = docNorm * norms(j)
       val sim = if (denom > 0.0) s / denom else 0.0
       if (sim > bs) { bs = sim; bi = j }
       j += 1
@@ -68,6 +82,16 @@ object EvalMatrix {
   * chew back down, where this kernel emits exactly one row per doc. */
 case class ArgmaxCosine(child: Expression, matrix: EvalMatrix)
   extends UnaryExpression {
+
+  // declared rather than assumed: a non-float[] child fails ANALYSIS
+  // with a type error instead of a runtime ClassCastException
+  // (checkInputDataTypes directly — ExpectsInputTypes needs the
+  // private[sql] AbstractDataType, see HammingDistance)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ArgmaxCosine requires an array<float> embedding, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = StructType(Seq(
     StructField("eval_id", LongType, nullable = false),

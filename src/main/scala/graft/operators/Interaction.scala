@@ -30,11 +30,30 @@ import graft.functions.Numeric.{cround, dsum}
   * is computed on. */
 object Interaction {
 
+  /** `maxCellOccupancy` is the degenerate-density CONTRACT every other
+    * pair generator in the engine carries (jaccardPairs' maxDf, the
+    * MinHash bucketCap, EditJoin's degenerate-block gate): a single
+    * (frame, cell) holding b spots contributes up to ~9·b² candidate
+    * rows (its own cell plus the 8 neighbor probes), so one
+    * degenerate-dense cell — all spots of a frame inside one maxDist
+    * square, i.e. maxDist set far wider than the imaging field — goes
+    * quadratic with no bound. Unlike the lexical generators, dropping
+    * or star-capping candidates here would silently change the scored
+    * pair set, so the contract is FAIL-FAST instead: any cell whose
+    * occupancy exceeds the cap raises with the offending (frame,
+    * cell) before the quadratic join runs. At the default 2048 the
+    * worst single-cell block is ~9·2048² ≈ 38M candidate rows — the
+    * outer edge of one task's budget; genuinely denser data means
+    * shrinking maxDist (cells shrink with it) or raising the cap
+    * knowingly. The check is a map-side partial-agg over the persisted
+    * position table plus a broadcast join against the (normally
+    * empty) overflow set — no sort, no extra shuffle of the spots. */
   def pairs(spots: DataFrame, track: Column, frame: Column,
             x: Column, y: Column, maxDist: Double,
-            minShared: Int = 3): DataFrame = {
+            minShared: Int = 3, maxCellOccupancy: Int = 2048): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     require(minShared >= 1, "minShared must be >= 1")
+    require(maxCellOccupancy >= 1, "maxCellOccupancy must be >= 1")
     // the position table feeds FOUR plan branches (both grid join
     // sides and both step-series sides); persist it so an expensive
     // producer subtree (e.g. a JSON-parsing ingest) runs once —
@@ -52,9 +71,29 @@ object Interaction {
     graft.functions.CacheRelease.afterNextExecution(steps)
     // phase 1: near candidate pairs via grid cells (3x3 probe)
     def cell(c: Column): Column = floor(c / maxDist).cast("long")
+    // degenerate-density gate (see maxCellOccupancy above): overflowing
+    // cells are a tiny (normally empty) set, broadcast onto the left
+    // side where assert_true raises before the quadratic join executes
+    val overflow = s
+      .groupBy(col("f"), cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+      .agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") > maxCellOccupancy)
+    // the guard is FUSED into x1 (a column the distance filter always
+    // consumes) rather than carried as a standalone asserted column,
+    // so no optimizer rule can prune it away with the projection
     val left = s.select(col("t").as("u1"), col("f"),
-      col("x").as("x1"), col("y").as("y1"),
-      cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+        col("x").as("x1"), col("y").as("y1"),
+        cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+      .join(broadcast(overflow), Seq("f", "cx", "cy"), "left")
+      .withColumn("x1", when(col("_occ").isNull, col("x1"))
+        .otherwise(raise_error(concat(
+          lit("Interaction.pairs: "), col("_occ"),
+          lit(" spots share one maxDist cell at frame "), col("f"),
+          lit(" (cell "), col("cx"), lit(","), col("cy"),
+          lit(s") exceeding maxCellOccupancy=$maxCellOccupancy — a " +
+            "degenerate-dense cell goes quadratic; shrink maxDist, " +
+            "pre-filter the frame, or raise the cap explicitly"))).cast("double")))
+      .drop("_occ")
     val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
       struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))): _*)
     val right = s.select(col("t").as("u2"), col("f"),

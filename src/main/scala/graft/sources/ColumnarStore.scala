@@ -50,23 +50,23 @@ object ColumnarStore {
     * `fmt`, so eligible MIN/MAX/COUNT aggregates planned AND EXECUTED
     * inside are answered from footer statistics. The loan shape
     * matters: pushdown is applied by the optimizer at action time,
-    * not at `load()` — a conf restored before the action would undo
-    * it. Both confs are session-local and restored on exit; the V1
-    * path stays the default everywhere else, matching stock Spark. */
-  def withAggPushdown[T](spark: SparkSession, fmt: String)(body: => T): T = {
+    * not at `load()` — a conf changed back before the action would
+    * undo it. The loan hands `body` a CLONED session
+    * (`spark.newSession()`: same SparkContext, shared catalog/cache,
+    * ISOLATED SQLConf) with the two confs flipped there only — so
+    * concurrent queries on the caller's session never switch scan
+    * paths, overlapping/nested loans cannot restore stale values,
+    * and the V1 path stays the default everywhere else, matching
+    * stock Spark. Reads inside `body` must go through the session it
+    * receives. */
+  def withAggPushdown[T](spark: SparkSession, fmt: String)(body: SparkSession => T): T = {
     val f = checked(fmt)
-    val conf = spark.conf
+    val loaned = spark.newSession()
     val v1Key = "spark.sql.sources.useV1SourceList"
-    val aggKey = s"spark.sql.$f.aggregatePushdown"
-    val oldV1 = conf.get(v1Key)
-    val oldAgg = conf.get(aggKey)
-    val v1Rest = oldV1.split(",").map(_.trim).filter(s => s.nonEmpty && s != f)
-    conf.set(v1Key, v1Rest.mkString(","))
-    conf.set(aggKey, "true")
-    try body
-    finally {
-      conf.set(v1Key, oldV1)
-      conf.set(aggKey, oldAgg)
-    }
+    val v1Rest = loaned.conf.get(v1Key)
+      .split(",").map(_.trim).filter(s => s.nonEmpty && s != f)
+    loaned.conf.set(v1Key, v1Rest.mkString(","))
+    loaned.conf.set(s"spark.sql.$f.aggregatePushdown", "true")
+    body(loaned)
   }
 }

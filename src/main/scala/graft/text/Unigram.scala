@@ -144,10 +144,13 @@ object Unigram {
           }
         }
       }
-      val tot = expected.values.sum
+      // unused pieces keep a floor so renormalization stays finite
+      // (pruning removes them next); the floor mass is INCLUDED in the
+      // normalizer so the model is a proper distribution — piece
+      // probabilities sum to exactly 1, not 1 + floor·|unseen|
+      val numUnseen = vocab.count(p => !expected.contains(p))
+      val tot = expected.values.sum + 1e-12 * numUnseen
       val next = vocab.iterator.map { p =>
-        // unused pieces keep a floor so renormalization stays finite;
-        // pruning removes them next
         val e = expected.getOrElse(p, 1e-12)
         p -> math.log(e / tot)
       }.toMap

@@ -61,8 +61,8 @@ class ColumnarStoreSpec extends SparkSpec {
     val base = "/tmp/graft_store_agg"
     for (fmt <- Seq("parquet", "orc")) {
       ColumnarStore.write(docs, s"$base/$fmt", fmt, None)
-      ColumnarStore.withAggPushdown(spark, fmt) {
-        val agg = ColumnarStore.read(spark, s"$base/$fmt", fmt)
+      ColumnarStore.withAggPushdown(spark, fmt) { loaned =>
+        val agg = ColumnarStore.read(loaned, s"$base/$fmt", fmt)
           .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
         val row = agg.collect()(0)
         val plan = agg.queryExecution.executedPlan.toString

@@ -75,6 +75,29 @@ class InteractionSpec extends SparkSpec {
     }, s"missing pairs: ${stepPairs -- got}")
   }
 
+  test("degenerate-dense cell fails fast at maxCellOccupancy") {
+    // all spots of each frame inside a single maxDist cell: the
+    // quadratic-candidate shape the cap exists to refuse (two frames,
+    // so steps exist and the candidate join is genuinely consumed —
+    // an empty phase-2 side would let AQE skip phase 1 entirely)
+    val dense = (0L to 1L).flatMap { f =>
+      (0 until 40).map { i =>
+        (i.toLong, f, (i % 7).toDouble / 100.0 + f, (i / 7).toDouble / 100.0) } }
+    val df = dense.toDF("t", "f", "x", "y")
+    val e = intercept[Exception] {
+      Interaction.pairs(df, col("t"), col("f"), col("x"), col("y"),
+        maxDist = 10.0, minShared = 1, maxCellOccupancy = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxCellOccupancy")), s"wrong error: $e")
+    // the same data passes (and still scores pairs) once the cap
+    // admits the cell
+    val ok = Interaction.pairs(df, col("t"), col("f"), col("x"), col("y"),
+      maxDist = 10.0, minShared = 1, maxCellOccupancy = 64)
+    assert(ok.count() > 0)
+  }
+
   test("q_interact runs and matches its own determinism") {
     val a = SparkEntry.queries("q_interact")(spark, sfDir).collect()
     val b = SparkEntry.queries("q_interact")(spark, sfDir).collect()
