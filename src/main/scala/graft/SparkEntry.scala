@@ -582,7 +582,15 @@ object SparkEntry {
     }),
     // IVF-PQ: same probe, but candidates ranked on m-byte codes (ADC)
     // with exact re-rank of the survivors — the billion-vector serving
-    // shape. Rows-only: recall/parity are spec-pinned (PqAnnSpec).
+    // shape. Run at nprobe = nlist + COVERING re-rank, where IVF-PQ
+    // degrades gracefully to the exact result by construction (every
+    // cell probed, every ADC-ranked candidate exact-rescored — the
+    // same final exact-cosine ranking as bruteTopK), which makes the
+    // query DuckDB-oracled against the brute-force SQL; the probe, the
+    // ADC code scan and the re-rank machinery all execute identically.
+    // PRUNING recall (nprobe < nlist, bounded rerank) stays pinned by
+    // PqAnnSpec, which also proves this covering configuration ==
+    // bruteTopK exactly — the r8 q_ann_ivf pattern.
     "q_pq" -> ((s, d) => {
       // index (IVF cells + PQ codebooks + encoded codes) built once per
       // corpus and cached — the serving shape; the query pays only the
@@ -591,7 +599,8 @@ object SparkEntry {
       val (assigned, cents) = vector.IvfAnn.quantizeCached(d, emb, nlist = 16)
       val (book, encoded) = vector.PqAnn.encodeCached(d, emb, 64, 8, 16)
       vector.PqAnn.topKWith(assigned, cents, encoded, book, emb,
-        emb.filter(col("vec_id") < 10), 5, dim = 64, nprobe = 4, rerank = 8)
+        emb.filter(col("vec_id") < 10), 5, dim = 64, nprobe = 16,
+        rerank = Int.MaxValue)
     }),
     // threshold 0.4 (not 0.9): the driver's embeddings are near-random
     // 64-dim vectors (cosine ~ N(0, 1/64)); 0.4 = 3.2 sigma keeps the
@@ -603,10 +612,17 @@ object SparkEntry {
         .withColumn("sim", graft.functions.Numeric.cround(col("sim"), 6))),
     // SemDeDup keep-list: k-means cells (the cached IVF quantizer)
     // scope exact-cosine pairs, multi-probed for recall; one canonical
-    // vector kept per semantic-duplicate component
+    // vector kept per semantic-duplicate component. Run at nprobe =
+    // nlist, where every vector probes every cell, so the within-cell
+    // pair scan covers ALL pairs and the within-cell scoring is the
+    // same exact cosine as the brute form — the output is DuckDB-
+    // oracled against brute pairs + transitive closure (the r8
+    // q_ann_ivf pattern; the probe/join machinery executes
+    // identically). Cell PRUNING recall (nprobe < nlist) stays pinned
+    // by SemDedupSpec on planted duplicates.
     "q_semdedup" -> ((s, d) =>
       graft.vector.SemDedup.keepList(embeddings(s, d), nlist = 16,
-        threshold = 0.4, nprobe = 2, cacheKey = Some(d))),
+        threshold = 0.4, nprobe = 16, cacheKey = Some(d))),
     "q_simhash_pairs" -> ((s, d) =>
       graft.dedup.SimHashDedup.nearDupPairs(documents(s, d), col("doc_id"), col("text"))),
     "q_simhash" -> ((s, d) =>
@@ -1069,7 +1085,43 @@ object SparkEntry {
     // at nprobe = nlist the probed cells cover the corpus and the
     // final exact-cosine ranking is bruteTopK's — the oracle is the
     // brute-force one, and IVF must agree exactly by construction
-    oracleSqlBase("q_ann_cosine"))
+    oracleSqlBase("q_ann_cosine")
+  ) + ("q_pq" ->
+    // at nprobe = nlist + covering rerank every candidate is exact-
+    // rescored, so IVF-PQ's final ranking IS bruteTopK's (PqAnnSpec
+    // proves the equality); the ADC approximation only ever selects
+    // WHICH candidates survive, and here all do
+    oracleSqlBase("q_ann_cosine")
+  ) + ("q_semdedup" ->
+    // at nprobe = nlist the within-cell pair scan covers all pairs at
+    // the exact cosine, so the keep-list is brute pairs >= threshold
+    // + transitive closure (the q_dedup_clusters closure shape) over
+    // every embedding; the dot/norm doubles replay bit-exactly (the
+    // q_ann_cosine kernel replay)
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), dup AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm) >= 0.4
+      |), edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM dup UNION SELECT d2, d1 FROM dup
+      |), reach AS (
+      |  SELECT src AS id, src AS comp FROM edges
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src
+      |), lbl AS (
+      |  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+      |)
+      |SELECT em.vec_id AS vec_id,
+      |  COALESCE(l.comp, em.vec_id) AS canonical_id,
+      |  CAST(CASE WHEN COALESCE(l.comp, em.vec_id) = em.vec_id
+      |       THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.id""".stripMargin)
 
   /** Connected-components oracle: unrolled min-label propagation over
     * the same bipartite order/part graph the Spark query builds. Each

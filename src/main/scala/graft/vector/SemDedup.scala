@@ -54,26 +54,39 @@ object SemDedup {
           typedlit(emb))).as("s"),
         lit(cell).as("c"))
     }.toIndexedSeq: _*)
-    // persisted: both self-join sides read it — without this the
-    // nlist-wide scoring + sort + explode run twice over the corpus
-    // (the jaccardPairs persist-shared-subtrees rule)
-    val v = vecs
+    // two-phase candidate pattern (the Interaction/MinHash shape):
+    // phase 1 self-joins the NARROW (cell, vec_id) assignment — the
+    // embeddings never enter the pair-grain exchange, so a pair
+    // sharing several probed cells costs 8-byte id rows, not repeated
+    // 4·dim-byte vector rows (at nprobe = nlist every pair meets in
+    // every cell: an nlist× blowup the wide join would pay in full) —
+    // and phase 2 joins embeddings back to score only the DISTINCT
+    // candidate pairs, each exactly once. Persisted: assignment feeds
+    // both self-join sides (the jaccardPairs persist-shared-subtrees
+    // rule); both caches release after the caller's action.
+    val assigned = vecs
       .withColumn("_probe", slice(array_sort(scored), 1, nprobe))
       .withColumn("cell", explode(transform(col("_probe"), p => p("c"))))
-      .select(col("cell"), col("vec_id"), col("embedding"),
+      .select(col("cell"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.functions.CacheRelease.afterNextExecution(assigned)
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val v = vecs.select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // both self-join sides live in the returned plan: release after
-    // the caller's action (best-effort cleanup)
     graft.functions.CacheRelease.afterNextExecution(v)
-    v.as("a").join(v.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+    cand
+      .join(v.select(col("vec_id").as("d1"), col("embedding").as("_e1"),
+        col("nrm").as("_n1")), Seq("d1"))
+      .join(v.select(col("vec_id").as("d2"), col("embedding").as("_e2"),
+        col("nrm").as("_n2")), Seq("d2"))
       .withColumn("sim",
-        Similarity.dot(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")))
+        Similarity.dot(col("_e1"), col("_e2")) / (col("_n1") * col("_n2")))
       .filter(col("sim") >= threshold)
-      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("sim"))
-      .distinct() // a pair sharing several probed cells appears once
+      .select(col("d1"), col("d2"), col("sim"))
   }
 
   /** Canonical keep-list: (vec_id, canonical_id, keep) with one kept
