@@ -47,7 +47,7 @@ object Plans {
       "q_pack" -> "sequence packing: two-level distributed scan — range partition, per-partition window cumsums in PARALLEL (keyed by partition id, not one global single-task window), width-bounded totals collect, broadcast partition-offset add",
       "q_ldedup" -> "corpus-wide boilerplate-line removal: exploded lines persisted once, map-side partial aggregates, output-sized hot set broadcast by AQE, hot-mark join + ONE per-doc aggregate rebuilding text and counts together",
       "q_rjr" -> "range join written NAIVELY (inequality-only condition — stock Spark: BroadcastNestedLoopJoin) and rewritten by the injected RangeJoinRule to the binned equi-join: point-bin vs sequence-exploded interval bins, original predicate re-applied",
-      "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, within-cell pair join, component closure over the pair evidence",
+      "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, NARROW (cell, id) candidate self-join — embeddings never enter the pair-grain exchange — then embeddings join back to score each distinct pair once, component closure over the pair evidence",
       "q_span" -> "ExactSubstr span dedup: map-side gram materialization from the token array, ONE corpus shuffle electing canonical occurrences via packed-long min (HASH aggregate), output-sized dup-start join-back, island merge + rebuild as map-side array folds",
       "q_dsir" -> "DSIR data selection: one cached BigramCounts kernel pass feeds BOTH corpus LMs in a single bounded aggregate (≤39² rows collected), scoring is the fused map-only BigramScore kernel on the cached arrays — no second corpus scan",
       "q_attrs" -> "fused attribute pass: every per-doc quality/repetition/lang-ID signal in ONE map-only whole-stage-codegen select over ONE corpus scan — at 100 TB this replaces five separate scans",
@@ -65,7 +65,8 @@ object Plans {
       "q_corpus2" -> "corpus build v2 (the registry's most expensive genuine query): the provenance gate is ONE extra source-grain aggregate + a broadcast-semi doc filter prepended as stage 0 — the corpus itself never shuffles for the gate; downstream, each stage's survivor id-set persists and re-enters as the next stage's semi-join side, exact dedup shuffles 8-byte hashes, the jaccard stage reuses the shingle-posting kernel, and the final keep-list is the log-round CC closure — no stage rescans the raw corpus",
       "q_incnear" -> "incremental near-dup against the corpus band index: ONE map-only signature pass per side, candidates from an EQUI-join on the 8-byte (band, bh) bucket key — only bucket collisions shuffle, corpus text never re-shingled — estimate as a codegen'd zip_with/aggregate over the carried signatures, dup_of by packed min_by",
       "q_profile" -> "one-pass data profiling: the stacked (column, value) explode feeds ONE map-side-combined value-grain count — the only full-data exchange; distincts, null mass, min/max and the top-k heads all aggregate that small table at column grain",
-      "q_interact" -> "track interaction: grid-binned same-frame proximity join (equi-keys (f, cx, cy), 3x3 probe explode — no track-pair cross join), candidate pairs distinct, then ONLY the candidate sliver joins back to the persisted step series; decimal-quantized correlation sums aggregate map-side")
+      "q_interact" -> "track interaction: grid-binned same-frame proximity join (equi-keys (f, cx, cy), 3x3 probe explode — no track-pair cross join), candidate pairs distinct, then ONLY the candidate sliver joins back to the persisted step series; decimal-quantized correlation sums aggregate map-side; the density fail-fast rides a broadcast join against the normally-empty overflow cells",
+      "q_nnd" -> "NN-descent K-NN graph: every round is equi-joins/aggs on node id only — reverse-capped adjacency self-join moves 8-byte id pairs, embeddings join back for DISTINCT new candidates, state re-rooted on a persisted RDD per round (constant-size plan)")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")

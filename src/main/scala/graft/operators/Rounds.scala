@@ -11,7 +11,7 @@ import org.apache.spark.storage.StorageLevel
   * optimization time constant per round instead of geometric in the
   * round count, with the block lifecycle under caller control (unlike
   * `localCheckpoint`, whose blocks only GC frees). */
-private[operators] object Rounds {
+private[graft] object Rounds {
   /** UnsafeRows are reused by the scanner, so copy before persisting
     * (the localCheckpoint trick). */
   def materialize(df: DataFrame, lvl: StorageLevel)

@@ -53,4 +53,24 @@ object IndexStore {
     * through [[PqAnn.collectBook]] for the map-side literal form. */
   def loadPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/codebook"), spark.read.parquet(s"$dir/codes"))
+
+  /** Persist an [[NnDescent]] K-NN graph: (vec_id, rank, n_id, sim)
+    * rows plus a one-row meta table pinning the build parameters, so
+    * a loader can verify it got the graph it asked for. The graph is
+    * the expensive batch artifact of the graph-ANN family — built
+    * once, served forever, like the IVF cells and PQ codebooks. */
+  def saveKnn(dir: String, graph: DataFrame, k: Int): Unit = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    graph.write.mode("overwrite").parquet(s"$dir/knn")
+    Seq(k).toDF("k").write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a K-NN graph and its k, failing fast on a malformed meta
+    * (the IncrementalMinHash loadIndex contract). */
+  def loadKnn(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()
+    require(meta.length == 1, s"knn meta at $dir/meta has ${meta.length} rows, expected 1")
+    (spark.read.parquet(s"$dir/knn"), meta(0).getAs[Int]("k"))
+  }
 }

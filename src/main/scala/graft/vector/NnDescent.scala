@@ -1,0 +1,178 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Rounds
+
+/** NN-Descent K-NN graph construction (Dong, Moses & Li, WWW 2011,
+  * "Efficient K-Nearest Neighbor Graph Construction for Generic
+  * Similarity Measures") — the graph-based ANN family's build step,
+  * covering the production vector-serving shape the IVF/PQ/LSH
+  * members don't: a navigable neighbor graph built ONCE in batch and
+  * persisted ([[IndexStore.saveKnn]]), from which serving reads
+  * precomputed neighbor lists (and graph-walk ANN engines bootstrap).
+  *
+  * The algorithm is "a neighbor of a neighbor is likely a neighbor":
+  * start from a pseudo-random K-NN guess and repeatedly LOCAL-JOIN —
+  * each node proposes every pair among its current neighbors and
+  * REVERSE neighbors, scores the proposals exactly, and keeps the
+  * best K — until an iteration improves (almost) nothing. Empirical
+  * cost is ~O(n^1.14) exact comparisons (the paper's result) versus
+  * n² brute force.
+  *
+  * Distributed shape — every step is an equi-join or aggregation on
+  * node id, no cross join anywhere:
+  *  - the adjacency state is K rows per node; a round's local join is
+  *    `lists SELF-JOIN on node id`, so candidate volume is bounded by
+  *    n·(2K)² rows of 8-byte id pairs — the embeddings only enter for
+  *    the DISTINCT new pairs (the SemDedup two-phase shape);
+  *  - REVERSE degree is unbounded in adversarial data (a hub vector
+  *    near everything), so reverse lists are CAPPED at `k` per node by
+  *    a per-round deterministic hash sample — the paper's ρK sampling,
+  *    which is also what bounds the local join above;
+  *  - each round re-roots the state on a persisted RDD
+  *    ([[graft.operators.Rounds.materialize]]) so Catalyst's plan
+  *    stays constant-size across rounds;
+  *  - all randomness is xxhash64 of (seed, round, ids) — the build is
+  *    bit-deterministic, same graph every run.
+  *
+  * Convergence: the paper's termination counts UPDATES per round;
+  * here a round's update count is the number of (node, neighbor)
+  * edges not present before the round, and the loop stops when that
+  * falls below `convergedFrac`·n·k (or at `maxRounds`, whichever
+  * first — unlike ConnectedComponents there is no fixpoint guarantee
+  * to enforce, an under-converged graph is a recall tradeoff, not
+  * wrong data; callers pin recall with the spec's bruteTopK compare).
+  */
+object NnDescent {
+
+  /** Build the K-NN graph of `corpus` (vec_id, embedding) under
+    * exact cosine. Returns (vec_id, rank, n_id, sim) with rank 1..k
+    * by (sim desc, n_id) per node — every node appears (isolated
+    * degenerate corpora aside: nodes keep their best k candidates
+    * seen, which is k for any corpus with > k vectors). */
+  def build(corpus: DataFrame, k: Int, maxRounds: Int = 10,
+            convergedFrac: Double = 0.001, seed: Long = 42L,
+            overbuild: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    require(overbuild >= 1, "overbuild must be >= 1")
+    // OVER-BUILD: the descent maintains lists of overbuild*k and the
+    // output keeps the best k. On unstructured (uniform-random)
+    // corpora the k-NN graph's greedy local optimum is measurably
+    // below the true graph; wider lists give each local join more
+    // hops to escape it (recall@10 on the 64-dim random test corpus:
+    // 0.84 at overbuild=1 -> ~0.99 at 2). Candidate volume grows
+    // (2*overbuild*k)^2 per node -- the documented cost knob.
+    val kb = k * overbuild
+    val spark = corpus.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+
+    // embeddings + norms: read by every round's scoring join
+    val v = corpus.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .persist(lvl)
+    val n = v.count()
+    require(n > kb, s"corpus has $n vectors, need > overbuild*k=$kb")
+
+    // dense index 0..n-1 per vec_id (sorted => deterministic), for
+    // uniform pseudo-random initial candidates; distributed sort +
+    // zipWithIndex, never a single-partition window
+    import spark.implicits._
+    val idmap = v.select(col("vec_id")).sort("vec_id")
+      .as[Long].rdd.zipWithIndex.toDF("vec_id", "idx")
+      .persist(lvl)
+
+    // init: k pseudo-random distinct-from-self candidates per node.
+    // c in [0, n-2]; shifting c >= idx by one makes the draw uniform
+    // over [0, n-1] \ {idx}. Duplicate draws collapse harmlessly.
+    val draws = array((0 until kb).map(j =>
+      pmod(xxhash64(lit(seed), col("idx"), lit(j)), lit(n - 1))): _*)
+    val initPairs = idmap
+      .select(col("idx").as("a_idx"),
+        explode(draws).as("c"))
+      .withColumn("b_idx", when(col("c") >= col("a_idx"), col("c") + 1)
+        .otherwise(col("c")))
+      .join(idmap.select(col("idx").as("a_idx"), col("vec_id").as("id")), "a_idx")
+      .join(idmap.select(col("idx").as("b_idx"), col("vec_id").as("nbr")), "b_idx")
+      .select(col("id"), col("nbr"))
+
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("vec_id").as("id"), col("embedding").as("_e1"),
+        col("nrm").as("_n1")), Seq("id"))
+      .join(v.select(col("vec_id").as("nbr"), col("embedding").as("_e2"),
+        col("nrm").as("_n2")), Seq("nbr"))
+      .withColumn("sim",
+        Similarity.dot(col("_e1"), col("_e2")) / (col("_n1") * col("_n2")))
+      .select(col("id"), col("nbr"), col("sim"))
+
+    // top-k neighbor list per node from scored (id, nbr, sim) rows:
+    // collect, sort by (sim desc, nbr asc), slice — array_sort of the
+    // collected structs makes the result independent of collection
+    // order, so the state is deterministic
+    def topK(scored: DataFrame): DataFrame = scored
+      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .groupBy(col("id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("sim")).as("_ns"), col("nbr")))), 1, kb).as("_top"))
+      .select(col("id"), explode(col("_top")).as("_t"))
+      .select(col("id"), col("_t.nbr").as("nbr"), (-col("_t._ns")).as("sim"))
+
+    var (knn, knnRdd) = Rounds.materialize(
+      topK(score(initPairs)).withColumn("flag", lit(true)), lvl)
+
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val fwd = knn.select(col("id"), col("nbr"), col("flag"))
+      // reverse edges, capped at k per node by a per-round hash sample
+      val rev = knn.select(col("nbr").as("id"), col("id").as("nbr"), col("flag"))
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(xxhash64(lit(seed), lit(round), col("nbr")), col("nbr"))))
+        .filter(col("_r") <= kb).drop("_r")
+      val lists = fwd.union(rev)
+        .groupBy(col("id"), col("nbr")).agg(max(col("flag")).as("flag"))
+      // local join: every neighbor pair of every node with at least
+      // one NEW member — narrow 8-byte id pairs only
+      val cand = lists.as("a").join(lists.as("b"),
+          col("a.id") === col("b.id") && col("a.nbr") < col("b.nbr")
+            && (col("a.flag") || col("b.flag")))
+        .select(col("a.nbr").as("id"), col("b.nbr").as("nbr"))
+        .distinct()
+      val scored = score(cand)
+      val updates = scored.union(
+        scored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
+      val merged = topK(knn.select(col("id"), col("nbr"), col("sim")).union(updates))
+      val flagged = merged.join(
+          knn.select(col("id"), col("nbr"), lit(true).as("_old")),
+          Seq("id", "nbr"), "left")
+        .withColumn("flag", col("_old").isNull)
+        .drop("_old")
+      val (next, nextRdd) = Rounds.materialize(flagged, lvl)
+      val changed = next.filter(col("flag")).count()
+      knnRdd.unpersist(blocking = false)
+      knn = next
+      knnRdd = nextRdd
+      done = changed < convergedFrac * n * kb
+      round += 1
+    }
+    // the returned plan is re-rooted on the final round's persisted
+    // RDD, so neither the embedding table nor the id map is read
+    // again — release both now (the RDD backing `out` is freed by
+    // ContextCleaner when the caller drops the plan, the
+    // ConnectedComponents contract)
+    idmap.unpersist(blocking = false)
+    v.unpersist(blocking = false)
+    val out = knn
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("id").as("vec_id"), col("rank"), col("nbr").as("n_id"),
+        col("sim"))
+    out
+  }
+}
