@@ -66,7 +66,10 @@ object Plans {
       "q_incnear" -> "incremental near-dup against the corpus band index: ONE map-only signature pass per side, candidates from an EQUI-join on the 8-byte (band, bh) bucket key — only bucket collisions shuffle, corpus text never re-shingled — estimate as a codegen'd zip_with/aggregate over the carried signatures, dup_of by packed min_by",
       "q_profile" -> "one-pass data profiling: the stacked (column, value) explode feeds ONE map-side-combined value-grain count — the only full-data exchange; distincts, null mass, min/max and the top-k heads all aggregate that small table at column grain",
       "q_interact" -> "track interaction: grid-binned same-frame proximity join (equi-keys (f, cx, cy), 3x3 probe explode — no track-pair cross join), candidate pairs distinct, then ONLY the candidate sliver joins back to the persisted step series; decimal-quantized correlation sums aggregate map-side; the density fail-fast rides a broadcast join against the normally-empty overflow cells",
-      "q_nnd" -> "NN-descent K-NN graph: every round is equi-joins/aggs on node id only — reverse-capped adjacency self-join moves 8-byte id pairs, embeddings join back for DISTINCT new candidates, state re-rooted on a persisted RDD per round (constant-size plan)")
+      "q_nnd" -> "NN-descent K-NN graph: every round is equi-joins/aggs on node id only — reverse-capped adjacency self-join moves 8-byte id pairs, embeddings join back for DISTINCT new candidates, state re-rooted on a persisted RDD per round (constant-size plan)",
+      "q_walk" -> "graph-ANN serving: beam search over the PERSISTED K-NN graph — per hop the frontier equi-joins the symmetrized 8-byte adjacency, embeddings join in for DISTINCT proposals only, queries broadcast, state re-rooted per hop; the registry plan reads the /tmp-persisted index, never rebuilds",
+      "q_rrf" -> "hybrid RRF retrieval: BM25's broadcast-filtered postings + bruteTopK's broadcast-query corpus scan each emit a |queries|*k ranked sliver; fusion is a union + one (query, doc) aggregate + one per-query window on slivers — corpus-independent",
+      "q_gsplit" -> "leakage-safe grouped split: MAP-ONLY — the group key hashes per-row (PolyFingerprint mod 100), no group table, no join, no exchange anywhere in the plan")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")

@@ -569,6 +569,29 @@ object SparkEntry {
       graft.vector.NnDescent.build(embeddings(s, d), k = 10,
           maxRounds = 6, convergedFrac = 0.01)
         .withColumn("sim", graft.functions.Numeric.cround(col("sim"), 6))),
+    // graph-ANN SERVING: best-first beam search over the PERSISTED
+    // NN-descent graph — build-once/serve-forever, so the index is
+    // built into /tmp on first touch (bit-deterministic; the dir is
+    // keyed by sf AND an impl version tag so a build change can never
+    // serve a stale artifact) and every later run measures the
+    // serving path: load + walk, never the build (q_nnd measures the
+    // build). Rows-only (iterative randomized-entry walk, no SQL
+    // replay); recall >= 0.9 vs bruteTopK, exact-cosine sims,
+    // bit-determinism and persisted==fresh parity pinned by
+    // GraphSearchSpec at this configuration
+    "q_walk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val dir = s"/tmp/graft_knn_v1_${new java.io.File(d).getName}"
+      if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
+        graft.vector.IndexStore.saveKnn(dir,
+          graft.vector.NnDescent.build(emb, k = 10, maxRounds = 6,
+            convergedFrac = 0.01), 10)
+      }
+      val (g, _) = graft.vector.IndexStore.loadKnn(s, dir)
+      graft.vector.GraphSearch.topK(g, emb,
+          emb.filter(col("vec_id") < 10), k = 10, beam = 30)
+        .withColumn("sim", graft.functions.Numeric.cround(col("sim"), 6))
+    }),
     // cluster-balanced diversity sampling: exact per-cell quota over
     // the shared IVF quantizer cells. Rows-only (KMeans cells are not
     // SQL-expressible); quota exactness + determinism pinned by
@@ -959,6 +982,41 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       text.Bm25.topK(documents(s, d), col("doc_id"), col("text"),
         Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))),
+    // hybrid dense+sparse retrieval by RRF: query-by-example over the
+    // docs∩embeddings overlap (doc_id == vec_id) — BM25 on the probe
+    // doc's text fused with exact-cosine on its embedding. The probe
+    // texts are a driver-sized query batch (3 rows, the BM25 query
+    // contract); the dense side keeps bruteTopK's self-exclusion
+    // while BM25 naturally ranks the probe doc itself — RRF fuses
+    // over the union, needing no candidate-set alignment (its selling
+    // point). Fully oracled: both rankers and the fusion replay in SQL
+    "q_rrf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+      val corpus = docs.join(emb.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val probes = corpus.filter(col("doc_id").isin(1, 2, 3))
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0).toInt, r.getString(1))).sortBy(_._1).toSeq
+      val sparse = text.Bm25.topK(corpus, col("doc_id"), col("text"),
+          probes, k = 20)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("doc_id"), col("rank"))
+      val dense = graft.vector.Similarity.bruteTopK(
+          emb.join(docs.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"),
+          emb.filter(col("vec_id").isin(1, 2, 3)), 20)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rank"))
+      text.Hybrid.rrf(Seq(sparse, dense), k = 10)
+    }),
+    // leakage-safe grouped train/val/test split: each SOURCE hashes
+    // to a split bucket, all its docs inherit it — map-only, no
+    // shuffle; PolyFingerprint replays in DuckDB so the assignment is
+    // fully oracled (SplitSpec pins map-only plan + group cohesion +
+    // the cross-split near-dup leakage report)
+    "q_gsplit" -> ((s, d) =>
+      text.Split.byGroup(documents(s, d), col("doc_id"), col("source"))),
     // ExactSubstr span dedup: repeated >=8-token spans removed
     // everywhere but their first (doc_id, pos) occurrence, text
     // rebuilt from surviving tokens
@@ -2759,6 +2817,108 @@ object SparkEntry {
         |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
         |  CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // the q_bm25 CTEs with query terms drawn from the probe docs'
+    // text, the q_ann_cosine CTEs on the overlap corpus, then RRF:
+    // per-system 1/(60+rank) contributions DECIMAL(28,8)-summed
+    // (mirrors Numeric.dsum), re-ranked per query
+    "q_rrf" ->
+      """WITH ov AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IN (SELECT vec_id FROM embeddings)
+        |), probes AS (
+        |  SELECT doc_id AS query_id, text FROM ov WHERE doc_id IN (1, 2, 3)
+        |), q AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0)) AS term
+        |  FROM probes
+        |), d AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS dl
+        |  FROM ov
+        |), st AS (
+        |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM ov
+        |), t AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+        |), f AS (
+        |  SELECT term, COUNT(*) AS dfreq FROM t GROUP BY 1
+        |), sbm AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(SUM(CAST(
+        |      ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5))
+        |      * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+        |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS score
+        |  FROM t JOIN q USING (term) JOIN f USING (term)
+        |    JOIN d USING (doc_id) CROSS JOIN st
+        |  GROUP BY 1, 2
+        |), sr AS (
+        |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sbm
+        |), sparse AS (
+        |  SELECT query_id, doc_id, rank FROM sr WHERE rank <= 20
+        |), v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM documents)
+        |), ds AS (
+        |  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(qv.embedding) + 1),
+        |      i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (qv.nrm * c.nrm) AS sim
+        |  FROM v qv, v c
+        |  WHERE qv.vec_id IN (1, 2, 3) AND c.vec_id <> qv.vec_id
+        |), dr AS (
+        |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+        |  FROM ds
+        |), dense AS (
+        |  SELECT query_id, doc_id, rank FROM dr WHERE rank <= 20
+        |), u AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(1 AS DOUBLE) / (60 + rank) AS c FROM sparse
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(1 AS DOUBLE) / (60 + rank) AS c FROM dense
+        |), fs AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE) AS score
+        |  FROM u GROUP BY 1, 2
+        |), fr AS (
+        |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM fs
+        |)
+        |SELECT query_id, doc_id,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
+        |  CAST(rank AS INT) AS rank
+        |FROM fr WHERE rank <= 10""".stripMargin,
+
+    // the q_fingerprint polynomial hash over the GROUP key, mod 100,
+    // thresholded into splits — pure map-only replay
+    "q_gsplit" ->
+      """WITH b AS (
+        |  SELECT doc_id, source AS grp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(source, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, grp, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     // Mirrors SpanDedup: packed (doc_id*2^21+pos) canonical election,
     // island merge of overlapping/adjacent removed spans, rebuild

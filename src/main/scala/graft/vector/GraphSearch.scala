@@ -1,0 +1,134 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Rounds
+
+/** Graph-ANN SERVING: batch best-first beam search over a persisted
+  * K-NN graph (the [[NnDescent]] build artifact, loaded through
+  * [[IndexStore.loadKnn]]) — the query-time half of the graph-based
+  * ANN family (the greedy-walk search HNSW-family engines run per
+  * query, here executed for a whole query BATCH as iterative
+  * DataFrame joins; Malkov & Yashunin 2016 describe the single-query
+  * form, layer 0).
+  *
+  * Per query the walk keeps a BEAM of the best `beam` nodes seen so
+  * far; each hop expands every not-yet-expanded beam member through
+  * the graph's adjacency, scores the proposed nodes exactly against
+  * the query vector, and re-selects the beam. The walk stops when a
+  * hop admits no new beam member for any query (or at `maxHops`).
+  * Like the build, an under-converged search is a recall tradeoff,
+  * never wrong data — callers pin recall against
+  * [[Similarity.bruteTopK]] (GraphSearchSpec).
+  *
+  * Distributed shape:
+  *  - the graph is the big side: `n·k` 8-byte edge rows, persisted
+  *    once (symmetrized — reverse edges restore the navigability the
+  *    directed K-NN graph loses) and equi-joined on node id each hop;
+  *  - queries broadcast (a serving batch is driver-sized by
+  *    definition); per-hop state is `|queries|·beam` rows;
+  *  - candidate volume per hop is bounded by frontier·degree ≈
+  *    `|queries|·beam·2k` id pairs; embeddings join in only for the
+  *    DISTINCT proposals (the NnDescent/SemDedup two-phase shape);
+  *  - a node enters a beam at most once (beam minima only rise and
+  *    sims are fixed), so each node is EXPANDED at most once per
+  *    query; re-proposed already-evicted nodes re-score but never
+  *    re-enter — bounded waste traded for not carrying a per-query
+  *    visited set through every hop;
+  *  - each hop re-roots on a persisted RDD
+  *    ([[graft.operators.Rounds.materialize]]) so the plan stays
+  *    constant-size across hops;
+  *  - entry points are the `beam` nodes minimizing
+  *    `xxhash64(seed, vec_id)` — a deterministic corpus-wide sample
+  *    (TakeOrdered, a per-partition heap, never a global sort), the
+  *    same for every query, so the search is bit-deterministic.
+  */
+object GraphSearch {
+
+  /** Search `graph` (vec_id, n_id[, rank, sim] — the NnDescent/
+    * IndexStore layout) for the `k` nearest corpus vectors to each
+    * query under exact cosine, excluding the query's own vec_id.
+    * Output (q_id, rank, n_id, sim), rank 1..k by (sim desc, n_id).
+    */
+  def topK(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+           k: Int, beam: Int, maxHops: Int = 10,
+           seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+
+    // symmetrized adjacency: an edge in either direction is walkable
+    val fwd = graph.select(col("vec_id").as("node"), col("n_id"))
+    val adj = fwd.union(
+        graph.select(col("n_id").as("node"), col("vec_id").as("n_id")))
+      .distinct()
+      .persist(lvl)
+
+    val v = corpus.select(col("vec_id").as("node"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .persist(lvl)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      Similarity.norm(col("embedding")).as("q_nrm")))
+
+    // score (q_id, node) proposals exactly; the query's own id never
+    // scores (bruteTopK's self-exclusion)
+    def score(cand: DataFrame): DataFrame = cand
+      .filter(col("node") =!= col("q_id"))
+      .join(v, Seq("node"))
+      .join(q, Seq("q_id"))
+      .withColumn("sim", Similarity.dot(col("q_emb"), col("embedding"))
+        / (col("q_nrm") * col("nrm")))
+      .select(col("q_id"), col("node"), col("sim"))
+
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("node"))
+    def topBeam(df: DataFrame): DataFrame = df
+      .withColumn("_r", row_number().over(beamW))
+      .filter(col("_r") <= beam).drop("_r")
+
+    // deterministic global entry set, shared by every query
+    val entries = v.select(col("node"))
+      .orderBy(xxhash64(lit(seed), col("node")), col("node"))
+      .limit(beam)
+    val init = topBeam(score(
+        q.select(col("q_id")).crossJoin(broadcast(entries))))
+      .withColumn("exp", lit(false))
+
+    var (state, stateRdd) = Rounds.materialize(init, lvl)
+    var hop = 0
+    var done = false
+    while (!done && hop < maxHops) {
+      val frontier = state.filter(!col("exp"))
+        .select(col("q_id"), col("node"))
+      val cand = frontier.join(adj, Seq("node"))
+        .select(col("q_id"), col("n_id").as("node"))
+        .distinct()
+      // prior rows were all expanded this hop (they were the beam:
+      // unexpanded ones formed the frontier) — new entrants arrive
+      // exp=false; a re-proposed surviving node keeps exp=true via max
+      val merged = state.select(col("q_id"), col("node"), col("sim"),
+          lit(true).as("exp"))
+        .union(score(cand).withColumn("exp", lit(false)))
+        .groupBy(col("q_id"), col("node"))
+        .agg(max(col("sim")).as("sim"), max(col("exp")).as("exp"))
+      val (next, nextRdd) = Rounds.materialize(topBeam(merged), lvl)
+      val entered = next.filter(!col("exp")).count()
+      stateRdd.unpersist(blocking = false)
+      state = next
+      stateRdd = nextRdd
+      done = entered == 0
+      hop += 1
+    }
+    adj.unpersist(blocking = false)
+    v.unpersist(blocking = false)
+    state
+      .withColumn("rank", row_number().over(beamW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("node").as("n_id"), col("sim"))
+  }
+}
