@@ -69,7 +69,8 @@ object Plans {
       "q_nnd" -> "NN-descent K-NN graph: every round is equi-joins/aggs on node id only — reverse-capped adjacency self-join moves 8-byte id pairs, embeddings join back for DISTINCT new candidates, state re-rooted on a persisted RDD per round (constant-size plan)",
       "q_walk" -> "graph-ANN serving: beam search over the PERSISTED K-NN graph — per hop the frontier equi-joins the symmetrized 8-byte adjacency, embeddings join in for DISTINCT proposals only, queries broadcast, state re-rooted per hop; the registry plan reads the /tmp-persisted index, never rebuilds",
       "q_rrf" -> "hybrid RRF retrieval: BM25's broadcast-filtered postings + bruteTopK's broadcast-query corpus scan each emit a |queries|*k ranked sliver; fusion is a union + one (query, doc) aggregate + one per-query window on slivers — corpus-independent",
-      "q_gsplit" -> "leakage-safe grouped split: MAP-ONLY — the group key hashes per-row (PolyFingerprint mod 100), no group table, no join, no exchange anywhere in the plan")
+      "q_gsplit" -> "leakage-safe grouped split: MAP-ONLY — the group key hashes per-row (PolyFingerprint mod 100), no group table, no join, no exchange anywhere in the plan",
+      "q_gdedup" -> "K-NN-graph dedup: a map filter over the persisted graph's n*k 8-byte edge rows, then the log-round CC closure on the surviving sliver — the corpus embeddings are never rescanned, no pair generation anywhere")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")

@@ -40,6 +40,23 @@ object SparkEntry {
       (col("user_id").cast("long") * 1000000L + expr("ts_s div 86400")).as("frame"),
       col("x"), col("y"))
 
+  /** The build-once/serve-forever NN-descent graph over `dir`'s
+    * embeddings: built into /tmp on first touch (bit-deterministic;
+    * keyed by sf AND an impl version tag so a build change can never
+    * serve a stale artifact), loaded thereafter — q_walk (serving)
+    * and q_gdedup (dedup) both consume THIS persisted artifact, so
+    * their measured cost is the serving/clustering path; the build is
+    * q_nnd's measured cost. */
+  private def knnIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_knn_v1_${new java.io.File(d).getName}"
+    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
+      graft.vector.IndexStore.saveKnn(dir,
+        graft.vector.NnDescent.build(embeddings(s, d), k = 10,
+          maxRounds = 6, convergedFrac = 0.01), 10)
+    }
+    graft.vector.IndexStore.loadKnn(s, dir)._1
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * CellPhe chain (QC filter -> movement -> trajectory features)
     * composed as one Spark job. */
@@ -581,17 +598,22 @@ object SparkEntry {
     // GraphSearchSpec at this configuration
     "q_walk" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val dir = s"/tmp/graft_knn_v1_${new java.io.File(d).getName}"
-      if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
-        graft.vector.IndexStore.saveKnn(dir,
-          graft.vector.NnDescent.build(emb, k = 10, maxRounds = 6,
-            convergedFrac = 0.01), 10)
-      }
-      val (g, _) = graft.vector.IndexStore.loadKnn(s, dir)
-      graft.vector.GraphSearch.topK(g, emb,
+      graft.vector.GraphSearch.topK(knnIndex(s, d), emb,
           emb.filter(col("vec_id") < 10), k = 10, beam = 30)
         .withColumn("sim", graft.functions.Numeric.cround(col("sim"), 6))
     }),
+    // K-NN-graph semantic near-dup clustering from the SAME persisted
+    // NN-descent artifact q_walk serves from — edges at sim >= 0.4
+    // (the corpus's max near-dup degree is 3-6 at every sf, well
+    // under the graph's k=10 degree budget, so the TRUE top-10 graph
+    // contains every qualifying pair), transitively closed with the
+    // shared canonical-keep contract. Rows-only (the graph is the
+    // declared-approximate 27i construction); GraphDedupSpec pins
+    // cluster parity against EXACT brute-force threshold clustering
+    // at this configuration, plus shape/canonical/keep invariants
+    "q_gdedup" -> ((s, d) =>
+      graft.vector.GraphDedup.clustersFromGraph(embeddings(s, d),
+        knnIndex(s, d), threshold = 0.4)),
     // cluster-balanced diversity sampling: exact per-cell quota over
     // the shared IVF quantizer cells. Rows-only (KMeans cells are not
     // SQL-expressible); quota exactness + determinism pinned by
