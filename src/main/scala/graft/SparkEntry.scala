@@ -41,17 +41,27 @@ object SparkEntry {
       col("x"), col("y"))
 
   /** The build-once/serve-forever NN-descent graph over `dir`'s
-    * embeddings: built into /tmp on first touch (bit-deterministic;
-    * keyed by sf AND an impl version tag so a build change can never
-    * serve a stale artifact), loaded thereafter — q_walk (serving)
-    * and q_gdedup (dedup) both consume THIS persisted artifact, so
-    * their measured cost is the serving/clustering path; the build is
-    * q_nnd's measured cost. */
+    * embeddings: built into /tmp on first touch (bit-deterministic),
+    * loaded thereafter — q_walk (serving) and q_gdedup (dedup) both
+    * consume THIS persisted artifact, so their measured cost is the
+    * serving/clustering path; the build is q_nnd's measured cost.
+    * The cache dir is keyed by an impl version tag AND a CONTENT
+    * fingerprint of the corpus (one cheap aggregate over ids +
+    * embeddings), so neither a build change nor regenerated test
+    * data can ever serve a stale artifact — a stale dir is simply
+    * orphaned. */
   private def knnIndex(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_knn_v1_${new java.io.File(d).getName}"
+    val emb = embeddings(s, d)
+    val fpRow = emb.agg(
+      count(lit(1)),
+      sum(pmod(xxhash64(col("vec_id"), col("embedding")),
+        lit(1000000007L)))).head()
+    val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val dir =
+      s"/tmp/graft_knn_v1_${new java.io.File(d).getName}_$fp"
     if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
       graft.vector.IndexStore.saveKnn(dir,
-        graft.vector.NnDescent.build(embeddings(s, d), k = 10,
+        graft.vector.NnDescent.build(emb, k = 10,
           maxRounds = 6, convergedFrac = 0.01), 10)
     }
     graft.vector.IndexStore.loadKnn(s, dir)._1
@@ -589,7 +599,8 @@ object SparkEntry {
     // graph-ANN SERVING: best-first beam search over the PERSISTED
     // NN-descent graph — build-once/serve-forever, so the index is
     // built into /tmp on first touch (bit-deterministic; the dir is
-    // keyed by sf AND an impl version tag so a build change can never
+    // keyed by an impl version tag AND a corpus content fingerprint
+    // so neither a build change nor regenerated test data can ever
     // serve a stale artifact) and every later run measures the
     // serving path: load + walk, never the build (q_nnd measures the
     // build). Rows-only (iterative randomized-entry walk, no SQL
@@ -1024,10 +1035,13 @@ object SparkEntry {
           probes, k = 20)
         .select(col("query_id").cast("long").as("query_id"),
           col("doc_id"), col("rank"))
+      // dense queries drawn from the OVERLAP corpus (not raw
+      // embeddings), so both rankers and the oracle agree on the
+      // query set even if an embedding id ever lacks a document row
+      val embOv = emb.join(docs.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
       val dense = graft.vector.Similarity.bruteTopK(
-          emb.join(docs.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"),
-          emb.filter(col("vec_id").isin(1, 2, 3)), 20)
+          embOv, embOv.filter(col("vec_id").isin(1, 2, 3)), 20)
         .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
           col("rank"))
       text.Hybrid.rrf(Seq(sparse, dense), k = 10)

@@ -81,30 +81,40 @@ object IncrementalMinHash {
     * 8-byte bucket key. The match count is computed per JOIN row, so
     * only an 8-byte count (not the two k-long signatures) crosses the
     * pair-grain exchange. A width check over EVERY index row (min and
-    * max signature size in one aggregate — a single extra read of the
-    * sig column, which the join reads anyway) fails fast when the
-    * index holds ANY row built at a different k than the probe: a
-    * mismatch makes that row's bucket keys incomparable, so the join
-    * would quietly skip it and its near-dups would sail through as
-    * new (the silent failure [[probeStored]] exists to prevent). A
+    * max signature size in one aggregate) fails fast when the index
+    * holds ANY row built at a different k than the probe: a mismatch
+    * makes that row's bucket keys incomparable, so the join would
+    * quietly skip it and its near-dups would sail through as new (the
+    * silent failure [[probeStored]] exists to prevent). A
     * heterogeneous index — parquet appended across saveIndex runs
     * with different parameters — is caught here even when its first
-    * row happens to match. An EMPTY index is vacuously consistent:
-    * no indexed corpus row means no possible near-dup, and the probe
-    * correctly reports every batch row as unmatched. */
+    * row happens to match. The guard is LAZY — a one-row aggregate
+    * broadcast onto the BATCH side of the plan and asserted there, so
+    * it costs nothing until the probe actually executes, rides the
+    * same action when it does (no separate synchronous job per
+    * probe() call), and fires whenever any batch row exists —
+    * independent of join cardinality, because an empty bucket join is
+    * exactly the silent miss the guard must not trust. An EMPTY index
+    * is vacuously consistent: no indexed corpus row means no possible
+    * near-dup, and the probe correctly reports every batch row as
+    * unmatched. */
   def probe(index: DataFrame, batch: DataFrame, bId: Column, bText: Column,
             shingleK: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val w = index.agg(min(size(col("sig"))).as("lo"),
-      max(size(col("sig"))).as("hi")).head()
-    if (!w.isNullAt(0))
-      require(w.getInt(0) == k && w.getInt(1) == k,
-        s"index signature widths span [${w.getInt(0)}, ${w.getInt(1)}], " +
-          s"probe expects k=$k — the index was built with different " +
-          "parameters (or appended across runs); use probeStored")
+    val widths = index.agg(min(size(col("sig"))).as("_glo"),
+      max(size(col("sig"))).as("_ghi"))
     val probes = MinHashLSH.signatures(batch, bId, bText, shingleK, k)
       .select(col("doc_id").as("batch_id"), col("sig").as("_bsig"),
         posexplode(graft.functions.BandHashes(col("sig"), bands)).as(Seq("band", "bh")))
+      .crossJoin(broadcast(widths))
+      .where(assert_true(
+        col("_glo").isNull || (col("_glo") === k && col("_ghi") === k),
+        concat(lit("index signature widths span ["), col("_glo"),
+          lit(", "), col("_ghi"),
+          lit(s"], probe expects k=$k — the index was built with " +
+            "different parameters (or appended across runs); use " +
+            "probeStored"))).isNull)
+      .drop("_glo", "_ghi")
     probes.join(index, Seq("band", "bh"))
       .withColumn("_m", aggregate(zip_with(col("_bsig"), col("sig"),
           (a, b) => (a === b).cast("long")),

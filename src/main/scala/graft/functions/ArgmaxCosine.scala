@@ -45,6 +45,13 @@ final class EvalMatrix(val ids: Array[Long],
     var dn = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT would read as 0.0f and silently deflate the
+      // similarity (the missed-contamination failure this kernel's
+      // guards exist to prevent); the check rides the one-time copy
+      // loop, not the per-eval dot-product loop
+      if (doc.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"document embedding has a null element at index $i")
       val x = doc.getFloat(i).toDouble
       d(i) = x; dn += x * x; i += 1
     }

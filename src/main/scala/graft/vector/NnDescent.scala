@@ -41,7 +41,9 @@ import graft.operators.Rounds
   * Convergence: the paper's termination counts UPDATES per round;
   * here a round's update count is the number of (node, neighbor)
   * edges not present before the round, and the loop stops when that
-  * falls below `convergedFrac`·n·k (or at `maxRounds`, whichever
+  * falls below `convergedFrac`·n·(`overbuild`·k) — the fraction is of
+  * the OVERBUILT state the descent maintains, not the emitted k-list
+  * — (or at `maxRounds`, whichever
   * first — unlike ConnectedComponents there is no fixpoint guarantee
   * to enforce, an under-converged graph is a recall tradeoff, not
   * wrong data; callers pin recall with the spec's bruteTopK compare).

@@ -37,9 +37,17 @@ object SemDedup {
   def pairs(vecs: DataFrame, nlist: Int, threshold: Double,
             nprobe: Int = 2, cacheKey: Option[String] = None): DataFrame = {
     require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist)
+    // ONE persisted narrow base of the producer subtree: the
+    // quantizer training pass, the assignment scan and both
+    // score-join sides all derive from this cache, so an expensive
+    // `vecs` producer (a parsing ingest, an upstream join) is
+    // evaluated exactly once however many consumers follow
+    val base = vecs.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.functions.CacheRelease.afterNextExecution(base)
     val (_, cents) = cacheKey match {
-      case Some(k) => IvfAnn.quantizeCached(k, vecs, nlist)
-      case None    => IvfAnn.quantize(vecs, nlist)
+      case Some(k) => IvfAnn.quantizeCached(k, base, nlist)
+      case None    => IvfAnn.quantize(base, nlist)
     }
     // nlist x (dim floats + norm2) — the driver-bounded model artifact
     val centRows = cents.select(col("cell"), col("c_emb"), col("c_norm2"))
@@ -64,7 +72,7 @@ object SemDedup {
     // candidate pairs, each exactly once. Persisted: assignment feeds
     // both self-join sides (the jaccardPairs persist-shared-subtrees
     // rule); both caches release after the caller's action.
-    val assigned = vecs
+    val assigned = base
       .withColumn("_probe", slice(array_sort(scored), 1, nprobe))
       .withColumn("cell", explode(transform(col("_probe"), p => p("c"))))
       .select(col("cell"), col("vec_id"))
@@ -74,10 +82,11 @@ object SemDedup {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
       .distinct()
-    val v = vecs.select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.functions.CacheRelease.afterNextExecution(v)
+    // derived from the persisted base — a map over the cache, so no
+    // second persist (the per-row norm recompute is cheap; a second
+    // cache of the same embeddings would not be)
+    val v = base.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
     cand
       .join(v.select(col("vec_id").as("d1"), col("embedding").as("_e1"),
         col("nrm").as("_n1")), Seq("d1"))

@@ -70,14 +70,19 @@ class IncrementalMinHashSpec extends SparkSpec {
     // the serving layout is band-partitioned on disk
     assert(new java.io.File(s"$dir/index").listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("band=")))
-    // a MISMATCHED manual probe fails fast (a k mismatch makes bucket
-    // keys incomparable: the join would quietly return nothing and
-    // every batch row would pass as new)
-    val ex = intercept[IllegalArgumentException] {
+    // a MISMATCHED manual probe fails fast ON EXECUTION (a k mismatch
+    // makes bucket keys incomparable: the join would quietly return
+    // nothing and every batch row would pass as new); the guard is
+    // lazy, riding the probe action — so the error surfaces when the
+    // plan runs, even though the bucket join itself matches nothing
+    val ex = intercept[Throwable] {
       IncrementalMinHash.probe(loaded, batch, col("doc_id"), col("text"),
-        shingleK = 3, k = 64, bands = 8)
+        shingleK = 3, k = 64, bands = 8).collect()
     }
-    assert(ex.getMessage.contains("signature width"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("signature width")), ex.toString)
   }
 
   test("dedupAgainst flags known near-dups and passes novel docs") {
