@@ -82,10 +82,12 @@ object Bench {
       // the calibration fields (all five benched in r8 AND r9)
       "q_ann_cosine", "q_ann_lsh", "q_minhash_pairs", "q_csamp",
       "q_dedup_exact",
-      // resting to fund the four NEW r10 queries (q_walk/q_rrf/
-      // q_gsplit/q_gdedup bench this round; these four rests are flat
-      // sub-second rows benched in r9, back under rotation B in r11)
-      "q_blur", "q_mm_decode", "q_qc_duplicates", "q_sessionize")
+      // resting to fund the seven NEW r10 queries (q_walk/q_rrf/
+      // q_gsplit/q_gdedup/q_html/q_pool/q_quant bench this round;
+      // these rests are flat sub-second rows benched in r9, back
+      // under rotation B in r11)
+      "q_blur", "q_mm_decode", "q_qc_duplicates", "q_sessionize",
+      "q_scut", "q_filter_min_obs", "q_frame_stats")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

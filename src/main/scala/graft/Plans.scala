@@ -70,7 +70,10 @@ object Plans {
       "q_walk" -> "graph-ANN serving: beam search over the PERSISTED K-NN graph — per hop the frontier equi-joins the symmetrized 8-byte adjacency, embeddings join in for DISTINCT proposals only, queries broadcast, state re-rooted per hop; the registry plan reads the /tmp-persisted index, never rebuilds",
       "q_rrf" -> "hybrid RRF retrieval: BM25's broadcast-filtered postings + bruteTopK's broadcast-query corpus scan each emit a |queries|*k ranked sliver; fusion is a union + one (query, doc) aggregate + one per-query window on slivers — corpus-independent",
       "q_gsplit" -> "leakage-safe grouped split: MAP-ONLY — the group key hashes per-row (PolyFingerprint mod 100), no group table, no join, no exchange anywhere in the plan",
-      "q_gdedup" -> "K-NN-graph dedup: a map filter over the persisted graph's n*k 8-byte edge rows, then the log-round CC closure on the surviving sliver — the corpus embeddings are never rescanned, no pair generation anywhere")
+      "q_gdedup" -> "K-NN-graph dedup: a map filter over the persisted graph's n*k 8-byte edge rows, then the log-round CC closure on the surviving sliver — the corpus embeddings are never rescanned, no pair generation anywhere",
+      "q_html" -> "HTML extraction: three codegen'd regex passes in ONE map-only whole-stage-codegen select — no shuffle, the cost is the scan",
+      "q_pool" -> "group mean-pooling: (group, dim, value) explode collapsed by MAP-SIDE partial aggregation to groups*dim partials before the one exchange — the shuffle carries sums, never vectors",
+      "q_quant" -> "int8 quantization: in-row absmax fold + in-row transform at (vec_id, dim) grain — map-only, no exchange anywhere")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")

@@ -1053,6 +1053,32 @@ object SparkEntry {
     // the cross-split near-dup leakage report)
     "q_gsplit" -> ((s, d) =>
       text.Split.byGroup(documents(s, d), col("doc_id"), col("source"))),
+    // HTML boilerplate extraction over SYNTHETIC markup constructed
+    // deterministically from the docs table IN-ENGINE (the q_roi_shape
+    // synthetic-input pattern: both engines build the identical
+    // string, so the kernel is exercised on nontrivial input — script
+    // blocks holding '<', style blocks, an anchor — and the oracle
+    // replays construction AND extraction end-to-end)
+    "q_html" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>.c { color: red }</style></head><body><h1>"),
+        col("source"), lit("</h1><p>"), col("text"),
+        lit("</p><a href=\"/u\">"), col("lang"), lit("</a></body></html>"))
+      graft.text.Html.extract(
+        documents(s, d).withColumn("_h", html), col("doc_id"), col("_h"))
+    }),
+    // group mean-pooling: class centroids over the embeddings table
+    // (the same operator is chunk->doc pooling and per-source mean
+    // embeddings); (group, dim)-grain scalar output, decimal sums
+    "q_pool" -> ((s, d) =>
+      graft.vector.Pooling.meanByGroup(embeddings(s, d), col("label"),
+        col("embedding"))),
+    // symmetric int8 quantization export of the vector store —
+    // map-only absmax scaling at (vec_id, dim) grain
+    "q_quant" -> ((s, d) =>
+      graft.vector.Quantize.int8(embeddings(s, d), col("vec_id"),
+        col("embedding"))),
     // ExactSubstr span dedup: repeated >=8-token spans removed
     // everywhere but their first (doc_id, pos) occurrence, text
     // rebuilt from surviving tokens
@@ -2938,6 +2964,73 @@ object SparkEntry {
         |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
         |  CAST(rank AS INT) AS rank
         |FROM fr WHERE rank <= 10""".stripMargin,
+
+    // synthetic-markup construction (string concat, both engines
+    // identical) + the three regex passes; RE2 and Java regex agree
+    // on these deliberately-simple patterns
+    "q_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;'
+        |    || '</script><style>.c { color: red }</style></head><body><h1>'
+        |    || source || '</h1><p>' || text || '</p><a href="/u">'
+        |    || lang || '</a></body></html>' AS html
+        |  FROM documents
+        |), nb AS (
+        |  SELECT doc_id, regexp_replace(html,
+        |    '(?s)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>)',
+        |    '', 'g') AS x
+        |  FROM h
+        |), f AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS text,
+        |    CAST(len(regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1))
+        |      AS INT) AS n_links,
+        |    CAST(COALESCE(list_aggregate(list_transform(
+        |      regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1),
+        |      a -> CAST(length(a) AS BIGINT)), 'sum'), 0)
+        |      AS BIGINT) AS anchor_chars
+        |  FROM nb
+        |), g AS (
+        |  SELECT doc_id, text, n_links, anchor_chars,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE floor(CAST(anchor_chars AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 1000000.0 + 0.5)
+        |        / 1000000.0 END AS link_density
+        |  FROM f
+        |)
+        |SELECT doc_id, text, n_links, anchor_chars, link_density,
+        |  CAST(CASE WHEN link_density <= 0.3 AND length(text) >= 10
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM g""".stripMargin,
+
+    // (group, dim)-grain unnest + the decimal-sum mean
+    "q_pool" ->
+      """WITH e AS (
+        |  SELECT label AS grp, CAST(i - 1 AS INT) AS i,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        |)
+        |SELECT grp, i, COUNT(*) AS n_vecs,
+        |  floor(CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)
+        |    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // in-row absmax + the same floor(x*127/scale + 0.5) IEEE formula
+    "q_quant" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS i,
+        |  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / scale
+        |      + 0.5) AS BIGINT) END AS q,
+        |  scale
+        |FROM b, UNNEST(range(1, len(embedding) + 1)) AS r(i)""".stripMargin,
 
     // the q_fingerprint polynomial hash over the GROUP key, mod 100,
     // thresholded into splits — pure map-only replay
