@@ -87,7 +87,9 @@ object Bench {
       // these rests are flat sub-second rows benched in r9, back
       // under rotation B in r11)
       "q_blur", "q_mm_decode", "q_qc_duplicates", "q_sessionize",
-      "q_scut", "q_filter_min_obs", "q_frame_stats")
+      "q_scut", "q_filter_min_obs", "q_frame_stats",
+      // rests funding q_vad (benched in r9)
+      "q_roi_shape")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

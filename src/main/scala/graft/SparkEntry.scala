@@ -445,6 +445,17 @@ object SparkEntry {
     "q_audio" -> ((s, d) =>
       Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
         frameLen = 32, hop = 16).toDF()),
+    // voice-activity segmentation over the q_audio frame features:
+    // rms-gated frames merged into consecutive-index islands — the
+    // silence-removal step of an audio corpus build. Gate compares
+    // the ALREADY-ROUNDED rms so engines agree at the boundary;
+    // oracled end-to-end (the q_audio s16le decode CTEs + SQL
+    // gaps-and-islands)
+    "q_vad" -> ((s, d) =>
+      Audio.vadSegments(
+        Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
+          frameLen = 32, hop = 16).toDF(),
+        rmsGate = 25500.0)),
     // video scene-cut detection over the sampled frame features —
     // per-asset temporal segmentation (clip extraction); math pinned
     // by SceneCutSpec, and oracled: the stub decode's mean_px is an
@@ -2344,6 +2355,50 @@ object SparkEntry {
         |  floor(CAST(len(list_filter(range(2, 33), i -> s[i-1] * s[i] < 0)) AS DOUBLE) / 31 * 1000000.0 + 0.5) / 1000000.0 AS zcr,
         |  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak
         |FROM sm""".stripMargin,
+
+    // the q_audio decode CTEs (rms only) + SQL gaps-and-islands at
+    // the same inclusive gate on the rounded rms
+    "q_vad" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, h, CAST(UNNEST(range((nb // 2 - 32) // 16 + 1)) AS INT) AS frame_idx
+        |  FROM hx WHERE nb // 2 >= 32
+        |), sm AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(
+        |      list_transform(range(32), i ->
+        |        (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+1 : 4*(frame_idx*16+i)+1]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+2 : 4*(frame_idx*16+i)+2]) - 1)
+        |        + ((strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+3 : 4*(frame_idx*16+i)+3]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+4 : 4*(frame_idx*16+i)+4]) - 1)) * 256),
+        |      v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
+        |  FROM fr
+        |), af AS (
+        |  SELECT doc_id, frame_idx,
+        |    floor(sqrt(CAST(list_sum(list_transform(s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) / 32) * 10000.0 + 0.5) / 10000.0 AS rms
+        |  FROM sm
+        |), act AS (
+        |  SELECT doc_id, frame_idx, rms FROM af WHERE rms >= 25500.0
+        |), gl AS (
+        |  SELECT doc_id, frame_idx, rms,
+        |    CASE WHEN lag(frame_idx) OVER w IS NULL
+        |      OR frame_idx <> lag(frame_idx) OVER w + 1
+        |      THEN 1 ELSE 0 END AS n
+        |  FROM act WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        |), sg AS (
+        |  SELECT doc_id, frame_idx, rms,
+        |    SUM(n) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM gl
+        |)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+        |  MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+        |  COUNT(*) AS n_frames,
+        |  floor(CAST(SUM(CAST(rms AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_rms
+        |FROM sg GROUP BY 1, 2""".stripMargin,
 
     // scene cuts over the stub decode's frame means: mean_px is an
     // exact integer-sum mean (bytes xor frame_idx), frames sampled

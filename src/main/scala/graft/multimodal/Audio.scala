@@ -162,4 +162,36 @@ object Audio {
       Numeric.croundD(zc.toDouble / (frameLen - 1), 6),
       peak)
   }
+
+  /** Energy-threshold voice-activity segmentation — silence removal,
+    * the canonical audio curation step: frames at or above `rmsGate`
+    * are active, and runs of CONSECUTIVE active frame indexes merge
+    * into segments (the gaps-and-islands shape shared with
+    * [[graft.text.SpanDedup]]'s island pass). Operates on
+    * [[frameFeatures]]' output — the gate compares the frame's
+    * ALREADY-ROUNDED rms, so engines cannot disagree at the boundary.
+    * Output per segment: (doc_id, seg, start_frame, end_frame,
+    * n_frames, mean_rms), seg numbering active islands 1..m in frame
+    * order. Scale shape: one doc-grain window pass over the active
+    * sliver + one segment-grain aggregate — frames per asset are
+    * bounded by asset length, so the window never sees unbounded
+    * groups; mean_rms rides decimal(28,8). */
+  def vadSegments(frames: DataFrame, rmsGate: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.filter(col("rms") >= rmsGate)
+      .withColumn("_prev", lag(col("frame_idx"), 1).over(w))
+      .withColumn("_new",
+        (col("_prev").isNull || col("frame_idx") =!= col("_prev") + 1)
+          .cast("int"))
+      .withColumn("seg", sum(col("_new")).over(w))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        Numeric.cround(
+          Numeric.dsum(col("rms"), 8) / count(lit(1)).cast("double"), 4)
+          .as("mean_rms"))
+  }
 }
