@@ -88,8 +88,8 @@ object Bench {
       // under rotation B in r11)
       "q_blur", "q_mm_decode", "q_qc_duplicates", "q_sessionize",
       "q_scut", "q_filter_min_obs", "q_frame_stats",
-      // rests funding q_vad (benched in r9)
-      "q_roi_shape")
+      // rests funding q_vad and q_afp (both benched in r9)
+      "q_roi_shape", "q_bpe")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

@@ -74,7 +74,8 @@ object Plans {
       "q_html" -> "HTML extraction: three codegen'd regex passes in ONE map-only whole-stage-codegen select — no shuffle, the cost is the scan",
       "q_pool" -> "group mean-pooling: (group, dim, value) explode collapsed by MAP-SIDE partial aggregation to groups*dim partials before the one exchange — the shuffle carries sums, never vectors",
       "q_quant" -> "int8 quantization: in-row absmax fold + in-row transform at (vec_id, dim) grain — map-only, no exchange anywhere",
-      "q_vad" -> "voice-activity segmentation: the batched one-pass PCM decode, then ONE doc-grain window over the rms-gated sliver + one segment-grain aggregate — gaps-and-islands, never a dense self-join")
+      "q_vad" -> "voice-activity segmentation: the batched one-pass PCM decode, then ONE doc-grain window over the rms-gated sliver + one segment-grain aggregate — gaps-and-islands, never a dense self-join",
+      "q_afp" -> "audio fingerprint dedup: per-asset collect bounded at bits+1 frames BEFORE the one doc-grain aggregate, in-row MSB-first fold, duplicate grouping a window on the 8-byte (n_bits, fp) key")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")

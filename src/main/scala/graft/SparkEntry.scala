@@ -456,6 +456,15 @@ object SparkEntry {
         Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
           frameLen = 32, hop = 16).toDF(),
         rmsGate = 25500.0)),
+    // audio near-dup fingerprinting: the loudness-contour signature
+    // (signs of successive frame-energy deltas, MSB-first) grouped
+    // into duplicate clusters with the canonical min-id contract;
+    // oracled end-to-end through the s16le decode replay
+    "q_afp" -> ((s, d) =>
+      Audio.rmsFingerprint(
+        Audio.frameFeatures(s, Binary.withPayload(documents(s, d)),
+          frameLen = 32, hop = 16).toDF(),
+        bits = 12)),
     // video scene-cut detection over the sampled frame features —
     // per-asset temporal segmentation (clip extraction); math pinned
     // by SceneCutSpec, and oracled: the stub decode's mean_px is an
@@ -2355,6 +2364,49 @@ object SparkEntry {
         |  floor(CAST(len(list_filter(range(2, 33), i -> s[i-1] * s[i] < 0)) AS DOUBLE) / 31 * 1000000.0 + 0.5) / 1000000.0 AS zcr,
         |  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak
         |FROM sm""".stripMargin,
+
+    // the q_audio decode CTEs (rms only) + the MSB-first delta-sign
+    // fold and the (n_bits, fp)-grain canonical window
+    "q_afp" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, h, CAST(UNNEST(range((nb // 2 - 32) // 16 + 1)) AS INT) AS frame_idx
+        |  FROM hx WHERE nb // 2 >= 32
+        |), sm AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(
+        |      list_transform(range(32), i ->
+        |        (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+1 : 4*(frame_idx*16+i)+1]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+2 : 4*(frame_idx*16+i)+2]) - 1)
+        |        + ((strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+3 : 4*(frame_idx*16+i)+3]) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', h[4*(frame_idx*16+i)+4 : 4*(frame_idx*16+i)+4]) - 1)) * 256),
+        |      v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
+        |  FROM fr
+        |), af AS (
+        |  SELECT doc_id, frame_idx,
+        |    floor(sqrt(CAST(list_sum(list_transform(s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) / 32) * 10000.0 + 0.5) / 10000.0 AS rms
+        |  FROM sm
+        |), fl AS (
+        |  SELECT doc_id, list(rms ORDER BY frame_idx) AS r
+        |  FROM af WHERE frame_idx <= 12 GROUP BY doc_id
+        |), pk AS (
+        |  SELECT doc_id, CAST(len(r) - 1 AS INT) AS n_bits,
+        |    CASE WHEN len(r) < 2 THEN CAST(0 AS BIGINT) ELSE
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(r)), i ->
+        |          CAST(CASE WHEN r[i+1] > r[i] THEN 1 ELSE 0 END AS BIGINT))),
+        |        (a, b) -> a * 2 + b) END AS fp
+        |  FROM fl
+        |), g AS (
+        |  SELECT doc_id, n_bits, fp,
+        |    MIN(doc_id) OVER (PARTITION BY n_bits, fp) AS dup_of
+        |  FROM pk
+        |)
+        |SELECT doc_id, n_bits, fp, dup_of,
+        |  CAST(CASE WHEN doc_id <> dup_of THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM g""".stripMargin,
 
     // the q_audio decode CTEs (rms only) + SQL gaps-and-islands at
     // the same inclusive gate on the rounded rms

@@ -176,6 +176,47 @@ object Audio {
     * sliver + one segment-grain aggregate — frames per asset are
     * bounded by asset length, so the window never sees unbounded
     * groups; mean_rms rides decimal(28,8). */
+  /** Energy-contour audio fingerprinting — the audio-side near-dup
+    * detector (the pHash analog of 23b): the fingerprint packs the
+    * SIGNS of successive frame-energy deltas (bit i = rms rose from
+    * frame i to i+1) over the first `bits`+1 frames, MSB-first — the
+    * loudness contour, which survives gain changes badly but
+    * re-encodes and container changes well, the classic
+    * Shazam-family shape reduced to its time-domain core. Equal
+    * contours (same n_bits, same fp) group as duplicates with the
+    * engine's canonical min-id contract.
+    *
+    * Scale shape: the frame filter bounds the per-asset collect at
+    * `bits`+1 rows BEFORE the one doc-grain aggregate (never an
+    * unbounded collect), packing is an in-row fold, and the dup
+    * grouping is a window over the (n_bits, fp) grain — 8-byte keys
+    * end to end. The delta compares the ALREADY-ROUNDED rms, so
+    * engines agree at every bit. Assets shorter than two frames
+    * fingerprint as (n_bits 0, fp 0) — defined; assets with no
+    * frames emit nothing (the frameFeatures contract). */
+  def rmsFingerprint(frames: DataFrame, bits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 62, "bits must be in [1, 62]")
+    val packed = frames.filter(col("frame_idx") <= bits)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("rms"))))
+        .as("_fr"))
+      .select(col("doc_id"),
+        (size(col("_fr")) - 1).cast("int").as("n_bits"),
+        when(size(col("_fr")) < 2, lit(0L))
+          .otherwise(aggregate(sequence(lit(1), size(col("_fr")) - 1),
+            lit(0L), (acc, i) => acc * 2 +
+              when(element_at(col("_fr"), i + 1)("rms") >
+                element_at(col("_fr"), i)("rms"), lit(1L))
+                .otherwise(lit(0L))))
+          .as("fp"))
+    val w = Window.partitionBy(col("n_bits"), col("fp"))
+    packed
+      .withColumn("dup_of", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("dup_of")).cast("int"))
+  }
+
   def vadSegments(frames: DataFrame, rmsGate: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
