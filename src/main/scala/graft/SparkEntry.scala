@@ -3084,18 +3084,19 @@ object SparkEntry {
         |    || lang || '</a></body></html>' AS html
         |  FROM documents
         |), nb AS (
-        |  SELECT doc_id, regexp_replace(html,
-        |    '(?s)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>)',
-        |    '', 'g') AS x
+        |  SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '(?s)(<script(\s[^>]*)?>.*?</script>|<style(\s[^>]*)?>.*?</style>)',
+        |    '', 'g'),
+        |    '(?s)(<script(\s[^>]*)?>|<style(\s[^>]*)?>).*$', '', 'g') AS x
         |  FROM h
         |), f AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
-        |      '\s+', ' ', 'g')) AS text,
-        |    CAST(len(regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1))
+        |      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text,
+        |    CAST(len(regexp_extract_all(x, '(?s)<a(?:\s[^>]*)?>(.*?)</a>', 1))
         |      AS INT) AS n_links,
         |    CAST(COALESCE(list_aggregate(list_transform(
-        |      regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1),
+        |      regexp_extract_all(x, '(?s)<a(?:\s[^>]*)?>(.*?)</a>', 1),
         |      a -> CAST(length(a) AS BIGINT)), 'sum'), 0)
         |      AS BIGINT) AS anchor_chars
         |  FROM nb

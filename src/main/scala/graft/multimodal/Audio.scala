@@ -163,19 +163,6 @@ object Audio {
       peak)
   }
 
-  /** Energy-threshold voice-activity segmentation — silence removal,
-    * the canonical audio curation step: frames at or above `rmsGate`
-    * are active, and runs of CONSECUTIVE active frame indexes merge
-    * into segments (the gaps-and-islands shape shared with
-    * [[graft.text.SpanDedup]]'s island pass). Operates on
-    * [[frameFeatures]]' output — the gate compares the frame's
-    * ALREADY-ROUNDED rms, so engines cannot disagree at the boundary.
-    * Output per segment: (doc_id, seg, start_frame, end_frame,
-    * n_frames, mean_rms), seg numbering active islands 1..m in frame
-    * order. Scale shape: one doc-grain window pass over the active
-    * sliver + one segment-grain aggregate — frames per asset are
-    * bounded by asset length, so the window never sees unbounded
-    * groups; mean_rms rides decimal(28,8). */
   /** Energy-contour audio fingerprinting — the audio-side near-dup
     * detector (the pHash analog of 23b): the fingerprint packs the
     * SIGNS of successive frame-energy deltas (bit i = rms rose from
@@ -217,6 +204,19 @@ object Audio {
       .withColumn("is_dup", (col("doc_id") =!= col("dup_of")).cast("int"))
   }
 
+  /** Energy-threshold voice-activity segmentation — silence removal,
+    * the canonical audio curation step: frames at or above `rmsGate`
+    * are active, and runs of CONSECUTIVE active frame indexes merge
+    * into segments (the gaps-and-islands shape shared with
+    * [[graft.text.SpanDedup]]'s island pass). Operates on
+    * [[frameFeatures]]' output — the gate compares the frame's
+    * ALREADY-ROUNDED rms, so engines cannot disagree at the boundary.
+    * Output per segment: (doc_id, seg, start_frame, end_frame,
+    * n_frames, mean_rms), seg numbering active islands 1..m in frame
+    * order. Scale shape: one doc-grain window pass over the active
+    * sliver + one segment-grain aggregate — frames per asset are
+    * bounded by asset length, so the window never sees unbounded
+    * groups; mean_rms rides decimal(28,8). */
   def vadSegments(frames: DataFrame, rmsGate: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -231,8 +231,6 @@ object Audio {
       .agg(min(col("frame_idx")).as("start_frame"),
         max(col("frame_idx")).as("end_frame"),
         count(lit(1)).as("n_frames"),
-        Numeric.cround(
-          Numeric.dsum(col("rms"), 8) / count(lit(1)).cast("double"), 4)
-          .as("mean_rms"))
+        Numeric.davg(col("rms"), 8, 4).as("mean_rms"))
   }
 }

@@ -28,7 +28,8 @@ object HtmlStream {
     * in-stream (the production setting — boilerplate never lands on
     * disk). Append-mode output: the batch contract per arrival. */
   def extracted(stream: Dataset[PageAt],
-                maxLinkDensity: Double = 0.3, minChars: Int = 10,
+                maxLinkDensity: Double = Html.DefaultMaxLinkDensity,
+                minChars: Int = Html.DefaultMinChars,
                 keptOnly: Boolean = true): DataFrame = {
     val out = Html.extract(stream.toDF(), col("doc_id"), col("html"),
       maxLinkDensity, minChars)

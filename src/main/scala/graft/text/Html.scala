@@ -28,16 +28,31 @@ import graft.functions.Numeric
   * `kept` = density <= maxLinkDensity AND length >= minChars. */
 object Html {
 
-  private val blockPat = "(?s)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>)"
-  private val anchorPat = "(?s)<a[^>]*>(.*?)</a>"
+  /** Shared gate defaults — one definition for the batch and
+    * streaming front doors, so the surfaces cannot drift. */
+  val DefaultMaxLinkDensity = 0.3
+  val DefaultMinChars = 10
+
+  // tag-name BOUNDARIES are explicit ("<a>" or "<a ...>", never
+  // "<article>"), and an UNCLOSED script/style opener (a truncated
+  // fetch) swallows to end-of-input rather than leaking raw code
+  // into the text; the whitespace class is spelled out because Java
+  // regex and RE2 disagree on \s (vertical tab)
+  private val blockPat =
+    "(?s)(<script(\\s[^>]*)?>.*?</script>|<style(\\s[^>]*)?>.*?</style>)"
+  private val unclosedPat = "(?s)(<script(\\s[^>]*)?>|<style(\\s[^>]*)?>).*$"
+  private val anchorPat = "(?s)<a(?:\\s[^>]*)?>(.*?)</a>"
   private val tagPat = "<[^>]*>"
+  private val wsPat = "[ \\t\\n\\r\\f\\x0B]+"
 
   def extract(df: DataFrame, id: Column, html: Column,
-              maxLinkDensity: Double = 0.3, minChars: Int = 10): DataFrame = {
-    val noBlocks = regexp_replace(html, blockPat, "")
+              maxLinkDensity: Double = DefaultMaxLinkDensity,
+              minChars: Int = DefaultMinChars): DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, blockPat, ""), unclosedPat, "")
     val anchors = regexp_extract_all(noBlocks, lit(anchorPat), lit(1))
     val clean = trim(regexp_replace(
-      regexp_replace(noBlocks, tagPat, " "), "\\s+", " "))
+      regexp_replace(noBlocks, tagPat, " "), wsPat, " "))
     df.select(id.as("doc_id"),
         clean.as("text"),
         size(anchors).as("n_links"),

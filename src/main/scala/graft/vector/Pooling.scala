@@ -33,8 +33,5 @@ object Pooling {
     df.select(group.as("grp"), posexplode(emb).as(Seq("i", "_v")))
       .groupBy(col("grp"), col("i"))
       .agg(count(lit(1)).as("n_vecs"),
-        Numeric.dsum(col("_v").cast("double"), 8).as("_s"))
-      .select(col("grp"), col("i"), col("n_vecs"),
-        Numeric.cround(col("_s") / col("n_vecs").cast("double"), 6)
-          .as("mean"))
+        Numeric.davg(col("_v").cast("double"), 8, 6).as("mean"))
 }

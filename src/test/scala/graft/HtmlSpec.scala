@@ -42,6 +42,21 @@ class HtmlSpec extends SparkSpec {
     assert(short.getAs[Double]("link_density") == 0.0)
   }
 
+  test("tags merely starting with 'a' are not anchors") {
+    // <article> must not open an anchor that swallows the body
+    val r = one("<article><p>a long body of perfectly good words here" +
+      "</p><a href=\"x\">ref</a></article>")
+    assert(r.getAs[Int]("n_links") == 1)
+    assert(r.getAs[Long]("anchor_chars") == 3L)
+    assert(r.getAs[Int]("kept") == 1)
+  }
+
+  test("an unclosed script block swallows to end-of-input, never leaking code") {
+    val r = one("<p>good text before the cut off</p>" +
+      "<script>var a = 1; document.write('junk junk junk junk junk'")
+    assert(r.getAs[String]("text") == "good text before the cut off")
+  }
+
   test("empty body is defined: empty text, zero density, gated out") {
     val r = one("<script>only code</script>")
     assert(r.getAs[String]("text") == "")
