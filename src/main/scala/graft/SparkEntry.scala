@@ -49,7 +49,14 @@ object SparkEntry {
     * fingerprint of the corpus (one cheap aggregate over ids +
     * embeddings), so neither a build change nor regenerated test
     * data can ever serve a stale artifact — a stale dir is simply
-    * orphaned. */
+    * orphaned. Concurrency: the build lands in a per-process staging
+    * dir and is PUBLISHED by one atomic rename, so two JVMs racing
+    * (bench + scaling, parallel suites) never observe a half-written
+    * dir and never clobber each other — the loser discards its
+    * staging copy and reads the winner's. Local-filesystem cache by
+    * design (it exists so the registry measures SERVING, not
+    * rebuilds); a shared deployment would key by job id on the
+    * cluster store instead. */
   private def knnIndex(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val fpRow = emb.agg(
@@ -59,10 +66,25 @@ object SparkEntry {
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     val dir =
       s"/tmp/graft_knn_v1_${new java.io.File(d).getName}_$fp"
-    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
-      graft.vector.IndexStore.saveKnn(dir,
+    val target = new java.io.File(dir)
+    def published = new java.io.File(s"$dir/meta/_SUCCESS").exists()
+    if (!published) {
+      val stage = new java.io.File(
+        dir + ".stage." + java.lang.ProcessHandle.current().pid())
+      graft.vector.IndexStore.saveKnn(stage.getPath,
         graft.vector.NnDescent.build(emb, k = 10,
           maxRounds = 6, convergedFrac = 0.01), 10)
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      if (!stage.renameTo(target)) {
+        // rename refuses when the target exists: either another
+        // process published a complete artifact (keep theirs), or a
+        // crashed run left a torn dir (no _SUCCESS — replace it)
+        if (!published) { rm(target); stage.renameTo(target) }
+        if (stage.exists()) rm(stage)
+      }
     }
     graft.vector.IndexStore.loadKnn(s, dir)._1
   }
@@ -2401,7 +2423,9 @@ object SparkEntry {
         |  FROM fl
         |), g AS (
         |  SELECT doc_id, n_bits, fp,
-        |    MIN(doc_id) OVER (PARTITION BY n_bits, fp) AS dup_of
+        |    CASE WHEN n_bits >= 6
+        |      THEN MIN(doc_id) OVER (PARTITION BY n_bits, fp)
+        |      ELSE doc_id END AS dup_of
         |  FROM pk
         |)
         |SELECT doc_id, n_bits, fp, dup_of,

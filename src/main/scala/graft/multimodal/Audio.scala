@@ -180,11 +180,22 @@ object Audio {
     * end to end. The delta compares the ALREADY-ROUNDED rms, so
     * engines agree at every bit. Assets shorter than two frames
     * fingerprint as (n_bits 0, fp 0) — defined; assets with no
-    * frames emit nothing (the frameFeatures contract). */
-  def rmsFingerprint(frames: DataFrame, bits: Int = 12): DataFrame = {
+    * frames emit nothing (the frameFeatures contract).
+    *
+    * Evidence floor: an asset with a SHORT contour carries too few
+    * delta bits to support a duplicate claim — at n_bits=0 every
+    * sub-2-frame asset shares (0, 0), and at n_bits=1 unrelated
+    * assets collide half the time. Assets with n_bits < `minBits`
+    * (default bits/2, min 1) therefore emit dup_of = doc_id and
+    * is_dup = 0: no claim, rather than a claim with no evidence.
+    * Their (n_bits, fp) columns still ride out for callers that
+    * want to group short assets under their own policy. */
+  def rmsFingerprint(frames: DataFrame, bits: Int = 12,
+      minBits: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(bits >= 1 && bits <= 62, "bits must be in [1, 62]")
+    val mb = if (minBits >= 0) minBits else math.max(1, bits / 2)
     val packed = frames.filter(col("frame_idx") <= bits)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("frame_idx"), col("rms"))))
@@ -200,7 +211,9 @@ object Audio {
           .as("fp"))
     val w = Window.partitionBy(col("n_bits"), col("fp"))
     packed
-      .withColumn("dup_of", min(col("doc_id")).over(w))
+      .withColumn("dup_of",
+        when(col("n_bits") >= mb, min(col("doc_id")).over(w))
+          .otherwise(col("doc_id")))
       .withColumn("is_dup", (col("doc_id") =!= col("dup_of")).cast("int"))
   }
 

@@ -24,14 +24,16 @@ import graft.operators.Rounds
   *
   * Distributed shape — every step is an equi-join or aggregation on
   * node id, no cross join anywhere:
-  *  - the adjacency state is K rows per node; a round's local join is
-  *    `lists SELF-JOIN on node id`, so candidate volume is bounded by
-  *    n·(2K)² rows of 8-byte id pairs — the embeddings only enter for
-  *    the DISTINCT new pairs (the SemDedup two-phase shape);
+  *  - the adjacency state is `overbuild`·K rows per node; a round's
+  *    local join is `lists SELF-JOIN on node id`, so candidate volume
+  *    is bounded by n·(2·overbuild·K)² rows of 8-byte id pairs — the
+  *    embeddings only enter for the DISTINCT new pairs (the SemDedup
+  *    two-phase shape);
   *  - REVERSE degree is unbounded in adversarial data (a hub vector
-  *    near everything), so reverse lists are CAPPED at `k` per node by
-  *    a per-round deterministic hash sample — the paper's ρK sampling,
-  *    which is also what bounds the local join above;
+  *    near everything), so reverse lists are CAPPED at `overbuild`·k
+  *    per node by a per-round deterministic hash sample — the paper's
+  *    ρK sampling at ρ=overbuild, which is also what bounds the local
+  *    join above;
   *  - each round re-roots the state on a persisted RDD
   *    ([[graft.operators.Rounds.materialize]]) so Catalyst's plan
   *    stays constant-size across rounds;

@@ -44,11 +44,20 @@ object SemDedup {
     // evaluated exactly once however many consumers follow
     val base = vecs.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.functions.CacheRelease.afterNextExecution(base)
     val (_, cents) = cacheKey match {
       case Some(k) => IvfAnn.quantizeCached(k, base, nlist)
       case None    => IvfAnn.quantize(base, nlist)
     }
+    // the release arms only AFTER quantizer training returns: KMeans
+    // fit runs its own executions over the base lineage, and a
+    // one-use listener registered before training would release the
+    // cache on the first training pass — before the assignment scan
+    // and both score-join sides read it (the r10 advice). The one
+    // remaining base-reading execution is the caller's action: the
+    // assignment scan and both score joins are subtrees of the ONE
+    // returned plan, and an execution counts once however many times
+    // the cached subtree appears in it.
+    graft.functions.CacheRelease.afterNextExecution(base)
     // nlist x (dim floats + norm2) — the driver-bounded model artifact
     val centRows = cents.select(col("cell"), col("c_emb"), col("c_norm2"))
       .collect()

@@ -29,11 +29,26 @@ class AudioFpSpec extends SparkSpec {
       (7L, 0, 1.0), (7L, 1, 2.0), (7L, 2, 1.0),
       (3L, 0, 5.0), (3L, 1, 9.0), (3L, 2, 4.0), // same up-down shape
       (9L, 0, 2.0), (9L, 1, 1.0), (9L, 2, 3.0)) // different shape
-    val got = Audio.rmsFingerprint(f, bits = 8)
+    val got = Audio.rmsFingerprint(f, bits = 8, minBits = 1)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("dup_of"), r.getAs[Int]("is_dup"))).toMap
     assert(got(3L) == (3L, 0) && got(7L) == (3L, 1))
     assert(got(9L) == (9L, 0))
+  }
+
+  test("contours below the evidence floor are never claimed as dups") {
+    // both docs share the single-bit contour (n_bits 1, fp 1) — at the
+    // default floor (bits/2 = 4) neither may claim the other
+    val f = frames((5L, 0, 1.0), (5L, 1, 2.0), (8L, 0, 3.0), (8L, 1, 7.0))
+    val got = Audio.rmsFingerprint(f, bits = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_of"), r.getAs[Int]("is_dup"))).toMap
+    assert(got(5L) == (5L, 0) && got(8L) == (8L, 0))
+    // with the floor lowered explicitly the same pair groups
+    val low = Audio.rmsFingerprint(f, bits = 8, minBits = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_of"), r.getAs[Int]("is_dup"))).toMap
+    assert(low(5L) == (5L, 0) && low(8L) == (5L, 1))
   }
 
   test("a single-frame asset fingerprints as (0, 0) and never collides with real contours") {
