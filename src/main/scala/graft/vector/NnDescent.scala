@@ -179,4 +179,112 @@ object NnDescent {
         col("sim"))
     out
   }
+
+  /** INCREMENTAL insert: extend an existing K-NN `graph` over `base`
+    * (the [[build]]/[[IndexStore.loadKnn]] layout) with a new `batch`
+    * of vectors WITHOUT rebuilding — the growing-corpus shape every
+    * crawl pipeline needs between periodic rebuilds. Returns the full
+    * merged graph (vec_id, rank, n_id, sim) over base ∪ batch.
+    *
+    * The construction is the HNSW-family insert (Malkov & Yashunin
+    * 2016, layer 0) run for a whole batch as DataFrame joins, seeded
+    * from search results per the NN-descent local-join machinery this
+    * file already has:
+    *  1. each new vector finds its approximate k-NN in `base` via
+    *     [[GraphSearch.topK]] over the persisted graph — the beam
+    *     walk, never a scan of the base corpus;
+    *  2. batch-INTERNAL neighbors come from [[build]] run on the
+    *     batch alone (new arrivals in one crawl batch are each
+    *     other's best near-dup candidates) — or exact brute force
+    *     when the batch is smaller than the descent's floor;
+    *  3. each new node keeps the best k of (1) ∪ (2) ∪ reversed (2);
+    *  4. REVERSE links: every base node discovered in (1) merges the
+    *     proposing new vector into its list and re-trims to k — the
+    *     HNSW reverse-link prune. Only those TOUCHED base nodes
+    *     (≤ batch·k of them) are rewritten; every other base row
+    *     rides through byte-identical, so insert cost scales with
+    *     the batch, never the corpus.
+    *
+    * Like the build, the result is approximate with exact-cosine
+    * sims: callers pin recall against [[Similarity.bruteTopK]]
+    * (GraphInsertSpec pins the fresh-build floor). Bit-deterministic.
+    *
+    * Contract: the batch rides [[GraphSearch]]'s broadcast-queries
+    * serving shape, so one insert call's batch must be bounded
+    * (micro-batch grain — a caller ingesting an unbounded stream
+    * chunks it, the natural arrival shape); a batch comparable to
+    * the base is a rebuild, not an insert. Batch ids must be
+    * disjoint from base ids (new arrivals; re-ingest dedup is
+    * 22a/24c's job). */
+  def insert(graph: DataFrame, base: DataFrame, batch: DataFrame,
+             k: Int, beam: Int = -1, maxRounds: Int = 3,
+             convergedFrac: Double = 0.01, seed: Long = 42L,
+             overbuild: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val bm = if (beam > 0) beam else 3 * k
+    val spark = base.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+
+    val nBatch = batch.count()
+    require(nBatch >= 1, "batch is empty")
+
+    // (1) cross edges: new vector -> its approximate k-NN in base,
+    // via the beam walk over the existing graph (exact cosine sims)
+    val searched = GraphSearch.topK(graph, base, batch, k, bm,
+        seed = seed)
+      .select(col("q_id").as("id"), col("n_id").as("nbr"), col("sim"))
+      .persist(lvl)
+    // released after the caller's action: new-node lists, the reverse
+    // proposals, and the touched set all read it inside the ONE
+    // returned plan (the SemDedup release contract)
+    graft.functions.CacheRelease.afterNextExecution(searched)
+
+    // (2) batch-internal edges: the descent over the batch alone when
+    // it clears the overbuild floor, exact brute force below it
+    val internal: DataFrame =
+      if (nBatch > (overbuild.toLong * k) + 1)
+        build(batch, k, maxRounds, convergedFrac, seed, overbuild)
+          .select(col("vec_id").as("id"), col("n_id").as("nbr"), col("sim"))
+      else if (nBatch >= 2)
+        Similarity.bruteTopK(batch, batch, math.min(k.toLong, nBatch - 1).toInt)
+          .select(col("q_id").as("id"), col("n_id").as("nbr"), col("sim"))
+      else
+        spark.emptyDataFrame
+          .select(lit(0L).as("id"), lit(0L).as("nbr"), lit(0.0).as("sim"))
+          .limit(0)
+
+    def rankTopK(edges: DataFrame): DataFrame = edges
+      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("id").as("vec_id"), col("rank"), col("nbr").as("n_id"),
+        col("sim"))
+
+    // (3) new-node lists: best k of cross ∪ internal ∪ reversed
+    // internal (x→y within the batch proposes y→x too — sims are
+    // symmetric and exact, the trim keeps whichever k win)
+    val newLists = rankTopK(searched
+      .union(internal)
+      .union(internal.select(col("nbr").as("id"), col("id").as("nbr"),
+        col("sim"))))
+
+    // (4) touched base nodes: merge the reverse proposals b→x into
+    // b's existing list and re-trim — a sliver of ≤ batch·k nodes
+    val revProps = searched.select(col("nbr").as("id"), col("id").as("nbr"),
+      col("sim"))
+    val touched = revProps.select(col("id")).distinct()
+    val touchedOld = graph.join(touched,
+        graph("vec_id") === touched("id"))
+      .select(col("vec_id").as("id"), col("n_id").as("nbr"), col("sim"))
+    val touchedLists = rankTopK(touchedOld.union(revProps))
+
+    // untouched base rows ride through unchanged (rank and sim kept)
+    val untouched = graph.join(touched,
+        graph("vec_id") === touched("id"), "left_anti")
+      .select(col("vec_id"), col("rank"), col("n_id"), col("sim"))
+
+    untouched.union(touchedLists).union(newLists)
+  }
 }
