@@ -19,38 +19,48 @@ object Bench {
     Seq("lineitem", "events", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // CALIBRATION probe: a fixed map-only scan (hash-sum over the
-    // events fact columns — real column IO + CPU, no shuffle), timed
-    // INTERLEAVED through the sweep — once up front, once after every
-    // tenth query, once at the end — because the box this bench runs
-    // on is shared and r10 proved an endpoint-only pair has a blind
-    // spot: a contention window that opens after cal_first and closes
-    // before cal_last inflated 34 rows 2-23x while the pair passed.
-    // Each query is bracketed by its nearest two readings; a query
-    // whose bracket exceeds 2x the series floor was timed inside a
-    // contention window and is RE-RUN once at sweep end under its own
-    // tight bracket (contention only inflates, so min-merge is safe).
-    // Queries whose rerun bracket is STILL dirty self-report in "hot".
-    // The probe plan is warmed once untimed so no reading absorbs
-    // codegen compile; the full series ships in the JSON line as
-    // "cal" (first element = cal_first, last = cal_last).
+    // CALIBRATION probe: a fixed CPU-bound kernel (a codegen'd hash
+    // fold over a range — all `cpus` threads saturated for ~1s of
+    // pure CPU, no IO, no cache sensitivity, so external load
+    // inflates its wall time in direct proportion), timed INTERLEAVED
+    // through the sweep — once up front, once after every tenth
+    // query, once at the end — because the box this bench runs on is
+    // shared and r10 proved an endpoint-only pair has a blind spot: a
+    // contention window that opens after cal_first and closes before
+    // cal_last inflated 34 rows 2-23x while the pair passed. The
+    // probe is deliberately HEAVY and scan-free (the r10/r11-first-cut
+    // table-scan probes read 0.1-0.36s dominated by scheduling noise
+    // and footer caches — bimodal enough that a 2x-floor rule
+    // false-flagged half the sweep; a ~1s tight hash loop compiles to
+    // steady state in the untimed warm-up and stays put — NOTE cal
+    // values are therefore not comparable to r10 artifacts' cal,
+    // only ratios are). Each query
+    // is bracketed by its nearest two readings; a query whose bracket
+    // exceeds max(2x, +0.25s) of the series floor was timed inside a
+    // contention window and — if its own time is >= 1s (smaller rows
+    // can be at most ~their own magnitude wrong, under the noise
+    // floor; SCALING artifacts carry their clean history) — is
+    // RE-RUN at sweep end (contention only inflates, so min-merge is
+    // safe), with a calibration reading every 5 reruns keeping the
+    // emitted series bounded. Queries whose rerun bracket is STILL
+    // dirty self-report in "hot". A WHOLE-run contention plateau
+    // leaves the within-run floor itself inflated and nothing flags
+    // — that case is visible only by comparing the cal series
+    // across artifacts (the judge's cross-check, by design). The
+    // full series ships in the JSON line as "cal".
     val calSeries = scala.collection.mutable.ArrayBuffer[Double]()
+    def runProbe(): Unit =
+      spark.range(0, 8L * 1000 * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      Tables.load(spark, sfDir, "events")
-        .selectExpr(
-          "sum(pmod(xxhash64(event_id, user_id, value), 1000000007))").collect()
+      runProbe()
       val dt = (System.nanoTime() - t0) / 1e9
       calSeries += dt
       dt
     }
-    {
-      val t0 = System.nanoTime()
-      Tables.load(spark, sfDir, "events")
-        .selectExpr(
-          "sum(pmod(xxhash64(event_id, user_id, value), 1000000007))").collect()
-      val _ = t0 // warm the calibration plan, untimed
-    }
+    // warm the calibration plan (codegen + C2 for the hash loop), untimed
+    runProbe()
     // steady-state timing: best of 2 runs per query (first run absorbs
     // per-plan codegen/compile; at 100 TB amortized to nothing).
     // The noop sink consumes every output column, so Catalyst cannot
@@ -143,19 +153,23 @@ object Bench {
     val floor = calSeries.min
     def dirty(lo: Int, hi: Int): Boolean =
       math.max(calSeries(lo), calSeries(math.min(hi, calSeries.length - 1))) >
-        2.0 * floor
+        math.max(2.0 * floor, floor + 0.25)
     val flagged = sweep.map(_._1).filter(n =>
-      results(n) >= 0 && dirty(calLo(n), calLo(n) + 1))
-    // rerun pass: each flagged query under its own tight bracket
+      results(n) >= 1.0 && dirty(calLo(n), calLo(n) + 1))
+    // rerun pass: flagged queries under tight shared brackets (a
+    // calibration reading every 5 reruns + one at the end)
     val hot = scala.collection.mutable.ArrayBuffer[String]()
+    val rerunLo = scala.collection.mutable.Map[String, Int]()
+    val rerunT = scala.collection.mutable.Map[String, Double]()
+    flagged.zipWithIndex.foreach { case (name, i) =>
+      rerunLo(name) = calSeries.length - 1
+      rerunT(name) = timeOnce(name, SparkEntry.queries(name))
+      if ((i + 1) % 5 == 0 || i == flagged.length - 1) calibrate()
+    }
     flagged.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val lo = calSeries.length - 1
-      val t = timeOnce(name, fn)
-      calibrate()
-      val hi = calSeries.length - 1
+      val t = rerunT(name)
       if (t >= 0 && t < results(name)) results(name) = t
-      if (dirty(lo, hi)) hot += name
+      if (dirty(rerunLo(name), rerunLo(name) + 1)) hot += name
     }
     // Output budget: the driver stores the LAST 2000 chars of merged
     // output, which must hold the whole JSON line plus sbt's trailing
@@ -165,7 +179,10 @@ object Bench {
     // "1" — deciseconds, within local run noise), no "unit":"sec"
     // field (units are seconds by contract), bare unprefixed output
     // (run / outputStrategy in build.sbt), and the rotation skip set
-    // above (79 benched rows + the cal series ≈ 1.7k chars).
+    // above (81 benched rows ≈ 1.25k chars; the cal series stays
+    // bounded because rerun brackets are shared 5-wide — the r11
+    // first cut calibrated per rerun and a false-flag storm from the
+    // bimodal light probe pushed the line to 1958 chars).
     def r1(v: Double): String =
       if (v < 0) "-1"
       else if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)

@@ -76,7 +76,8 @@ object Plans {
       "q_quant" -> "int8 quantization: in-row absmax fold + in-row transform at (vec_id, dim) grain — map-only, no exchange anywhere",
       "q_vad" -> "voice-activity segmentation: the batched one-pass PCM decode, then ONE doc-grain window over the rms-gated sliver + one segment-grain aggregate — gaps-and-islands, never a dense self-join",
       "q_afp" -> "audio fingerprint dedup: per-asset collect bounded at bits+1 frames BEFORE the one doc-grain aggregate, in-row MSB-first fold, duplicate grouping a window on the 8-byte (n_bits, fp) key",
-      "q_knn_ins" -> "graph-ANN incremental insert: beam-searched cross edges over the persisted base graph + batch-local descent; reverse-link re-trim touches only the <= batch*k DISCOVERED base nodes (an equi-join sliver) — every other base row is an anti-join passthrough, so the plan's cost scales with the batch, never the corpus")
+      "q_knn_ins" -> "graph-ANN incremental insert: beam-searched cross edges over the persisted base graph + batch-local descent; reverse-link re-trim touches only the <= batch*k DISCOVERED base nodes (an equi-join sliver) — every other base row is an anti-join passthrough, so the plan's cost scales with the batch, never the corpus",
+      "q_url" -> "URL canonicalization + domain rollup: the six regex rules fuse into ONE map-only whole-stage-codegen select; the domain rollup is one hash aggregate joined back — nothing else exchanges")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")

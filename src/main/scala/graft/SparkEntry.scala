@@ -1139,6 +1139,44 @@ object SparkEntry {
       graft.text.Html.extract(
         documents(s, d).withColumn("_h", html), col("doc_id"), col("_h"))
     }),
+    // URL canonicalization + registrable-domain rollup over SYNTHETIC
+    // URLs constructed deterministically from the docs table IN-ENGINE
+    // (the q_html pattern — both engines build the identical string,
+    // chosen to exercise every rule: mixed-case scheme/host, www,
+    // default and non-default ports on both schemes, tracking params
+    // leading/middle/whole-query, trailing slashes, fragments, a
+    // multi-label public suffix and a subdomain); doc-grain output
+    // enriched with the domain-grain rollup, all map-only + one agg
+    "q_url" -> ((s, d) => {
+      val id = col("doc_id")
+      val scheme = element_at(array(lit("http://"), lit("HTTP://"),
+        lit("HTTPS://"), lit("https://")), (id % 4).cast("int") + 1)
+      val suffix = element_at(array(lit(".Example.com"),
+        lit(".example.co.uk"), lit(".test.org"),
+        lit(".news.example.com")), (id % 4).cast("int") + 1)
+      val url = concat(scheme,
+        when(id % 2 === 0, "WWW.").otherwise(""),
+        lit("Site"), (id % 23).cast("string"), suffix,
+        when(id % 10 === 0, ":80").when(id % 10 === 5, ":443").otherwise(""),
+        lit("/Dir"), (id % 7).cast("string"), lit("/Page"), id.cast("string"),
+        when(id % 3 === 0, "/").otherwise(""),
+        when(id % 6 === 0, concat(lit("?utm_source=feed&id="),
+            (id % 13).cast("string")))
+          .when(id % 6 === 1, concat(lit("?id="), (id % 13).cast("string"),
+            lit("&utm_campaign=x")))
+          .when(id % 6 === 2, lit("?gclid=abc123"))
+          .when(id % 6 === 3, concat(lit("?id="), (id % 13).cast("string")))
+          .otherwise(""),
+        when(id % 2 === 1, concat(lit("#Sec"), (id % 3).cast("string")))
+          .otherwise(""))
+      val canon = text.Url.withCanonical(
+          documents(s, d).withColumn("_url", url), col("_url"))
+        .select(col("doc_id"), col("url_canon"), col("host"),
+          col("domain"), col("n_chars"))
+      canon.join(text.Url.domainRollup(canon, col("n_chars")), Seq("domain"))
+        .select(col("doc_id"), col("url_canon"), col("host"), col("domain"),
+          col("n_docs"), col("n_hosts"), col("n_urls"), col("total_chars"))
+    }),
     // group mean-pooling: class centroids over the embeddings table
     // (the same operator is chunk->doc pooling and per-source mean
     // embeddings); (group, dim)-grain scalar output, decimal sums
@@ -3165,6 +3203,78 @@ object SparkEntry {
         |  CAST(CASE WHEN link_density <= 0.3 AND length(text) >= 10
         |    THEN 1 ELSE 0 END AS INT) AS kept
         |FROM g""".stripMargin,
+
+    // the identical synthetic-URL construction, then the six
+    // canonicalization rules as RE2 regex passes ('g' everywhere —
+    // DuckDB defaults to first-match where Spark replaces all) and
+    // the domain-grain rollup joined back to doc grain
+    "q_url" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTP://'
+        |      WHEN 2 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 23 AS VARCHAR)
+        |    || (CASE doc_id % 4 WHEN 0 THEN '.Example.com'
+        |      WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.test.org'
+        |      ELSE '.news.example.com' END)
+        |    || (CASE WHEN doc_id % 10 = 0 THEN ':80'
+        |      WHEN doc_id % 10 = 5 THEN ':443' ELSE '' END)
+        |    || '/Dir' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '/Page' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0
+        |        THEN '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR)
+        |      WHEN doc_id % 6 = 1
+        |        THEN '?id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x'
+        |      WHEN doc_id % 6 = 2 THEN '?gclid=abc123'
+        |      WHEN doc_id % 6 = 3 THEN '?id=' || CAST(doc_id % 13 AS VARCHAR)
+        |      ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 1
+        |      THEN '#Sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents
+        |), c1 AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(url, '#.*$', '', 'g') AS v FROM u
+        |), c2 AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_extract(v, '^([^/?#]*//[^/?#]*)', 1))
+        |      || regexp_replace(v, '^[^/?#]*//[^/?#]*', '', 'g') AS v
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT doc_id, n_chars, regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(v,
+        |      '^(https?://)www\.', '\1', 'g'),
+        |      '^(http://[^/?#:]*):80([/?#]|$)', '\1\2', 'g'),
+        |      '^(https://[^/?#:]*):443([/?#]|$)', '\1\2', 'g'),
+        |    '&(?:utm_[a-z0-9]+|gclid|fbclid)=[^&#]*', '', 'g') AS v
+        |  FROM c2
+        |), c4 AS (
+        |  SELECT doc_id, n_chars, regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(v,
+        |      '\?(?:utm_[a-z0-9]+|gclid|fbclid)=[^&#]*&', '?', 'g'),
+        |      '\?(?:utm_[a-z0-9]+|gclid|fbclid)=[^&#]*$', '', 'g'),
+        |      '\?$', '', 'g'),
+        |    '/+(\?|$)', '\1', 'g') AS url_canon
+        |  FROM c3
+        |), dm AS (
+        |  SELECT doc_id, n_chars, url_canon,
+        |    regexp_extract(url_canon, '^https?://([^/?#:]*)', 1) AS host,
+        |    regexp_extract(regexp_extract(url_canon,
+        |        '^https?://([^/?#:]*)', 1),
+        |      '([^.]+\.(?:co\.uk|ac\.uk|org\.uk|com\.au|co\.jp|co\.nz|com\.br)|[^.]+\.[^.]+)$',
+        |      1) AS domain
+        |  FROM c4
+        |), r AS (
+        |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |    CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_urls,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM dm GROUP BY 1
+        |)
+        |SELECT dm.doc_id, dm.url_canon, dm.host, dm.domain,
+        |  r.n_docs, r.n_hosts, r.n_urls, r.total_chars
+        |FROM dm JOIN r USING (domain)""".stripMargin,
 
     // (group, dim)-grain unnest + the decimal-sum mean
     "q_pool" ->

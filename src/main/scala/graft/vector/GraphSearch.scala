@@ -41,10 +41,11 @@ import graft.operators.Rounds
   *  - each hop re-roots on a persisted RDD
   *    ([[graft.operators.Rounds.materialize]]) so the plan stays
   *    constant-size across hops;
-  *  - entry points are the `beam` nodes minimizing
+  *  - entry points ([[topK]]) are the `beam` nodes minimizing
   *    `xxhash64(seed, vec_id)` — a deterministic corpus-wide sample
   *    (TakeOrdered, a per-partition heap, never a global sort), the
-  *    same for every query, so the search is bit-deterministic.
+  *    same for every query, so the search is bit-deterministic —
+  *    or ([[topKHier]]) per-query entries from a coarse UPPER LAYER.
   */
 object GraphSearch {
 
@@ -55,7 +56,73 @@ object GraphSearch {
     */
   def topK(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
            k: Int, beam: Int, maxHops: Int = 10,
-           seed: Long = 42L): DataFrame = {
+           seed: Long = 42L): DataFrame =
+    topKWithHops(graph, corpus, queries, k, beam, maxHops, seed)._1
+
+  /** [[topK]] plus the number of hops the walk ran — the spec's
+    * measurement surface. */
+  private[graft] def topKWithHops(graph: DataFrame, corpus: DataFrame,
+                                  queries: DataFrame, k: Int, beam: Int,
+                                  maxHops: Int = 10,
+                                  seed: Long = 42L): (DataFrame, Int) =
+    walk(graph, corpus, queries, k, beam, maxHops, (v, q) => {
+      // deterministic global entry set, shared by every query
+      val entries = v.select(col("node"))
+        .orderBy(xxhash64(lit(seed), col("node")), col("node"))
+        .limit(beam)
+      q.select(col("q_id")).crossJoin(broadcast(entries))
+    })
+
+  /** HIERARCHICAL entry points — the HNSW upper-layer idea (Malkov &
+    * Yashunin 2016): before the layer-0 beam walk, each query scans a
+    * coarse TOP LAYER of ~n/`fanout` deterministically sampled nodes
+    * (membership by `pmod(xxhash64(seed+1, node), fanout) = 0` — a
+    * map-only filter, never a global limit) and takes its `beam` best
+    * as PER-QUERY entry points. Entries start near the query, so the
+    * walk needs fewer hops to converge — the spec measures the
+    * reduction at equal recall on the same persisted graph.
+    *
+    * Scale: the layer scan is |queries|·n/fanout id pairs (queries
+    * broadcast, layer filtered map-side from the corpus); pick
+    * `fanout` so the layer is scan-cheap — at corpus sizes where even
+    * n/fanout is too big to scan, the construction recurses (a layer
+    * over the layer, HNSW's geometric stack) over the SAME persisted
+    * format; one level is what this engine ships. Falls back to
+    * [[topK]]'s global entry sample if the layer filter matches
+    * nothing (tiny corpora). Bit-deterministic either way. */
+  def topKHier(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+               k: Int, beam: Int, fanout: Int = 32, maxHops: Int = 10,
+               seed: Long = 42L): DataFrame =
+    topKHierWithHops(graph, corpus, queries, k, beam, fanout, maxHops,
+      seed)._1
+
+  /** [[topKHier]] plus the hop count, for the spec's measurement. */
+  private[graft] def topKHierWithHops(graph: DataFrame, corpus: DataFrame,
+                                      queries: DataFrame, k: Int, beam: Int,
+                                      fanout: Int = 32, maxHops: Int = 10,
+                                      seed: Long = 42L): (DataFrame, Int) = {
+    require(fanout >= 1, "fanout must be >= 1")
+    walk(graph, corpus, queries, k, beam, maxHops, (v, q) => {
+      val layer = v.select(col("node"))
+        .filter(pmod(xxhash64(lit(seed + 1), col("node")), lit(fanout))
+          === 0)
+      val entries =
+        if (layer.isEmpty)
+          broadcast(v.select(col("node"))
+            .orderBy(xxhash64(lit(seed), col("node")), col("node"))
+            .limit(beam))
+        else layer
+      q.select(col("q_id")).crossJoin(entries)
+    })
+  }
+
+  /** The shared walk: `entryCand(v, q)` produces the initial (q_id,
+    * node) candidate pairs; everything after the entry scoring is
+    * identical across entry strategies. Returns (ranked top-k, hops
+    * the loop ran). */
+  private def walk(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+                   k: Int, beam: Int, maxHops: Int,
+                   entryCand: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
     require(maxHops >= 1, "maxHops must be >= 1")
@@ -91,12 +158,7 @@ object GraphSearch {
       .withColumn("_r", row_number().over(beamW))
       .filter(col("_r") <= beam).drop("_r")
 
-    // deterministic global entry set, shared by every query
-    val entries = v.select(col("node"))
-      .orderBy(xxhash64(lit(seed), col("node")), col("node"))
-      .limit(beam)
-    val init = topBeam(score(
-        q.select(col("q_id")).crossJoin(broadcast(entries))))
+    val init = topBeam(score(entryCand(v, q)))
       .withColumn("exp", lit(false))
 
     var (state, stateRdd) = Rounds.materialize(init, lvl)
@@ -126,9 +188,10 @@ object GraphSearch {
     }
     adj.unpersist(blocking = false)
     v.unpersist(blocking = false)
-    state
+    val out = state
       .withColumn("rank", row_number().over(beamW))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("node").as("n_id"), col("sim"))
+    (out, hop)
   }
 }

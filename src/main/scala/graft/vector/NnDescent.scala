@@ -112,20 +112,30 @@ object NnDescent {
         Similarity.dot(col("_e1"), col("_e2")) / (col("_n1") * col("_n2")))
       .select(col("id"), col("nbr"), col("sim"))
 
-    // top-k neighbor list per node from scored (id, nbr, sim) rows:
-    // collect, sort by (sim desc, nbr asc), slice — array_sort of the
-    // collected structs makes the result independent of collection
-    // order, so the state is deterministic
+    // top-k neighbor list per node from scored (id, nbr, sim, old)
+    // rows: collect, sort by (sim desc, nbr asc), slice — array_sort
+    // of the collected structs makes the result independent of
+    // collection order, so the state is deterministic. `old` rides
+    // along as aggregate payload (a duplicate (id, nbr) carries the
+    // same exact sim from both sources, so max is a formality and the
+    // (-sim, nbr) sort prefix is unique per group): emitting
+    // flag = !old HERE is what lets each round skip a join-back
+    // against its previous state — the flag used to cost two more
+    // exchanges per round in a (id, nbr)-keyed left join.
     def topK(scored: DataFrame): DataFrame = scored
-      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .groupBy(col("id"), col("nbr"))
+      .agg(max(col("sim")).as("sim"), max(col("old")).as("old"))
       .groupBy(col("id"))
       .agg(slice(array_sort(collect_list(
-        struct((-col("sim")).as("_ns"), col("nbr")))), 1, kb).as("_top"))
+        struct((-col("sim")).as("_ns"), col("nbr"), col("old")))), 1, kb)
+        .as("_top"))
       .select(col("id"), explode(col("_top")).as("_t"))
-      .select(col("id"), col("_t.nbr").as("nbr"), (-col("_t._ns")).as("sim"))
+      .select(col("id"), col("_t.nbr").as("nbr"), (-col("_t._ns")).as("sim"),
+        (!col("_t.old")).as("flag"))
 
+    // init rows all arrive old=false, so topK emits them flag=true
     var (knn, knnRdd) = Rounds.materialize(
-      topK(score(initPairs)).withColumn("flag", lit(true)), lvl)
+      topK(score(initPairs).withColumn("old", lit(false))), lvl)
 
     var round = 0
     var done = false
@@ -148,14 +158,11 @@ object NnDescent {
         .distinct()
       val scored = score(cand)
       val updates = scored.union(
-        scored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
-      val merged = topK(knn.select(col("id"), col("nbr"), col("sim")).union(updates))
-      val flagged = merged.join(
-          knn.select(col("id"), col("nbr"), lit(true).as("_old")),
-          Seq("id", "nbr"), "left")
-        .withColumn("flag", col("_old").isNull)
-        .drop("_old")
-      val (next, nextRdd) = Rounds.materialize(flagged, lvl)
+          scored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
+        .withColumn("old", lit(false))
+      val merged = topK(knn.select(col("id"), col("nbr"), col("sim"))
+        .withColumn("old", lit(true)).union(updates))
+      val (next, nextRdd) = Rounds.materialize(merged, lvl)
       val changed = next.filter(col("flag")).count()
       knnRdd.unpersist(blocking = false)
       knn = next

@@ -67,6 +67,58 @@ class GraphSearchSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("hierarchical entries cut hops at equal recall on the same graph") {
+    val g = NnDescent.build(emb, 10, maxRounds = 6, convergedFrac = 0.01)
+      .cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(emb, queries, 10).cache()
+    val total = brute.count()
+    def recall(r: org.apache.spark.sql.DataFrame): Double =
+      r.select("q_id", "n_id")
+        .join(brute.select("q_id", "n_id"), Seq("q_id", "n_id"))
+        .count().toDouble / total
+    // "fewer hops at equal recall": the smallest hop budget reaching
+    // recall 0.9 (the registry floor) must be strictly smaller with
+    // hierarchical entries; the walks are bit-deterministic, so these
+    // are exact measurements, not flaky thresholds. Measured series
+    // (budget: flat/hier recall): 1: 0.45/0.68, 2: 0.87/0.94,
+    // 3: 0.98/0.98 — entries starting near the query are worth one
+    // full hop of the beam walk on this corpus.
+    def flatAt(b: Int) = recall(GraphSearch.topKWithHops(g, emb, queries,
+      k = 10, beam = 30, maxHops = b)._1)
+    def hierAt(b: Int) = recall(GraphSearch.topKHierWithHops(g, emb,
+      queries, k = 10, beam = 30, fanout = 8, maxHops = b)._1)
+    val needFlat = (1 to 8).find(flatAt(_) >= 0.9).get
+    val needHier = (1 to 8).find(hierAt(_) >= 0.9).get
+    info(s"hops to recall>=0.9: flat $needFlat, hier $needHier")
+    assert(needHier < needFlat,
+      s"hier needs $needHier hops, not below flat's $needFlat")
+    // and at the tightest budget the entry advantage is large
+    val (f1, h1) = (flatAt(1), hierAt(1))
+    info(s"budget-1 recall: flat $f1, hier $h1")
+    assert(h1 > f1, s"hier budget-1 recall $h1 not above flat $f1")
+    brute.unpersist(); g.unpersist()
+  }
+
+  test("hier is bit-deterministic; an empty layer falls back to the flat entries") {
+    val g = NnDescent.build(emb, 8, maxRounds = 3).cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val a = GraphSearch.topKHier(g, emb, queries, k = 4, beam = 12, fanout = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val b = GraphSearch.topKHier(g, emb, queries, k = 4, beam = 12, fanout = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // a fanout no node hashes to 0 under leaves the layer empty: the
+    // search must degrade to exactly the flat-entry walk
+    val fallback = GraphSearch.topKHier(g, emb, queries, k = 4, beam = 12,
+        fanout = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    val flat = GraphSearch.topK(g, emb, queries, k = 4, beam = 12)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fallback == flat)
+    g.unpersist()
+  }
+
   test("serving from the persisted index equals serving the fresh graph") {
     val dir = "/tmp/graft_gsearch_spec_idx"
     val g = NnDescent.build(emb, 6, maxRounds = 3).cache()
