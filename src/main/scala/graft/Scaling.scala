@@ -61,15 +61,17 @@ object Scaling {
       }
       if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
     }
-    def cal(dir: String): Double = {
+    // the same pure-CPU saturating probe as Bench (r11): ~1s of
+    // codegen'd hashing on all threads, no IO — external load inflates
+    // it in direct proportion; table-scan probes proved noise-bound
+    def cal(): Double = {
       val t0 = System.nanoTime()
-      Tables.load(spark, dir, "events")
-        .selectExpr("sum(pmod(xxhash64(event_id, user_id, value), 1000000007))")
-        .collect()
+      spark.range(0, 8L * 1000 * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    cal(smallDir); cal(bigDir) // warm the calibration plans
-    val calFirst = cal(bigDir)
+    cal() // warm the calibration plan
+    val calFirst = cal()
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -81,7 +83,7 @@ object Scaling {
         System.err.println(f"SCALING $name%-24s small=$ts%6.2f big=$tb%6.2f ratio=$ratio%6.2f")
         (name, ts, tb, ratio)
       }
-    val calLast = cal(bigDir)
+    val calLast = cal()
 
     def j(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sb = new StringBuilder

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.vector.Similarity
 
@@ -64,31 +64,7 @@ object VectorProbeStream {
     require(k >= 1 && nprobe >= 1)
     val spark = queries.sparkSession
     import spark.implicits._
-    val centArr: Array[(Int, Array[Float], Double)] = cents
-      .select(col("cell"), col("c_emb"), col("c_norm2"))
-      .as[(Int, Array[Float], Double)].collect().sortBy(_._1)
-    require(centArr.nonEmpty, "empty centroid table")
-    val bcCents = spark.sparkContext.broadcast(centArr)
-    val np = math.min(nprobe, centArr.length)
-    // map-side routing: same accumulation order as the codegen'd
-    // DotProduct (floats widened to double, summed left to right), so
-    // routing scores are bit-equal to the batch plan's
-    val routed: Dataset[RoutedVec] = queries.flatMap { q =>
-      val cs = bcCents.value
-      val scored = new Array[(Double, Int)](cs.length)
-      var ci = 0
-      while (ci < cs.length) {
-        val (cell, cEmb, cNorm2) = cs(ci)
-        val n = math.min(q.embedding.length, cEmb.length)
-        var acc = 0.0
-        var i = 0
-        while (i < n) { acc += q.embedding(i).toDouble * cEmb(i).toDouble; i += 1 }
-        scored(ci) = (cNorm2 - 2.0 * acc, cell)
-        ci += 1
-      }
-      scored.sortBy(identity).iterator.take(np)
-        .map(c => RoutedVec(q.vec_id, c._2, q.embedding))
-    }
+    val routed = route(queries, cents, nprobe)
     // stream-static equi-join on cell; (q_id, n_id) pairs are unique by
     // construction (one cell per corpus vector), matching the batch
     // plan's formality distinct
@@ -112,4 +88,74 @@ object VectorProbeStream {
             .zipWithIndex.map { case (c, i) => AnnHit(qId, i + 1, c.n_id, c.sim) }
       }
   }
+
+  /** Map-side cell routing shared by the probe (read path) and the
+    * append (write path): each vector to its `np` nearest cells by the
+    * batch plan's geometry (argmin |c|^2 - 2 q.c, ties by cell), the
+    * centroid table collected once and shipped as an explicit
+    * broadcast. Accumulation order matches the codegen'd DotProduct
+    * (floats widened to double, summed left to right), so routing
+    * scores are bit-equal to the batch plan's. */
+  private def route(queries: Dataset[VecAt], cents: DataFrame,
+                    nprobe: Int): Dataset[RoutedVec] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centArr: Array[(Int, Array[Float], Double)] = cents
+      .select(col("cell"), col("c_emb"), col("c_norm2"))
+      .as[(Int, Array[Float], Double)].collect().sortBy(_._1)
+    require(centArr.nonEmpty, "empty centroid table")
+    val bcCents = spark.sparkContext.broadcast(centArr)
+    val np = math.min(nprobe, centArr.length)
+    queries.flatMap { q =>
+      val cs = bcCents.value
+      val scored = new Array[(Double, Int)](cs.length)
+      var ci = 0
+      while (ci < cs.length) {
+        val (cell, cEmb, cNorm2) = cs(ci)
+        val n = math.min(q.embedding.length, cEmb.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += q.embedding(i).toDouble * cEmb(i).toDouble; i += 1 }
+        scored(ci) = (cNorm2 - 2.0 * acc, cell)
+        ci += 1
+      }
+      scored.sortBy(identity).iterator.take(np)
+        .map(c => RoutedVec(q.vec_id, c._2, q.embedding))
+    }
+  }
+
+  /** STREAMING append to a persisted IVF index (SURVEY §2.3 row 27m2)
+    * — the WRITE path twin of [[probeIvfStream]]: arriving vectors are
+    * routed map-side to their single nearest cell under the FROZEN
+    * persisted quantizer (re-clustering is the periodic rebuild, as in
+    * any production IVF deployment) and land in a DELTA table next to
+    * the base index, partitioned by (cell, batch_id):
+    *  - `cell` partitioning keeps the serving layout — an nprobe query
+    *    over base+delta partition-prunes both sides;
+    *  - `batch_id` partitioning + dynamic-partition overwrite makes a
+    *    replayed micro-batch rewrite exactly its own files — the
+    *    [[ExactlyOnce]] idempotence contract;
+    *  - compaction of the delta into the base is the existing
+    *    [[graft.sources.Compaction]] story, run with the periodic
+    *    retrain.
+    * Serve the extended index through
+    * [[graft.vector.IndexStore.loadIvfWithDelta]]. */
+  def appendIvfStream(arrivals: Dataset[VecAt], cents: DataFrame,
+                      deltaDir: String, checkpointDir: String): StreamingQuery =
+    route(arrivals, cents, nprobe = 1).toDF()
+      .select(col("q_id").as("vec_id"), col("q_emb").as("embedding"),
+        col("cell"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch(appendBatch(deltaDir) _)
+      .start()
+
+  /** The foreachBatch handler (exposed for the spec's replay pin):
+    * write one routed micro-batch into the delta, idempotently. */
+  def appendBatch(deltaDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id").parquet(deltaDir)
 }

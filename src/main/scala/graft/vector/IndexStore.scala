@@ -40,6 +40,25 @@ object IndexStore {
       vectors.select(col("vec_id"), col("embedding")))
   }
 
+  /** Load an IVF index EXTENDED by a streaming-append delta
+    * ([[graft.streaming.VectorProbeStream.appendIvfStream]]'s output
+    * at `deltaDir`): the same (assigned, cents, corpus) views over
+    * base ∪ delta — drop-in for [[IvfAnn.topKWith]]. Both sides are
+    * partitioned by cell, so an nprobe query's cell filter prunes
+    * base and delta partitions alike; the centroids are the base's
+    * (the delta was routed under the SAME frozen quantizer). */
+  def loadIvfWithDelta(spark: SparkSession, dir: String,
+                       deltaDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val delta = spark.read.parquet(deltaDir)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val vectors = base.union(delta)
+    (vectors.select(col("vec_id"), col("cell")),
+      spark.read.parquet(s"$dir/centroids"),
+      vectors.select(col("vec_id"), col("embedding")))
+  }
+
   /** Persist the PQ artifacts next to an IVF index: the [m][code]
     * codebook table and the per-vector codes. Codes co-partition by
     * cell when `encodedWithCell` carries one (the IVF-PQ serving

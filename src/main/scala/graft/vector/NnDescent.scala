@@ -198,8 +198,13 @@ object NnDescent {
     * from search results per the NN-descent local-join machinery this
     * file already has:
     *  1. each new vector finds its approximate k-NN in `base` via
-    *     [[GraphSearch.topK]] over the persisted graph — the beam
-    *     walk, never a scan of the base corpus;
+    *     [[GraphSearch.topKHier]] over the persisted graph — the
+    *     HOP-BUDGETED beam walk from hierarchical entries (HNSW's
+    *     ef_construction-bounded insert search: entries from the
+    *     coarse layer start near the query, and `searchHops` caps the
+    *     walk — the 27i5 measurement shows near entries are worth a
+    *     full hop, so the cap costs no recall), never a scan of the
+    *     base corpus;
     *  2. batch-INTERNAL neighbors come from [[build]] run on the
     *     batch alone (new arrivals in one crawl batch are each
     *     other's best near-dup candidates) — or exact brute force
@@ -226,7 +231,8 @@ object NnDescent {
   def insert(graph: DataFrame, base: DataFrame, batch: DataFrame,
              k: Int, beam: Int = -1, maxRounds: Int = 3,
              convergedFrac: Double = 0.01, seed: Long = 42L,
-             overbuild: Int = 2): DataFrame = {
+             overbuild: Int = 2, entryFanout: Int = 32,
+             searchHops: Int = 4): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val bm = if (beam > 0) beam else 3 * k
     val spark = base.sparkSession
@@ -236,9 +242,10 @@ object NnDescent {
     require(nBatch >= 1, "batch is empty")
 
     // (1) cross edges: new vector -> its approximate k-NN in base,
-    // via the beam walk over the existing graph (exact cosine sims)
-    val searched = GraphSearch.topK(graph, base, batch, k, bm,
-        seed = seed)
+    // via the hop-budgeted hierarchical beam walk over the existing
+    // graph (exact cosine sims)
+    val searched = GraphSearch.topKHier(graph, base, batch, k, bm,
+        fanout = entryFanout, maxHops = searchHops, seed = seed)
       .select(col("q_id").as("id"), col("n_id").as("nbr"), col("sim"))
       .persist(lvl)
     // released after the caller's action: new-node lists, the reverse
