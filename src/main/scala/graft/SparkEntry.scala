@@ -1177,6 +1177,52 @@ object SparkEntry {
         .select(col("doc_id"), col("url_canon"), col("host"), col("domain"),
           col("n_docs"), col("n_hosts"), col("n_urls"), col("total_chars"))
     }),
+    // host-graph PageRank for crawl frontier prioritization, 3 fixed
+    // iterations of integer fixed-point arithmetic (exact + SQL-
+    // replayable). The SYNTHETIC host link graph derives from doc ids
+    // IN-ENGINE (the q_url pattern): 101 hosts linking by three
+    // residue rules plus 13 link-sink hosts exercising the dangling-
+    // mass path; self-loops and multi-edges arise and are handled
+    "q_rank" -> ((s, d) => {
+      val docs = documents(s, d).filter(expr("doc_id % 7 != 0"))
+      val edges = docs.selectExpr("doc_id % 101 AS src",
+          "(doc_id * 37 + 11) % 101 AS dst")
+        .union(docs.selectExpr("doc_id % 101", "(doc_id * 61 + 5) % 101"))
+        .union(docs.selectExpr("doc_id % 101", "1000 + doc_id % 13"))
+      graft.operators.HostRank.pageRank(edges, iters = 3)
+    }),
+    // CDC changelog -> latest-state snapshot: one max_by hash
+    // aggregate (map-side partial, no window sort), deletes dropped
+    // when they are the latest version. The changelog derives from
+    // the events table: key = user_id%500, version = (ts, event_id)
+    // (unique by event_id), every 11th event a delete
+    "q_upsert" -> ((s, d) => {
+      val log = events(s, d).selectExpr("user_id % 500 AS id",
+        "ts", "event_id",
+        "CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op",
+        "event_type", "value")
+      graft.operators.ChangeLog.snapshot(log, Seq("id"),
+          Seq("ts", "event_id"), "op")
+        .select(col("id"), unix_timestamp(col("ts")).as("last_ts"),
+          col("event_id").as("last_event"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+    }),
+    // incremental connected components: persisted base labels extended
+    // with a batch of new edges via the QUOTIENT graph (work scales
+    // with the increment); synthetic edges from doc ids (the q_rank
+    // pattern) — the batch both merges base components (shared sink
+    // nodes 500..516) and introduces brand-new nodes. Exact: the
+    // oracle re-solves base ∪ batch from scratch
+    "q_inccc" -> ((s, d) => {
+      val docs = documents(s, d)
+      val baseE = docs.filter(expr("doc_id % 10 < 8"))
+        .selectExpr("doc_id % 211 AS src", "(doc_id * 13 + 7) % 211 AS dst")
+      val batchE = docs.filter(expr("doc_id % 10 >= 8"))
+        .selectExpr("doc_id % 211 AS src", "500 + doc_id % 17 AS dst")
+      val labels = graft.operators.ConnectedComponents.run(baseE)
+      graft.operators.ConnectedComponents.increment(labels, batchE)
+        .select(col("node"), col("component").as("comp"))
+    }),
     // group mean-pooling: class centroids over the embeddings table
     // (the same operator is chunk->doc pooling and per-source mean
     // embeddings); (group, dim)-grain scalar output, decimal sums
@@ -3275,6 +3321,88 @@ object SparkEntry {
         |SELECT dm.doc_id, dm.url_canon, dm.host, dm.domain,
         |  r.n_docs, r.n_hosts, r.n_urls, r.total_chars
         |FROM dm JOIN r USING (domain)""".stripMargin,
+
+    // the integer fixed-point PageRank recurrence unrolled for the
+    // registry's 3 iterations: every term BIGINT floor division
+    // (DuckDB `//` == Spark `div` on non-negative values), SUMs cast
+    // back to BIGINT (DuckDB widens to HUGEINT), so both engines run
+    // the identical exact arithmetic
+    "q_rank" ->
+      """WITH docs7 AS (SELECT doc_id FROM documents WHERE doc_id % 7 != 0),
+        |raw AS (
+        |  SELECT doc_id % 101 AS src, (doc_id * 37 + 11) % 101 AS dst FROM docs7
+        |  UNION ALL SELECT doc_id % 101, (doc_id * 61 + 5) % 101 FROM docs7
+        |  UNION ALL SELECT doc_id % 101, 1000 + doc_id % 13 FROM docs7),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |dang AS (SELECT node FROM nodes LEFT JOIN odeg ON node = src
+        |         WHERE src IS NULL),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+        |d1 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |       FROM r0 r JOIN dang USING (node)),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN odeg o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodes nd LEFT JOIN c1 c ON nd.node = c.node
+        |       CROSS JOIN d1 d CROSS JOIN nn x),
+        |d2 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |       FROM r1 r JOIN dang USING (node)),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN odeg o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodes nd LEFT JOIN c2 c ON nd.node = c.node
+        |       CROSS JOIN d2 d CROSS JOIN nn x),
+        |d3 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |       FROM r2 r JOIN dang USING (node)),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN odeg o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node
+        |       CROSS JOIN d3 d CROSS JOIN nn x)
+        |SELECT node, rank FROM r3""".stripMargin,
+
+    // the textbook ROW_NUMBER latest-row-wins over the same derived
+    // changelog; (ts DESC, event_id DESC) == the engine's
+    // max_by(struct(ts, event_id)) because event_id is unique
+    "q_upsert" ->
+      """WITH log AS (
+        |  SELECT user_id % 500 AS id, ts, event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+        |SELECT id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS last_ts,
+        |  event_id AS last_event, event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
+
+    // the full re-solve over base ∪ batch edges: min-reachable-id
+    // labels via the q_dedup_clusters recursive-CTE pattern — exactly
+    // what the quotient-graph increment must reproduce
+    "q_inccc" ->
+      """WITH RECURSIVE b1 AS (
+        |  SELECT doc_id % 211 AS src, (doc_id * 13 + 7) % 211 AS dst
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |b2 AS (
+        |  SELECT doc_id % 211 AS src, 500 + doc_id % 17 AS dst
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |al AS (SELECT src, dst FROM b1 UNION ALL SELECT src, dst FROM b2),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM al WHERE src != dst
+        |  UNION ALL SELECT dst, src FROM al WHERE src != dst)),
+        |reach AS (
+        |  SELECT src AS id, src AS comp FROM e
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN e ON r.id = e.src)
+        |SELECT id AS node, MIN(comp) AS comp FROM reach GROUP BY id""".stripMargin,
 
     // (group, dim)-grain unnest + the decimal-sum mean
     "q_pool" ->

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for crawl frontier prioritization — the
+  * step between URL canonicalization (30b3) and fetch scheduling in a
+  * crawl-driven corpus pipeline: given the host/domain link graph,
+  * rank hosts by PageRank (Brin & Page 1998) so the frontier fetches
+  * high-centrality domains first and per-domain quality gates (29a)
+  * can weight by authority. Production crawl corpora publish exactly
+  * this artifact (Common Crawl's host-level ranks).
+  *
+  * INTEGER FIXED-POINT by design: ranks are maintained in units of
+  * `scale` (average rank == `scale`), every step is BIGINT `div`
+  * arithmetic, and sums of longs are exact and associative — so the
+  * result is bit-identical regardless of partitioning/merge order
+  * AND exactly replayable in ANSI SQL (floating-point PageRank is
+  * neither: double summation order is nondeterministic under
+  * shuffle). Per-iteration truncation loses < 1 unit per division —
+  * at the default scale of 1e9, a relative error < 1e-9·outdeg,
+  * far below any ranking-relevant difference.
+  *
+  * The recurrence (all integer, `div` = floor division on
+  * non-negative values):
+  * {{{
+  *   r0(v)   = scale
+  *   share_u = r(u) div outdeg(u)                 (per out-edge)
+  *   D       = Σ r(u) over dangling u (no out-edges)
+  *   r'(v)   = ((100-dp)·scale) div 100
+  *           + (dp · (Σ_{u→v} share_u + D div N)) div 100
+  * }}}
+  *
+  * Distributed shape: one static deduped edge list joined with the
+  * per-iteration rank table on src (equi-join on the 8-byte node id),
+  * one hash aggregate per iteration on dst — the canonical 2-shuffle
+  * PageRank round. The dangling mass is a single-row aggregate ridden
+  * in-plan via a broadcast cross join (never a driver collect inside
+  * the loop); each iteration's plan is re-rooted on a persisted RDD
+  * ([[Rounds.materialize]]) so Catalyst work stays constant per
+  * round. Node count N is the one driver-side scalar (a count, not
+  * data). Static structures (edges+outdeg, nodes, dangling ids) are
+  * persisted for the loop and released after the final round; the
+  * final rank RDD stays persisted for the caller's action (the
+  * [[ChainLabel]] lifecycle).
+  *
+  * Bounds: total mass is N·scale, so per-node sums fit BIGINT for
+  * N·scale < 2^63 (N ≤ ~9·10⁹ hosts at the default scale — above
+  * any real host-graph size).
+  *
+  * Input `edges`: (src, dst) long columns; multi-edges collapse
+  * (DISTINCT) and self-loops drop, per the standard formulation.
+  * Output: (node, rank) — every node incident to a surviving edge,
+  * rank in `scale` units after exactly `iters` iterations (fixed
+  * iteration count, the deterministic production shape — crawl ranks
+  * are refreshed per cycle, not run to numeric fixpoint). */
+object HostRank {
+
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(scale >= 100, "scale too small to carry rank mass")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("_odeg"))
+    // static for the loop: per-edge (src, dst, _odeg) so an iteration
+    // is ONE join against ranks instead of two
+    val eo = e.join(outdeg, "src").persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist(lvl)
+    val dangIds = nodes.join(outdeg, nodes("node") === outdeg("src"),
+      "left_anti").select(col("node")).persist(lvl)
+    val n = nodes.count()
+    require(n >= 1, "empty graph after self-loop removal")
+    val base = ((100L - dampingPct) * scale) / 100L
+
+    var (ranks, ranksRdd) = Rounds.materialize(
+      nodes.select(col("node"), lit(scale).as("rank")), lvl)
+    for (_ <- 1 to iters) {
+      val dang = ranks.join(dangIds, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dmass"))
+      val contrib = ranks.join(eo, ranks("node") === eo("src"))
+        .select(col("dst"), expr("rank div _odeg").as("_share"))
+        .groupBy(col("dst")).agg(sum(col("_share")).as("_insum"))
+      val next = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), expr(
+          s"$base + ($dampingPct * (coalesce(_insum, CAST(0 AS BIGINT))" +
+            s" + (_dmass div $n))) div 100").as("rank"))
+      val (nextDF, nextRdd) = Rounds.materialize(next, lvl)
+      nextRdd.count() // materialize the round before dropping its input
+      ranksRdd.unpersist(blocking = false)
+      ranks = nextDF
+      ranksRdd = nextRdd
+    }
+    eo.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangIds.unpersist(blocking = false)
+    ranks
+  }
+}

@@ -205,10 +205,13 @@ object NnDescent {
     *     walk — the 27i5 measurement shows near entries are worth a
     *     full hop, so the cap costs no recall), never a scan of the
     *     base corpus;
-    *  2. batch-INTERNAL neighbors come from [[build]] run on the
-    *     batch alone (new arrivals in one crawl batch are each
-    *     other's best near-dup candidates) — or exact brute force
-    *     when the batch is smaller than the descent's floor;
+    *  2. batch-INTERNAL neighbors (new arrivals in one crawl batch
+    *     are each other's best near-dup candidates): exact brute
+    *     force up to `bruteFloor` vectors — nBatch² broadcast-join
+    *     pair comparisons beat the descent's fixed per-round stage
+    *     costs until ~bruteFloor² ≈ 10⁸ pairs, and the edges are
+    *     exact — with [[build]] run on the batch alone above the
+    *     floor (the descent's ~O(n^1.14) wins at bulk-batch sizes);
     *  3. each new node keeps the best k of (1) ∪ (2) ∪ reversed (2);
     *  4. REVERSE links: every base node discovered in (1) merges the
     *     proposing new vector into its list and re-trims to k — the
@@ -232,7 +235,7 @@ object NnDescent {
              k: Int, beam: Int = -1, maxRounds: Int = 3,
              convergedFrac: Double = 0.01, seed: Long = 42L,
              overbuild: Int = 2, entryFanout: Int = 32,
-             searchHops: Int = 4): DataFrame = {
+             searchHops: Int = 4, bruteFloor: Int = 10000): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val bm = if (beam > 0) beam else 3 * k
     val spark = base.sparkSession
@@ -253,14 +256,18 @@ object NnDescent {
     // returned plan (the SemDedup release contract)
     graft.functions.CacheRelease.afterNextExecution(searched)
 
-    // (2) batch-internal edges: the descent over the batch alone when
-    // it clears the overbuild floor, exact brute force below it
+    // (2) batch-internal edges: exact brute force below the declared
+    // cost-crossover floor (nBatch² 8-byte-pair comparisons with the
+    // batch broadcast — cheaper than the descent's fixed per-round
+    // stage costs until ~bruteFloor² pairs, and strictly BETTER
+    // recall since the internal edges are exact), the descent over
+    // the batch alone above it
     val internal: DataFrame =
-      if (nBatch > (overbuild.toLong * k) + 1)
+      if (nBatch > math.max(bruteFloor.toLong, overbuild.toLong * k + 1))
         build(batch, k, maxRounds, convergedFrac, seed, overbuild)
           .select(col("vec_id").as("id"), col("n_id").as("nbr"), col("sim"))
       else if (nBatch >= 2)
-        Similarity.bruteTopK(batch, batch, math.min(k.toLong, nBatch - 1).toInt)
+        Similarity.bruteTopKSim(batch, batch, math.min(k.toLong, nBatch - 1).toInt)
           .select(col("q_id").as("id"), col("n_id").as("nbr"), col("sim"))
       else
         spark.emptyDataFrame

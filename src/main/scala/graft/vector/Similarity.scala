@@ -150,7 +150,14 @@ object Similarity {
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). The query side must be small; it is
     * broadcast so the corpus is scanned once with no shuffle. */
-  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteTopKSim(corpus, queries, k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+
+  /** [[bruteTopK]] with the exact cosine ridden out alongside the
+    * rank — for consumers that merge brute results into graph edge
+    * lists ([[NnDescent.insert]]'s small-batch internal edges). */
+  def bruteTopKSim(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       norm(col("embedding")).as("n_norm"))
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -160,6 +167,6 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.ChangeLog
+import graft.streaming.{CdcCurrent, CdcEvent, ChangeLogStream}
+
+/** Streaming CDC latest-state: the final emitted state across
+  * micro-batches equals the batch snapshot on the same log, replays
+  * are absorbed idempotently, and deletes emit live=false. */
+class ChangeLogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+
+  private def run(batches: Seq[Seq[CdcEvent]]): Map[Long, CdcCurrent] = {
+    implicit val sql = spark.sqlContext
+    n += 1
+    val name = s"cdc_$n"
+    val stream = MemoryStream[CdcEvent]
+    val q = ChangeLogStream.snapshotStream(stream.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // update mode appends one row per touched key per batch into the
+    // memory sink; the key's CURRENT state is its highest-version row
+    spark.table(name).as[CdcCurrent].collect()
+      .groupBy(_.id)
+      .map { case (id, rows) => id -> rows.maxBy(r => (r.ver1, r.ver2)) }
+  }
+
+  test("final state across micro-batches equals the batch snapshot") {
+    val log = Seq(
+      CdcEvent(1L, 1L, 10L, "U", "a"), CdcEvent(1L, 3L, 11L, "U", "b"),
+      CdcEvent(2L, 1L, 20L, "U", "c"), CdcEvent(2L, 5L, 21L, "D", "c"),
+      CdcEvent(3L, 2L, 30L, "D", "x"), CdcEvent(3L, 4L, 31L, "U", "d"),
+      CdcEvent(4L, 9L, 40L, "U", "e"))
+    // out-of-order across batches: the late batch carries EARLIER
+    // versions — max-merge must not regress
+    val batches = Seq(
+      Seq(log(1), log(3), log(4)), // latest-first for keys 1,2; delete for 3
+      Seq(log(0), log(2), log(5), log(6)))
+    val got = run(batches)
+    val live = got.values.filter(_.live).map(c => (c.id, c.ver1, c.ver2, c.payload)).toSet
+    val want = ChangeLog.snapshot(
+        log.toDF(), Seq("id"), Seq("ver1", "ver2"), "op")
+      .select("id", "ver1", "ver2", "payload")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(live == want)
+    assert(!got(2L).live) // delete is latest: emitted as a retraction
+  }
+
+  test("replayed changes are absorbed idempotently (max-merge semilattice)") {
+    val b = Seq(CdcEvent(7L, 1L, 1L, "U", "x"), CdcEvent(7L, 2L, 2L, "U", "y"))
+    val got = run(Seq(b, b, b)) // same batch three times
+    assert(got(7L) == CdcCurrent(7L, 2L, 2L, live = true, "y"))
+  }
+
+  test("stream parity with the batch snapshot on the real events table") {
+    val src = Tables.load(spark, sfDir, "events").selectExpr(
+        "user_id % 50 AS id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ver1",
+        "event_id AS ver2",
+        "CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op",
+        "event_type AS payload")
+    val rows = src.as[CdcEvent].collect().toSeq
+    val got = run(rows.grouped(math.max(1, rows.size / 3)).toSeq)
+    val want = ChangeLog.snapshot(src.toDF(), Seq("id"),
+        Seq("ver1", "ver2"), "op")
+      .select("id", "ver1", "ver2", "payload")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got.values.filter(_.live)
+      .map(c => (c.id, c.ver1, c.ver2, c.payload)).toSet == want)
+  }
+}
