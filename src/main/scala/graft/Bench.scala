@@ -49,18 +49,13 @@ object Bench {
     // across artifacts (the judge's cross-check, by design). The
     // full series ships in the JSON line as "cal".
     val calSeries = scala.collection.mutable.ArrayBuffer[Double]()
-    def runProbe(): Unit =
-      spark.range(0, 8L * 1000 * 1000 * 1000, 1, cpus.toInt)
-        .selectExpr("bit_xor(xxhash64(id))").collect()
     def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      runProbe()
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = Calibration.timed(spark, cpus.toInt)
       calSeries += dt
       dt
     }
     // warm the calibration plan (codegen + C2 for the hash loop), untimed
-    runProbe()
+    Calibration.probe(spark, cpus.toInt)
     // steady-state timing: best of 2 runs per query (first run absorbs
     // per-plan codegen/compile; at 100 TB amortized to nothing).
     // The noop sink consumes every output column, so Catalyst cannot

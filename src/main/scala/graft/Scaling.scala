@@ -61,16 +61,10 @@ object Scaling {
       }
       if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
     }
-    // the same pure-CPU saturating probe as Bench (r11): ~1s of
-    // codegen'd hashing on all threads, no IO — external load inflates
-    // it in direct proportion; table-scan probes proved noise-bound
-    def cal(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 8L * 1000 * 1000 * 1000, 1, cpus.toInt)
-        .selectExpr("bit_xor(xxhash64(id))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    cal() // warm the calibration plan
+    // the ONE shared probe kernel (graft.Calibration) — Bench and
+    // Scaling cal series must stay cross-comparable
+    def cal(): Double = Calibration.timed(spark, cpus.toInt)
+    Calibration.probe(spark, cpus.toInt) // warm the calibration plan
     val calFirst = cal()
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

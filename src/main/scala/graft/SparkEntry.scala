@@ -92,8 +92,33 @@ object SparkEntry {
       if (!stage.renameTo(target)) {
         // rename refuses when the target exists: either another
         // process published a complete artifact (keep theirs), or a
-        // crashed run left a torn dir (no _SUCCESS — replace it)
-        if (!published) { rm(target); stage.renameTo(target) }
+        // crashed run left a torn dir (no _SUCCESS). Torn-dir
+        // replacement is serialized through an atomic lock file so
+        // two racers cannot delete each other's freshly published
+        // artifact (createNewFile is the atomic test-and-set); the
+        // loser of the lock waits for the winner's publish instead of
+        // deleting anything. Every failed rename re-checks published
+        // and throws rather than returning a missing artifact.
+        if (!published) {
+          val lock = new java.io.File(dir + ".lock")
+          if (lock.createNewFile()) {
+            try {
+              if (!published) {
+                rm(target)
+                if (!stage.renameTo(target) && !published)
+                  throw new IllegalStateException(
+                    s"could not publish knn artifact at $dir")
+              }
+            } finally { lock.delete(); () }
+          } else {
+            val deadline = System.currentTimeMillis() + 600000L
+            while (!published && System.currentTimeMillis() < deadline)
+              Thread.sleep(500L)
+            if (!published)
+              throw new IllegalStateException(
+                s"timed out waiting for knn artifact publish at $dir")
+          }
+        }
         if (stage.exists()) rm(stage)
       }
     }

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * what 30s (id-grain snapshot diff) and 22a (incremental dedup)
   * consume as "yesterday's state".
   *
-  * Scale shape: ONE hash aggregate — `max_by(struct(payload),
-  * struct(version))` — with map-side partial aggregation, so the
+  * Scale shape: ONE aggregation — `max_by(struct(payload),
+  * struct(version))` — with map-side `partial_max_by`, so the
   * shuffle moves at most one candidate row per (key, map partition),
-  * never the full history. That beats the textbook
-  * `ROW_NUMBER() ... WHERE rn = 1` window (a full sort of every
-  * key's history) on exactly the corpora where it matters: long
-  * histories under heavy re-fetch. Struct comparison is
+  * never the full history. (The struct-typed buffer makes Spark pick
+  * SortAggregate over HashAggregate — the sort is per-map-partition
+  * on the key; the shuffle-volume bound is what matters.) That beats
+  * the textbook `ROW_NUMBER() ... WHERE rn = 1` window (a full
+  * shuffle + sort of every key's history) on exactly the corpora
+  * where it matters: long histories under heavy re-fetch. Struct comparison is
   * lexicographic on `verCols` in order.
   *
   * Contract: `verCols` must be unique per key (tie-break by

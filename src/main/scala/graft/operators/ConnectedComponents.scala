@@ -192,22 +192,43 @@ object ConnectedComponents {
     * — ≤ 2·|batch| nodes, work scaling with the INCREMENT, never the
     * corpus — plus one label-update join is exact.
     *
-    * The update join's build side is the quotient result (≤ 2·|batch|
-    * rows, broadcast by the bounded-batch contract — a batch of
-    * corpus magnitude is a rebuild); every label in an untouched
-    * component rides through byte-identical. Output: (node,
-    * component) over base nodes ∪ batch-edge endpoints. */
+    * Corpus-scale shape: the labels table is NEVER shuffled — it is
+    * touched exactly twice, both map-side: once filtered by a
+    * broadcast semi join down to the ≤ 2·|batch| TOUCHED labels (the
+    * endpoint set rides as the broadcast build side), and once in the
+    * final update join whose build side is the broadcast quotient
+    * result. Every other exchange is increment-grain. Every label in
+    * an untouched component rides through byte-identical. Like
+    * [[run]], this call is EAGER (the quotient solve and the
+    * touched-label sliver materialize on persisted RDDs whose blocks
+    * the ContextCleaner frees once the caller drops the plan).
+    * Bounded-batch contract: a batch of corpus magnitude is a
+    * rebuild, not an increment. Output: (node, component) over base
+    * nodes ∪ batch-edge endpoints. */
   def increment(labels: DataFrame, newEdges: DataFrame,
                 maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val lab = labels.select(col("node").cast("long").as("node"),
       col("component").cast("long").as("component"))
+    // self-loops drop BEFORE the endpoint set is taken: run() never
+    // labels a node whose only edge is a self-loop, and the increment
+    // must agree with a from-scratch re-solve row for row
     val e = newEdges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    def toComp(side: String): DataFrame = lab
+      .filter(col("src") =!= col("dst"))
+    val eps = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // touched labels: map-side broadcast-semi filter of the corpus-
+    // scale table, materialized once (increment-grain) so the three
+    // downstream consumers rescan the persisted sliver, not the corpus
+    val (labT, labTRdd) = Rounds.materialize(
+      lab.join(broadcast(eps), Seq("node"), "left_semi"), lvl)
+    labTRdd.count()
+    def toComp(side: String): DataFrame = labT
       .select(col("node").as(side), col("component").as(s"_c$side"))
     val quotient = e
-      .join(toComp("src"), Seq("src"), "left")
-      .join(toComp("dst"), Seq("dst"), "left")
+      .join(broadcast(toComp("src")), Seq("src"), "left")
+      .join(broadcast(toComp("dst")), Seq("dst"), "left")
       .select(coalesce(col("_csrc"), col("src")).as("src"),
         coalesce(col("_cdst"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -216,9 +237,8 @@ object ConnectedComponents {
     val updatedBase = lab
       .join(broadcast(merged), lab("component") === col("_q"), "left")
       .select(col("node"), coalesce(col("_m"), col("component")).as("component"))
-    val newNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .join(lab.select(col("node")), Seq("node"), "left_anti")
+    val newNodes = eps
+      .join(broadcast(labT.select(col("node"))), Seq("node"), "left_anti")
       .join(broadcast(merged), col("node") === col("_q"), "left")
       .select(col("node"), coalesce(col("_m"), col("node")).as("component"))
     updatedBase.union(newNodes)

@@ -44,9 +44,13 @@ import org.apache.spark.sql.functions._
   * final rank RDD stays persisted for the caller's action (the
   * [[ChainLabel]] lifecycle).
   *
-  * Bounds: total mass is N·scale, so per-node sums fit BIGINT for
-  * N·scale < 2^63 (N ≤ ~9·10⁹ hosts at the default scale — above
-  * any real host-graph size).
+  * Bounds: total mass is N·scale and the damping step multiplies an
+  * in-sum (≤ total mass, a hub can collect almost all of it) by
+  * `dampingPct`, so exactness requires 100·N·scale < 2^63 — enforced
+  * by a fail-fast require (silent BIGINT wrap would propagate garbage
+  * ranks). N ≤ ~9·10⁷ hosts at the default scale; larger graphs pass
+  * a smaller `scale` (scale 10⁶ admits N ≤ ~9·10¹⁰ while still
+  * resolving rank differences of 10⁻⁶ of the average).
   *
   * Input `edges`: (src, dst) long columns; multi-edges collapse
   * (DISTINCT) and self-loops drop, per the standard formulation.
@@ -76,6 +80,9 @@ object HostRank {
       "left_anti").select(col("node")).persist(lvl)
     val n = nodes.count()
     require(n >= 1, "empty graph after self-loop removal")
+    require(n <= Long.MaxValue / 100L / scale,
+      s"100*N*scale must stay under 2^63 for exact integer arithmetic " +
+        s"(n=$n, scale=$scale): pass a smaller scale")
     val base = ((100L - dampingPct) * scale) / 100L
 
     var (ranks, ranksRdd) = Rounds.materialize(

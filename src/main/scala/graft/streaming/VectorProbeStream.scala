@@ -108,11 +108,18 @@ object VectorProbeStream {
     val np = math.min(nprobe, centArr.length)
     queries.flatMap { q =>
       val cs = bcCents.value
+      // fail fast on dimension mismatch (a wrong embedding-model
+      // version on the feed): routing by a silent prefix dot product
+      // would mis-bucket the vector and quietly corrupt an appended
+      // delta — the ArgmaxCosine contract
+      require(q.embedding.length == cs(0)._2.length,
+        s"arrival dim ${q.embedding.length} != index dim ${cs(0)._2.length} " +
+          s"(vec_id ${q.vec_id})")
       val scored = new Array[(Double, Int)](cs.length)
       var ci = 0
       while (ci < cs.length) {
         val (cell, cEmb, cNorm2) = cs(ci)
-        val n = math.min(q.embedding.length, cEmb.length)
+        val n = cEmb.length
         var acc = 0.0
         var i = 0
         while (i < n) { acc += q.embedding(i).toDouble * cEmb(i).toDouble; i += 1 }

@@ -106,23 +106,31 @@ object GraphSearch {
       val layer = v.select(col("node"))
         .filter(pmod(xxhash64(lit(seed + 1), col("node")), lit(fanout))
           === 0)
-      val entries =
-        if (layer.isEmpty)
-          broadcast(v.select(col("node"))
-            .orderBy(xxhash64(lit(seed), col("node")), col("node"))
-            .limit(beam))
-        else layer
-      q.select(col("q_id")).crossJoin(entries)
-    })
+      q.select(col("q_id")).crossJoin(layer)
+    },
+      // tiny-corpus fallback to the flat global entry sample — applied
+      // only if the layer produced NO scored entries, detected for
+      // free on the materialized init state instead of a pre-scan job
+      fallback = Some((v, q) => {
+        val entries = broadcast(v.select(col("node"))
+          .orderBy(xxhash64(lit(seed), col("node")), col("node"))
+          .limit(beam))
+        q.select(col("q_id")).crossJoin(entries)
+      }))
   }
 
   /** The shared walk: `entryCand(v, q)` produces the initial (q_id,
     * node) candidate pairs; everything after the entry scoring is
-    * identical across entry strategies. Returns (ranked top-k, hops
-    * the loop ran). */
+    * identical across entry strategies. `fallback`, when present, is
+    * a second entry generator used only if the first produced no
+    * scored entries at all (checked on the already-materialized init
+    * state — no extra scan). Returns (ranked top-k, hops the loop
+    * ran). */
   private def walk(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
                    k: Int, beam: Int, maxHops: Int,
-                   entryCand: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int) = {
+                   entryCand: (DataFrame, DataFrame) => DataFrame,
+                   fallback: Option[(DataFrame, DataFrame) => DataFrame] = None)
+      : (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
     require(maxHops >= 1, "maxHops must be >= 1")
@@ -162,6 +170,15 @@ object GraphSearch {
       .withColumn("exp", lit(false))
 
     var (state, stateRdd) = Rounds.materialize(init, lvl)
+    fallback.foreach { fb =>
+      if (state.isEmpty) { // e.g. the coarse layer sampled no nodes
+        stateRdd.unpersist(blocking = false)
+        val (s2, r2) = Rounds.materialize(
+          topBeam(score(fb(v, q))).withColumn("exp", lit(false)), lvl)
+        state = s2
+        stateRdd = r2
+      }
+    }
     var hop = 0
     var done = false
     while (!done && hop < maxHops) {
