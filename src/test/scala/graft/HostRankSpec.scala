@@ -63,6 +63,14 @@ class HostRankSpec extends SparkSpec {
     assert(total <= n * scale && total > n * scale - n * 200L)
   }
 
+  test("a scale that could wrap 64-bit damping arithmetic fails fast") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      HostRank.pageRank(e, iters = 1, scale = Long.MaxValue / 150L)
+    }
+    assert(err.getMessage.contains("2^63"))
+  }
+
   test("bit-determinism across runs") {
     val e = (0L until 500L).map(i => (i % 41, (i * 13 + 7) % 41)).toDF("src", "dst")
     val a = HostRank.pageRank(e, iters = 3).as[(Long, Long)].collect().toSet
