@@ -1248,6 +1248,11 @@ object SparkEntry {
       graft.operators.ConnectedComponents.increment(labels, batchE)
         .select(col("node"), col("component").as("comp"))
     }),
+    // sign-random-projection (JL) embedding sketch to 16 dims: ±1
+    // entries from the Mix64 finalizer (oracle replays the splitmix64
+    // chain in HUGEINT), decimal-exact per-dim sums, 1/sqrt(16) scale
+    "q_rp" -> ((s, d) => graft.vector.RandomProjection.project(
+      embeddings(s, d), col("vec_id"), col("embedding"), outDim = 16)),
     // group mean-pooling: class centroids over the embeddings table
     // (the same operator is chunk->doc pooling and per-source mean
     // embeddings); (group, dim)-grain scalar output, decimal sums
@@ -3428,6 +3433,35 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.comp FROM reach r JOIN e ON r.id = e.src)
         |SELECT id AS node, MIN(comp) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    // the q_shuf splitmix64 HUGEINT replay keyed on i*16+j produces
+    // the ±1 sign; decimal(28,8) sums + the shared floor rounding
+    "q_rp" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        |), g AS (
+        |  SELECT vec_id, i, v, CAST(j AS BIGINT) AS j
+        |  FROM e, UNNEST(range(0, 16)) AS t(j)
+        |), s0 AS (
+        |  SELECT vec_id, j, v, (CAST(i * 16 + j AS HUGEINT)
+        |    + 11400714819323198485) % 18446744073709551616 AS z FROM g),
+        |p1 AS (SELECT vec_id, j, v, xor(z, z >> 30) AS a FROM s0),
+        |m1 AS (SELECT vec_id, j, v, ((a % 4294967296) * 484763065
+        |  + (((a % 4294967296) * 3210233709 + (a // 4294967296) * 484763065)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p1),
+        |p2 AS (SELECT vec_id, j, v, xor(z, z >> 27) AS a FROM m1),
+        |m2 AS (SELECT vec_id, j, v, ((a % 4294967296) * 321982955
+        |  + (((a % 4294967296) * 2496678331 + (a // 4294967296) * 321982955)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p2),
+        |k AS (SELECT vec_id, j, v,
+        |  CAST(xor(z, z >> 31) >> 1 AS BIGINT) AS h FROM m2),
+        |sv AS (SELECT vec_id, j, CAST(1 - 2 * (h % 2) AS DOUBLE) * v AS x FROM k)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |  floor(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
+        |    / sqrt(16.0) * 1000000.0 + 0.5) / 1000000.0 AS proj
+        |FROM sv GROUP BY 1, 2""".stripMargin,
 
     // (group, dim)-grain unnest + the decimal-sum mean
     "q_pool" ->
