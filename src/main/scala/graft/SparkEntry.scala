@@ -280,6 +280,19 @@ object SparkEntry {
     "q_sketch_stats" -> ((s, d) =>
       operators.Sketches.approxStats(events(s, d), Seq(col("event_type")),
         col("user_id"), col("value"))),
+    // incremental distinct counting: per-(type, day) mergeable HLL
+    // sketch artifacts unioned to type grain — the batch rollup that
+    // never rescans yesterday. Rows-only (DuckDB's approx_distinct is
+    // a different algorithm); SketchesSpec pins union==one-shot
+    // exactly, the error bound vs exact, and the parquet round-trip
+    "q_hll" -> ((s, d) => {
+      val ev = events(s, d).withColumn("_day",
+        expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS INT)"))
+      operators.Sketches.unionEstimate(
+        operators.Sketches.sketchBy(ev,
+          Seq(col("event_type"), col("_day")), col("user_id")),
+        Seq(col("event_type")))
+    }),
     "q_range_join" -> ((s, d) => {
       import s.implicits._
       val tiers = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),

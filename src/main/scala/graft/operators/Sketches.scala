@@ -30,4 +30,31 @@ object Sketches {
       .withColumn("p50", element_at(col("_q"), 1))
       .withColumn("p95", element_at(col("_q"), 2))
       .drop("_q")
+
+  /** INCREMENTAL distinct counting via persistable, MERGEABLE HLL
+    * sketches (Apache DataSketches HllSketch, Spark's
+    * `hll_sketch_agg` family) — the analytics member of the
+    * incremental family (22a dedup, 24c near-dup, 27i4 graph, 27m2
+    * IVF, 23e clusters): each ingest batch reduces to ONE fixed-size
+    * binary sketch row per group, persisted next to the corpus, and
+    * any batch-range's distinct count is a UNION of its sketches —
+    * no corpus rescan, ever. Union is lossless at equal lgK (the
+    * registers take an elementwise max), so the merged estimate is
+    * BIT-EQUAL to a one-shot sketch over the concatenated data —
+    * SketchesSpec pins that exactly, plus the standard error bound
+    * vs the exact count and a parquet round-trip of the binary
+    * column. [[approxStats]]' `approx_count_distinct` answers one
+    * query now; these sketches are the ARTIFACT form — yesterday's
+    * rollup never recomputes. */
+  def sketchBy(df: DataFrame, keys: Seq[Column], of: Column,
+               lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*).agg(hll_sketch_agg(of, lit(lgK)).as("hll"))
+
+  /** Merge persisted sketches down to `keys` grain and estimate:
+    * (keys..., n_parts, approx_distinct). */
+  def unionEstimate(sketches: DataFrame, keys: Seq[Column]): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_parts"),
+        hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+          .as("approx_distinct"))
 }

@@ -85,6 +85,45 @@ class SketchesSpec extends SparkSpec {
       assert(p50 > 0.0 && p50 < 330.0)
     }
   }
+
+  test("mergeable sketches: union of per-day parts == one-shot, within bound, parquet round-trip") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, sfDir).withColumn("_day",
+      expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS INT)"))
+    val daily = Sketches.sketchBy(ev,
+      Seq(col("event_type"), col("_day")), col("user_id"))
+    assert(daily.select("_day").distinct().count() > 1) // genuinely incremental
+    // persistence: the binary sketch column round-trips through parquet
+    val dir = java.nio.file.Files.createTempDirectory("hll_store").toString
+    daily.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val merged = Sketches.unionEstimate(loaded, Seq(col("event_type")))
+      .select("event_type", "approx_distinct")
+      .as[(String, Long)].collect().toMap
+    // union is lossless at equal lgK: merged estimate == one-shot exactly
+    val oneShot = Sketches.unionEstimate(
+        Sketches.sketchBy(ev, Seq(col("event_type")), col("user_id")),
+        Seq(col("event_type")))
+      .select("event_type", "approx_distinct")
+      .as[(String, Long)].collect().toMap
+    assert(merged == oneShot)
+    // incremental add: all-but-last-day parts union the last day's part
+    val days = ev.select("_day").distinct().as[Int].collect().sorted
+    val head = loaded.filter(col("_day") =!= days.last)
+    val inc = Sketches.unionEstimate(
+        head.union(loaded.filter(col("_day") === days.last)),
+        Seq(col("event_type")))
+      .select("event_type", "approx_distinct").as[(String, Long)].collect().toMap
+    assert(inc == oneShot)
+    // estimate within the HLL bound of the exact distinct
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"))
+      .as[(String, Long)].collect().toMap
+    merged.foreach { case (t, a) =>
+      assert(math.abs(a - exact(t)).toDouble / exact(t) < 0.10,
+        s"$t: $a vs ${exact(t)}")
+    }
+  }
 }
 
 class SkewAggSpec extends SparkSpec {
