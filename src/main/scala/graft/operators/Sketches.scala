@@ -50,6 +50,15 @@ object Sketches {
                lgK: Int = 12): DataFrame =
     df.groupBy(keys: _*).agg(hll_sketch_agg(of, lit(lgK)).as("hll"))
 
+  /** Merge sketches down to `keys` grain, KEEPING the sketch form —
+    * the rollup-artifact maintenance step: yesterday's rollup row
+    * unions with today's batch sketch into today's rollup, same
+    * schema as [[sketchBy]], so the incremental chain composes
+    * indefinitely without touching raw data. */
+  def unionSketches(sketches: DataFrame, keys: Seq[Column]): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(hll_union_agg(col("hll"), lit(false)).as("hll"))
+
   /** Merge persisted sketches down to `keys` grain and estimate:
     * (keys..., n_parts, approx_distinct). */
   def unionEstimate(sketches: DataFrame, keys: Seq[Column]): DataFrame =

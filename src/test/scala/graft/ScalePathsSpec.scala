@@ -107,11 +107,20 @@ class SketchesSpec extends SparkSpec {
       .select("event_type", "approx_distinct")
       .as[(String, Long)].collect().toMap
     assert(merged == oneShot)
-    // incremental add: all-but-last-day parts union the last day's part
+    // incremental add through a PRE-MERGED rollup artifact: all-but-
+    // last-day parts collapse to ONE stored rollup sketch row per
+    // type (unionSketches — the maintenance step), and unioning that
+    // rollup with the last day's part still equals one-shot. This is
+    // associativity through the serialized intermediate — not a
+    // reordering of the same part rows, which the previous assertion
+    // already covers
     val days = ev.select("_day").distinct().as[Int].collect().sorted
-    val head = loaded.filter(col("_day") =!= days.last)
+    val rollup = Sketches.unionSketches(
+      loaded.filter(col("_day") =!= days.last).select("event_type", "hll"),
+      Seq(col("event_type")))
     val inc = Sketches.unionEstimate(
-        head.union(loaded.filter(col("_day") === days.last)),
+        rollup.unionByName(loaded.filter(col("_day") === days.last)
+          .select("event_type", "hll")),
         Seq(col("event_type")))
       .select("event_type", "approx_distinct").as[(String, Long)].collect().toMap
     assert(inc == oneShot)
