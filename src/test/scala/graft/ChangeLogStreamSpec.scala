@@ -57,6 +57,48 @@ class ChangeLogStreamSpec extends SparkSpec {
     assert(got(7L) == CdcCurrent(7L, 2L, 2L, live = true, "y"))
   }
 
+  test("materialized store across micro-batches equals the batch snapshot; replay and delete-emptied buckets handled") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_store").toString
+    val log = Seq(
+      CdcEvent(1L, 1L, 10L, "U", "a"), CdcEvent(1L, 3L, 11L, "U", "b"),
+      CdcEvent(2L, 1L, 20L, "U", "c"), CdcEvent(2L, 5L, 21L, "D", "c"),
+      CdcEvent(3L, 2L, 30L, "D", "x"), CdcEvent(3L, 4L, 31L, "U", "d"),
+      CdcEvent(4L, 9L, 40L, "U", "e"),
+      // key 6: upserted in batch 1, deleted in batch 2 — with
+      // nBuckets=3 it is bucket 0's ONLY key, so the delete must
+      // EMPTY that bucket, the dynamic-overwrite blind spot
+      CdcEvent(6L, 1L, 60L, "U", "z"))
+    val batches = Seq(
+      Seq(log(0), log(2), log(4), log(7)),
+      Seq(log(1), log(3), log(5), log(6), CdcEvent(6L, 2L, 61L, "D", "z")))
+    val stream = MemoryStream[CdcEvent]
+    val q = ChangeLogStream.materialize(stream.toDS(), dir, s"$dir/_ckpt",
+      nBuckets = 3)
+    try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    def store(): Set[(Long, Long, Long, String)] =
+      spark.read.parquet(dir).select("id", "ver1", "ver2", "payload")
+        .as[(Long, Long, Long, String)].collect().toSet
+    val want = ChangeLog.snapshot(
+        (log :+ CdcEvent(6L, 2L, 61L, "D", "z")).toDF(),
+        Seq("id"), Seq("ver1", "ver2"), "op")
+      .select("id", "ver1", "ver2", "payload")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(store() == want)
+    assert(!want.exists(_._1 == 6L)) // the emptied bucket really emptied
+    // replaying the last micro-batch through the handler is a no-op
+    ChangeLogStream.materializeBatch(dir, 3)(
+      batches.last.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), 99L)
+    assert(store() == want)
+    // an out-of-order stale change replayed late also cannot regress
+    ChangeLogStream.materializeBatch(dir, 3)(
+      Seq(CdcEvent(1L, 2L, 12L, "U", "stale")).toDF()
+        .selectExpr("id", "ver1", "ver2", "op", "payload"), 100L)
+    assert(store() == want)
+  }
+
   test("stream parity with the batch snapshot on the real events table") {
     val src = Tables.load(spark, sfDir, "events").selectExpr(
         "user_id % 50 AS id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ver1",
