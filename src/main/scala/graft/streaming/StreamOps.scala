@@ -50,6 +50,26 @@ object StreamOps {
         col("event_type"), col("n"), col("v_sum"))
   }
 
+  /** Tumbling-window DISTINCT counting per event_type via the
+    * mergeable DataSketches HLL (the 7i2 sketch family's streaming
+    * face): exact streaming distinct would hold every value id in
+    * state, unbounded per window — the sketch keeps state at one
+    * fixed-size buffer per (window, type) however many values arrive,
+    * and its update/merge is exactly the operation micro-batch
+    * incremental aggregation needs. Same function serves batch and
+    * (with the watermark) streaming inputs; the batch run is the
+    * oracle. */
+  def windowedDistinct(events: DataFrame, windowLen: String = "1 hour",
+                       watermark: Option[String] = None,
+                       lgK: Int = 12): DataFrame = {
+    val src = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
+        .as("approx_distinct"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("approx_distinct"))
+  }
+
   /** Stream-static enrichment: join a stream against a (broadcastable)
     * static dimension — the streaming form of the reference's
     * "attach config/metadata to every frame record" joins. Spark plans
