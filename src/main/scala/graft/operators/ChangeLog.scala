@@ -35,7 +35,21 @@ import org.apache.spark.sql.functions._
 object ChangeLog {
 
   def snapshot(log: DataFrame, keyCols: Seq[String], verCols: Seq[String],
-               opCol: String, deleteOp: String = "D"): DataFrame = {
+               opCol: String, deleteOp: String = "D"): DataFrame =
+    latest(log, keyCols, verCols)
+      .filter(col(opCol) =!= deleteOp).drop(opCol)
+
+  /** The winning row per key INCLUDING delete tombstones — the
+    * artifact form a persisted store needs: a deleted key keeps its
+    * (key, version, op) row so a STALE out-of-order upsert arriving
+    * later finds the delete's higher version and loses the max-merge
+    * (drop the tombstone and the stale row would win unopposed,
+    * silently resurrecting the key). [[snapshot]] is this filtered
+    * to live rows. Tombstone retirement — dropping tombstones older
+    * than the feed's out-of-order horizon — is periodic store
+    * maintenance, not this operator's job. */
+  def latest(log: DataFrame, keyCols: Seq[String],
+             verCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && verCols.nonEmpty)
     val payload: Seq[String] =
       log.columns.filterNot(c => keyCols.contains(c)).toSeq
@@ -43,7 +57,7 @@ object ChangeLog {
       .agg(max_by(struct(payload.map(col): _*),
         struct(verCols.map(col): _*)).as("_last"))
     val outCols: Seq[Column] = keyCols.map(col) ++
-      payload.filterNot(_ == opCol).map(c => col(s"_last.$c").as(c))
-    last.filter(col(s"_last.$opCol") =!= deleteOp).select(outCols: _*)
+      payload.map(c => col(s"_last.$c").as(c))
+    last.select(outCols: _*)
   }
 }

@@ -52,21 +52,35 @@ object ChangeLogStream {
     * by `bucket = pmod(id, nBuckets)`, rewriting ONLY the buckets the
     * batch touches (dynamic-partition overwrite — the 27m2/21w
     * file-idempotence pattern):
-    *  1. touched buckets = the batch's distinct key buckets;
-    *  2. the store's touched buckets read back PARTITION-PRUNED
-    *     (work scales with the batch's key spread, never the store);
-    *  3. [[graft.operators.ChangeLog.snapshot]] over stored rows ∪
-    *     batch changes picks each key's max version; a key whose
-    *     latest op is a delete leaves its bucket;
-    *  4. the surviving rows overwrite exactly the touched bucket
-    *     partitions.
-    * The store keeps each key's winning (ver1, ver2, op='U' implied
-    * by presence) so merges are max-version idempotent: a REPLAYED
-    * micro-batch recomputes the same bucket contents byte-for-byte
-    * (the semilattice argument of [[snapshotStream]], now on files).
-    * At corpus scale the bucket count trades write amplification
-    * (batch keys per bucket) against small-file pressure — compaction
-    * is the 35 story, as for the IVF delta. */
+    *  1. touched buckets = the batch's distinct key buckets,
+    *     collected driver-side (bounded by nBuckets) and applied as
+    *     an `isin` filter so the store read is STATICALLY
+    *     partition-pruned — work scales with the batch's key spread,
+    *     never the store;
+    *  2. [[graft.operators.ChangeLog.latest]] over stored ∪ arriving
+    *     rows picks each key's max version, KEEPING delete
+    *     tombstones: a deleted key's (id, version, 'D') row stays in
+    *     its bucket so a STALE out-of-order upsert arriving in a
+    *     later batch finds the higher-versioned delete and loses —
+    *     without the tombstone it would win unopposed and silently
+    *     resurrect the key. Tombstones also keep touched buckets
+    *     non-empty, so the store always remains a readable table;
+    *  3. the winners overwrite exactly the touched bucket partitions.
+    * LIVE rows are `op != 'D'` — the reader's filter, pinned against
+    * the 30s2 batch snapshot. Merges are max-version idempotent: a
+    * replayed or stale-late batch recomputes identical bucket
+    * contents (the [[snapshotStream]] semilattice argument, now
+    * genuinely on files because the tombstones carry the delete's
+    * version). The merged plan re-roots on a persisted RDD and is
+    * consumed exactly once by the write (it reads the path it
+    * rewrites; the overwrite's old files outlive the job, so write
+    * retries still find them). Store paths go through the Hadoop
+    * filesystem of `storeDir`'s scheme; single concurrent writer by
+    * contract (the streaming checkpoint serializes batches). At
+    * corpus scale the bucket count trades write amplification
+    * against small-file pressure; tombstone retirement past the
+    * feed's out-of-order horizon and small-file compaction are the
+    * periodic 35-story maintenance, as for the IVF delta. */
   def materialize(log: Dataset[CdcEvent], storeDir: String,
                   checkpointDir: String, nBuckets: Int): StreamingQuery = {
     require(nBuckets >= 1)
@@ -77,52 +91,42 @@ object ChangeLogStream {
       .start()
   }
 
-  /** The foreachBatch handler (exposed for the spec's replay pin). */
+  /** The foreachBatch handler (exposed for the spec's replay pins). */
   def materializeBatch(storeDir: String, nBuckets: Int)
                       (batch: org.apache.spark.sql.DataFrame,
                        batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
+    if (batch.isEmpty) return // an empty trigger has nothing to merge
     val b = batch.withColumn("bucket",
       pmod(col("id"), lit(nBuckets)).cast("int"))
-    val touched = b.select("bucket").distinct()
+    val touched: Seq[Int] = b.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(storePath, "_started")
     val existing =
-      if (new java.io.File(s"$storeDir/_started").exists())
+      if (fs.exists(marker))
         spark.read.parquet(storeDir)
-          .join(broadcast(touched), Seq("bucket"), "left_semi")
-          .withColumn("op", lit("U"))
+          .filter(col("bucket").isin(touched: _*))
       else b.limit(0)
-    val merged = graft.operators.ChangeLog.snapshot(
-        existing.unionByName(b), Seq("id"), Seq("ver1", "ver2"), "op")
-      .select(col("id"), col("ver1"), col("ver2"), col("payload"),
-        col("bucket"))
+    val merged = graft.operators.ChangeLog.latest(
+        existing.unionByName(b), Seq("id"), Seq("ver1", "ver2"))
+      .select(col("id"), col("ver1"), col("ver2"), col("op"),
+        col("payload"), col("bucket"))
     // re-root on a persisted RDD before the overwrite: the merged plan
     // READS the same path the write overwrites, which Spark rightly
-    // rejects without the truncation (and lazily racing the two would
-    // be wrong anyway)
+    // rejects without the truncation
     val (snap, snapRdd) = graft.operators.Rounds.materialize(merged,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     snapRdd.count()
     snap.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(storeDir)
-    // dynamic overwrite only rewrites partitions PRESENT in the output:
-    // a touched bucket whose every key was deleted writes nothing, so
-    // its stale files must go explicitly or deleted keys resurface
-    val nonEmpty = snap.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    touched.collect().map(_.getInt(0)).filterNot(nonEmpty).foreach { bk =>
-      val dir = new java.io.File(s"$storeDir/bucket=$bk")
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(); ()
-      }
-      if (dir.exists()) rm(dir)
-    }
     snapRdd.unpersist(blocking = false)
-    // the marker makes first-batch bootstrap explicit (an empty dir
-    // is not a readable parquet table); created AFTER the first write
-    new java.io.File(s"$storeDir/_started").createNewFile()
+    // the marker makes first-batch bootstrap explicit; created AFTER
+    // the first successful write
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     ()
   }
 }

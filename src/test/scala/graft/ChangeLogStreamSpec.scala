@@ -57,7 +57,7 @@ class ChangeLogStreamSpec extends SparkSpec {
     assert(got(7L) == CdcCurrent(7L, 2L, 2L, live = true, "y"))
   }
 
-  test("materialized store across micro-batches equals the batch snapshot; replay and delete-emptied buckets handled") {
+  test("materialized store: live rows equal the batch snapshot; tombstones block resurrection; replay is a no-op") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("cdc_store").toString
     val log = Seq(
@@ -65,38 +65,64 @@ class ChangeLogStreamSpec extends SparkSpec {
       CdcEvent(2L, 1L, 20L, "U", "c"), CdcEvent(2L, 5L, 21L, "D", "c"),
       CdcEvent(3L, 2L, 30L, "D", "x"), CdcEvent(3L, 4L, 31L, "U", "d"),
       CdcEvent(4L, 9L, 40L, "U", "e"),
-      // key 6: upserted in batch 1, deleted in batch 2 — with
-      // nBuckets=3 it is bucket 0's ONLY key, so the delete must
-      // EMPTY that bucket, the dynamic-overwrite blind spot
-      CdcEvent(6L, 1L, 60L, "U", "z"))
+      CdcEvent(6L, 1L, 60L, "U", "z"), CdcEvent(6L, 2L, 61L, "D", "z"))
     val batches = Seq(
       Seq(log(0), log(2), log(4), log(7)),
-      Seq(log(1), log(3), log(5), log(6), CdcEvent(6L, 2L, 61L, "D", "z")))
+      Seq(log(1), log(3), log(5), log(6), log(8)))
     val stream = MemoryStream[CdcEvent]
     val q = ChangeLogStream.materialize(stream.toDS(), dir, s"$dir/_ckpt",
       nBuckets = 3)
     try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
 
-    def store(): Set[(Long, Long, Long, String)] =
-      spark.read.parquet(dir).select("id", "ver1", "ver2", "payload")
-        .as[(Long, Long, Long, String)].collect().toSet
-    val want = ChangeLog.snapshot(
-        (log :+ CdcEvent(6L, 2L, 61L, "D", "z")).toDF(),
-        Seq("id"), Seq("ver1", "ver2"), "op")
+    def full(): Set[(Long, Long, Long, String, String)] =
+      spark.read.parquet(dir).select("id", "ver1", "ver2", "op", "payload")
+        .as[(Long, Long, Long, String, String)].collect().toSet
+    def live(): Set[(Long, Long, Long, String)] =
+      full().filter(_._4 != "D").map(r => (r._1, r._2, r._3, r._5))
+    val want = ChangeLog.snapshot(log.toDF(), Seq("id"),
+        Seq("ver1", "ver2"), "op")
       .select("id", "ver1", "ver2", "payload")
       .as[(Long, Long, Long, String)].collect().toSet
-    assert(store() == want)
-    assert(!want.exists(_._1 == 6L)) // the emptied bucket really emptied
+    assert(live() == want)
+    // deleted keys keep TOMBSTONES (id, winning version, 'D'): the
+    // store stays a readable table and stale upserts can be refused
+    assert(full().contains((2L, 5L, 21L, "D", "c")))
+    assert(full().contains((6L, 2L, 61L, "D", "z")))
+    val before = full()
     // replaying the last micro-batch through the handler is a no-op
     ChangeLogStream.materializeBatch(dir, 3)(
       batches.last.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), 99L)
-    assert(store() == want)
-    // an out-of-order stale change replayed late also cannot regress
+    assert(full() == before)
+    // a stale out-of-order upsert for a LIVE key cannot regress it
     ChangeLogStream.materializeBatch(dir, 3)(
       Seq(CdcEvent(1L, 2L, 12L, "U", "stale")).toDF()
         .selectExpr("id", "ver1", "ver2", "op", "payload"), 100L)
-    assert(store() == want)
+    assert(full() == before)
+    // THE tombstone pin: a stale upsert for a DELETED key loses to
+    // the tombstone's higher version — the key must NOT resurrect
+    ChangeLogStream.materializeBatch(dir, 3)(
+      Seq(CdcEvent(6L, 1L, 59L, "U", "zombie")).toDF()
+        .selectExpr("id", "ver1", "ver2", "op", "payload"), 101L)
+    assert(full() == before)
+    assert(live() == want)
+  }
+
+  test("materialized store bootstrap survives an all-deletes first batch") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_store_d").toString
+    val stream = MemoryStream[CdcEvent]
+    val q = ChangeLogStream.materialize(stream.toDS(), dir, s"$dir/_ckpt",
+      nBuckets = 2)
+    try {
+      stream.addData(CdcEvent(5L, 1L, 50L, "D", "gone"))
+      q.processAllAvailable() // first batch writes only a tombstone
+      stream.addData(CdcEvent(7L, 1L, 70L, "U", "live"))
+      q.processAllAvailable() // second batch must read the store fine
+    } finally q.stop()
+    val rows = spark.read.parquet(dir)
+      .select("id", "op").as[(Long, String)].collect().toSet
+    assert(rows == Set((5L, "D"), (7L, "U")))
   }
 
   test("stream parity with the batch snapshot on the real events table") {

@@ -43,12 +43,15 @@ class StreamingSpec extends SparkSpec {
       (Timestamp.valueOf("2024-01-01 01:10:00"), "click", 8L),
       (Timestamp.valueOf("2024-01-01 00:20:00"), "view", 9L))
     val stream = MemoryStream[(Timestamp, String, Long)]
-    data.grouped(2).foreach(b => stream.addData(b)) // multi-batch
     val sdf = stream.toDF().toDF("ts", "event_type", "user_id")
     val q = StreamOps.windowedDistinct(sdf, "1 hour", watermark = Some("10 minutes"))
       .writeStream.format("memory").queryName("dist_out")
       .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    // GENUINE micro-batches: each addData is drained before the next,
+    // so the cross-batch partial-sketch merge is what's exercised
+    try data.grouped(2).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("dist_out")
       .as[(Long, String, Long)].collect().toSet
     val exp = StreamOps.windowedDistinct(
