@@ -43,16 +43,10 @@ object Bm25 {
            queries: Seq[(Int, String)], k: Int = 10,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val qTerms = queries.flatMap { case (qid, q) =>
-      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (qid, t))
-    }.toDF("query_id", "term")
+    val qTerms = queryTerms(spark, queries)
     val terms = qTerms.select("term").distinct()
 
-    val base = df.select(id.as("doc_id"), split(lower(text), "\\s+").as("_tk"))
-      .select(col("doc_id"), col("_tk"),
-        size(filter(col("_tk"), t => length(t) > 0)).cast("long").as("dl"))
+    val base = tokenized(df, id, text)
     // N and total length in exact integer space; the single division
     // to avgdl happens identically on both engines
     val stats = base.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))
@@ -62,6 +56,38 @@ object Bm25 {
       .join(broadcast(terms), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    scoreTf(tf, stats, qTerms, k, k1, b)
+  }
+
+  /** (query_id, term) rows for a driver-sized query batch — the one
+    * tokenization of query text, shared with the index path. */
+  private[text] def queryTerms(spark: org.apache.spark.sql.SparkSession,
+                               queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { case (qid, q) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }.toDF("query_id", "term")
+  }
+
+  /** (doc_id, _tk, dl) — the one corpus tokenization, shared with the
+    * index build so index serving is bit-equal to direct scoring. */
+  private[text] def tokenized(df: DataFrame, id: Column,
+                              text: Column): DataFrame =
+    df.select(id.as("doc_id"), split(lower(text), "\\s+").as("_tk"))
+      .select(col("doc_id"), col("_tk"),
+        size(filter(col("_tk"), t => length(t) > 0)).cast("long").as("dl"))
+
+  /** The scoring tail from query-term tf rows: shared verbatim by the
+    * direct path ([[topK]]) and the persisted-index path
+    * ([[Bm25Index.topK]]), so the two produce bit-identical scores on
+    * identical tf/stats inputs — which is exactly what makes the
+    * incremental index oracle-able by the direct query's SQL. `tf` is
+    * (doc_id, term, tf, dl) already filtered to query terms; `stats`
+    * is one row (_n, _sumdl). */
+  private[text] def scoreTf(tf: DataFrame, stats: DataFrame,
+                            qTerms: DataFrame, k: Int,
+                            k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
 
     val perTerm = tf

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED + INCREMENTAL BM25 index — the retrieval member of the
+  * incremental family (22a exact dedup, 24c near-dup, 27i4 graph,
+  * 27m2 IVF, 23e clusters, 7i2 sketches): [[Bm25.topK]] re-reads and
+  * re-tokenizes the corpus per query batch; the index pays the
+  * token-grain work ONCE at build, appends each crawl batch's
+  * postings without touching old ones, and serves queries from the
+  * artifact.
+  *
+  * Layout under `dir`:
+  *  - `postings/` — (term, doc_id, tf, dl) partitioned by
+  *    `bucket = pmod(xxhash64(term), nBuckets)`, so a query reads
+  *    only its terms' buckets (driver-computed `isin` → static
+  *    partition pruning, the 30s4 pattern) and an append writes new
+  *    files into existing partitions without rewriting them;
+  *  - `meta/` — one (n_docs, sum_dl) row per build/append part:
+  *    corpus stats are sums of per-part sums (exact integers), so
+  *    serving reads meta and adds.
+  *
+  * EXACTNESS: document frequency is counted from the query-filtered
+  * postings at serving time (df is a property of the postings, not a
+  * second artifact to drift); tf/dl rows for a document are identical
+  * whether it arrived at build or append; N/sum_dl are associative
+  * integer sums; and the scoring tail IS [[Bm25.scoreTf]] — so index
+  * serving over base ∪ appended batches is BIT-IDENTICAL to
+  * [[Bm25.topK]] over the concatenated corpus, which is what lets the
+  * registry query reuse the direct query's SQL oracle verbatim.
+  *
+  * Append idempotence is the caller's stream contract (wrap in the
+  * 21w/30s4 foreachBatch patterns for exactly-once); compaction of
+  * many small append parts is the 35 story. */
+object Bm25Index {
+
+  def build(df: DataFrame, id: Column, text: Column, dir: String,
+            nBuckets: Int = 64): Unit =
+    write(df, id, text, dir, nBuckets, overwrite = true)
+
+  /** Append a new batch's postings + stats part — cost scales with
+    * the batch (its own tokenization and one bucket-partitioned
+    * write), never the index. Batch doc ids must be disjoint from
+    * indexed ones (re-ingest dedup is 22a's job). */
+  def append(df: DataFrame, id: Column, text: Column, dir: String,
+             nBuckets: Int = 64): Unit =
+    write(df, id, text, dir, nBuckets, overwrite = false)
+
+  private def write(df: DataFrame, id: Column, text: Column, dir: String,
+                    nBuckets: Int, overwrite: Boolean): Unit = {
+    require(nBuckets >= 1)
+    val mode = if (overwrite) "overwrite" else "append"
+    val base = Bm25.tokenized(df, id, text)
+    base.select(col("doc_id"), col("dl"), explode(col("_tk")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode(mode).parquet(s"$dir/meta")
+  }
+
+  /** Serve top-`k` per query from the persisted index — bit-identical
+    * to [[Bm25.topK]] over the same corpus. */
+  def topK(spark: SparkSession, dir: String, queries: Seq[(Int, String)],
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+           nBuckets: Int = 64): DataFrame = {
+    val qTerms = Bm25.queryTerms(spark, queries)
+    val terms = qTerms.select("term").distinct()
+    // driver-side bucket ids of the query terms -> static pruning
+    // (terms is driver-sized by the query contract, so the collect is
+    // a handful of rows)
+    val bks = terms.withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .join(broadcast(terms), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val stats = spark.read.parquet(s"$dir/meta")
+      .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
+    Bm25.scoreTf(tf, stats, qTerms, k, k1, b)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bm25, Bm25Index}
+
+/** Incremental BM25 index: serving from build ∪ append is
+  * bit-identical to the direct query over the concatenated corpus. */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val queries = Seq(1 -> "hash join", 2 -> "window agg",
+    3 -> "customer table scan")
+
+  test("index serving equals the direct query; appends fold in exactly") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      col("doc_id"), col("text"), dir)
+    Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      col("doc_id"), col("text"), dir)
+    val got = Bm25Index.topK(spark, dir, queries)
+      .as[(Int, Long, Long, Double, Int)].collect().toSet
+    val want = Bm25.topK(docs, col("doc_id"), col("text"), queries)
+      .as[(Int, Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // a second append folds in the same way: rebuild expectations
+    // over the extended corpus
+    val extra = Seq((900001L, "hash join hash join window"),
+      (900002L, "customer scan")).toDF("doc_id", "text")
+    Bm25Index.append(extra, col("doc_id"), col("text"), dir)
+    val got2 = Bm25Index.topK(spark, dir, queries)
+      .as[(Int, Long, Long, Double, Int)].collect().toSet
+    val want2 = Bm25.topK(docs.select("doc_id", "text").unionByName(extra),
+        col("doc_id"), col("text"), queries)
+      .as[(Int, Long, Long, Double, Int)].collect().toSet
+    assert(got2 == want2)
+    // the planted exact-phrase doc must surface for query 1
+    assert(got2.exists { case (q, d, _, _, _) => q == 1 && d == 900001L })
+    assert(got2 != got) // the append genuinely changed rankings
+  }
+
+  test("serving reads only the query terms' buckets") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_prune").toString
+    Bm25Index.build(docs, col("doc_id"), col("text"), dir, nBuckets = 16)
+    // the partition filter on the driver-computed bucket set reaches
+    // the scan: exactly one bucket's partition for a one-term query
+    // (sparkPlan, not executedPlan — AQE wraps the latter before
+    // execution and hides the scan node)
+    val nParts = Bm25Index.topK(spark, dir, Seq(1 -> "hash"), nBuckets = 16)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.values).length
+      }
+    assert(nParts.nonEmpty && nParts.head == 1, s"partitions read: $nParts")
+  }
+}
