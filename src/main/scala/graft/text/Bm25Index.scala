@@ -36,38 +36,63 @@ import org.apache.spark.sql.functions._
 object Bm25Index {
 
   def build(df: DataFrame, id: Column, text: Column, dir: String,
-            nBuckets: Int = 64): Unit =
+            nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1)
     write(df, id, text, dir, nBuckets, overwrite = true)
+  }
 
   /** Append a new batch's postings + stats part — cost scales with
     * the batch (its own tokenization and one bucket-partitioned
-    * write), never the index. Batch doc ids must be disjoint from
-    * indexed ones (re-ingest dedup is 22a's job). */
-  def append(df: DataFrame, id: Column, text: Column, dir: String,
-             nBuckets: Int = 64): Unit =
-    write(df, id, text, dir, nBuckets, overwrite = false)
+    * write), never the index. The bucket layout comes from the
+    * STORED meta (a layout parameter is corruption waiting to
+    * mismatch, so it is persisted once at build and never passed
+    * again). Batch doc ids must be disjoint from indexed ones
+    * (re-ingest dedup is 22a's job). */
+  def append(df: DataFrame, id: Column, text: Column,
+             dir: String): Unit =
+    write(df, id, text, dir, storedBuckets(df.sparkSession, dir),
+      overwrite = false)
+
+  /** The bucket count the index was built with, read from meta —
+    * the single source of layout truth for append and topK. */
+  private def storedBuckets(spark: SparkSession, dir: String): Int = {
+    val n = spark.read.parquet(s"$dir/meta")
+      .select(min(col("n_buckets")), max(col("n_buckets"))).head()
+    require(n.getInt(0) == n.getInt(1),
+      s"inconsistent n_buckets in $dir/meta: ${n.getInt(0)} vs ${n.getInt(1)}")
+    n.getInt(0)
+  }
 
   private def write(df: DataFrame, id: Column, text: Column, dir: String,
                     nBuckets: Int, overwrite: Boolean): Unit = {
-    require(nBuckets >= 1)
     val mode = if (overwrite) "overwrite" else "append"
+    // one tokenization feeds BOTH jobs (postings + stats)
     val base = Bm25.tokenized(df, id, text)
-    base.select(col("doc_id"), col("dl"), explode(col("_tk")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("bucket",
-        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
-    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode(mode).parquet(s"$dir/meta")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.select(col("doc_id"), col("dl"), explode(col("_tk")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+        .write.mode(mode)
+        // STATIC overwrite pinned: under a session's dynamic mode a
+        // REBUILD would leave stale buckets absent from the new
+        // corpus while meta truncates — an inconsistent index
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket").parquet(s"$dir/postings")
+      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode(mode).parquet(s"$dir/meta")
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** Serve top-`k` per query from the persisted index — bit-identical
     * to [[Bm25.topK]] over the same corpus. */
   def topK(spark: SparkSession, dir: String, queries: Seq[(Int, String)],
-           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-           nBuckets: Int = 64): DataFrame = {
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nBuckets = storedBuckets(spark, dir)
     val qTerms = Bm25.queryTerms(spark, queries)
     val terms = qTerms.select("term").distinct()
     // driver-side bucket ids of the query terms -> static pruning

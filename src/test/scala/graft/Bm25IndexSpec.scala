@@ -49,7 +49,7 @@ class Bm25IndexSpec extends SparkSpec {
     // the scan: exactly one bucket's partition for a one-term query
     // (sparkPlan, not executedPlan — AQE wraps the latter before
     // execution and hides the scan node)
-    val nParts = Bm25Index.topK(spark, dir, Seq(1 -> "hash"), nBuckets = 16)
+    val nParts = Bm25Index.topK(spark, dir, Seq(1 -> "hash"))
       .queryExecution.sparkPlan.collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains("postings")) =>
