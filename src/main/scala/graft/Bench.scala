@@ -149,8 +149,22 @@ object Bench {
     def dirty(lo: Int, hi: Int): Boolean =
       math.max(calSeries(lo), calSeries(math.min(hi, calSeries.length - 1))) >
         math.max(2.0 * floor, floor + 0.25)
+    // Two rerun triggers. (1) cal-dirty: the CPU probe flagged the
+    // query's window. (2) UNCONDITIONAL for heavy rows (>= 2 s): the
+    // r11 residual blind spot — q_corpus/q_corpus2 measured ~2.6x
+    // their same-code clean-sweep times while the cal series stayed
+    // clean, i.e. an IO/page-cache contention window a CPU-bound
+    // probe cannot see (r12 reproduction: isolated 4.0/4.7 s, full
+    // local sweep 3.6/3.7 s — the driver's 8.3/8.4 s was box state,
+    // not code). A CPU probe for IO state doesn't exist, so heavy
+    // rows simply get a third sample at sweep end, minutes away from
+    // their first two; min-merge keeps whichever window was clean.
+    // Light rows stay bracket-gated (their absolute error is bounded
+    // by their own magnitude and the rerun budget is better spent
+    // where seconds are at stake).
     val flagged = sweep.map(_._1).filter(n =>
-      results(n) >= 1.0 && dirty(calLo(n), calLo(n) + 1))
+      results(n) >= 2.0 ||
+        (results(n) >= 1.0 && dirty(calLo(n), calLo(n) + 1)))
     // rerun pass: flagged queries under tight shared brackets (a
     // calibration reading every 5 reruns + one at the end)
     val hot = scala.collection.mutable.ArrayBuffer[String]()
@@ -164,7 +178,12 @@ object Bench {
     flagged.foreach { name =>
       val t = rerunT(name)
       if (t >= 0 && t < results(name)) results(name) = t
-      if (dirty(rerunLo(name), rerunLo(name) + 1)) hot += name
+      // still-hot = EVERY sample sat in a dirty window: a heavy row
+      // whose original bracket was clean keeps its trusted reading
+      // and never self-reports just because its extra sample landed
+      // in a contended rerun window
+      if (dirty(rerunLo(name), rerunLo(name) + 1) &&
+        dirty(calLo(name), calLo(name) + 1)) hot += name
     }
     // Output budget: the driver stores the LAST 2000 chars of merged
     // output, which must hold the whole JSON line plus sbt's trailing

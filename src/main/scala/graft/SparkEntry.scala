@@ -1142,6 +1142,25 @@ object SparkEntry {
       text.Bm25Index.topK(s, dir,
         Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))
     }),
+    // index MAINTENANCE: build + two appends fragment the postings
+    // buckets, compaction folds each back to one file, and serving
+    // stays bit-identical — so q_bm25's SQL oracle applies verbatim
+    // THROUGH the compaction (the strongest form of the
+    // rows-never-change argument)
+    "q_bm25c" -> ((s, d) => {
+      val docs = documents(s, d)
+      val dir = s"/tmp/graft_bm25c_${new java.io.File(d).getName}_" +
+        java.lang.ProcessHandle.current().pid()
+      text.Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("doc_id"), col("text"), dir)
+      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        col("doc_id"), col("text"), dir)
+      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
+        col("doc_id"), col("text"), dir)
+      text.Bm25Index.compact(s, dir)
+      text.Bm25Index.topK(s, dir,
+        Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))
+    }),
     // hybrid dense+sparse retrieval by RRF: query-by-example over the
     // docs∩embeddings overlap (doc_id == vec_id) — BM25 on the probe
     // doc's text fused with exact-cosine on its embedding. The probe
@@ -3188,6 +3207,48 @@ object SparkEntry {
     // the incremental index serves bit-identically to the direct
     // query (see Bm25Index), so the oracle is q_bm25's verbatim
     "q_bm25i" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
+        |  (3,'customer'),(3,'table'),(3,'scan')
+        |), d AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+        |), f AS (
+        |  SELECT term, COUNT(*) AS dfreq FROM t GROUP BY 1
+        |), s AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(SUM(CAST(
+        |      ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5))
+        |      * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+        |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS score,
+        |    COUNT(*) AS n_terms
+        |  FROM t JOIN q USING (term) JOIN f USING (term)
+        |    JOIN d USING (doc_id) CROSS JOIN st
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s
+        |)
+        |SELECT query_id, doc_id, n_terms,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    // compaction re-files rows without changing them, so serving
+    // stays bit-identical and q_bm25's oracle applies verbatim again
+    "q_bm25c" ->
       """WITH q(query_id, term) AS (VALUES
         |  (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
         |  (3,'customer'),(3,'table'),(3,'scan')

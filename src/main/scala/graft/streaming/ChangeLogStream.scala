@@ -78,9 +78,9 @@ object ChangeLogStream {
     * filesystem of `storeDir`'s scheme; single concurrent writer by
     * contract (the streaming checkpoint serializes batches). At
     * corpus scale the bucket count trades write amplification
-    * against small-file pressure; tombstone retirement past the
-    * feed's out-of-order horizon and small-file compaction are the
-    * periodic 35-story maintenance, as for the IVF delta. */
+    * against small-file pressure; [[compactStore]] and
+    * [[retireTombstones]] are the periodic maintenance that keeps
+    * both bounded. */
   def materialize(log: Dataset[CdcEvent], storeDir: String,
                   checkpointDir: String, nBuckets: Int): StreamingQuery = {
     require(nBuckets >= 1)
@@ -128,5 +128,46 @@ object ChangeLogStream {
     // the first successful write
     if (!fs.exists(marker)) fs.create(marker, true).close()
     ()
+  }
+
+  /** Compact the store's fragmented buckets to one file each — the
+    * small-file maintenance [[materialize]] defers (every micro-batch
+    * adds one part per touched bucket). Row contents never change, so
+    * the live snapshot, the tombstone set, and every future merge are
+    * bit-identical before/after (ChangeLogStreamSpec pins it). Run
+    * between micro-batches: the single-writer contract that already
+    * serializes batches also serializes maintenance. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   storeDir: String, minParts: Int = 2): Unit =
+    graft.sources.BucketMaintenance.compact(spark, storeDir, minParts)
+
+  /** Retire delete tombstones STRICTLY below the feed's out-of-order
+    * horizon: drop every (op='D', ver1 < `horizonVer1`) row. Without
+    * retirement the store carries one row per key ever deleted,
+    * forever.
+    *
+    * Safety argument (why no outcome can change): a tombstone exists
+    * to defeat a STALE upsert — one whose version is lower than the
+    * delete's. A retired tombstone has ver1 < horizon, so any upsert
+    * it could have defeated also has ver1 < horizon, and the horizon
+    * contract says such an event never arrives again. Every event
+    * that CAN still arrive has ver1 >= horizon > the retired
+    * tombstone's version and would have beaten it anyway — for those
+    * events the store with and without the tombstone behaves
+    * identically (spec-pinned by running the same post-retirement
+    * batches through both). Choose the horizon from the feed's
+    * watermark, never from wall clock.
+    *
+    * Only buckets holding a qualifying tombstone are rewritten (the
+    * same pruned-bucket shape as the merge path); a bucket emptied by
+    * retirement has its partition directory removed. */
+  def retireTombstones(spark: org.apache.spark.sql.SparkSession,
+                       storeDir: String, horizonVer1: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val retirable = col("op") === "D" && col("ver1") < horizonVer1
+    val touched = spark.read.parquet(storeDir).filter(retirable)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    graft.sources.BucketMaintenance.rewriteBuckets(spark, storeDir,
+      touched, _.filter(!retirable))
   }
 }

@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   * registry query reuse the direct query's SQL oracle verbatim.
   *
   * Append idempotence is the caller's stream contract (wrap in the
-  * 21w/30s4 foreachBatch patterns for exactly-once); compaction of
-  * many small append parts is the 35 story. */
+  * 21w/30s4 foreachBatch patterns for exactly-once); [[compact]]
+  * folds the accumulated small append parts back down with serving
+  * pinned bit-identical (Bm25IndexSpec). */
 object Bm25Index {
 
   def build(df: DataFrame, id: Column, text: Column, dir: String,
@@ -86,6 +87,46 @@ object Bm25Index {
         .withColumn("n_buckets", lit(nBuckets))
         .write.mode(mode).parquet(s"$dir/meta")
     } finally { base.unpersist(blocking = false); () }
+  }
+
+  /** Compact the index in place — the "35-story" maintenance the
+    * append path defers: every [[append]] adds one parquet part per
+    * touched postings bucket plus one meta row, so at crawl cadence a
+    * bucket accumulates thousands of tiny files whose open/footer cost
+    * eventually dominates serving. Compaction rewrites each FRAGMENTED
+    * bucket (>= `minParts` data files) into a single file and folds
+    * the meta parts into one row.
+    *
+    * Serving stays BIT-IDENTICAL: postings rows are re-filed, never
+    * changed, and the meta fold is the same associative integer sum
+    * serving already computes ([[topK]] aggregates meta before use, so
+    * one pre-summed row reads back the exact same N / sum_dl). The two
+    * steps are independently idempotent and each preserves serving on
+    * its own, so a failure between them leaves a valid index.
+    *
+    * Scale shape: work is proportional to the fragmented buckets'
+    * data, not the index — intact buckets are never read (the same
+    * static `isin` pruning serving uses), and each rewritten bucket's
+    * rows hash to one task (`repartition` on the partition column), so
+    * the overwrite emits exactly one file per bucket. */
+  def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit = {
+    graft.sources.BucketMaintenance.compact(spark, s"$dir/postings", minParts)
+    // meta: fold all build/append rows into one (driver-sized — one
+    // row per historical append; the collect sidesteps the
+    // read-overwrite conflict entirely)
+    val meta = spark.read.parquet(s"$dir/meta")
+    if (meta.inputFiles.length >= minParts) {
+      val r = meta.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl"),
+        min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
+        .head()
+      require(r.getInt(2) == r.getInt(3),
+        s"inconsistent n_buckets in $dir/meta: ${r.getInt(2)} vs ${r.getInt(3)}")
+      import spark.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toDF("n_docs", "sum_dl", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   /** Serve top-`k` per query from the persisted index — bit-identical

@@ -125,6 +125,75 @@ class ChangeLogStreamSpec extends SparkSpec {
     assert(rows == Set((5L, "D"), (7L, "U")))
   }
 
+  test("store compaction folds buckets to one file; contents bit-identical") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_compact").toString
+    def batch(rows: Seq[CdcEvent], id: Long): Unit =
+      ChangeLogStream.materializeBatch(dir, 4)(
+        rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
+    batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b"),
+      CdcEvent(4L, 1L, 1L, "U", "c")), 0L)
+    batch(Seq(CdcEvent(1L, 2L, 2L, "U", "a2"), CdcEvent(5L, 2L, 2L, "U", "d")), 1L)
+    batch(Seq(CdcEvent(2L, 3L, 3L, "D", "b"), CdcEvent(9L, 3L, 3L, "U", "e")), 2L)
+    // a guaranteed second part in bucket 1 (a wide merge can land a
+    // bucket's rows in several tasks → several files; fabricate the
+    // fragmentation deterministically with a direct partition append)
+    Seq((13L, 1L, 1L, "U", "m")).toDF("id", "ver1", "ver2", "op", "payload")
+      .withColumn("bucket", lit(1))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    def parts(): Seq[Int] = new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    def full(): Set[(Long, Long, Long, String, String)] =
+      spark.read.parquet(dir).select("id", "ver1", "ver2", "op", "payload")
+        .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(parts().exists(_ >= 2), "merges should fragment buckets")
+    val before = full()
+    ChangeLogStream.compactStore(spark, dir)
+    assert(parts().forall(_ == 1), s"got ${parts()}")
+    assert(full() == before)
+    // a merge after compaction behaves exactly as before it
+    batch(Seq(CdcEvent(2L, 2L, 9L, "U", "stale")), 3L) // loses to D at ver 3
+    assert(full() == before)
+  }
+
+  test("tombstone retirement below the horizon changes no still-possible outcome") {
+    implicit val sql = spark.sqlContext
+    // two IDENTICAL stores built from the same batches; one retires
+    val dirs = Seq("cdc_ret_a", "cdc_ret_b")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    def batch(rows: Seq[CdcEvent], id: Long): Unit = dirs.foreach { d =>
+      ChangeLogStream.materializeBatch(d, 4)(
+        rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
+    }
+    // keys chosen so bucket 3 (= id % 4) holds ONLY the key-7
+    // tombstone: retirement must delete the emptied partition dir
+    batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b"),
+      CdcEvent(6L, 1L, 1L, "U", "c"), CdcEvent(7L, 2L, 1L, "D", "x")), 0L)
+    batch(Seq(CdcEvent(2L, 5L, 1L, "D", "b"), CdcEvent(6L, 20L, 1L, "D", "c")), 1L)
+    def full(d: String): Set[(Long, Long, Long, String, String)] =
+      spark.read.parquet(d).select("id", "ver1", "ver2", "op", "payload")
+        .as[(Long, Long, Long, String, String)].collect().toSet
+    val retired = Set((2L, 5L, 1L, "D", "b"), (7L, 2L, 1L, "D", "x"))
+    ChangeLogStream.retireTombstones(spark, dirs.head, horizonVer1 = 10L)
+    // exactly the sub-horizon tombstones are gone; D(6) at ver 20 stays
+    assert(full(dirs.head) == full(dirs(1)) -- retired)
+    assert(full(dirs.head).contains((6L, 20L, 1L, "D", "c")))
+    // the emptied bucket directory is removed outright
+    assert(!new java.io.File(dirs.head, "bucket=3").exists())
+    // every event that can still arrive (ver1 >= horizon) produces the
+    // same store state with or without the retired tombstones: a fresh
+    // upsert for a retired key wins in both (it beat ver 2 anyway), a
+    // stale-vs-kept-tombstone upsert loses in both
+    batch(Seq(CdcEvent(7L, 11L, 1L, "U", "back"),
+      CdcEvent(6L, 15L, 1L, "U", "zombie"), // loses to D at ver 20 in both
+      CdcEvent(2L, 12L, 1L, "U", "b2")), 2L)
+    assert(full(dirs.head) == full(dirs(1)))
+    def live(d: String) = full(d).filter(_._4 != "D")
+    assert(live(dirs.head).map(r => (r._1, r._5)) ==
+      Set((1L, "a"), (7L, "back"), (2L, "b2")))
+  }
+
   test("stream parity with the batch snapshot on the real events table") {
     val src = Tables.load(spark, sfDir, "events").selectExpr(
         "user_id % 50 AS id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ver1",
