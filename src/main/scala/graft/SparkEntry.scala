@@ -293,6 +293,20 @@ object SparkEntry {
           Seq(col("event_type"), col("_day")), col("user_id")),
         Seq(col("event_type")))
     }),
+    // incremental QUANTILE artifacts (the 7i2 twin, r12): three batch
+    // sketches of event value per type unioned + estimated — the
+    // bottom-k-by-Mix64 sample is a semilattice, so the union equals
+    // the one-shot sketch BIT-EXACTLY and the whole incremental chain
+    // replays in DuckDB HUGEINT (splitmix64 priorities, integer rank)
+    "q_qsk" -> ((s, d) => {
+      val ev = events(s, d)
+      val parts = Seq(0, 1, 2).map(i =>
+        operators.QuantileSketch.sketchBy(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq(col("event_type")), col("event_id"), col("value"), k = 64))
+      operators.QuantileSketch.estimate(
+        parts.reduce(_ unionByName _), Seq("event_type"), 64, Seq(50, 95))
+    }),
     "q_range_join" -> ((s, d) => {
       import s.implicits._
       val tiers = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),
@@ -3596,6 +3610,46 @@ object SparkEntry {
         |  floor(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
         |    / sqrt(16.0) * 1000000.0 + 0.5) / 1000000.0 AS proj
         |FROM sv GROUP BY 1, 2""".stripMargin,
+
+    // the incremental quantile sketch replayed one-shot: splitmix64
+    // priorities (the q_rp HUGEINT chain over event_id), bottom-64
+    // distinct (priority, value) pairs per type, value at integer
+    // rank (m-1)*p//100 — union==one-shot is the operator's
+    // semilattice guarantee, so the one-shot replay IS the oracle
+    "q_qsk" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), s0 AS (
+        |  SELECT event_type, v, (CAST(event_id AS HUGEINT)
+        |    + 11400714819323198485) % 18446744073709551616 AS z FROM e),
+        |p1 AS (SELECT event_type, v, xor(z, z >> 30) AS a FROM s0),
+        |m1 AS (SELECT event_type, v, ((a % 4294967296) * 484763065
+        |  + (((a % 4294967296) * 3210233709 + (a // 4294967296) * 484763065)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p1),
+        |p2 AS (SELECT event_type, v, xor(z, z >> 27) AS a FROM m1),
+        |m2 AS (SELECT event_type, v, ((a % 4294967296) * 321982955
+        |  + (((a % 4294967296) * 2496678331 + (a // 4294967296) * 321982955)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p2),
+        |k AS (SELECT event_type, v,
+        |  CAST(xor(z, z >> 31) >> 1 AS BIGINT) AS h FROM m2),
+        |dd AS (SELECT DISTINCT event_type, h, v FROM k),
+        |r AS (SELECT event_type, v, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY h, v) AS rk FROM dd),
+        |smp AS (SELECT event_type, v FROM r WHERE rk <= 64),
+        |vs AS (SELECT event_type, v, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY v) AS rv,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS m FROM smp),
+        |q AS (SELECT event_type, CAST(m AS INT) AS m,
+        |    MAX(CASE WHEN rv = ((m - 1) * 50) // 100 + 1 THEN v END) AS p50,
+        |    MAX(CASE WHEN rv = ((m - 1) * 95) // 100 + 1 THEN v END) AS p95
+        |  FROM vs GROUP BY event_type, m),
+        |a AS (SELECT event_type,
+        |    CAST(COUNT(DISTINCT event_id % 3) AS BIGINT) AS n_parts,
+        |    COUNT(*) AS n
+        |  FROM e GROUP BY event_type)
+        |SELECT a.event_type, a.n_parts, a.n, q.m, q.p50, q.p95
+        |FROM a JOIN q USING (event_type)""".stripMargin,
 
     // (group, dim)-grain unnest + the decimal-sum mean
     "q_pool" ->

@@ -70,6 +70,35 @@ object StreamOps {
         col("event_type"), col("approx_distinct"))
   }
 
+  /** Tumbling-window QUANTILES per event_type via the bottom-k sample
+    * sketch (the quantile twin of [[windowedDistinct]], r12): exact
+    * streaming percentiles would hold every value in state, unbounded
+    * per window — the sketch keeps one <= k-entry buffer per (window,
+    * type) and its merge is the semilattice union micro-batch
+    * incremental aggregation needs, so arrival order across batches
+    * cannot change the emitted estimate. Same function serves batch
+    * and (with the watermark) streaming inputs; the batch run is the
+    * oracle (StreamingSpec). */
+  def windowedQuantile(events: DataFrame, windowLen: String = "1 hour",
+                       watermark: Option[String] = None, k: Int = 64,
+                       percents: Seq[Int] = Seq(50, 95)): DataFrame = {
+    val src = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    val agged = src.filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.QuantileSketch
+          .sketchAgg(col("event_id"), col("value"), k).as("_sk"))
+      .withColumn("_vs",
+        array_sort(transform(col("_sk.entries"), _.getField("_2"))))
+      .withColumn("m", size(col("_vs")))
+    percents.foldLeft(agged) { (df, p) =>
+      df.withColumn(s"p$p", element_at(col("_vs"),
+        expr(s"CAST(((m - 1) * $p) DIV 100 AS INT) + 1")))
+    }.select(Seq(unix_timestamp(col("window.start")).as("win_start_s"),
+      col("event_type"), col("n"), col("m")) ++
+      percents.map(p => col(s"p$p")): _*)
+  }
+
   /** Stream-static enrichment: join a stream against a (broadcastable)
     * static dimension — the streaming form of the reference's
     * "attach config/metadata to every frame record" joins. Spark plans
