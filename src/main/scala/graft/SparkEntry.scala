@@ -873,6 +873,25 @@ object SparkEntry {
         rates = Map("en" -> 0.25, "zh" -> 0.8),
         sourceGate = Some((10L, 0.6, 0.5)))
     }),
+    // INCREMENTAL end-to-end corpus build (r12): the 31g chain run as
+    // artifacts-from-base + one increment folding the newest ~30% of
+    // ids — never re-tokenizing or re-shuffling the base — with the
+    // output hash-identical to the full rebuild over base ∪ batch, so
+    // q_corpus's oracle applies VERBATIM (same %11 corpus/eval split;
+    // the id-threshold split exists only on the Spark side)
+    "q_icorpus" -> ((s, d) => {
+      val docs = documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+      val eval = docs.filter(col("doc_id") % 11 === 0)
+      val t = corpus.agg(max(col("doc_id"))).head().getLong(0) / 10 * 7
+      val dir = s"/tmp/graft_icorpus_${new java.io.File(d).getName}_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.text.CorpusIncrement.build(
+        corpus.filter(col("doc_id") <= t), eval, dir,
+        rates = Map("en" -> 0.25, "zh" -> 0.8))
+      graft.text.CorpusIncrement.increment(
+        corpus.filter(col("doc_id") > t), dir)
+    }),
     // sequence packing: global token offsets (distributed prefix sum)
     // and the 512-token training chunks each document spans
     "q_pack" -> ((s, d) => {
@@ -4280,6 +4299,67 @@ object SparkEntry {
         |""".stripMargin,
 
     "q_corpus" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, lang, source, string_split_regex(text, '\s+') AS tk
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |), q AS (
+        |  SELECT doc_id, text, lang, source, tk,
+        |    len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stop_cnt
+        |  FROM base
+        |), qq AS (
+        |  SELECT doc_id, text, lang, source, tk FROM q
+        |  WHERE len(tk) >= 5 AND len(tk) <= 2000
+        |    AND CAST(stop_cnt AS DOUBLE) / len(tk) >= 0.05
+        |), ex AS (
+        |  SELECT * FROM qq WHERE doc_id IN (SELECT MIN(doc_id) FROM qq GROUP BY text)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM ex, UNNEST(range(1, len(tk) - 1)) AS t(i)
+        |  WHERE len(tk) >= 3
+        |), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), kp AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), post AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kp USING (shingle)
+        |), cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), dup AS (
+        |  SELECT d1, d2 FROM cand
+        |  JOIN sizes s1 ON cand.d1 = s1.doc_id
+        |  JOIN sizes s2 ON cand.d2 = s2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+        |), edges AS (SELECT d1 AS src, d2 AS dst FROM dup UNION SELECT d2, d1 FROM dup
+        |), reach AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src
+        |), lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+        |), nd AS (
+        |  SELECT ex.* FROM ex LEFT JOIN lbl ON ex.doc_id = lbl.id
+        |  WHERE COALESCE(lbl.comp, ex.doc_id) = ex.doc_id
+        |), etok AS (
+        |  SELECT string_split_regex(text, '\s+') AS tk
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), esh AS (
+        |  SELECT DISTINCT
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |    tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS g
+        |  FROM etok, UNNEST(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8
+        |), csh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |    tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS g
+        |  FROM nd, UNNEST(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8
+        |), flag AS (SELECT DISTINCT csh.doc_id FROM csh JOIN esh USING (g)
+        |), dc AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM flag))
+        |SELECT doc_id, lang, source FROM dc
+        |WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 10000 <
+        |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 8000 ELSE 10000 END""".stripMargin,
+
+    // the incremental build serves the full-rebuild answer exactly
+    // (CorpusIncrement's parity argument), so q_corpus's oracle
+    // applies verbatim
+    "q_icorpus" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text, lang, source, string_split_regex(text, '\s+') AS tk
         |  FROM documents WHERE doc_id % 11 <> 0
