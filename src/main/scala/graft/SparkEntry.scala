@@ -1299,6 +1299,24 @@ object SparkEntry {
         .union(docs.selectExpr("doc_id % 101", "1000 + doc_id % 13"))
       graft.operators.HostRank.pageRank(edges, iters = 3)
     }),
+    // REFRESH-CYCLE PageRank (r12): the declared incremental form of
+    // a global recurrence — warm-start the new cycle's graph from the
+    // previous cycle's ranks (new hosts seed at `scale`) and run two
+    // recurrence steps. Exactly 2 steps from the warm seed is the
+    // SEMANTICS (not an approximation of something else), so the
+    // whole two-phase computation unrolls in BIGINT SQL and is
+    // hash-oracled; convergence value of the warm seed is measured in
+    // HostRankSpec
+    "q_rank2" -> ((s, d) => {
+      val docs = documents(s, d)
+      def edgesOf(f: org.apache.spark.sql.DataFrame) =
+        f.selectExpr("doc_id % 101 AS src", "(doc_id * 37 + 11) % 101 AS dst")
+          .union(f.selectExpr("doc_id % 101", "(doc_id * 61 + 5) % 101"))
+          .union(f.selectExpr("doc_id % 101", "1000 + doc_id % 13"))
+      val prev = graft.operators.HostRank.pageRank(
+        edgesOf(docs.filter(expr("doc_id % 7 != 0"))), iters = 3)
+      graft.operators.HostRank.refresh(edgesOf(docs), prev, iters = 2)
+    }),
     // CDC changelog -> latest-state snapshot: one max_by hash
     // aggregate (map-side partial, no window sort), deletes dropped
     // when they are the latest version. The changelog derives from
@@ -3565,6 +3583,82 @@ object SparkEntry {
         |       FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node
         |       CROSS JOIN d3 d CROSS JOIN nn x)
         |SELECT node, rank FROM r3""".stripMargin,
+
+    // q_rank's recurrence unrolled TWICE: 3 cold iterations on the
+    // base (%7!=0) graph, then 2 warm iterations on the full graph
+    // seeded from the base ranks (new nodes at scale)
+    "q_rank2" ->
+      """WITH docs7 AS (SELECT doc_id FROM documents WHERE doc_id % 7 != 0),
+        |rawB AS (
+        |  SELECT doc_id % 101 AS src, (doc_id * 37 + 11) % 101 AS dst FROM docs7
+        |  UNION ALL SELECT doc_id % 101, (doc_id * 61 + 5) % 101 FROM docs7
+        |  UNION ALL SELECT doc_id % 101, 1000 + doc_id % 13 FROM docs7),
+        |eB AS (SELECT DISTINCT src, dst FROM rawB WHERE src != dst),
+        |nodesB AS (SELECT src AS node FROM eB UNION SELECT dst AS node FROM eB),
+        |odegB AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM eB GROUP BY src),
+        |nnB AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodesB),
+        |dangB AS (SELECT node FROM nodesB LEFT JOIN odegB ON node = src
+        |          WHERE src IS NULL),
+        |b0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodesB),
+        |bd1 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |        FROM b0 r JOIN dangB USING (node)),
+        |bc1 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |        FROM eB e JOIN b0 r ON e.src = r.node JOIN odegB o ON e.src = o.src
+        |        GROUP BY e.dst),
+        |b1 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodesB nd LEFT JOIN bc1 c ON nd.node = c.node
+        |       CROSS JOIN bd1 d CROSS JOIN nnB x),
+        |bd2 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |        FROM b1 r JOIN dangB USING (node)),
+        |bc2 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |        FROM eB e JOIN b1 r ON e.src = r.node JOIN odegB o ON e.src = o.src
+        |        GROUP BY e.dst),
+        |b2 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodesB nd LEFT JOIN bc2 c ON nd.node = c.node
+        |       CROSS JOIN bd2 d CROSS JOIN nnB x),
+        |bd3 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |        FROM b2 r JOIN dangB USING (node)),
+        |bc3 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |        FROM eB e JOIN b2 r ON e.src = r.node JOIN odegB o ON e.src = o.src
+        |        GROUP BY e.dst),
+        |b3 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodesB nd LEFT JOIN bc3 c ON nd.node = c.node
+        |       CROSS JOIN bd3 d CROSS JOIN nnB x),
+        |rawA AS (
+        |  SELECT doc_id % 101 AS src, (doc_id * 37 + 11) % 101 AS dst FROM documents
+        |  UNION ALL SELECT doc_id % 101, (doc_id * 61 + 5) % 101 FROM documents
+        |  UNION ALL SELECT doc_id % 101, 1000 + doc_id % 13 FROM documents),
+        |eA AS (SELECT DISTINCT src, dst FROM rawA WHERE src != dst),
+        |nodesA AS (SELECT src AS node FROM eA UNION SELECT dst AS node FROM eA),
+        |odegA AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM eA GROUP BY src),
+        |nnA AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodesA),
+        |dangA AS (SELECT node FROM nodesA LEFT JOIN odegA ON node = src
+        |          WHERE src IS NULL),
+        |w0 AS (SELECT nd.node,
+        |         CAST(COALESCE(b.rank, 1000000000) AS BIGINT) AS rank
+        |       FROM nodesA nd LEFT JOIN b3 b ON nd.node = b.node),
+        |wd1 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |        FROM w0 r JOIN dangA USING (node)),
+        |wc1 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |        FROM eA e JOIN w0 r ON e.src = r.node JOIN odegA o ON e.src = o.src
+        |        GROUP BY e.dst),
+        |w1 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodesA nd LEFT JOIN wc1 c ON nd.node = c.node
+        |       CROSS JOIN wd1 d CROSS JOIN nnA x),
+        |wd2 AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+        |        FROM w1 r JOIN dangA USING (node)),
+        |wc2 AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+        |        FROM eA e JOIN w1 r ON e.src = r.node JOIN odegA o ON e.src = o.src
+        |        GROUP BY e.dst),
+        |w2 AS (SELECT nd.node, 150000000 +
+        |         (85 * (COALESCE(c.insum, 0) + (d.dmass // x.n))) // 100 AS rank
+        |       FROM nodesA nd LEFT JOIN wc2 c ON nd.node = c.node
+        |       CROSS JOIN wd2 d CROSS JOIN nnA x)
+        |SELECT node, rank FROM w2""".stripMargin,
 
     // the textbook ROW_NUMBER latest-row-wins over the same derived
     // changelog; (ts DESC, event_id DESC) == the engine's

@@ -61,7 +61,39 @@ import org.apache.spark.sql.functions._
 object HostRank {
 
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L): DataFrame =
+    solve(edges, iters, dampingPct, scale, warm = None)
+
+  /** REFRESH-CYCLE warm start — the honest incremental form of a
+    * GLOBAL recurrence. Exact increments do not compose here, and
+    * that is a property of the math, not a missing optimization: the
+    * dangling/damping term couples every node to a corpus-wide scalar
+    * (D div N) each iteration, so any batch that changes N or total
+    * dangling mass perturbs EVERY rank within two iterations — and in
+    * integer fixed-point a one-unit scalar shift flips floor
+    * boundaries corpus-wide. Reproducing the fixed-iteration
+    * recurrence exactly therefore costs the same E-scale work as the
+    * rebuild (this is why production crawl ranks — e.g. Common
+    * Crawl's — are re-released per crawl cycle rather than patched).
+    *
+    * What a refresh CAN reuse is the previous cycle's fixpoint
+    * estimate: power iteration converges from any start, so seeding
+    * with yesterday's ranks (new hosts start at `scale`) buys the
+    * accuracy of many cold iterations for a few warm ones when the
+    * graph delta is small (HostRankSpec measures it: warm-j is closer
+    * to the converged ranks than cold-j). Semantics are declared, not
+    * hidden: `refresh(E', prev, j)` is exactly `j` recurrence steps
+    * from the warm seed — deterministic, SQL-replayable (q_rank2
+    * unrolls both phases), and NOT equal to a cold run at equal
+    * iters. Same plan shape and overflow bound as [[pageRank]] (the
+    * seed's total mass is bounded by the previous cycle's node count,
+    * hence the max(n, nPrev) require). */
+  def refresh(edges: DataFrame, prevRanks: DataFrame, iters: Int,
+              dampingPct: Int = 85, scale: Long = 1000000000L): DataFrame =
+    solve(edges, iters, dampingPct, scale, warm = Some(prevRanks))
+
+  private def solve(edges: DataFrame, iters: Int, dampingPct: Int,
+                    scale: Long, warm: Option[DataFrame]): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 100, "scale too small to carry rank mass")
@@ -80,13 +112,22 @@ object HostRank {
       "left_anti").select(col("node")).persist(lvl)
     val n = nodes.count()
     require(n >= 1, "empty graph after self-loop removal")
-    require(n <= Long.MaxValue / 100L / scale,
+    // the mass bound covers the warm seed too: its total is at most
+    // the previous cycle's node count times scale (mass conservation
+    // of the run that produced it)
+    val nBound = math.max(n, warm.map(_.count()).getOrElse(0L))
+    require(nBound <= Long.MaxValue / 100L / scale,
       s"100*N*scale must stay under 2^63 for exact integer arithmetic " +
-        s"(n=$n, scale=$scale): pass a smaller scale")
+        s"(n=$nBound, scale=$scale): pass a smaller scale")
     val base = ((100L - dampingPct) * scale) / 100L
 
-    var (ranks, ranksRdd) = Rounds.materialize(
-      nodes.select(col("node"), lit(scale).as("rank")), lvl)
+    val init = warm match {
+      case None => nodes.select(col("node"), lit(scale).as("rank"))
+      case Some(p) => nodes
+        .join(p.select(col("node"), col("rank").as("_pr")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("_pr"), lit(scale)).as("rank"))
+    }
+    var (ranks, ranksRdd) = Rounds.materialize(init, lvl)
     for (_ <- 1 to iters) {
       val dang = ranks.join(dangIds, Seq("node"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("_dmass"))
