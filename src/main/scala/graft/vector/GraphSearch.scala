@@ -85,9 +85,10 @@ object GraphSearch {
     * Scale: the layer scan is |queries|·n/fanout id pairs (queries
     * broadcast, layer filtered map-side from the corpus); pick
     * `fanout` so the layer is scan-cheap — at corpus sizes where even
-    * n/fanout is too big to scan, the construction recurses (a layer
-    * over the layer, HNSW's geometric stack) over the SAME persisted
-    * format; one level is what this engine ships. Falls back to
+    * n/fanout is too big to scan, use the RECURSIVE stack
+    * ([[buildLayers]] + [[topKLayered]]): per-layer K-NN graphs over
+    * the same persisted format, descended with a narrow beam
+    * (HNSW's geometric construction). Falls back to
     * [[topK]]'s global entry sample if the layer filter matches
     * nothing (tiny corpora). Bit-deterministic either way. */
   def topKHier(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
@@ -117,6 +118,99 @@ object GraphSearch {
           .limit(beam))
         q.select(col("q_id")).crossJoin(entries)
       }))
+  }
+
+  /** Layer-ℓ membership: a deterministic nested sample — divisibility
+    * by fanout^ℓ, so layer ℓ+1 ⊆ layer ℓ (the HNSW nesting property)
+    * and membership is a map-only filter, never a global sort. */
+  private def member(level: Int, fanout: Int, seed: Long)
+                    (node: org.apache.spark.sql.Column) = {
+    var m = 1L
+    (1 to level).foreach(_ => m *= fanout)
+    pmod(xxhash64(lit(seed + 1), node), lit(m)) === 0
+  }
+
+  /** Build the RECURSIVE layer stack over the same persisted format —
+    * the geometric HNSW construction [[topKHier]]'s doc declares: for
+    * each level ℓ = 1..`levels`, a K-NN graph (NnDescent) over the
+    * nested layer-ℓ sample of the corpus. Construction stops early
+    * when a layer falls under `minLayer` nodes (a layer that small is
+    * scan-cheap — it becomes the top). Returns the per-level graphs,
+    * level 1 first; persist each with IndexStore.saveKnn under a
+    * layer=ℓ subdir to serve without rebuilding (GraphLayersSpec
+    * round-trips it). Build cost is geometric-series-bounded:
+    * Σ n/fanout^ℓ < n/(fanout-1) extra vectors indexed. */
+  def buildLayers(corpus: DataFrame, k: Int, fanout: Int, levels: Int,
+                  seed: Long = 42L, maxRounds: Int = 6): Seq[DataFrame] = {
+    require(fanout >= 2, "fanout must be >= 2")
+    require(levels >= 1, "levels must be >= 1")
+    val out = Seq.newBuilder[DataFrame]
+    var done = false
+    (1 to levels).foreach { l =>
+      if (!done) {
+        val sub = corpus.filter(member(l, fanout, seed)(col("vec_id")))
+        if (sub.count() < math.max(k + 2, 8)) done = true
+        else out += NnDescent.build(sub, k, maxRounds = maxRounds)
+      }
+    }
+    out.result()
+  }
+
+  /** Multi-layer descending search — the recursive form of
+    * [[topKHier]] for corpora where even the n/fanout coarse layer is
+    * too big to scan per query: scan only the TOP layer
+    * (n/fanout^L nodes), then beam-walk each intermediate layer's OWN
+    * graph (corpus restricted to that layer's members) seeded from the
+    * layer above, and finally walk layer 0 seeded from layer 1 — so
+    * entry selection costs |top| + Σ walk-candidates instead of the
+    * one-level |layer1| scan. `layerGraphs` is [[buildLayers]]' output
+    * (level 1 first); built and searched with the same fanout/seed.
+    * Bit-deterministic; recall floors pinned by GraphLayersSpec. */
+  def topKLayered(graph: DataFrame, layerGraphs: Seq[DataFrame],
+                  corpus: DataFrame, queries: DataFrame, k: Int, beam: Int,
+                  fanout: Int, entryBeam: Int = 4, maxHops: Int = 10,
+                  seed: Long = 42L): DataFrame =
+    topKLayeredWithHops(graph, layerGraphs, corpus, queries, k, beam,
+      fanout, entryBeam, maxHops, seed)._1
+
+  /** [[topKLayered]] plus per-phase hop counts (top-down, layer 0
+    * last) — the spec's measurement surface. `entryBeam` is the
+    * narrow beam the DESCENT phases run (HNSW's small upper-layer ef:
+    * upper layers only need to land near the query's region, so their
+    * walks stay a fraction of the one-level layer scan they replace);
+    * only the final layer-0 walk uses the full `beam`. */
+  private[graft] def topKLayeredWithHops(graph: DataFrame,
+                                         layerGraphs: Seq[DataFrame],
+                                         corpus: DataFrame, queries: DataFrame,
+                                         k: Int, beam: Int, fanout: Int,
+                                         entryBeam: Int = 4,
+                                         maxHops: Int = 10, seed: Long = 42L)
+      : (DataFrame, Seq[Int]) = {
+    require(layerGraphs.nonEmpty, "need at least one layer graph")
+    require(entryBeam >= 1, "entryBeam must be >= 1")
+    val top = layerGraphs.length
+    val hops = Seq.newBuilder[Int]
+    // top layer: exhaustive scan (it is built to be scan-cheap)
+    var (entries, h0) = walk(layerGraphs.last,
+      corpus.filter(member(top, fanout, seed)(col("vec_id"))), queries,
+      k = entryBeam, beam = entryBeam, maxHops = 1, (v, q) =>
+        q.select(col("q_id")).crossJoin(v.select(col("node"))))
+    hops += h0
+    // descend: each layer's walk is seeded by the layer above
+    (top - 1 to 1 by -1).foreach { l =>
+      val seedEntries = entries.select(col("q_id"), col("n_id").as("node"))
+      val (e2, h) = walk(layerGraphs(l - 1),
+        corpus.filter(member(l, fanout, seed)(col("vec_id"))), queries,
+        k = entryBeam, beam = entryBeam, maxHops = maxHops,
+        (_, _) => seedEntries)
+      entries = e2
+      hops += h
+    }
+    val seedEntries = entries.select(col("q_id"), col("n_id").as("node"))
+    val (out, hL) = walk(graph, corpus, queries, k, beam, maxHops,
+      (_, _) => seedEntries)
+    hops += hL
+    (out, hops.result())
   }
 
   /** The shared walk: `entryCand(v, q)` produces the initial (q_id,
