@@ -77,52 +77,105 @@ object SparkEntry {
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     val dir =
       s"/tmp/graft_knn_${tag}_${new java.io.File(d).getName}_$fp"
-    val target = new java.io.File(dir)
-    def published = new java.io.File(s"$dir/meta/_SUCCESS").exists()
-    if (!published) {
-      val stage = new java.io.File(
-        dir + ".stage." + java.lang.ProcessHandle.current().pid())
-      graft.vector.IndexStore.saveKnn(stage.getPath,
+    publishCached(dir) { stage =>
+      graft.vector.IndexStore.saveKnn(stage,
         graft.vector.NnDescent.build(emb, k = 10,
           maxRounds = 6, convergedFrac = 0.01), 10)
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(); ()
-      }
-      if (!stage.renameTo(target)) {
-        // rename refuses when the target exists: either another
-        // process published a complete artifact (keep theirs), or a
-        // crashed run left a torn dir (no _SUCCESS). Torn-dir
-        // replacement is serialized through an atomic lock file so
-        // two racers cannot delete each other's freshly published
-        // artifact (createNewFile is the atomic test-and-set); the
-        // loser of the lock waits for the winner's publish instead of
-        // deleting anything. Every failed rename re-checks published
-        // and throws rather than returning a missing artifact.
-        if (!published) {
-          val lock = new java.io.File(dir + ".lock")
-          if (lock.createNewFile()) {
-            try {
-              if (!published) {
-                rm(target)
-                if (!stage.renameTo(target) && !published)
-                  throw new IllegalStateException(
-                    s"could not publish knn artifact at $dir")
-              }
-            } finally { lock.delete(); () }
-          } else {
-            val deadline = System.currentTimeMillis() + 600000L
-            while (!published && System.currentTimeMillis() < deadline)
-              Thread.sleep(500L)
-            if (!published)
-              throw new IllegalStateException(
-                s"timed out waiting for knn artifact publish at $dir")
-          }
-        }
-        if (stage.exists()) rm(stage)
-      }
     }
     graft.vector.IndexStore.loadKnn(s, dir)._1
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Build-once publish of a /tmp artifact dir: `build` writes into a
+    * staged dir whose LAST write must create `meta/_SUCCESS` (the
+    * completion marker), then an atomic rename publishes. Torn-dir
+    * replacement is serialized through a lock file so two racers
+    * cannot delete each other's freshly published artifact; the lock
+    * loser waits for the winner's publish instead of deleting. */
+  private def publishCached(dir: String)(build: String => Unit): Unit = {
+    val target = new java.io.File(dir)
+    def published = new java.io.File(s"$dir/meta/_SUCCESS").exists()
+    if (published) return
+    val stage = new java.io.File(
+      dir + ".stage." + java.lang.ProcessHandle.current().pid())
+    build(stage.getPath)
+    if (!stage.renameTo(target)) {
+      // rename refuses when the target exists: either another process
+      // published a complete artifact (keep theirs), or a crashed run
+      // left a torn dir (no _SUCCESS). Every failed rename re-checks
+      // published and throws rather than returning a missing artifact.
+      if (!published) {
+        val lock = new java.io.File(dir + ".lock")
+        if (lock.createNewFile()) {
+          try {
+            if (!published) {
+              rmTree(target)
+              if (!stage.renameTo(target) && !published)
+                throw new IllegalStateException(
+                  s"could not publish artifact at $dir")
+            }
+          } finally { lock.delete(); () }
+        } else {
+          val deadline = System.currentTimeMillis() + 600000L
+          while (!published && System.currentTimeMillis() < deadline)
+            Thread.sleep(500L)
+          if (!published)
+            throw new IllegalStateException(
+              s"timed out waiting for artifact publish at $dir")
+        }
+      }
+      if (stage.exists()) rmTree(stage)
+    }
+  }
+
+  /** The cached 31g3 base artifact set (the <=70%-of-ids slice of the
+    * %11 corpus built once per dataset) and the id threshold — so the
+    * registry q_icorpus measures the INCREMENT path, never the base
+    * build, exactly like [[knnBaseIndex]] for q_knn_ins. Works because
+    * CorpusIncrement.build writes meta/ LAST: its _SUCCESS doubles as
+    * the publish-completion marker. */
+  private def icorpusBase(s: SparkSession, d: String): (String, Long) = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    // base = the oldest ~95% of ids; the batch is the newest ~5% — a
+    // daily-increment shape (the bounded-batch contract: a batch of
+    // corpus magnitude is a rebuild, and with the synthetic corpus's
+    // shared vocabulary a 30% batch drags most of the base into the
+    // affected set, measuring a disguised rebuild instead)
+    val t = corpus.agg(max(col("doc_id"))).head().getLong(0) / 100 * 95
+    val base = corpus.filter(col("doc_id") <= t)
+    val fpRow = base.agg(count(lit(1)),
+      sum(pmod(xxhash64(col("doc_id"), col("text")),
+        lit(1000000007L)))).head()
+    val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val dir =
+      s"/tmp/graft_icorpus_v1_${new java.io.File(d).getName}_$fp"
+    publishCached(dir) { stage =>
+      graft.text.CorpusIncrement.build(base,
+        docs.filter(col("doc_id") % 11 === 0), stage,
+        rates = Map("en" -> 0.25, "zh" -> 0.8))
+      ()
+    }
+    (dir, t)
+  }
+
+  /** Recursive local-fs dir copy (the increment mutates its store, so
+    * each invocation works on a fresh copy of the cached base). */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      val cs = src.listFiles()
+      if (cs != null) cs.foreach(c =>
+        copyTree(c, new java.io.File(dst, c.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
@@ -882,15 +935,18 @@ object SparkEntry {
     "q_icorpus" -> ((s, d) => {
       val docs = documents(s, d)
       val corpus = docs.filter(col("doc_id") % 11 =!= 0)
-      val eval = docs.filter(col("doc_id") % 11 === 0)
-      val t = corpus.agg(max(col("doc_id"))).head().getLong(0) / 10 * 7
-      val dir = s"/tmp/graft_icorpus_${new java.io.File(d).getName}_" +
+      // the base artifacts are /tmp-cached (built once per dataset,
+      // the knnBaseIndex pattern) and COPIED per invocation because
+      // the increment mutates its store — so the measured cost is the
+      // INCREMENT path: batch stages + affected-sliver pair splice +
+      // output assembly, never the base build
+      val (baseDir, t) = icorpusBase(s, d)
+      val work = s"/tmp/graft_icorpus_work_${new java.io.File(d).getName}_" +
         java.lang.ProcessHandle.current().pid()
-      graft.text.CorpusIncrement.build(
-        corpus.filter(col("doc_id") <= t), eval, dir,
-        rates = Map("en" -> 0.25, "zh" -> 0.8))
+      rmTree(new java.io.File(work))
+      copyTree(new java.io.File(baseDir), new java.io.File(work))
       graft.text.CorpusIncrement.increment(
-        corpus.filter(col("doc_id") > t), dir)
+        corpus.filter(col("doc_id") > t), work)
     }),
     // sequence packing: global token offsets (distributed prefix sum)
     // and the 512-token training chunks each document spans

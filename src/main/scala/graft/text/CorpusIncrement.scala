@@ -52,18 +52,27 @@ import graft.operators.{ConnectedComponents, Rounds}
   * change base-vs-base evidence — a shingle pushed past maxDf removes
   * intersections (a base pair can die and its cluster SPLIT,
   * resurrecting a suppressed doc). The increment is still exact:
-  *  1. classify every batch-present shingle by old/new band status;
-  *     only those shingles can change any pair (a doc's shingle set
-  *     never changes), so the AFFECTED docs are their base postings
-  *     plus the batch — increment-grain, maxDf-bounded per shingle;
-  *  2. recompute pairs among affected docs exactly (their complete
-  *     postings + true new-state bands); any pair with at most one
-  *     affected endpoint is provably unchanged (a changed shared
-  *     shingle would have made both endpoints affected) and rides
+  *  1. classify every batch-present shingle by old/new band status.
+  *     Only band-CROSSING shingles can change base-vs-base evidence
+  *     (a doc's shingle set never changes, so a stays-in-band
+  *     shingle's contribution to any base-base intersection is
+  *     fixed); their postings docs plus the batch form the
+  *     full-recompute set C — increment-grain even on
+  *     vocabulary-dense corpora, because the common stays-in case
+  *     never drags base docs into C;
+  *  2. recompute pairs WITHIN C exactly (complete postings + true
+  *     new-state bands), and generate the only other pairs that can
+  *     exist — NEW (base ∉ C) × batch pairs — by a per-shingle cross
+  *     expansion over batch-present in-band shingles (every shared
+  *     in-band shingle of such a pair is batch-present, so the
+  *     expansion counts the exact intersection; set sizes are per-doc
+  *     intrinsics from `exdocs/`). Any pair with at most one endpoint
+  *     in C and no batch endpoint is provably unchanged (a changed
+  *     shared shingle would have put both endpoints in C) and rides
   *     through from `pairs/`;
-  *  3. re-solve components only for old components touching affected
-  *     docs (splits AND merges handled, because the subgraph is
-  *     re-solved from its final edge set, not patched).
+  *  3. re-solve components only for old components touching C or a
+  *     new pair's endpoints (splits AND merges handled, because the
+  *     subgraph is re-solved from its final edge set, not patched).
   *
   * Scale shape: no corpus-scale SHUFFLE anywhere on the increment
   * path. The corpus-scale artifacts are touched by map-side
@@ -144,33 +153,43 @@ object CorpusIncrement {
   }
 
   /** Per-doc intrinsic rows for `exdocs/`: decon flag vs the eval
-    * shingle set, computed for EVERY survivor (resurrection-proof). */
+    * shingle set and the distinct-shingle-set size — both computed for
+    * EVERY survivor at ingest (they depend only on the doc's own text,
+    * so a doc that resurrects when a cluster splits, or that enters a
+    * pair via a later batch, needs no text rescan). */
   private def intrinsics(ex: DataFrame, evalsh: DataFrame,
-                         deconN: Int): DataFrame = {
+                         deconN: Int, shingleK: Int): DataFrame = {
     val flagged = ex.select(col("doc_id"),
         explode(graft.functions.WordShingles(col("text"), deconN)).as("g"))
       .join(broadcast(evalsh), Seq("g"))
       .select("doc_id").distinct().withColumn("dflag", lit(1))
-    ex.select(col("doc_id"), col("lang"), col("source"))
+    ex.select(col("doc_id"), col("lang"), col("source"),
+        size(graft.functions.WordShingles(col("text"), shingleK))
+          .cast("long").as("sz"))
       .join(flagged, Seq("doc_id"), "left")
       .na.fill(0, Seq("dflag"))
   }
 
-  /** Pair evidence from postings + sizes — [[graft.dedup.Dedup
-    * .jaccardPairs]]'s body over precomputed postings (same df cap,
-    * same raw-double threshold comparison, bit-for-bit). `maxDf` is
-    * the CAP when `post` carries full posting lists, or Long.MaxValue
-    * when the band was already applied semantically (the increment's
-    * restricted postings — their true dfs are checked upstream). */
-  private def pairsFrom(post: DataFrame, sizes: DataFrame, maxDf: Long,
-                        threshold: Double): DataFrame =
-    Postings.coPairs(post, Seq(col("shingle")), col("doc_id"), maxDf)
-      .withColumnRenamed("shared", "inter")
+  /** Jaccard threshold over pair intersections + per-doc set sizes —
+    * [[graft.dedup.Dedup.jaccardPairs]]'s tail, the same raw-double
+    * comparison bit-for-bit. */
+  private def thresholdPairs(inter: DataFrame, sizes: DataFrame,
+                             threshold: Double): DataFrame =
+    inter
       .join(sizes.toDF("d1", "sz1"), Seq("d1"))
       .join(sizes.toDF("d2", "sz2"), Seq("d2"))
       .filter(col("inter").cast("double")
         / (col("sz1") + col("sz2") - col("inter")) >= threshold)
       .select("d1", "d2")
+
+  /** Pair evidence from full posting lists ([[graft.dedup.Dedup
+    * .jaccardPairs]]'s body over precomputed postings — same df cap). */
+  private def pairsFrom(post: DataFrame, sizes: DataFrame, maxDf: Long,
+                        threshold: Double): DataFrame =
+    thresholdPairs(
+      Postings.coPairs(post, Seq(col("shingle")), col("doc_id"), maxDf)
+        .withColumnRenamed("shared", "inter"),
+      sizes, threshold)
 
   /** The corpus sample served from the artifacts: near-dup canonical
     * keep (labels join), decon gate, deterministic stratified
@@ -205,17 +224,23 @@ object CorpusIncrement {
       .filter(size(col("shs")) > 0).persist(lvl)
     arr.count()
     val post = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    bucketed(post, nBuckets).write.mode("overwrite")
+    // repartition on the partition column: ONE file per bucket —
+    // without it every task writes into every bucket dir (tasks x
+    // buckets small files) and all later artifact scans pay the
+    // listing/footer cost (the BucketMaintenance write shape)
+    bucketed(post, nBuckets).repartition(col("bucket"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket").parquet(s"$dir/post")
     bucketed(post.groupBy("shingle").agg(count(lit(1)).as("df")), nBuckets)
+      .repartition(col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket").parquet(s"$dir/df")
     eval.select(explode(
         graft.functions.WordShingles(col("text"), deconN)).as("g"))
       .distinct().write.mode("overwrite").parquet(s"$dir/evalsh")
-    intrinsics(ex, spark.read.parquet(s"$dir/evalsh"), deconN)
+    intrinsics(ex, spark.read.parquet(s"$dir/evalsh"), deconN, shingleK)
       .write.mode("overwrite").parquet(s"$dir/exdocs")
     val sizes = arr.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
     pairsFrom(post, sizes, maxDf, threshold)
@@ -265,101 +290,167 @@ object CorpusIncrement {
     bxRdd.count()
 
     // ---- append the batch's slices of every additive artifact
+    // increment-grain appends: one file each (coalesce / bucket
+    // repartition), so the store's file count grows with BATCHES, not
+    // batches x tasks x buckets
     bx.select(col("h"), col("doc_id"))
-      .write.mode("append").parquet(s"$dir/hidx")
+      .coalesce(1).write.mode("append").parquet(s"$dir/hidx")
     val bArr = bx.select(col("doc_id"),
         graft.functions.WordShingles(col("text"), m.k).as("shs"))
       .filter(size(col("shs")) > 0).persist(lvl)
     bArr.count()
     val bPost = bArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    bucketed(bPost, m.nBuckets).write.mode("append")
+    bucketed(bPost, m.nBuckets).repartition(col("bucket"))
+      .write.mode("append")
       .partitionBy("bucket").parquet(s"$dir/post")
     val dfB = bPost.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
     dfB.count()
-    bucketed(dfB, m.nBuckets).write.mode("append")
+    bucketed(dfB, m.nBuckets).repartition(col("bucket"))
+      .write.mode("append")
       .partitionBy("bucket").parquet(s"$dir/df")
-    intrinsics(bx, spark.read.parquet(s"$dir/evalsh"), m.deconN)
-      .write.mode("append").parquet(s"$dir/exdocs")
+    intrinsics(bx, spark.read.parquet(s"$dir/evalsh"), m.deconN, m.k)
+      .coalesce(1).write.mode("append").parquet(s"$dir/exdocs")
 
     // ---- df-band analysis over batch-present shingles (reads INCLUDE
     // the just-appended parts, so the summed df is already the new
     // state; the old state is new minus the batch's own part)
     val dfAll = spark.read.parquet(s"$dir/df")
     val postAll = spark.read.parquet(s"$dir/post")
-    val bSh = dfB.select("shingle")
-    val relevant = prunedByShingle(dfAll, bSh, m.nBuckets)
+    val bands = prunedByShingle(dfAll, dfB.select("shingle"), m.nBuckets)
       .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
       .join(dfB, Seq("shingle"))
-      .withColumn("_dfo", col("_dfn") - col("df"))
-      .filter(col("_dfo").between(2, m.maxDf)
-        || col("_dfn").between(2, m.maxDf))
+      .withColumn("_in_new", col("_dfn").between(2, m.maxDf))
+      .withColumn("_in_old", (col("_dfn") - col("df")).between(2, m.maxDf))
+      .persist(lvl)
+    bands.count()
+
+    // ---- exact pair recomputation, split by what CAN change.
+    // Band-CROSSING shingles (in-band status flipped by the batch) are
+    // the only ones that can alter base-vs-base evidence — a doc's
+    // shingle set never changes, so a stays-in-band shingle's
+    // contribution to any base-base intersection is fixed. Their
+    // postings docs plus the batch form the full-recompute set C;
+    // everything else either rides through or is a NEW base×batch
+    // pair. This split is what keeps the increment increment-grain
+    // even on vocabulary-dense corpora where most shingles are shared:
+    // stays-in shingles (the common case) cost only their base×batch
+    // cross products, never a base-base re-expansion.
+    val changed = bands.filter(col("_in_new") =!= col("_in_old"))
       .select("shingle")
-    val affDocs = prunedByShingle(postAll, relevant, m.nBuckets)
+    val cDocs = prunedByShingle(postAll, changed, m.nBuckets)
       .select("doc_id")
       .union(bx.select("doc_id")).distinct().persist(lvl)
-    affDocs.count()
-
-    // ---- exact pair recomputation among affected docs: complete
-    // postings (one map-side doc-filtered scan of post/), true
-    // new-state bands (df/ summed for exactly those shingles)
-    val affPost = postAll
-      .join(broadcast(affDocs), Seq("doc_id"), "left_semi").persist(lvl)
-    affPost.count()
-    val affSh = affPost.select("shingle").distinct()
-    val ibSh = prunedByShingle(dfAll, affSh, m.nBuckets)
+    cDocs.count()
+    // (a) pairs WITHIN C: complete postings of C docs (one map-side
+    // doc-filtered scan of post/), true new-state bands for ALL their
+    // shingles (df/ summed for exactly those shingles)
+    val cPost = postAll
+      .join(broadcast(cDocs), Seq("doc_id"), "left_semi").persist(lvl)
+    cPost.count()
+    val ibC = prunedByShingle(dfAll, cPost.select("shingle").distinct(),
+        m.nBuckets)
       .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
       .filter(col("_dfn").between(2, m.maxDf)).select("shingle")
-    val sizes = affPost.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val newPairs = pairsFrom(
-      affPost.join(broadcast(ibSh), Seq("shingle"), "left_semi"),
-      sizes, Long.MaxValue, m.threshold)
+    val interA = Postings.coPairs(
+        cPost.join(broadcast(ibC), Seq("shingle"), "left_semi"),
+        Seq(col("shingle")), col("doc_id"), Long.MaxValue)
+      .withColumnRenamed("shared", "inter")
+    // (b) NEW (base ∉ C) × batch pairs through batch-present in-band
+    // shingles: every shared in-band shingle of such a pair is
+    // batch-present, so the per-shingle cross expansion counts the
+    // exact intersection; d1 < d2 holds because batch ids exceed all
+    // base ids by contract. Disjoint from (a) (exactly one endpoint in
+    // C) and from keptOld (no old pair has a batch endpoint).
+    val relIb = bands.filter(col("_in_new")).select("shingle")
+    val interB = prunedByShingle(postAll, relIb, m.nBuckets)
+      .withColumn("_b", col("doc_id") > m.maxDocId)
+      .join(broadcast(cDocs.withColumn("_c", lit(1))), Seq("doc_id"), "left")
+      .groupBy("shingle")
+      .agg(collect_list(when(!col("_b") && col("_c").isNull,
+          col("doc_id"))).as("_bl"),
+        collect_list(when(col("_b"), col("doc_id"))).as("_xl"))
+      .filter(size(col("_bl")) > 0 && size(col("_xl")) > 0)
+      .select(explode(col("_bl")).as("d1"), col("_xl"))
+      .select(col("d1"), explode(col("_xl")).as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    // set sizes are per-doc intrinsics persisted at ingest — no
+    // posting pull for cross-pair endpoints
+    val sizes = spark.read.parquet(s"$dir/exdocs")
+      .select(col("doc_id"), col("sz"))
+    val newPairs = thresholdPairs(interA.unionByName(interB), sizes,
+      m.threshold).persist(lvl)
+    newPairs.count()
 
-    // ---- splice the pair graph: pairs with BOTH endpoints affected
-    // are replaced by the recomputation; all others are provably
-    // unchanged and ride through
+    // ---- splice the pair graph: pairs with BOTH endpoints in C are
+    // replaced by recomputation (a); (b) adds pairs no old pair could
+    // be; every other old pair is provably unchanged and rides through
     val oldPairs = spark.read.parquet(s"$dir/pairs")
-    val affD = (side: String) => affDocs.toDF(side)
+    val cD = (side: String) => cDocs.toDF(side)
     val keptOld = oldPairs
-      .join(broadcast(affD("d1").withColumn("_a1", lit(1))), Seq("d1"), "left")
-      .join(broadcast(affD("d2").withColumn("_a2", lit(1))), Seq("d2"), "left")
+      .join(broadcast(cD("d1").withColumn("_a1", lit(1))), Seq("d1"), "left")
+      .join(broadcast(cD("d2").withColumn("_a2", lit(1))), Seq("d2"), "left")
       .filter(col("_a1").isNull || col("_a2").isNull)
       .select("d1", "d2")
     val finalPairs = keptOld.unionByName(newPairs)
 
-    // ---- re-solve ONLY old components touching affected docs (the
-    // 23e quotient idea, generalized to handle edge REMOVALS by
-    // re-solving each touched component from its final edge set)
+    // ---- re-solve ONLY old components touching docs whose pair
+    // evidence could have changed — C plus the new pairs' endpoints
+    // (the 23e quotient idea, generalized to handle edge REMOVALS by
+    // re-solving each touched component from its final edge set).
+    // finalPairs and the subgraph are each materialized ONCE: every
+    // later consumer (count, CC contraction, the pairs write) scans
+    // the persisted RDD instead of re-evaluating the broadcast chain.
+    val (fp, fpRdd) = Rounds.materialize(finalPairs, lvl)
+    fpRdd.count()
+    val pairEnds = cDocs
+      .union(newPairs.select(col("d1").as("doc_id")))
+      .union(newPairs.select(col("d2").as("doc_id"))).distinct()
     val oldLabels = spark.read.parquet(s"$dir/labels")
     val touched = oldLabels
-      .join(broadcast(affDocs.toDF("node")), Seq("node"), "left_semi")
+      .join(broadcast(pairEnds.toDF("node")), Seq("node"), "left_semi")
       .select("component").distinct()
     val subNodes = oldLabels
       .join(broadcast(touched), Seq("component"), "left_semi")
       .select("node")
-      .union(affDocs.toDF("node")).distinct()
-    val subEdges = finalPairs
-      .join(broadcast(subNodes.toDF("d1")), Seq("d1"), "left_semi")
+      .union(pairEnds.toDF("node")).distinct()
+    val (se, seRdd) = Rounds.materialize(
+      fp.join(broadcast(subNodes.toDF("d1")), Seq("d1"), "left_semi"), lvl)
+    val nSub = seRdd.count()
+    val subLabels =
+      if (nSub == 0) {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("node", "component")
+      } else
+        // size the CC rounds to the subgraph: a touched-component
+        // splice is increment-grain, and at one partition the
+        // per-partition union-find contraction solves it outright;
+        // big graphs get a partition per ~1M edges
+        ConnectedComponents.run(
+          se.select(col("d1").as("src"), col("d2").as("dst"))
+            .repartition(math.max(1, (nSub / 1000000L).toInt)))
     val newLabels = oldLabels
       .join(broadcast(touched), Seq("component"), "left_anti")
-      .unionByName(labelsOf(spark, subEdges))
+      .unionByName(subLabels)
 
-    // pairs/labels are rewritten (re-rooted on persisted RDDs first —
-    // both plans read the paths they overwrite)
-    val (fp, fpRdd) = Rounds.materialize(finalPairs, lvl)
+    // pairs/labels are rewritten from the persisted RDDs (both source
+    // plans read the paths they overwrite)
     val (nl, nlRdd) = Rounds.materialize(newLabels, lvl)
-    fpRdd.count(); nlRdd.count()
+    nlRdd.count()
     fp.write.mode("overwrite").parquet(s"$dir/pairs")
     nl.write.mode("overwrite").parquet(s"$dir/labels")
     fpRdd.unpersist(blocking = false)
+    seRdd.unpersist(blocking = false)
     nlRdd.unpersist(blocking = false)
 
     writeMeta(spark, dir, m.copy(maxDocId = bMin.getLong(1)),
       overwrite = false)
     bxRdd.unpersist(blocking = false)
     bArr.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+    cPost.unpersist(blocking = false)
+    newPairs.unpersist(blocking = false)
     dfB.unpersist(blocking = false)
-    affDocs.unpersist(blocking = false)
-    affPost.unpersist(blocking = false)
+    cDocs.unpersist(blocking = false)
     assemble(spark, dir)
   }
 }
