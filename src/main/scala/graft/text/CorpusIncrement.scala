@@ -263,6 +263,46 @@ object CorpusIncrement {
     } else ConnectedComponents.run(
       edges.select(col("d1").as("src"), col("d2").as("dst")))
 
+  /** Periodic artifact maintenance — the store-side twin of
+    * [[graft.text.Bm25Index.compact]]: every increment appends one
+    * part per touched artifact, so at crawl cadence the stores accrete
+    * files (and `df/`, the ADDITIVE artifact, accretes one row per
+    * (shingle, batch) whose sum every read re-aggregates). Compaction
+    * folds each fragmented df bucket by SUMMING its rows per shingle —
+    * the same associative merge reads already perform, so every later
+    * read, increment, and [[assemble]] is bit-identical before/after
+    * (CorpusIncrementSpec pins it by running the same next batch
+    * through a compacted and an uncompacted clone) — and re-files the
+    * disjoint-row stores (post/hidx/exdocs: batch slices never overlap
+    * by construction, so theirs is pure file folding). pairs/labels
+    * are rewritten whole by every increment and need nothing. */
+  def compact(spark: SparkSession, dir: String, minParts: Int = 2,
+              targetFiles: Int = 1): Unit = {
+    val df = s"$dir/df"
+    graft.sources.BucketMaintenance.rewriteBuckets(spark, df,
+      graft.sources.BucketMaintenance.fragmentedBuckets(spark, df, minParts),
+      _.groupBy("shingle", "bucket").agg(sum(col("df")).as("df"))
+        .select("shingle", "df", "bucket"))
+    graft.sources.BucketMaintenance.compact(spark, s"$dir/post", minParts)
+    // hidx/exdocs are unbucketed: fold to `targetFiles` (corpus-scale
+    // callers size it to keep files executor-memory-shaped; the
+    // default 1 is the registry/test scale)
+    Seq("hidx", "exdocs").foreach { t =>
+      val path = s"$dir/$t"
+      val cur = spark.read.parquet(path)
+      if (cur.inputFiles.length >= minParts + targetFiles - 1) {
+        val (snap, rdd) = Rounds.materialize(cur.coalesce(targetFiles), lvl)
+        rdd.count()
+        snap.write.mode("overwrite").parquet(path)
+        rdd.unpersist(blocking = false)
+      }
+    }
+    // meta folds to one row: same params (enforced), running max id
+    val m = readMeta(spark, dir)
+    if (spark.read.parquet(s"$dir/meta").inputFiles.length >= minParts)
+      writeMeta(spark, dir, m, overwrite = true)
+  }
+
   /** Fold one crawl batch into the artifacts and return the updated
     * corpus output — hash-identical to `build(base ∪ batch)`. */
   def increment(batch: DataFrame, dir: String): DataFrame = {

@@ -112,6 +112,52 @@ class CorpusIncrementSpec extends SparkSpec {
     assert(e.getMessage.contains("out-of-order"))
   }
 
+  test("artifact compaction: reads, assembly, and later increments are bit-identical") {
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c => cp(c, new java.io.File(dst, c.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath); ()
+      }
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("icorpus_ca").toString
+    val eval = df(evalDocs)
+    CorpusIncrement.build(df(base), eval, dirA, shingleK = 3,
+      threshold = 0.4, maxDf = 3L, deconN = 8, rates = rates, nBuckets = 8)
+    CorpusIncrement.increment(df(batch), dirA)
+    val dirB = java.nio.file.Files.createTempDirectory("icorpus_cb").toString
+    new java.io.File(dirB).delete()
+    cp(new java.io.File(dirA), new java.io.File(dirB))
+
+    // the df artifact is genuinely fragmented (build part + batch part)
+    def dfFiles(d: String) = spark.read.parquet(s"$d/df").inputFiles.length
+    assert(dfFiles(dirB) > 8, s"expected fragmented df, got ${dfFiles(dirB)}")
+    CorpusIncrement.compact(spark, dirB)
+    assert(dfFiles(dirB) <= 8) // one file per touched bucket
+    assert(spark.read.parquet(s"$dirB/hidx").inputFiles.length == 1)
+    // folded df rows: one per (shingle) with the summed count
+    val dfA = spark.read.parquet(s"$dirA/df").groupBy("shingle")
+      .agg(sum("df").as("df")).as[(String, Long)].collect().toSet
+    val dfB2 = spark.read.parquet(s"$dirB/df")
+      .select("shingle", "df").as[(String, Long)].collect().toSet
+    assert(dfB2 == dfA)
+
+    def out(d: String) = CorpusIncrement.assemble(spark, d)
+      .as[(Long, String, String)].collect().toSet
+    assert(out(dirB) == out(dirA))
+    // the SAME next batch through both stores lands identically
+    val batch2 = Seq(
+      (2000L, "the rho sigma tau upsilon chi", "en", "s1"),
+      (2001L, "the fresh brand new clean words", "en", "s1"))
+    val gotA = CorpusIncrement.increment(df(batch2), dirA)
+      .as[(Long, String, String)].collect().toSet
+    val gotB = CorpusIncrement.increment(df(batch2), dirB)
+      .as[(Long, String, String)].collect().toSet
+    assert(gotA == gotB)
+    assert(gotA == run(df(base ++ batch ++ batch2), eval))
+  }
+
   test("real-table parity: build + increment == CorpusBuild.run, q_corpus config") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 11 =!= 0)
