@@ -42,16 +42,8 @@ object CorpusIncrementStream {
       .start()
 
   /** The foreachBatch handler (exposed for the spec's replay pins). */
-  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val ledger = new org.apache.hadoop.fs.Path(s"$dir/_ledger/$batchId")
-    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(ledger)) return // completed batch replayed: skip
-    if (!batch.isEmpty) {
-      CorpusIncrement.increment(batch, dir)
-      ()
-    }
-    fs.mkdirs(ledger.getParent)
-    fs.create(ledger, true).close()
-  }
+  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
+    ExactlyOnce.ledgered(dir) { (b, _) =>
+      if (!b.isEmpty) { CorpusIncrement.increment(b, dir); () }
+    }(batch, batchId)
 }
