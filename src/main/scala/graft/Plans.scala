@@ -77,7 +77,11 @@ object Plans {
       "q_vad" -> "voice-activity segmentation: the batched one-pass PCM decode, then ONE doc-grain window over the rms-gated sliver + one segment-grain aggregate — gaps-and-islands, never a dense self-join",
       "q_afp" -> "audio fingerprint dedup: per-asset collect bounded at bits+1 frames BEFORE the one doc-grain aggregate, in-row MSB-first fold, duplicate grouping a window on the 8-byte (n_bits, fp) key",
       "q_knn_ins" -> "graph-ANN incremental insert: beam-searched cross edges over the persisted base graph + batch-local descent; reverse-link re-trim touches only the <= batch*k DISCOVERED base nodes (an equi-join sliver) — every other base row is an anti-join passthrough, so the plan's cost scales with the batch, never the corpus",
-      "q_url" -> "URL canonicalization + domain rollup: the six regex rules fuse into ONE map-only whole-stage-codegen select; the domain rollup is one hash aggregate joined back — nothing else exchanges")
+      "q_url" -> "URL canonicalization + domain rollup: the six regex rules fuse into ONE map-only whole-stage-codegen select; the domain rollup is one hash aggregate joined back — nothing else exchanges",
+      "q_qsk" -> "incremental quantile sketches: the bottom-k Aggregator's partial aggregation collapses every partition MAP-SIDE to <= k entries before each batch's one exchange; the union stage merges per-part ARRAYS (objectHashAggregate, no explode — sibling exact counts never fan out); the estimate is in-row array math",
+      "q_bm25c" -> "BM25 serving THROUGH compaction: the same query-term bucket PartitionFilters + broadcast term join as the incremental index, now over one-file buckets — compaction changed the file census, not one operator of the serving plan",
+      "q_rank2" -> "warm-started PageRank refresh: the final iteration's plan — static edges+outdeg equi-joined to the RDD-re-rooted ranks, ONE dst hash aggregate, the dangling mass a broadcast one-row cross join — identical round shape to the cold recurrence, only the seed differs",
+      "q_icorpus" -> "incremental corpus ASSEMBLY (the served output after the eager increment folded the batch into the artifacts): a map-side intrinsic filter (dflag) over exdocs, ONE dup-evidence-sized labels join for the canonical keep, and the map-only Lehmer sampling filter — corpus TEXT appears nowhere in the plan, because every text-grain stage was paid at ingest")
     val sb = new StringBuilder
     sb.append("# Executed physical plans (sf0.001, AQE final plans)\n\n")
     sb.append("Generated by `graft.Plans`; regenerate after plan-affecting changes.\n")
