@@ -1122,6 +1122,22 @@ object SparkEntry {
     "q_entropy" -> ((s, d) =>
       TextFeatures.charBigramEntropy(documents(s, d), col("doc_id"), col("text"),
         cacheKey = Some(d))),
+    // INCREMENTAL LM artifacts (r12): three batch count-parts appended
+    // (each ≤ 39² rows however large the batch), folded by compaction,
+    // scored from the artifact — counts are associative integer sums,
+    // so the artifact model is bit-equal to a one-shot train and
+    // q_entropy's oracle applies VERBATIM
+    "q_ilm" -> ((s, d) => {
+      val docs = documents(s, d)
+      val dir = s"/tmp/graft_ilm_${new java.io.File(d).getName}_" +
+        java.lang.ProcessHandle.current().pid()
+      rmTree(new java.io.File(dir))
+      Seq(0, 1, 2).foreach(i => graft.text.LmStore.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), col("text"), dir))
+      graft.text.LmStore.compact(s, dir)
+      graft.text.LmStore.score(docs, col("doc_id"), col("text"),
+        graft.text.LmStore.model(s, dir))
+    }),
     // CROSS-corpus LM scoring (CCNet-style): the reference LM trains
     // on the doc_id%11 slice (the eval split doing double duty as the
     // clean/target corpus, as in q_decon/q_dsir) and the REST of the
@@ -4708,6 +4724,33 @@ object SparkEntry {
     // decimal cast applies to k*lp per DISTINCT bigram (not per
     // occurrence), so quantization is identical on both engines
     "q_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+        |  FROM documents
+        |), dd AS (
+        |  SELECT * FROM d WHERE length(t) >= 2
+        |), g AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS k
+        |  FROM dd, UNNEST(range(1, length(t))) AS r(i)
+        |  GROUP BY 1, 2
+        |), model AS (
+        |  SELECT bg, SUM(k) AS c FROM g GROUP BY bg
+        |), tot AS (
+        |  SELECT SUM(c) AS tot, COUNT(*) AS v FROM model
+        |), lp AS (
+        |  SELECT g.doc_id, g.k,
+        |    g.k * ln((model.c + 1.0) / (tot.tot + tot.v)) AS klp
+        |  FROM g JOIN model USING (bg) CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  floor(-CAST(SUM(CAST(klp AS DECIMAL(28,8))) AS DOUBLE) / SUM(k)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    // the artifact model is a bit-equal sum of batch count parts, so
+    // the incremental store serves q_entropy's answer exactly and its
+    // oracle applies verbatim
+    "q_ilm" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
         |  FROM documents
