@@ -77,8 +77,8 @@ object Bench {
     // round; the corpus rows additionally carry the r11 verdict's
     // within-2x-of-SCALING acceptance check under the new
     // heavy-rerun rule). The 82 rows r11 rested all bench this round;
-    // queries NEW in r12 (q_icorpus, q_qsk, q_bm25c, q_rank2) are
-    // absent from the skip set by construction and bench in their
+    // queries NEW in r12 (q_icorpus, q_qsk, q_bm25c, q_rank2, q_ilm)
+    // are absent from the skip set by construction and bench in their
     // debut round.
     val lineSkip = Set(
       "q01_pricing_summary", "q02_min_per_group",
