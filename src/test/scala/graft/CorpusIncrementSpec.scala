@@ -158,6 +158,39 @@ class CorpusIncrementSpec extends SparkSpec {
     assert(gotA == run(df(base ++ batch ++ batch2), eval))
   }
 
+  test("randomized adversarial parity: increment == rebuild across seeded corpora") {
+    // tiny vocabulary + tiny maxDf: shared shingles everywhere, so
+    // band crossings, cluster merges/splits, and resurrection happen
+    // CONSTANTLY rather than by careful planting — any gap in the
+    // C-set argument would surface as a parity break within a few
+    // seeds. Deterministic (seeded) so a failure replays.
+    val vocab = Vector("the", "red", "blue", "fox", "dog", "run", "sit",
+      "big", "sky", "sea")
+    def doc(rnd: scala.util.Random): String =
+      (0 until (5 + rnd.nextInt(4)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val baseRows = (0 until 40).map(i =>
+        (100L + i, doc(rnd), if (rnd.nextInt(5) == 0) "xx" else "en", "s1"))
+      val batchRows = (0 until 15).map(i =>
+        (1000L + i, doc(rnd), if (rnd.nextInt(5) == 0) "xx" else "en", "s1"))
+      val eval = df(evalDocs)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"icorpus_rnd$seed").toString
+      CorpusIncrement.build(df(baseRows), eval, dir, shingleK = 3,
+        threshold = 0.4, maxDf = 4L, deconN = 8, rates = rates, nBuckets = 4)
+      val got = CorpusIncrement.increment(df(batchRows), dir)
+        .as[(Long, String, String)].collect().toSet
+      val want = CorpusBuild.run(df(baseRows ++ batchRows), eval,
+          shingleK = 3, threshold = 0.4, maxDf = 4L, deconN = 8,
+          rates = rates)
+        .as[(Long, String, String)].collect().toSet
+      assert(got == want, s"parity break at seed $seed: " +
+        s"extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
   test("real-table parity: build + increment == CorpusBuild.run, q_corpus config") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 11 =!= 0)
