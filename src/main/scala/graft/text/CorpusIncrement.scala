@@ -338,13 +338,15 @@ object CorpusIncrement {
     val bArr = bx.select(col("doc_id"),
         graft.functions.WordShingles(col("text"), m.k).as("shs"))
       .filter(size(col("shs")) > 0).persist(lvl)
-    bArr.count()
+    // persists below are populated by their FIRST consumer (the
+    // append writes and the prunedByShingle bucket collects are all
+    // eager actions that run in dependency order) — explicit
+    // materialization counts would only add jobs
     val bPost = bArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
     bucketed(bPost, m.nBuckets).repartition(col("bucket"))
       .write.mode("append")
       .partitionBy("bucket").parquet(s"$dir/post")
     val dfB = bPost.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
-    dfB.count()
     bucketed(dfB, m.nBuckets).repartition(col("bucket"))
       .write.mode("append")
       .partitionBy("bucket").parquet(s"$dir/df")
@@ -362,7 +364,6 @@ object CorpusIncrement {
       .withColumn("_in_new", col("_dfn").between(2, m.maxDf))
       .withColumn("_in_old", (col("_dfn") - col("df")).between(2, m.maxDf))
       .persist(lvl)
-    bands.count()
 
     // ---- exact pair recomputation, split by what CAN change.
     // Band-CROSSING shingles (in-band status flipped by the batch) are
@@ -380,13 +381,11 @@ object CorpusIncrement {
     val cDocs = prunedByShingle(postAll, changed, m.nBuckets)
       .select("doc_id")
       .union(bx.select("doc_id")).distinct().persist(lvl)
-    cDocs.count()
     // (a) pairs WITHIN C: complete postings of C docs (one map-side
     // doc-filtered scan of post/), true new-state bands for ALL their
     // shingles (df/ summed for exactly those shingles)
     val cPost = postAll
       .join(broadcast(cDocs), Seq("doc_id"), "left_semi").persist(lvl)
-    cPost.count()
     val ibC = prunedByShingle(dfAll, cPost.select("shingle").distinct(),
         m.nBuckets)
       .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
@@ -419,7 +418,6 @@ object CorpusIncrement {
       .select(col("doc_id"), col("sz"))
     val newPairs = thresholdPairs(interA.unionByName(interB), sizes,
       m.threshold).persist(lvl)
-    newPairs.count()
 
     // ---- splice the pair graph: pairs with BOTH endpoints in C are
     // replaced by recomputation (a); (b) adds pairs no old pair could
