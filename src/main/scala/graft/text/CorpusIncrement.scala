@@ -24,7 +24,9 @@ import graft.operators.{ConnectedComponents, Rounds}
   *  - `hidx/`   (h = xxhash64(text), doc_id): exact-dedup index, one
   *    row per distinct surviving text (22a's artifact);
   *  - `post/`   (shingle, doc_id) for every exact-dedup survivor,
-  *    partitioned by shingle-hash bucket;
+  *    partitioned by shingle-hash bucket, plus the DUAL doc-bucketed
+  *    copy `postd/` — shingle-keyed and doc-keyed probes each prune
+  *    statically, at 2x linear storage (the dual-index trade);
   *  - `df/`     additive (shingle, df) parts — document frequency is a
   *    SUM over parts, so an append never rewrites old rows (the
   *    LSM/delta pattern; merge at read is an increment-grain groupBy);
@@ -75,12 +77,13 @@ import graft.operators.{ConnectedComponents, Rounds}
   *     subgraph is re-solved from its final edge set, not patched).
   *
   * Scale shape: no corpus-scale SHUFFLE anywhere on the increment
-  * path. The corpus-scale artifacts are touched by map-side
-  * broadcast-filtered scans only (hidx once, post twice, df twice,
-  * exdocs once — the last is output-grain and inherent: the result IS
-  * the whole corpus sample); shingle-bucket partition pruning kicks in
-  * when a small batch touches few buckets (driver-collected bucket
-  * ids, the 30l3 pattern). Every exchange is increment-grain.
+  * path. The corpus-scale artifacts are touched by broadcast-filtered
+  * map-side reads only (hidx once, post/df by shingle-bucket prunes,
+  * the affected-doc postings by a doc-bucket prune of postd/, exdocs
+  * once — the last is output-grain and inherent: the result IS the
+  * whole corpus sample); every such read statically prunes to the
+  * probe set's buckets (driver-collected bucket ids, the 30l3
+  * pattern). Every exchange is increment-grain.
   * Bounded-batch contract as for 23e: a batch of corpus magnitude is
   * a rebuild, not an increment. The one assembly join (labels onto
   * exdocs) is dup-evidence-sized on the build side; at corpus scale
@@ -128,6 +131,21 @@ object CorpusIncrement {
   private def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket",
       pmod(xxhash64(col("shingle")), lit(nBuckets)).cast("int"))
+
+  private def docBucketed(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn("bucket",
+      pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+
+  /** [[prunedByShingle]]'s doc-keyed twin over the `postd/` dual
+    * layout: static partition pruning by the filter docs' buckets,
+    * then the broadcast semi join. */
+  private def prunedByDoc(table: DataFrame, docs: DataFrame,
+                          nBuckets: Int): DataFrame = {
+    val bks = docBucketed(docs, nBuckets)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    table.filter(col("bucket").isin(bks: _*))
+      .join(broadcast(docs), Seq("doc_id"), "left_semi")
+  }
 
   /** Map-side broadcast-filtered read of a shingle-bucketed artifact:
     * statically prunes to the filter set's buckets (driver-collected
@@ -232,6 +250,15 @@ object CorpusIncrement {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket").parquet(s"$dir/post")
+    // the DUAL doc-bucketed copy: shingle-keyed probes (df lookups,
+    // postings of band-relevant shingles) prune post/; doc-keyed
+    // probes (the affected-doc full postings) prune postd/ — both
+    // access patterns are static partition prunes, at 2x linear
+    // storage (the standard dual-index trade)
+    docBucketed(post, nBuckets).repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(s"$dir/postd")
     bucketed(post.groupBy("shingle").agg(count(lit(1)).as("df")), nBuckets)
       .repartition(col("bucket"))
       .write.mode("overwrite")
@@ -284,6 +311,7 @@ object CorpusIncrement {
       _.groupBy("shingle", "bucket").agg(sum(col("df")).as("df"))
         .select("shingle", "df", "bucket"))
     graft.sources.BucketMaintenance.compact(spark, s"$dir/post", minParts)
+    graft.sources.BucketMaintenance.compact(spark, s"$dir/postd", minParts)
     // hidx/exdocs are unbucketed: fold to `targetFiles` (corpus-scale
     // callers size it to keep files executor-memory-shaped; the
     // default 1 is the registry/test scale)
@@ -346,6 +374,9 @@ object CorpusIncrement {
     bucketed(bPost, m.nBuckets).repartition(col("bucket"))
       .write.mode("append")
       .partitionBy("bucket").parquet(s"$dir/post")
+    docBucketed(bPost, m.nBuckets).repartition(col("bucket"))
+      .write.mode("append")
+      .partitionBy("bucket").parquet(s"$dir/postd")
     val dfB = bPost.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
     bucketed(dfB, m.nBuckets).repartition(col("bucket"))
       .write.mode("append")
@@ -381,11 +412,12 @@ object CorpusIncrement {
     val cDocs = prunedByShingle(postAll, changed, m.nBuckets)
       .select("doc_id")
       .union(bx.select("doc_id")).distinct().persist(lvl)
-    // (a) pairs WITHIN C: complete postings of C docs (one map-side
-    // doc-filtered scan of post/), true new-state bands for ALL their
-    // shingles (df/ summed for exactly those shingles)
-    val cPost = postAll
-      .join(broadcast(cDocs), Seq("doc_id"), "left_semi").persist(lvl)
+    // (a) pairs WITHIN C: complete postings of C docs — a STATICALLY
+    // PRUNED read of the doc-bucketed dual layout (C's bucket ids are
+    // driver-collected, <= nBuckets), true new-state bands for ALL
+    // their shingles (df/ summed for exactly those shingles)
+    val cPost = prunedByDoc(spark.read.parquet(s"$dir/postd"), cDocs,
+      m.nBuckets).persist(lvl)
     val ibC = prunedByShingle(dfAll, cPost.select("shingle").distinct(),
         m.nBuckets)
       .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
