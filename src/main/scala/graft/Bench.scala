@@ -69,38 +69,37 @@ object Bench {
     // ROTATES per round so every registry query gets a driver timing
     // at least every other round (the r7 verdict's blind-spot fix):
     // BENCH_r(N) ∪ BENCH_r(N+1) always covers the full registry.
-    // THIS round (r12, rotation A): rest exactly the rows BENCH_r11
-    // measured (all 87 were benched in r11, so the union invariant
-    // holds) EXCEPT the never-rested heavies (q_nnd, q_knn_ins,
-    // q_interact, q_semdedup, q_corpus2, q_corpus, q_dedup_clusters,
-    // q_rank — per the SURVEY §6 rotation note, heavies bench every
-    // round; the corpus rows additionally carry the r11 verdict's
-    // within-2x-of-SCALING acceptance check under the new
-    // heavy-rerun rule). The 82 rows r11 rested all bench this round;
-    // queries NEW in r12 (q_icorpus, q_qsk, q_bm25c, q_rank2, q_ilm)
-    // are absent from the skip set by construction and bench in their
-    // debut round.
+    // THIS round (r13, rotation B): rest exactly the rows BENCH_r12
+    // measured (all 95 were benched in r12, so BENCH_r12 ∪ BENCH_r13
+    // = the full registry) EXCEPT the never-rested heavies (q_nnd,
+    // q_knn_ins, q_interact, q_semdedup, q_corpus2, q_corpus,
+    // q_dedup_clusters, q_rank, and — new to the heavy set per the
+    // r12 rotation note — q_icorpus; per the SURVEY §6 rotation note,
+    // heavies bench every round). The 79 rows r12 rested all bench
+    // this round; queries NEW in r13 are absent from the skip set by
+    // construction and bench in their debut round.
     val lineSkip = Set(
-      "q01_pricing_summary", "q02_min_per_group",
-      "q02_regional_cheapest", "q03_topk_revenue", "q04_late_priority",
-      "q05_local_supplier", "q06_filter_agg", "q07_nation_volume",
-      "q10_returned_items", "q11_important_parts", "q12_late_counts",
-      "q13_order_histogram", "q14_promo_revenue", "q15_top_supplier",
-      "q16_distinct_suppliers", "q17_small_qty", "q18_large_orders",
-      "q19_disjunctive", "q20_excess_suppliers", "q22_idle_customers",
-      "q_ann_cosine", "q_ann_lsh", "q_anti_join", "q_blur", "q_bm25i",
-      "q_bpe", "q_chunk", "q_connected_components", "q_csamp",
-      "q_decon", "q_dedup_exact", "q_dsir", "q_editjoin", "q_enc",
-      "q_entropy", "q_entropy3", "q_fdecon", "q_filter_min_obs",
-      "q_frame_stats", "q_frame_stats_multi", "q_gcf", "q_glcm",
-      "q_hll", "q_inccc", "q_incnear", "q_jaccard_pairs", "q_kf",
-      "q_kf2", "q_ksamp", "q_link_iou", "q_link_lap", "q_link_mutual",
-      "q_minhash_pairs", "q_mix", "q_mm_corpus", "q_mm_decode",
-      "q_norm", "q_pack", "q_pivot", "q_pq", "q_profile",
-      "q_qc_duplicates", "q_qc_track_summary", "q_rjr", "q_roi_shape",
-      "q_rollup", "q_rp", "q_sample_stratified", "q_scut", "q_sdecon",
-      "q_sessionize", "q_set_except", "q_shard", "q_tfidf", "q_ulm",
-      "q_upsert", "q_url", "q_window_rank", "q_wp")
+      "q08_market_share", "q09_product_profit", "q21_last_shipper",
+      "q_afp", "q_ann_ivf", "q_asof_join", "q_attrs", "q_audio",
+      "q_bm25", "q_bm25c", "q_card", "q_cdc", "q_clip", "q_comp",
+      "q_cos_dedup", "q_cube", "q_curr", "q_density_grid",
+      "q_drift", "q_dsirs", "q_ebin", "q_fingerprint", "q_gap_fill",
+      "q_gc", "q_gct", "q_gdedup", "q_gsplit", "q_hardneg",
+      "q_hh_tokens", "q_html", "q_ilm", "q_img_dedup", "q_incdedup",
+      "q_lang_id", "q_ldedup", "q_link_nn", "q_link_track",
+      "q_manifest", "q_ml_classify", "q_ml_cluster", "q_mm_frames",
+      "q_movement", "q_oov", "q_padbatch", "q_pca", "q_pii",
+      "q_pipeline_e2e", "q_pool", "q_qc_cells_per_frame",
+      "q_qc_frame_dist", "q_qc_track_hist", "q_qcls", "q_qsk",
+      "q_quant", "q_ragc", "q_range_join", "q_rank2", "q_roi_stats",
+      "q_rrf", "q_shuf", "q_simhash", "q_simhash_pairs",
+      "q_sketch_stats", "q_snapdiff", "q_span", "q_srcgate",
+      "q_stream_window", "q_text_lines", "q_text_quality",
+      "q_text_repetition", "q_text_scrub", "q_text_tokens",
+      "q_tmix", "q_track_split", "q_ts_autocorr", "q_ts_elev_multi",
+      "q_ts_elevation", "q_ts_median", "q_ts_moments", "q_ts_trend",
+      "q_ts_wavelet", "q_vad", "q_walk", "q_winnow",
+      "q_winnow_containment", "q_xent")
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }
@@ -144,21 +143,23 @@ object Bench {
       math.max(calSeries(lo), calSeries(math.min(hi, calSeries.length - 1))) >
         math.max(2.0 * floor, floor + 0.25)
     // Two rerun triggers. (1) cal-dirty: the CPU probe flagged the
-    // query's window. (2) UNCONDITIONAL for heavy rows (>= 2 s): the
-    // r11 residual blind spot — q_corpus/q_corpus2 measured ~2.6x
-    // their same-code clean-sweep times while the cal series stayed
-    // clean, i.e. an IO/page-cache contention window a CPU-bound
-    // probe cannot see (r12 reproduction: isolated 4.0/4.7 s, full
-    // local sweep 3.6/3.7 s — the driver's 8.3/8.4 s was box state,
-    // not code). A CPU probe for IO state doesn't exist, so heavy
-    // rows simply get a third sample at sweep end, minutes away from
+    // query's window. (2) UNCONDITIONAL for rows >= 1 s: the r11
+    // residual blind spot — q_corpus/q_corpus2 measured ~2.6x their
+    // same-code clean-sweep times while the cal series stayed clean,
+    // i.e. an IO/page-cache contention window a CPU-bound probe
+    // cannot see (r12 reproduction: isolated 4.0/4.7 s, full local
+    // sweep 3.6/3.7 s — the driver's 8.3/8.4 s was box state, not
+    // code). A CPU probe for IO state doesn't exist, so such rows
+    // simply get a third sample at sweep end, minutes away from
     // their first two; min-merge keeps whichever window was clean.
-    // Light rows stay bracket-gated (their absolute error is bounded
-    // by their own magnitude and the rerun budget is better spent
-    // where seconds are at stake).
+    // The threshold was 2 s in r12; four 1.0-1.6 s rows then sat
+    // ~2.5x over their SCALING floors (the same contention class, ~3 s
+    // of 107 total), so r13 lowers it to 1 s — sub-second rows stay
+    // bracket-gated (their absolute error is bounded by their own
+    // magnitude, under the noise floor).
     val flagged = sweep.map(_._1).filter(n =>
-      results(n) >= 2.0 ||
-        (results(n) >= 1.0 && dirty(calLo(n), calLo(n) + 1)))
+      results(n) >= 1.0 ||
+        (results(n) >= 0.5 && dirty(calLo(n), calLo(n) + 1)))
     // rerun pass: flagged queries under tight shared brackets (a
     // calibration reading every 5 reruns + one at the end)
     val hot = scala.collection.mutable.ArrayBuffer[String]()
@@ -187,7 +188,7 @@ object Bench {
     // "1" — deciseconds, within local run noise), no "unit":"sec"
     // field (units are seconds by contract), bare unprefixed output
     // (run / outputStrategy in build.sbt), and the rotation skip set
-    // above (94 benched rows ≈ 1.45k chars; the cal series stays
+    // above (r13: 89 benched rows ≈ 1.4k chars; the cal series stays
     // bounded because rerun brackets are shared 5-wide — the r11
     // first cut calibrated per rerun and a false-flag storm from the
     // bimodal light probe pushed the line to 1958 chars).

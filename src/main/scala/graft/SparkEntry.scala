@@ -132,8 +132,9 @@ object SparkEntry {
     }
   }
 
-  /** The cached 31g3 base artifact set (the <=70%-of-ids slice of the
-    * %11 corpus built once per dataset) and the id threshold — so the
+  /** The cached 31g3 base artifact set (the oldest ~95%-of-ids slice
+    * of the %11 corpus built once per dataset) and the id threshold —
+    * so the
     * registry q_icorpus measures the INCREMENT path, never the base
     * build, exactly like [[knnBaseIndex]] for q_knn_ins. Works because
     * CorpusIncrement.build writes meta/ LAST: its _SUCCESS doubles as
@@ -487,14 +488,19 @@ object SparkEntry {
         col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
     }),
     // the FULL second phase: gap closing + track splitting + merging
-    // in one global assignment (rows-only, spec-pinned in
+    // in one global assignment, with the merge block running the
+    // reference templates' universal {AREA: 0.5} feature penalty
+    // (templates/cyto3.json — a deterministic id-derived stand-in area
+    // since events carry none; rows-only, spec-pinned in
     // LapSplitMergeSpec; excluded from the bench line for budget)
     "q_gcf" -> ((s, d) => {
       val sp = videoSpots(s, d)
+        .withColumn("area", pmod(col("id"), lit(97L)).cast("double") + 10.0)
       val labels = operators.TrackAssignment.nearestTracksByVideo(sp,
         maxDist = 50.0, gapFrames = 1, _ / 10000000L)
       operators.LapLink.gapCloseFull(sp, labels, col("id"), col("frame"),
-        col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L)
+        col("x"), col("y"), maxDist = 50.0, maxGap = 3, _ / 10000000L,
+        mergePenalties = Seq((col("area"), 0.5)))
     }),
     // the composed two-phase LAP tracker: exact frame-to-frame
     // assignment -> labels+gap-close+relabel FUSED into one per-video
@@ -927,7 +933,7 @@ object SparkEntry {
         sourceGate = Some((10L, 0.6, 0.5)))
     }),
     // INCREMENTAL end-to-end corpus build (r12): the 31g chain run as
-    // artifacts-from-base + one increment folding the newest ~30% of
+    // artifacts-from-base + one increment folding the newest ~5% of
     // ids — never re-tokenizing or re-shuffling the base — with the
     // output hash-identical to the full rebuild over base ∪ batch, so
     // q_corpus's oracle applies VERBATIM (same %11 corpus/eval split;

@@ -288,9 +288,10 @@ object LapLink {
   }
 
   /** One labeled spot row for the full (split/merge-aware) second
-    * phase. */
+    * phase. `fs` carries the union of all blocks' penalty feature
+    * values (empty when no block declares penalties). */
   private[operators] case class TSpot(track: Long, id: Long, frame: Long,
-                                      x: Double, y: Double)
+                                      x: Double, y: Double, fs: Seq[Double])
 
   /** The FULL Jaqaman second phase — gap closing PLUS track splitting
     * and merging in ONE global assignment (track_images.py:95-100
@@ -305,14 +306,27 @@ object LapLink {
     * `splitDist` / SPLITTING_MAX_DISTANCE likewise). Middle→middle
     * pairs belong to NO TrackMate block and are never candidates.
     * All blocks are solved together by [[assignEdges]] (weight
-    * 2L − d² with L = maxDist², exact per component), so a start goes
-    * to the gap-close OR the split source that the GLOBAL optimum
+    * 2L − cost with L = maxDist², exact per component), so a start
+    * goes to the gap-close OR the split source that the GLOBAL optimum
     * prefers, never both. The alternative cost L is shared across
     * blocks (declared, mirroring the one-ALTERNATIVE_LINKING_COST
     * structure of the dense solver): a split/merge gate above
     * √2·maxDist admits candidates the alternative cost then dominates
     * (weight ≤ 0 ⇒ never matched) — the reference templates keep both
     * gates well below the gap gate, where the rule is inert.
+    *
+    * Each block carries its OWN feature-penalty map (TrackMate's
+    * GAP_CLOSING/SPLITTING/MERGING_FEATURE_PENALTIES — every one of
+    * the reference's ten templates enables merging with
+    * `MERGING_FEATURE_PENALTIES: {"AREA": 0.5}`, templates/cyto3.json):
+    * a candidate's cost is d² · (1 + Σ 3·w·|f_p − f_c| / (f_p + f_c))²
+    * ([[penalizedCost]], the same formula as the linking phase), and —
+    * matching TrackMate's segment cost matrix, which thresholds the
+    * COST — the block gate applies to the PENALIZED cost, so a nearby
+    * candidate with a very different feature value can fall out of the
+    * block entirely. With empty maps cost = d² and the gate reduces to
+    * the geometric one (bit-identical to the pre-penalty behavior).
+    * The emitted `dist` stays the geometric distance.
     *
     * Label semantics are deliberately unchanged by split/merge links:
     * the engine's (and reference pipeline's) track identity rules make
@@ -333,7 +347,10 @@ object LapLink {
                    allowSplit: Boolean = true,
                    allowMerge: Boolean = true,
                    splitDist: Option[Double] = None,
-                   mergeDist: Option[Double] = None): DataFrame = {
+                   mergeDist: Option[Double] = None,
+                   gapPenalties: Seq[(Column, Double)] = Nil,
+                   splitPenalties: Seq[(Column, Double)] = Nil,
+                   mergePenalties: Seq[(Column, Double)] = Nil): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     require(maxGap >= 1, "maxGap must be >= 1")
     require(splitDist.forall(_ > 0.0), "splitDist must be positive")
@@ -343,11 +360,31 @@ object LapLink {
     val maxD2 = maxDist * maxDist
     val splitD2 = splitDist.map(d => d * d).getOrElse(maxD2)
     val mergeD2 = mergeDist.map(d => d * d).getOrElse(maxD2)
+    // one shared feature array = the concatenation of the three maps'
+    // columns; each block's weight vector is zero outside its own
+    // slice, so a feature another block penalizes contributes exactly
+    // nothing here (penalty terms are weight-linear)
+    val allPens = gapPenalties ++ splitPenalties ++ mergePenalties
+    val nG = gapPenalties.length
+    val nS = splitPenalties.length
+    def blockW(lo: Int, ws: Seq[(Column, Double)]): Array[Double] = {
+      val w = new Array[Double](allPens.length)
+      var i = 0
+      while (i < ws.length) { w(lo + i) = ws(i)._2; i += 1 }
+      w
+    }
+    val wGap = blockW(0, gapPenalties)
+    val wSplit = blockW(nG, splitPenalties)
+    val wMerge = blockW(nG + nS, mergePenalties)
+    val hasPens = allPens.nonEmpty // Columns must not reach the closure
+    val featArr =
+      if (allPens.isEmpty) typedLit(Array.empty[Double])
+      else array(allPens.map(_._1.cast("double")): _*)
     val rows = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
-        x.cast("double").as("x"), y.cast("double").as("y"))
+        x.cast("double").as("x"), y.cast("double").as("y"), featArr.as("fs"))
       .join(labels.select(col("id").cast("long").as("id"),
         col("track_id").cast("long").as("track")), Seq("id"))
-      .select(col("track"), col("id"), col("frame"), col("x"), col("y"))
+      .select(col("track"), col("id"), col("frame"), col("x"), col("y"), col("fs"))
       .as[TSpot]
     rows.groupByKey(r => videoOf(r.track))
       .flatMapGroups { (_, it) =>
@@ -366,6 +403,8 @@ object LapLink {
         // starts ++ middles (merge targets)
         val parents = ends ++ (if (allowSplit) middles else Array.empty[TSpot])
         val children = starts ++ (if (allowMerge) middles else Array.empty[TSpot])
+        val pFs = parents.map(_.fs.toArray)
+        val cFs = children.map(_.fs.toArray)
         val np = parents.length
         val nEnds = ends.length
         val nStarts = starts.length
@@ -375,6 +414,7 @@ object LapLink {
           dx * dx + dy * dy
         }
         val edges = Array.newBuilder[(Int, Int, Double)]
+        val d2s = new java.util.HashMap[Long, Double]()
         var pi = 0
         while (pi < np) {
           val p = parents(pi)
@@ -388,17 +428,28 @@ object LapLink {
               // gap block: end->start within maxGap; split/merge
               // blocks: frame gap exactly 1 (TrackMate's contract);
               // middle->middle pairs belong to no block
-              val gateD2 =
-                if (pIsEnd && cIsStart) {
-                  if (df >= 1 && df <= maxGap) maxD2 else -1.0
-                } else if (df == 1) {
-                  if (pIsEnd) mergeD2        // end -> middle: merge
-                  else if (cIsStart) splitD2 // middle -> start: split
-                  else -1.0                  // middle -> middle: never
-                } else -1.0
+              var gateD2 = -1.0
+              var w: Array[Double] = null
+              if (pIsEnd && cIsStart) {
+                if (df >= 1 && df <= maxGap) { gateD2 = maxD2; w = wGap }
+              } else if (df == 1) {
+                if (pIsEnd) { gateD2 = mergeD2; w = wMerge }
+                else if (cIsStart) { gateD2 = splitD2; w = wSplit }
+                // middle -> middle: never a block
+              }
               if (gateD2 >= 0.0) {
                 val d2 = d2Of(p, c)
-                if (d2 <= gateD2) edges += ((pi, ci, d2))
+                // TrackMate's segment matrix gates on the PENALIZED
+                // cost (== d2 when the block's map is empty)
+                if (d2 <= gateD2) {
+                  val cost =
+                    if (!hasPens) d2
+                    else penalizedCost(d2, pFs(pi), cFs(ci), w)
+                  if (cost <= gateD2) {
+                    edges += ((pi, ci, cost))
+                    d2s.put(pi.toLong << 32 | ci.toLong, d2)
+                  }
+                }
               }
             }
             ci += 1
@@ -406,9 +457,10 @@ object LapLink {
           pi += 1
         }
         assignEdges(np, children.length, edges.result(), maxD2)
-          .iterator.map { case (pi2, ci2, d2) =>
+          .iterator.map { case (pi2, ci2, _) =>
             val p = parents(pi2)
             val c = children(ci2)
+            val d2 = d2s.get(pi2.toLong << 32 | ci2.toLong)
             val kind =
               if (pi2 < nEnds && ci2 < nStarts) "gc"
               else if (pi2 < nEnds) "merge"

@@ -30,6 +30,15 @@ import org.json4s.jackson.JsonMethods
   *       merge blocks' own distance gates (the reference templates set
   *       all three gates differently — e.g. gap 90 / merge 50 /
   *       split 5); absent keys fall back to the gap-closing gate
+  *  - GAP_CLOSING/SPLITTING/MERGING_FEATURE_PENALTIES -> the second
+  *       phase's per-block penalty maps ([[lineage]] ->
+  *       [[LapLink.gapCloseFull]]): cost = d²·(1 + Σ 3·w·|Δf|/Σf)²
+  *       per block, gated on the penalized cost as in TrackMate's
+  *       segment cost matrix. This is the reference's UNIVERSAL
+  *       default — all ten shipped templates enable merging with
+  *       MERGING_FEATURE_PENALTIES: {"AREA": 0.5}
+  *       (templates/cyto3.json), so merge-block costs must see the
+  *       AREA difference
   *  - KALMAN_SEARCH_RADIUS      -> the Kalman prediction gate
   *  - MIN_IOU                   -> the Overlap tracker's IoU floor
   *  - GRID_CELL_SIZE            -> graft extension: the Overlap
@@ -38,10 +47,11 @@ import org.json4s.jackson.JsonMethods
   *
   * Simplifications vs TrackMate, declared: ALTERNATIVE_LINKING_COST_
   * FACTOR / CUTOFF_PERCENTILE (cost-matrix conditioning of the dense
-  * solver) have no analogue in the sparse gated Hungarian, and the
-  * per-block FEATURE penalty maps (GAP_CLOSING/SPLITTING/MERGING_
-  * FEATURE_PENALTIES) are accepted but not applied in the second
-  * phase — penalties act in the LINKING phase only.
+  * solver) have no analogue in the sparse gated Hungarian, and on the
+  * LABEL path ([[tracks]]) the gap-close relabeling ignores
+  * GAP_CLOSING_FEATURE_PENALTIES (all ten reference templates set it
+  * to {}, so no shipped config binds this; the [[lineage]] surface
+  * applies all three per-block maps).
   *
   * `config` may be a whole template (the `tracking` object is used) or
   * the tracking object itself. `spots` is (id, frame, x, y) —
@@ -189,6 +199,12 @@ object TrackerConfig {
     val edges = jaqamanFrameEdges(spots, cfg, linkDist)
     val labels = TrackAssignment.divisionAwareByVideo(spots,
       edges.select("src", "dst"), videoOf)
+    // per-block penalty maps are SparseLAP surface only, like the
+    // linking-phase map (TrackMate's Simple factory hides them)
+    def pens(k: String): Seq[(org.apache.spark.sql.Column, Double)] =
+      if (cfg.algorithm == "SparseLAP")
+        cfg.penalties(k).map { case (name, w) => (col(name), w) }
+      else Nil
     LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),
       col("x"), col("y"),
       maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", linkDist),
@@ -196,6 +212,9 @@ object TrackerConfig {
       allowSplit = cfg.b("ALLOW_TRACK_SPLITTING", dflt = false),
       allowMerge = cfg.b("ALLOW_TRACK_MERGING", dflt = false),
       splitDist = cfg.opt("SPLITTING_MAX_DISTANCE"),
-      mergeDist = cfg.opt("MERGING_MAX_DISTANCE"))
+      mergeDist = cfg.opt("MERGING_MAX_DISTANCE"),
+      gapPenalties = pens("GAP_CLOSING_FEATURE_PENALTIES"),
+      splitPenalties = pens("SPLITTING_FEATURE_PENALTIES"),
+      mergePenalties = pens("MERGING_FEATURE_PENALTIES"))
   }
 }

@@ -158,8 +158,14 @@ object ChangeLogStream {
     * batches through both). Choose the horizon from the feed's
     * watermark, never from wall clock.
     *
-    * Only buckets holding a qualifying tombstone are rewritten (the
-    * same pruned-bucket shape as the merge path); a bucket emptied by
+    * Scale shape, stated honestly: the REWRITE touches only buckets
+    * holding a qualifying tombstone (the same pruned-bucket shape as
+    * the merge path), but the DISCOVERY pass scans the whole store —
+    * column-pruned to (op, ver1, bucket), with the tombstone predicate
+    * pushed to parquet so row-group stats skip data-only groups; no
+    * per-bucket tombstone-version sidecar exists (yet), so retirement
+    * costs one 3-column metadata-assisted store scan per run. Run it
+    * at compaction cadence, not per batch. A bucket emptied by
     * retirement has its partition directory removed. */
   def retireTombstones(spark: org.apache.spark.sql.SparkSession,
                        storeDir: String, horizonVer1: Long): Unit = {

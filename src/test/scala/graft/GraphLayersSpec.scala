@@ -40,7 +40,10 @@ class GraphLayersSpec extends SparkSpec {
   test("the second level shrinks entry-selection work once the layer scan dominates") {
     // the regime the recursion exists for needs a corpus whose
     // one-level coarse layer is genuinely big: the sf0.1 embeddings
-    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    // (skip, not fail, where that dataset is absent)
+    assume(new java.io.File(s"$sfDirBig/embeddings.parquet").exists(),
+      s"$sfDirBig/embeddings.parquet absent on this checkout")
+    val big = spark.read.parquet(s"$sfDirBig/embeddings.parquet")
     val g = NnDescent.build(big, 10, maxRounds = 6, convergedFrac = 0.01)
       .cache()
     val kLayer = 6

@@ -174,4 +174,76 @@ class LapSplitMergeSpec extends SparkSpec {
         s"trial $trial: got $gotWeight, brute $best")
     }
   }
+
+  test("global optimality with per-block feature penalties vs brute force") {
+    // TrackMate's second-phase penalty formula, reimplemented
+    // independently here: cost = d²·(1 + Σ 3·w·|Δf|/Σf)², each block
+    // gated on the PENALIZED cost vs its own gate²
+    def pen(d2: Double, fa: Double, fb: Double, w: Double): Double = {
+      val s = fa + fb
+      val p = if (s == 0.0) 0.0 else 3.0 * w * math.abs(fa - fb) / s
+      d2 * (1.0 + p) * (1.0 + p)
+    }
+    val (wG, wS, wM) = (0.3, 0.7, 0.5)
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 10) {
+      val spots = (0 until 5).flatMap { k =>
+        val f0 = rnd.nextInt(8).toLong
+        val x0 = rnd.nextDouble() * 15.0
+        val y0 = rnd.nextDouble() * 15.0
+        (0 to 2).map(i => (k * 100L + i, f0 + i, x0 + i * 0.4, y0,
+          5.0 + rnd.nextDouble() * 10.0))
+      }
+      val labels = spots.map(s => (s._1, (s._1 / 100L) * 100L)).toDF("id", "track_id")
+      val df = spots.toDF("id", "frame", "x", "y", "area")
+      val maxD2 = 25.0
+      val got = LapLink.gapCloseFull(df, labels,
+          col("id"), col("frame"), col("x"), col("y"), 5.0, 3, _ / 1000000L,
+          gapPenalties = Seq((col("area"), wG)),
+          splitPenalties = Seq((col("area"), wS)),
+          mergePenalties = Seq((col("area"), wM)))
+        .select("src", "dst", "kind").as[(Long, Long, String)].collect()
+      val info = spots.map(s => s._1 -> (s._3, s._4, s._5)).toMap
+      def costOf(p: Long, c: Long, w: Double): Double = {
+        val d2 = (info(c)._1 - info(p)._1) * (info(c)._1 - info(p)._1) +
+          (info(c)._2 - info(p)._2) * (info(c)._2 - info(p)._2)
+        pen(d2, info(p)._3, info(c)._3, w)
+      }
+      val gotWeight = got.map { case (p, c, k) =>
+        val w = k match { case "gc" => wG; case "split" => wS; case _ => wM }
+        2.0 * maxD2 - costOf(p, c, w)
+      }.sum
+      val byTrack = spots.groupBy(_._1 / 100L)
+      val startOf = byTrack.view.mapValues(_.minBy(s => (s._2, s._1))).toMap
+      val endOf = byTrack.view.mapValues(_.maxBy(s => (s._2, -s._1))).toMap
+      val parents = byTrack.keys.toSeq.sorted.map(t => ("e", endOf(t))) ++
+        spots.filter(s => startOf(s._1 / 100L)._1 != s._1 &&
+          endOf(s._1 / 100L)._1 != s._1).sortBy(_._1).map(("m", _))
+      val children = byTrack.keys.toSeq.sorted.map(t => ("s", startOf(t))) ++
+        spots.filter(s => startOf(s._1 / 100L)._1 != s._1 &&
+          endOf(s._1 / 100L)._1 != s._1).sortBy(_._1).map(("m", _))
+      val es = (for {
+        (pk, p) <- parents
+        (ck, c) <- children
+        if p._1 / 100L != c._1 / 100L
+        if !(pk == "m" && ck == "m")
+        df2 = c._2 - p._2
+        if (if (pk == "e" && ck == "s") df2 >= 1 && df2 <= 3 else df2 == 1)
+        w = if (pk == "e" && ck == "s") wG else if (pk == "e") wM else wS
+        cost = costOf(p._1, c._1, w)
+        if cost <= maxD2 // every block's gate is maxDist here
+      } yield ((pk, p._1), (ck, c._1), cost)).toArray
+      def rec(i: Int, uP: Set[(String, Long)], uC: Set[(String, Long)]): Double =
+        if (i >= es.length) 0.0
+        else {
+          val (p, c, cost) = es(i)
+          val skip = rec(i + 1, uP, uC)
+          if (uP(p) || uC(c)) skip
+          else math.max(skip, 2.0 * maxD2 - cost + rec(i + 1, uP + p, uC + c))
+        }
+      val best = rec(0, Set.empty, Set.empty)
+      assert(math.abs(gotWeight - best) < 1e-6,
+        s"trial $trial: got $gotWeight, brute $best")
+    }
+  }
 }

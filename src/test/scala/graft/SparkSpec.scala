@@ -23,5 +23,10 @@ object TestSession {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
-  val sfDir = "/root/testdata/sf0.001"
+  val testdataRoot = "/root/testdata"
+  val sfDir = s"$testdataRoot/sf0.001"
+  /** The larger scale point for the few specs that need a regime the
+    * tiny default can't produce; `assume` on this so such specs skip
+    * cleanly (not fail) on a checkout without the bigger dataset. */
+  val sfDirBig = s"$testdataRoot/sf0.1"
 }

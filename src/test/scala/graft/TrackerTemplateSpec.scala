@@ -99,9 +99,9 @@ class TrackerTemplateSpec extends SparkSpec {
     }
   }
 
-  test("all ten template structures: lineage() equals gapCloseFull with per-block gates") {
+  test("all ten template structures: lineage() equals gapCloseFull with per-block gates and penalties") {
     for (row <- inventory) {
-      val (name, link, gap, split, merge, maxGap, linkPen, _, aSplit, aMerge) = row
+      val (name, link, gap, split, merge, maxGap, linkPen, mergePen, aSplit, aMerge) = row
       val got = TrackerConfig.lineage(spots, templateJson(row), vid)
         .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
       val pens = linkPen.map(w => Seq((col("AREA"), w))).getOrElse(Nil)
@@ -112,10 +112,50 @@ class TrackerTemplateSpec extends SparkSpec {
       val want = LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),
           col("x"), col("y"), gap, maxGap, vid,
           allowSplit = aSplit, allowMerge = aMerge,
-          splitDist = Some(split), mergeDist = Some(merge))
+          splitDist = Some(split), mergeDist = Some(merge),
+          mergePenalties = Seq((col("AREA"), mergePen)))
         .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
       assert(got === want, s"template $name")
     }
+  }
+
+  test("the merge penalty from the template bites: {AREA: 0.5} redirects a merge " +
+      "to the look-alike, as on every reference template") {
+    // dying track A (AREA 5) ends at frame 4 @(8,10); two continuing
+    // tracks offer a frame-5 middle OUTSIDE linking reach (gate 3) but
+    // inside the merge gate (4): B is NEARER (d=3.2, d²=10.24) but
+    // BIGGER (AREA 6.5), C is FARTHER (d=3.5, d²=12.25) but the same
+    // size. Geometry-only picks B; {AREA: 0.5} inflates B's cost to
+    // 10.24·(1 + 1.5·1.5/11.5)² ≈ 14.64 > 12.25, so the penalized
+    // solve picks C — both still under the 16 gate, a pure cost flip.
+    val mergeSpots = (
+      (0 to 4).map(f => (100L + f, f.toLong, f * 2.0, 10.0, 5.0)) ++
+        (0 to 10).map(f => (200L + f, f.toLong, f * 2.0 - 2.0, 13.2, 6.5)) ++
+        (0 to 10).map(f => (300L + f, f.toLong, f * 2.0 - 2.0, 6.5, 5.0))
+      ).toDF("id", "frame", "x", "y", "AREA")
+    def tpl(mergePenalties: String) = s"""{
+      "tracking": {"algorithm": "SparseLAP", "settings": {
+        "LINKING_MAX_DISTANCE": 3.0,
+        "ALLOW_GAP_CLOSING": true, "GAP_CLOSING_MAX_DISTANCE": 3.0,
+        "MAX_FRAME_GAP": 2,
+        "ALLOW_TRACK_SPLITTING": false,
+        "ALLOW_TRACK_MERGING": true, "MERGING_MAX_DISTANCE": 4.0,
+        "MERGING_FEATURE_PENALTIES": $mergePenalties}}}"""
+    def merges(df: org.apache.spark.sql.DataFrame, json: String): Set[(Long, Long)] =
+      TrackerConfig.lineage(df, json, vid)
+        .filter(col("kind") === "merge")
+        .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(merges(mergeSpots, tpl("{}")) === Set((104L, 205L)),
+      "geometry-only must pick the nearer big cell B")
+    assert(merges(mergeSpots, tpl("""{"AREA": 0.5}""")) === Set((104L, 305L)),
+      "the reference templates' AREA penalty must redirect the merge to C")
+    // TrackMate gates on the PENALIZED cost: with only B on offer and
+    // a heavy penalty (10.24·(1 + 3·1.5/11.5)² ≈ 19.8 > 16) the merge
+    // candidate falls out of the block entirely
+    val aAndB = mergeSpots.filter(col("id") < 300L)
+    assert(merges(aAndB, tpl("{}")) === Set((104L, 205L)))
+    assert(merges(aAndB, tpl("""{"AREA": 1.0}""")) === Set.empty,
+      "a penalized cost past MERGING_MAX_DISTANCE² must drop the candidate")
   }
 
   test("the split gate from the template bites: a tiny SPLITTING_MAX_DISTANCE drops the fork edge") {
