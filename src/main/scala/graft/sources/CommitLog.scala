@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Atomic multi-directory batch commits for the multi-write artifact
+  * stores (the BM25 index's postings + meta, the corpus-increment
+  * artifact set) — the commit-log upgrade the ledger's declared
+  * torn-batch caveat named: a micro-batch that touches SEVERAL
+  * directories cannot be made idempotent by any single dynamic
+  * overwrite, and a crash mid-apply used to leave a torn store whose
+  * only remedy was restore-from-compaction-snapshot + replay.
+  *
+  * Model: a ROLLBACK JOURNAL at the batch grain (the SQLite/ARIES-undo
+  * shape, which fits stores whose batches only ever ADD files):
+  *
+  *  1. `recover` — roll back any torn predecessor (see below);
+  *  2. skip if this batch's COMMIT MARKER `_ledger/<id>` exists (the
+  *     completed-batch replay gate, unchanged from the ledger);
+  *  3. journal the store's PRE-STATE: one census file
+  *     `_ledger/<id>.pre` listing every file and directory currently
+  *     under the store (metadata-only listing, no data read; written
+  *     to a temp name and RENAMED in, so a torn census can never be
+  *     mistaken for a real one);
+  *  4. run the batch's writes — which by store contract only CREATE
+  *     files (parquet append parts, fresh `v=K` version directories),
+  *     never delete or truncate existing ones;
+  *  5. create the commit marker, then drop the journal.
+  *
+  * `recover` makes the whole sequence atomic to every later reader: a
+  * journal without its commit marker identifies a torn batch, and
+  * rolling back = deleting every file not in the census (the torn
+  * batch's partial output, including any `_temporary` debris of a
+  * killed write job) and every directory the batch introduced. A
+  * journal WITH its marker is a crash between steps 5 and the cleanup
+  * — already committed, so only the journal is dropped. Readers
+  * therefore resolve committed file sets exactly, provided they attach
+  * through `recover` (the single-writer stream wrapper does; ad-hoc
+  * readers of a store that may have hosted a crash call it once
+  * first). Crash points are the boundaries of individual write JOBS
+  * (each parquet write commits or leaves `_temporary` debris — both
+  * handled); within-file torn writes don't occur because parquet jobs
+  * publish by rename.
+  *
+  * Scale shape: the census is driver-side file METADATA, cost
+  * proportional to the store's file count — which compaction already
+  * bounds (that is what the maintenance family is for) — and is paid
+  * once per batch, the same class as the compaction census itself.
+  * Undo cost is proportional to the torn batch, not the store.
+  */
+object CommitLog {
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def ledgerDir(root: Path) = new Path(root, "_ledger")
+
+  /** Relative paths of every file and directory under `root`, the
+    * `_ledger` itself excluded; directories carry a trailing "/". */
+  private def census(fs: FileSystem, root: Path): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    def rel(p: Path): String = p.toString.stripPrefix(root.toString)
+      .stripPrefix("/")
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { s =>
+      if (s.isDirectory) {
+        if (s.getPath.getName != "_ledger") {
+          out += rel(s.getPath) + "/"
+          walk(s.getPath)
+        }
+      } else out += rel(s.getPath)
+    }
+    if (fs.exists(root)) walk(root)
+    out.toSet
+  }
+
+  private def writeLines(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val o = fs.create(tmp, true)
+    try o.write(lines.mkString("\n").getBytes("UTF-8")) finally o.close()
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"journal rename failed: $tmp -> $p")
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** True if batch `batchId` committed against `storeDir`. */
+  def committed(spark: SparkSession, storeDir: String, batchId: Long): Boolean = {
+    val (fs, root) = fsOf(spark, storeDir)
+    fs.exists(new Path(ledgerDir(root), batchId.toString))
+  }
+
+  /** Roll back any torn batch under `storeDir` (no-op on a clean
+    * store): for each journal without its commit marker, delete every
+    * file not in the journaled census and every directory the torn
+    * batch introduced (emptied bottom-up); drop stale journals of
+    * committed batches and torn journal temp files. Idempotent. */
+  def recover(spark: SparkSession, storeDir: String): Unit = {
+    val (fs, root) = fsOf(spark, storeDir)
+    val ld = ledgerDir(root)
+    if (!fs.exists(ld)) return
+    fs.listStatus(ld).foreach { s =>
+      val name = s.getPath.getName
+      if (name.endsWith(".pre.tmp")) { fs.delete(s.getPath, false); () }
+      else if (name.endsWith(".pre")) {
+        val id = name.stripSuffix(".pre")
+        if (fs.exists(new Path(ld, id))) { fs.delete(s.getPath, false); () }
+        else {
+          val pre = readLines(fs, s.getPath).toSet
+          val now = census(fs, root)
+          // extra files first, then extra dirs deepest-first so each
+          // is empty (of journaled content) when its turn comes
+          now.diff(pre).toSeq.filterNot(_.endsWith("/"))
+            .foreach(f => fs.delete(new Path(root, f), false))
+          now.diff(pre).toSeq.filter(_.endsWith("/"))
+            .sortBy(-_.length)
+            .foreach(d => fs.delete(new Path(root, d.dropRight(1)), true))
+          fs.delete(s.getPath, false)
+          ()
+        }
+      }
+    }
+  }
+
+  /** Apply `work` (the batch's multi-directory writes — which must
+    * only ADD files) as one atomic, replay-skipped commit of batch
+    * `batchId` against `storeDir`. */
+  def atomically(spark: SparkSession, storeDir: String, batchId: Long)
+                (work: => Unit): Unit = {
+    recover(spark, storeDir)
+    val (fs, root) = fsOf(spark, storeDir)
+    val ld = ledgerDir(root)
+    val marker = new Path(ld, batchId.toString)
+    if (fs.exists(marker)) return
+    fs.mkdirs(ld)
+    val pre = new Path(ld, s"$batchId.pre")
+    writeLines(fs, pre, census(fs, root).toSeq.sorted)
+    work
+    fs.create(marker, true).close()
+    fs.delete(pre, false)
+    ()
+  }
+}

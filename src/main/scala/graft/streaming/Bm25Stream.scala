@@ -11,12 +11,15 @@ import graft.text.Bm25Index
   * postings + stats part via [[Bm25Index.append]], so the retrieval
   * index tracks the crawl feed and serving ([[Bm25Index.topK]]) stays
   * bit-identical to the direct query over everything ingested. The
-  * append touches two stores (postings + meta), so whole-batch replay
-  * idempotence rides [[ExactlyOnce.ledgered]] (marker-gated; the
-  * declared mid-batch torn-store caveat applies — compaction
-  * snapshots are the restore points). Batch doc ids disjoint from
-  * indexed ones by the 30l3 contract (re-ingest dedup is 22a's job);
-  * periodic [[Bm25Index.compact]] folds the accumulated parts. */
+  * append touches two stores (postings + meta), so the batch runs
+  * under [[ExactlyOnce.ledgered]]'s rollback journal
+  * ([[graft.sources.CommitLog]]): a replayed COMPLETED batch is
+  * marker-skipped, and a crash mid-apply — between the postings and
+  * the meta write included — is rolled back to the exact committed
+  * file set before the next batch touches the store (crash-injection
+  * pinned in Bm25StreamSpec). Batch doc ids disjoint from indexed
+  * ones by the 30l3 contract (re-ingest dedup is 22a's job); periodic
+  * [[Bm25Index.compact]] folds the accumulated parts. */
 object Bm25Stream {
 
   def maintain(docs: DataFrame, dir: String,

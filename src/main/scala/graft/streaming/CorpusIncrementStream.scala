@@ -16,21 +16,21 @@ import graft.text.CorpusIncrement
   * completes the story by maintaining the GLOBAL stages' artifacts
   * between batches.
   *
-  * Replay semantics (the honest contract, weaker than the 21w/30s4
-  * single-write sinks and declared as such): an increment touches
-  * SEVERAL artifact dirs, so it cannot be made atomic by one dynamic
-  * overwrite. Idempotence against WHOLE-batch replays (the common
-  * failure: a crash after the batch completed but before the
-  * checkpoint committed) comes from a batch LEDGER — a marker file
-  * per applied micro-batch id, written only after the increment
-  * completes, checked before applying — so a replayed completed batch
-  * is skipped, not double-appended. A crash MID-increment leaves a
-  * torn store the ledger cannot repair; recovery is restore-and-replay
-  * from the previous compaction snapshot (the same recovery class as
-  * any multi-file transactional store without a commit log — a
-  * Delta-style log is the production upgrade path, out of scope).
-  * Batch doc-id monotonicity is the 31g3 ordering contract, enforced
-  * fail-fast by the increment itself. */
+  * Replay semantics: an increment touches SEVERAL artifact dirs, so
+  * it cannot be made atomic by one dynamic overwrite; the batch runs
+  * under [[ExactlyOnce.ledgered]]'s rollback journal
+  * ([[graft.sources.CommitLog]]). A replayed COMPLETED batch (crash
+  * after the work, before the checkpoint commit) is skipped by its
+  * commit marker; a crash MID-increment — between any two of the
+  * eight artifact writes, or mid-write-job — is rolled back to the
+  * journaled pre-batch file census, byte-exactly, before the next
+  * batch (or any recover-attached reader) sees the store. The
+  * increment path only ever ADDS files (appends + fresh pair/label
+  * version dirs — CorpusIncrement's add-only contract), which is what
+  * makes undo-by-delete exact. Crash-injection recovery is pinned in
+  * CorpusIncrementStreamSpec (serving == the batch rebuild after
+  * kill + recover + replay). Batch doc-id monotonicity is the 31g3
+  * ordering contract, enforced fail-fast by the increment itself. */
 object CorpusIncrementStream {
 
   def maintain(docs: DataFrame, dir: String,

@@ -29,26 +29,21 @@ object ExactlyOnce {
       .partitionBy("batch_id").parquet(path)
   }
 
-  /** Replay gate for MULTI-write stores that one dynamic overwrite
-    * cannot make idempotent (the BM25 index's postings + meta, the
-    * corpus-artifact set): a batch LEDGER — a marker file per applied
-    * micro-batch id under `storeDir/_ledger`, written only after
-    * `apply` completes, checked before applying — so a replayed
-    * COMPLETED batch (crash after the work, before the checkpoint
-    * commit: the common at-least-once case) is skipped rather than
-    * double-appended. Weaker than [[writeBatch]] and declared as
-    * such: a crash MID-apply leaves a torn store the ledger cannot
-    * repair (recovery = restore from the last compaction snapshot and
-    * replay; a Delta-style commit log is the production upgrade). */
+  /** Exactly-once gate for MULTI-write stores that one dynamic
+    * overwrite cannot make idempotent (the BM25 index's postings +
+    * meta, the corpus-artifact set), on the batch-grain rollback
+    * journal ([[graft.sources.CommitLog]]): a replayed COMPLETED batch
+    * is skipped by its commit marker (the original ledger contract),
+    * and a crash MID-apply — between the postings and meta writes,
+    * between artifact directories, or mid-write-job — is ROLLED BACK
+    * from the journaled pre-state census before the next batch (or any
+    * recover-attached reader) touches the store, so readers resolve
+    * only committed file sets. `apply`'s writes must only ADD files
+    * (the stores' append/versioned-dir contract); crash-injection
+    * recovery is spec-pinned per store (Bm25StreamSpec,
+    * CorpusIncrementStreamSpec). */
   def ledgered(storeDir: String)(apply: (DataFrame, Long) => Unit)
-              (batch: DataFrame, batchId: Long): Unit = {
-    val ledger = new org.apache.hadoop.fs.Path(s"$storeDir/_ledger/$batchId")
-    val fs = ledger.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(ledger)) return
-    apply(batch, batchId)
-    fs.mkdirs(ledger.getParent)
-    fs.create(ledger, true).close()
-    ()
-  }
+              (batch: DataFrame, batchId: Long): Unit =
+    graft.sources.CommitLog.atomically(batch.sparkSession, storeDir,
+      batchId) { apply(batch, batchId) }
 }

@@ -20,7 +20,9 @@ import graft.operators.{ConnectedComponents, Rounds}
   * df-band-crossing cases where a batch doc retroactively changes
   * BASE-vs-BASE pair evidence).
   *
-  * Artifacts under `dir` (append-only except pairs/labels):
+  * Artifacts under `dir` (ADD-ONLY on the increment path: parquet
+  * appends plus fresh version directories — the property the
+  * rollback journal's undo-by-delete depends on):
   *  - `hidx/`   (h = xxhash64(text), doc_id): exact-dedup index, one
   *    row per distinct surviving text (22a's artifact);
   *  - `post/`   (shingle, doc_id) for every exact-dedup survivor,
@@ -36,9 +38,15 @@ import graft.operators.{ConnectedComponents, Rounds}
   *    resurrects when a cluster splits needs no text rescan;
   *  - `evalsh/` the eval suite's distinct decon n-grams (fixed size);
   *  - `pairs/`, `labels/` the near-dup pair graph and its components —
-  *    the two REWRITTEN artifacts (pair evidence can be retracted, see
-  *    below), both sparse (dup evidence, not corpus) so the rewrite is
-  *    cheap;
+  *    the two artifacts whose contents an increment REPLACES (pair
+  *    evidence can be retracted, see below), both sparse (dup
+  *    evidence, not corpus) so the rewrite is cheap. Each replacement
+  *    lands as a fresh `v=K/` VERSION directory (readers resolve the
+  *    latest version published with a `_SUCCESS`; superseded versions
+  *    are retired by [[compact]], the same cadence that folds small
+  *    parts) — so an increment only ever ADDS files, which is what
+  *    lets the streaming wrapper's rollback journal
+  *    ([[graft.sources.CommitLog]]) undo a torn batch exactly;
   *  - `meta/`   params + the running max doc id (layout truth read
   *    back at increment time, the Bm25Index lesson).
   *
@@ -128,6 +136,56 @@ object CorpusIncrement {
       .parquet(s"$dir/meta")
   }
 
+  /** Latest version of a `v=K/`-versioned artifact, counting only
+    * versions PUBLISHED by their write job's `_SUCCESS` marker — a
+    * torn version directory (crash mid-write) is invisible to
+    * readers even before [[graft.sources.CommitLog.recover]] removes
+    * it. */
+  private def latestV(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val vs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS")))
+    require(vs.nonEmpty, s"no published version under $dir")
+    vs.max
+  }
+
+  /** The store's current pair/label version — the two artifacts
+    * version in lockstep (pairs then labels per increment), so a
+    * mismatch means a torn DIRECT-API increment: fail fast and name
+    * the repair rather than serve a pair graph against another
+    * version's components. */
+  private def currentV(spark: SparkSession, dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val vp = latestV(fs, s"$dir/pairs")
+    val vl = latestV(fs, s"$dir/labels")
+    require(vp == vl,
+      s"torn pair/label versions under $dir ($vp vs $vl): " +
+        "run graft.sources.CommitLog.recover, or re-run the increment " +
+        "under the streaming wrapper's journal")
+    vp
+  }
+
+  /** Run independent driver actions as CONCURRENT Spark jobs (one
+    * thread each; Spark's scheduler interleaves them across the same
+    * executors), awaiting all and rethrowing the first failure. The
+    * increment's cost at increment grain is dominated by sequential
+    * JOB LAUNCHES, not data — batching the independent artifact
+    * appends into concurrent groups cuts the barrier count, which is
+    * the fixed overhead the SCALING ratios showed. */
+  private def inParallel(actions: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = actions.map(a => new Thread(() =>
+      try a() catch { case t: Throwable => errs.add(t); () }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   private def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket",
       pmod(xxhash64(col("shingle")), lit(nBuckets)).cast("int"))
@@ -215,7 +273,7 @@ object CorpusIncrement {
   def assemble(spark: SparkSession, dir: String): DataFrame = {
     val m = readMeta(spark, dir)
     val kept = spark.read.parquet(s"$dir/exdocs")
-      .join(spark.read.parquet(s"$dir/labels")
+      .join(spark.read.parquet(s"$dir/labels/v=${currentV(spark, dir)}")
         .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .filter(col("dflag") === 0)
@@ -270,10 +328,16 @@ object CorpusIncrement {
     intrinsics(ex, spark.read.parquet(s"$dir/evalsh"), deconN, shingleK)
       .write.mode("overwrite").parquet(s"$dir/exdocs")
     val sizes = arr.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+    // a rebuild resets the versioned artifacts outright (stale higher
+    // versions from a previous store generation must not outrank v=0)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("pairs", "labels").foreach(a =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$a"), true))
     pairsFrom(post, sizes, maxDf, threshold)
-      .write.mode("overwrite").parquet(s"$dir/pairs")
-    val pairs = spark.read.parquet(s"$dir/pairs")
-    labelsOf(spark, pairs).write.mode("overwrite").parquet(s"$dir/labels")
+      .write.parquet(s"$dir/pairs/v=0")
+    val pairs = spark.read.parquet(s"$dir/pairs/v=0")
+    labelsOf(spark, pairs).write.parquet(s"$dir/labels/v=0")
     val maxId = base.agg(max(col("doc_id"))).head()
     require(!maxId.isNullAt(0), "empty base corpus")
     writeMeta(spark, dir, Meta(shingleK, threshold, maxDf, deconN, nBuckets,
@@ -329,6 +393,18 @@ object CorpusIncrement {
     val m = readMeta(spark, dir)
     if (spark.read.parquet(s"$dir/meta").inputFiles.length >= minParts)
       writeMeta(spark, dir, m, overwrite = true)
+    // retire superseded pair/label VERSION directories (each increment
+    // publishes a fresh v=K and deletes nothing, so sub-latest versions
+    // accumulate between compactions exactly like small parts do)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val vCur = currentV(spark, dir)
+    Seq("pairs", "labels").foreach { a =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+          s.getPath.getName.stripPrefix("v=").toLong < vCur)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
   }
 
   /** Fold one crawl batch into the artifacts and return the updated
@@ -336,6 +412,13 @@ object CorpusIncrement {
   def increment(batch: DataFrame, dir: String): DataFrame = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
+    // resolve the pair/label version first (fails fast on a torn
+    // direct-API store). The increment itself deletes NOTHING — not
+    // even superseded version directories (compact retires those) —
+    // so the journal's undo-by-delete restores the pre-batch store
+    // EXACTLY and the file census is the crash-recovery invariant the
+    // stream spec pins byte-for-byte.
+    val v = currentV(spark, dir)
     val bMin = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (bMin.isNullAt(0)) return assemble(spark, dir)
     require(bMin.getLong(0) > m.maxDocId,
@@ -360,29 +443,33 @@ object CorpusIncrement {
     // ---- append the batch's slices of every additive artifact
     // increment-grain appends: one file each (coalesce / bucket
     // repartition), so the store's file count grows with BATCHES, not
-    // batches x tasks x buckets
-    bx.select(col("h"), col("doc_id"))
-      .coalesce(1).write.mode("append").parquet(s"$dir/hidx")
+    // batches x tasks x buckets. The five appends are INDEPENDENT
+    // given bx, so they run as two concurrent groups instead of five
+    // sequential jobs (group 1 also warms the shingle cache the
+    // postings group consumes): the r12 verdict measured the
+    // increment's cost as ~20 sequential job launches, not data.
     val bArr = bx.select(col("doc_id"),
         graft.functions.WordShingles(col("text"), m.k).as("shs"))
       .filter(size(col("shs")) > 0).persist(lvl)
-    // persists below are populated by their FIRST consumer (the
-    // append writes and the prunedByShingle bucket collects are all
-    // eager actions that run in dependency order) — explicit
-    // materialization counts would only add jobs
     val bPost = bArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    bucketed(bPost, m.nBuckets).repartition(col("bucket"))
-      .write.mode("append")
-      .partitionBy("bucket").parquet(s"$dir/post")
-    docBucketed(bPost, m.nBuckets).repartition(col("bucket"))
-      .write.mode("append")
-      .partitionBy("bucket").parquet(s"$dir/postd")
     val dfB = bPost.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
-    bucketed(dfB, m.nBuckets).repartition(col("bucket"))
-      .write.mode("append")
-      .partitionBy("bucket").parquet(s"$dir/df")
-    intrinsics(bx, spark.read.parquet(s"$dir/evalsh"), m.deconN, m.k)
-      .coalesce(1).write.mode("append").parquet(s"$dir/exdocs")
+    inParallel(Seq(
+      () => bx.select(col("h"), col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/hidx"),
+      () => intrinsics(bx, spark.read.parquet(s"$dir/evalsh"), m.deconN, m.k)
+        .coalesce(1).write.mode("append").parquet(s"$dir/exdocs"),
+      () => { bArr.count(); () }))
+    inParallel(Seq(
+      () => bucketed(bPost, m.nBuckets).repartition(col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket").parquet(s"$dir/post"),
+      () => docBucketed(bPost, m.nBuckets).repartition(col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket").parquet(s"$dir/postd"),
+      // populates the dfB cache the band analysis below consumes
+      () => bucketed(dfB, m.nBuckets).repartition(col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket").parquet(s"$dir/df")))
 
     // ---- df-band analysis over batch-present shingles (reads INCLUDE
     // the just-appended parts, so the summed df is already the new
@@ -454,7 +541,7 @@ object CorpusIncrement {
     // ---- splice the pair graph: pairs with BOTH endpoints in C are
     // replaced by recomputation (a); (b) adds pairs no old pair could
     // be; every other old pair is provably unchanged and rides through
-    val oldPairs = spark.read.parquet(s"$dir/pairs")
+    val oldPairs = spark.read.parquet(s"$dir/pairs/v=$v")
     val cD = (side: String) => cDocs.toDF(side)
     val keptOld = oldPairs
       .join(broadcast(cD("d1").withColumn("_a1", lit(1))), Seq("d1"), "left")
@@ -467,15 +554,15 @@ object CorpusIncrement {
     // evidence could have changed — C plus the new pairs' endpoints
     // (the 23e quotient idea, generalized to handle edge REMOVALS by
     // re-solving each touched component from its final edge set).
-    // finalPairs and the subgraph are each materialized ONCE: every
-    // later consumer (count, CC contraction, the pairs write) scans
-    // the persisted RDD instead of re-evaluating the broadcast chain.
+    // finalPairs and the subgraph are each COMPUTED once: fp's
+    // persisted RDD is populated en route to the subgraph count below
+    // (no separate count job), then every later consumer (union-find,
+    // the pairs write) scans the cache.
     val (fp, fpRdd) = Rounds.materialize(finalPairs, lvl)
-    fpRdd.count()
     val pairEnds = cDocs
       .union(newPairs.select(col("d1").as("doc_id")))
       .union(newPairs.select(col("d2").as("doc_id"))).distinct()
-    val oldLabels = spark.read.parquet(s"$dir/labels")
+    val oldLabels = spark.read.parquet(s"$dir/labels/v=$v")
     val touched = oldLabels
       .join(broadcast(pairEnds.toDF("node")), Seq("node"), "left_semi")
       .select("component").distinct()
@@ -486,15 +573,41 @@ object CorpusIncrement {
     val (se, seRdd) = Rounds.materialize(
       fp.join(broadcast(subNodes.toDF("d1")), Seq("d1"), "left_semi"), lvl)
     val nSub = seRdd.count()
+    // solve the touched subgraph where it lives: an increment-grain
+    // splice is usually a few thousand edges, for which the
+    // distributed star rounds cost ~10 job launches of pure overhead —
+    // below an explicit driver-size cap (500k edges ≈ tens of MB) one
+    // collect + a local union-find replaces them, emitting the same
+    // (node, min-id component) labels bit-for-bit; past the cap the
+    // distributed path takes over unchanged
     val subLabels =
       if (nSub == 0) {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("node", "component")
+      } else if (nSub <= 500000L) {
+        import spark.implicits._
+        val es = se.select(col("d1"), col("d2")).as[(Long, Long)].collect()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(a: Long): Long = {
+          var x = a
+          while (parent.getOrDefault(x, x) != x) {
+            parent.put(x, parent.getOrDefault(parent.get(x), parent.get(x)))
+            x = parent.get(x)
+          }
+          x
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // root compression gives min-id labels directly: unions always
+        // point the larger root at the smaller, so every chain ends at
+        // its component's minimum id
+        nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
       } else
-        // size the CC rounds to the subgraph: a touched-component
-        // splice is increment-grain, and at one partition the
-        // per-partition union-find contraction solves it outright;
-        // big graphs get a partition per ~1M edges
+        // size the CC rounds to the subgraph: big graphs get a
+        // partition per ~1M edges
         ConnectedComponents.run(
           se.select(col("d1").as("src"), col("d2").as("dst"))
             .repartition(math.max(1, (nSub / 1000000L).toInt)))
@@ -502,15 +615,18 @@ object CorpusIncrement {
       .join(broadcast(touched), Seq("component"), "left_anti")
       .unionByName(subLabels)
 
-    // pairs/labels are rewritten from the persisted RDDs (both source
-    // plans read the paths they overwrite)
-    val (nl, nlRdd) = Rounds.materialize(newLabels, lvl)
-    nlRdd.count()
-    fp.write.mode("overwrite").parquet(s"$dir/pairs")
-    nl.write.mode("overwrite").parquet(s"$dir/labels")
+    // the replacement pair graph and labels land as the NEXT version
+    // directory — fresh paths, so neither write overwrites a path its
+    // own plan reads (the refreshByPath hazard the pre-versioning code
+    // paid an extra materialization barrier to dodge), a torn write is
+    // invisible (no _SUCCESS -> not a published version), and the two
+    // writes are independent given the persisted fp/se, so they run
+    // concurrently
+    inParallel(Seq(
+      () => fp.write.parquet(s"$dir/pairs/v=${v + 1}"),
+      () => newLabels.write.parquet(s"$dir/labels/v=${v + 1}")))
     fpRdd.unpersist(blocking = false)
     seRdd.unpersist(blocking = false)
-    nlRdd.unpersist(blocking = false)
 
     writeMeta(spark, dir, m.copy(maxDocId = bMin.getLong(1)),
       overwrite = false)

@@ -67,4 +67,82 @@ class CorpusIncrementStreamSpec extends SparkSpec {
         eval, shingleK = 3, threshold = 0.4, maxDf = 3L, deconN = 8)
       .as[(Long, String, String)].collect().toSet)
   }
+
+  /** (relative path, size) of every data file under `dir`, ledger and
+    * stream checkpoint excluded. */
+  private def fileCensus(dir: String): Set[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
+      .filterNot(p => p._1.startsWith("_ledger") || p._1.startsWith("_ckpt"))
+      .toSet
+  }
+
+  test("crash injection: a kill mid-increment (across the eight artifact " +
+      "dirs) rolls back byte-exactly; the replayed batch then lands") {
+    val dir = java.nio.file.Files.createTempDirectory("icorpus_crash").toString
+    val eval = Seq((1L, "quick brown fox jumps over the lazy sleeping dog tonight",
+      "en", "ev")).toDF(cols: _*)
+    val base = Seq(
+      (100L, "the alpha beta gamma delta", "en", "s1"),
+      (101L, "the alpha beta gamma epsilon", "en", "s1"),
+      (102L, "the kappa lambda mu nu xi", "en", "s1"))
+    val b1 = Seq(
+      (1001L, "the kappa lambda mu nu xi", "en", "s1"),
+      (1002L, "the rho sigma tau upsilon phi", "en", "s1"))
+    CorpusIncrement.build(base.toDF(cols: _*), eval, dir, shingleK = 3,
+      threshold = 0.4, maxDf = 3L, deconN = 8, nBuckets = 8)
+    def out() = CorpusIncrement.assemble(spark, dir)
+      .as[(Long, String, String)].collect().toSet
+    val want0 = out()
+    val committedCensus = fileCensus(dir)
+
+    // the widest torn span: the increment ran to completion across all
+    // eight artifact dirs (hidx/post/postd/df/exdocs/meta appends +
+    // the new pairs/labels version dirs) and died before the marker
+    val boom = intercept[RuntimeException] {
+      graft.sources.CommitLog.atomically(spark, dir, 0L) {
+        CorpusIncrement.increment(b1.toDF(cols: _*), dir)
+        throw new RuntimeException("simulated crash")
+      }
+    }
+    assert(boom.getMessage == "simulated crash")
+    assert(fileCensus(dir) != committedCensus, "the store must be torn")
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(fileCensus(dir) == committedCensus,
+      "rollback must restore the committed file set byte-for-byte")
+    assert(out() == want0)
+
+    // the stream replays batch 0 (checkpoint never committed): it now
+    // applies cleanly and serving equals the full rebuild
+    CorpusIncrementStream.maintainBatch(dir)(b1.toDF(cols: _*), 0L)
+    assert(out() == CorpusBuild.run((base ++ b1).toDF(cols: _*), eval,
+        shingleK = 3, threshold = 0.4, maxDf = 3L, deconN = 8)
+      .as[(Long, String, String)].collect().toSet)
+
+    // a torn DIRECT-API store (pair/label versions out of lockstep —
+    // the kill-between-version-dirs case) fails fast at read time and
+    // is repaired by recover
+    val committed2 = fileCensus(dir)
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.atomically(spark, dir, 1L) {
+        val src = java.nio.file.Paths.get(dir, "pairs", "v=1")
+        val dst = java.nio.file.Paths.get(dir, "pairs", "v=9")
+        java.nio.file.Files.createDirectories(dst)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala.foreach(f =>
+          java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)))
+        throw new RuntimeException("simulated crash")
+      }
+    }
+    val torn = intercept[IllegalArgumentException] { out() }
+    assert(torn.getMessage.contains("torn pair/label versions"))
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(fileCensus(dir) == committed2)
+    assert(out() == CorpusBuild.run((base ++ b1).toDF(cols: _*), eval,
+        shingleK = 3, threshold = 0.4, maxDf = 3L, deconN = 8)
+      .as[(Long, String, String)].collect().toSet)
+  }
 }
