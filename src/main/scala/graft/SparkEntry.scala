@@ -154,7 +154,7 @@ object SparkEntry {
         lit(1000000007L)))).head()
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     val dir =
-      s"/tmp/graft_icorpus_v1_${new java.io.File(d).getName}_$fp"
+      s"/tmp/graft_icorpus_v2_${new java.io.File(d).getName}_$fp"
     publishCached(dir) { stage =>
       graft.text.CorpusIncrement.build(base,
         docs.filter(col("doc_id") % 11 === 0), stage,
@@ -1010,6 +1010,26 @@ object SparkEntry {
     "q_card" -> ((s, d) =>
       graft.text.DatasetCard.card(documents(s, d),
         col("doc_id"), col("text"), col("lang"))),
+    // INCREMENTAL dataset card (r13): three batch appends into the
+    // card store, then the card assembled from parts alone — additive
+    // sums are exact (replayed one-shot by the oracle), the
+    // token-length percentiles ride the 7i4 bottom-k semilattice
+    // (splitmix64 HUGEINT replay, so they are oracled too); the HLL
+    // distinct/dup members are estimates and stay out of the oracled
+    // columns (CardStoreSpec pins them against the one-shot sketch)
+    "q_icard" -> ((s, d) => {
+      val docs = documents(s, d)
+      val dir = s"/tmp/graft_icard_${new java.io.File(d).getName}_" +
+        java.lang.ProcessHandle.current().pid()
+      rmTree(new java.io.File(dir))
+      Seq(0, 1, 2).foreach(i => graft.text.CardStore.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        col("doc_id"), col("text"), col("lang"), dir))
+      graft.text.CardStore.card(s, dir)
+        .select("n_parts", "n_docs", "n_tokens", "n_chars", "keep_rate",
+          "en_tokens", "zh_tokens", "de_tokens", "es_tokens", "fr_tokens",
+          "other_tokens", "m", "tok_p50", "tok_p95")
+    }),
     // id-grain snapshot diff: %7!=0 is release A, %5!=0 release B, and
     // B rewrote the %11==0 slice — added/removed/changed audit rows
     "q_snapdiff" -> ((s, d) => {
@@ -4193,6 +4213,62 @@ object SparkEntry {
         |    - SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END)
         |    - SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS BIGINT) AS other_tokens
         |FROM t""".stripMargin,
+
+    // the incremental card replayed ONE-SHOT: the additive masses are
+    // q_card's sums verbatim (sums of per-part sums == one sum), and
+    // the token-length percentiles are the q_qsk splitmix64 HUGEINT
+    // chain over (doc_id, token count) — union == one-shot is the 7i4
+    // semilattice guarantee, so the one-shot replay IS the oracle; the
+    // HLL estimate columns are excluded (spec-pinned instead)
+    "q_icard" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |    CASE WHEN len(string_split_regex(text, '\s+')) >= 5
+        |      AND len(string_split_regex(text, '\s+')) <= 2000
+        |      AND CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(string_split_regex(text, '\s+')) >= 0.05
+        |      THEN 1 ELSE 0 END AS kp
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_parts,
+        |    COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |    floor(AVG(kp) * 1000000.0 + 0.5) / 1000000.0 AS keep_rate,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END) AS BIGINT) AS en_tokens,
+        |    CAST(SUM(CASE WHEN lang = 'zh' THEN tok ELSE 0 END) AS BIGINT) AS zh_tokens,
+        |    CAST(SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END) AS BIGINT) AS de_tokens,
+        |    CAST(SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END) AS BIGINT) AS es_tokens,
+        |    CAST(SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS BIGINT) AS fr_tokens,
+        |    CAST(SUM(tok) - SUM(CASE WHEN lang = 'en' THEN tok ELSE 0 END)
+        |      - SUM(CASE WHEN lang = 'zh' THEN tok ELSE 0 END)
+        |      - SUM(CASE WHEN lang = 'de' THEN tok ELSE 0 END)
+        |      - SUM(CASE WHEN lang = 'es' THEN tok ELSE 0 END)
+        |      - SUM(CASE WHEN lang = 'fr' THEN tok ELSE 0 END) AS BIGINT) AS other_tokens
+        |  FROM t),
+        |s0 AS (
+        |  SELECT CAST(tok AS DOUBLE) AS v, (CAST(doc_id AS HUGEINT)
+        |    + 11400714819323198485) % 18446744073709551616 AS z FROM t),
+        |p1 AS (SELECT v, xor(z, z >> 30) AS a FROM s0),
+        |m1 AS (SELECT v, ((a % 4294967296) * 484763065
+        |  + (((a % 4294967296) * 3210233709 + (a // 4294967296) * 484763065)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p1),
+        |p2 AS (SELECT v, xor(z, z >> 27) AS a FROM m1),
+        |m2 AS (SELECT v, ((a % 4294967296) * 321982955
+        |  + (((a % 4294967296) * 2496678331 + (a // 4294967296) * 321982955)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p2),
+        |k AS (SELECT v, CAST(xor(z, z >> 31) >> 1 AS BIGINT) AS h FROM m2),
+        |dd AS (SELECT DISTINCT h, v FROM k),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY h, v) AS rk FROM dd),
+        |smp AS (SELECT v FROM r WHERE rk <= 64),
+        |vs AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rv,
+        |  COUNT(*) OVER () AS m FROM smp),
+        |q AS (SELECT CAST(m AS INT) AS m,
+        |    MAX(CASE WHEN rv = ((m - 1) * 50) // 100 + 1 THEN v END) AS tok_p50,
+        |    MAX(CASE WHEN rv = ((m - 1) * 95) // 100 + 1 THEN v END) AS tok_p95
+        |  FROM vs GROUP BY m)
+        |SELECT a.*, q.m, q.tok_p50, q.tok_p95 FROM a CROSS JOIN q""".stripMargin,
 
     // text-equality comparison mirrors the operator's xxhash64 compare
     // (same relation absent 64-bit collisions)

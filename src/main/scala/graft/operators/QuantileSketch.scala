@@ -100,6 +100,28 @@ object QuantileSketch {
     transform(c, x => struct(x.getField("pri").as("_1"),
       x.getField("v").as("_2")))
 
+  /** The union-side aggregate over named sample-array columns (the
+    * persisted `smp` form), returning the same named form — exposed so
+    * composed artifact stores (the incremental dataset card) can merge
+    * samples inside their own one-row aggregates. Same semilattice
+    * guarantee as [[unionSketches]]. */
+  def unionAgg(smp: Column, k: Int): Column = {
+    val m = udaf(new MergeK(k), Encoders.product[Entries])
+    toNamed(m(toEntries(smp)).getField("entries"))
+  }
+
+  /** Integer-rank percentile column over a named sample array (the
+    * 7i4 estimate tail, exposed for composed stores): the value at
+    * rank (m-1)·p DIV 100 of the value-sorted sample. */
+  def percentileOf(smp: Column, percent: Int): Column = {
+    require(percent >= 0 && percent <= 100, "percent in [0,100]")
+    val vs = array_sort(transform(smp, _.getField("v")))
+    // floor(x/100) == x DIV 100 exactly for the non-negative,
+    // double-exact ranks a <= 100-percent sample can produce
+    element_at(vs,
+      floor(((size(vs) - 1) * percent) / lit(100)).cast("int") + 1)
+  }
+
   /** Per-batch sketch artifact: (keys..., n, smp) with
     * smp: array<struct<pri,v>> sorted by (pri, v), |smp| <= k, and n
     * the exact non-null-value row count. Parquet-persistable. */
