@@ -52,7 +52,12 @@ object CommitLog {
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify the root so census entries strip to genuinely RELATIVE
+    // paths (listStatus returns scheme-qualified children; an
+    // unqualified root would leave absolute URIs in the journal,
+    // which survive only as long as the store never moves)
+    (fs, fs.makeQualified(p))
   }
 
   private def ledgerDir(root: Path) = new Path(root, "_ledger")
