@@ -100,11 +100,29 @@ object CommitLog {
     fs.exists(new Path(ledgerDir(root), batchId.toString))
   }
 
-  /** Roll back any torn batch under `storeDir` (no-op on a clean
+  private def copyRec(fs: FileSystem, src: Path, dst: Path): Unit = {
+    val st = fs.getFileStatus(src)
+    if (st.isDirectory) {
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach(c =>
+        copyRec(fs, c.getPath, new Path(dst, c.getPath.getName)))
+    } else {
+      val in = fs.open(src)
+      try {
+        val out = fs.create(dst, true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        finally out.close()
+      } finally in.close()
+    }
+  }
+
+  /** Roll back any torn commit under `storeDir` (no-op on a clean
     * store): for each journal without its commit marker, delete every
-    * file not in the journaled census and every directory the torn
-    * batch introduced (emptied bottom-up); drop stale journals of
-    * committed batches and torn journal temp files. Idempotent. */
+    * file not in the journaled census, every directory the torn
+    * commit introduced (emptied bottom-up), then RESTORE any undo
+    * backup ([[rewriting]]'s journal of files the work was allowed to
+    * rewrite). Journals of committed batches and torn journal temp
+    * files are dropped. Idempotent. */
   def recover(spark: SparkSession, storeDir: String): Unit = {
     val (fs, root) = fsOf(spark, storeDir)
     val ld = ledgerDir(root)
@@ -114,8 +132,12 @@ object CommitLog {
       if (name.endsWith(".pre.tmp")) { fs.delete(s.getPath, false); () }
       else if (name.endsWith(".pre")) {
         val id = name.stripSuffix(".pre")
-        if (fs.exists(new Path(ld, id))) { fs.delete(s.getPath, false); () }
-        else {
+        val undo = new Path(ld, s"$id.undo")
+        if (fs.exists(new Path(ld, id))) {
+          fs.delete(s.getPath, false)
+          fs.delete(undo, true)
+          ()
+        } else {
           val pre = readLines(fs, s.getPath).toSet
           val now = census(fs, root)
           // extra files first, then extra dirs deepest-first so each
@@ -125,6 +147,13 @@ object CommitLog {
           now.diff(pre).toSeq.filter(_.endsWith("/"))
             .sortBy(-_.length)
             .foreach(d => fs.delete(new Path(root, d.dropRight(1)), true))
+          // restore rewritten originals from the undo backup (files
+          // the torn work deleted or replaced in place)
+          if (fs.exists(undo)) {
+            fs.listStatus(undo).foreach(c =>
+              copyRec(fs, c.getPath, new Path(root, c.getPath.getName)))
+            fs.delete(undo, true)
+          }
           fs.delete(s.getPath, false)
           ()
         }
@@ -148,6 +177,43 @@ object CommitLog {
     work
     fs.create(marker, true).close()
     fs.delete(pre, false)
+    ()
+  }
+
+  /** Apply `work` — a MAINTENANCE pass that may REWRITE files (the
+    * compaction/retirement family: a dynamic partition overwrite's
+    * job commit deletes a partition's old files before renaming the
+    * new ones in, so a kill inside that window tears the partition) —
+    * as one atomic, crash-recoverable operation. The store-relative
+    * paths in `backup` name everything the work is allowed to rewrite
+    * or delete; they are copied into the journal's undo directory
+    * BEFORE the work runs, and a torn run is recovered by deleting
+    * the work's partial output (the census diff) and restoring the
+    * backups byte-for-byte. Undo cost is proportional to the data
+    * being rewritten — which for compaction is the fragmented slice,
+    * the same order as the rewrite itself.
+    *
+    * Unlike [[atomically]] there is no completion marker to skip
+    * replays: maintenance is idempotent and re-runnable by contract
+    * (single maintainer, between batches — the serialization the
+    * appenders already assume), so completion simply drops the
+    * journal. */
+  def rewriting(spark: SparkSession, storeDir: String,
+                backup: Seq[String])(work: => Unit): Unit = {
+    recover(spark, storeDir)
+    val (fs, root) = fsOf(spark, storeDir)
+    val ld = ledgerDir(root)
+    fs.mkdirs(ld)
+    val pre = new Path(ld, "maint.pre")
+    val undo = new Path(ld, "maint.undo")
+    writeLines(fs, pre, census(fs, root).toSeq.sorted)
+    backup.foreach { rel =>
+      val src = new Path(root, rel)
+      if (fs.exists(src)) copyRec(fs, src, new Path(undo, rel))
+    }
+    work
+    fs.delete(pre, false)
+    fs.delete(undo, true)
     ()
   }
 }

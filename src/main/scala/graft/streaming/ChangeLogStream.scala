@@ -136,10 +136,19 @@ object ChangeLogStream {
     * the live snapshot, the tombstone set, and every future merge are
     * bit-identical before/after (ChangeLogStreamSpec pins it). Run
     * between micro-batches: the single-writer contract that already
-    * serializes batches also serializes maintenance. */
+    * serializes batches also serializes maintenance. Crash-atomic
+    * (r13): the rewritten buckets run under the store's rewrite
+    * journal, so a kill mid-overwrite restores them byte-for-byte. */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
-                   storeDir: String, minParts: Int = 2): Unit =
-    graft.sources.BucketMaintenance.compact(spark, storeDir, minParts)
+                   storeDir: String, minParts: Int = 2): Unit = {
+    val frag = graft.sources.BucketMaintenance.fragmentedBuckets(
+      spark, storeDir, minParts)
+    if (frag.isEmpty) return
+    graft.sources.CommitLog.rewriting(spark, storeDir,
+      frag.map(b => s"bucket=$b")) {
+      graft.sources.BucketMaintenance.rewriteBuckets(spark, storeDir, frag)
+    }
+  }
 
   /** Retire delete tombstones STRICTLY below the feed's out-of-order
     * horizon: drop every (op='D', ver1 < `horizonVer1`) row. Without
@@ -173,7 +182,14 @@ object ChangeLogStream {
     val retirable = col("op") === "D" && col("ver1") < horizonVer1
     val touched = spark.read.parquet(storeDir).filter(retirable)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    graft.sources.BucketMaintenance.rewriteBuckets(spark, storeDir,
-      touched, _.filter(!retirable))
+    if (touched.isEmpty) return
+    // crash-atomic (r13): the touched buckets run under the store's
+    // rewrite journal (a kill mid-overwrite would otherwise lose a
+    // bucket, not just leave an unretired tombstone)
+    graft.sources.CommitLog.rewriting(spark, storeDir,
+      touched.map(b => s"bucket=$b")) {
+      graft.sources.BucketMaintenance.rewriteBuckets(spark, storeDir,
+        touched, _.filter(!retirable))
+    }
   }
 }

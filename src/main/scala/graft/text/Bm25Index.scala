@@ -108,24 +108,41 @@ object Bm25Index {
     * data, not the index — intact buckets are never read (the same
     * static `isin` pruning serving uses), and each rewritten bucket's
     * rows hash to one task (`repartition` on the partition column), so
-    * the overwrite emits exactly one file per bucket. */
+    * the overwrite emits exactly one file per bucket.
+    *
+    * Crash-atomic (r13): the whole pass runs under the store's
+    * rewrite journal ([[graft.sources.CommitLog.rewriting]] — the
+    * fragmented buckets and the meta dir are backed up before the
+    * overwrites), so a kill inside a partition overwrite's
+    * delete-then-rename commit window restores the pre-compaction
+    * store byte-for-byte instead of losing a bucket. */
   def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit = {
-    graft.sources.BucketMaintenance.compact(spark, s"$dir/postings", minParts)
-    // meta: fold all build/append rows into one (driver-sized — one
-    // row per historical append; the collect sidesteps the
-    // read-overwrite conflict entirely)
-    val meta = spark.read.parquet(s"$dir/meta")
-    if (meta.inputFiles.length >= minParts) {
-      val r = meta.agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("sum_dl")).as("sum_dl"),
-        min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
-        .head()
-      require(r.getInt(2) == r.getInt(3),
-        s"inconsistent n_buckets in $dir/meta: ${r.getInt(2)} vs ${r.getInt(3)}")
-      import spark.implicits._
-      Seq((r.getLong(0), r.getLong(1), r.getInt(2)))
-        .toDF("n_docs", "sum_dl", "n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val frag = graft.sources.BucketMaintenance.fragmentedBuckets(
+      spark, s"$dir/postings", minParts)
+    val metaFold =
+      spark.read.parquet(s"$dir/meta").inputFiles.length >= minParts
+    if (frag.isEmpty && !metaFold) return
+    val backup = frag.map(b => s"postings/bucket=$b") ++
+      (if (metaFold) Seq("meta") else Nil)
+    graft.sources.CommitLog.rewriting(spark, dir, backup) {
+      graft.sources.BucketMaintenance.rewriteBuckets(spark,
+        s"$dir/postings", frag)
+      // meta: fold all build/append rows into one (driver-sized — one
+      // row per historical append; the collect sidesteps the
+      // read-overwrite conflict entirely)
+      if (metaFold) {
+        val r = spark.read.parquet(s"$dir/meta")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl"),
+            min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
+          .head()
+        require(r.getInt(2) == r.getInt(3),
+          s"inconsistent n_buckets in $dir/meta: ${r.getInt(2)} vs ${r.getInt(3)}")
+        import spark.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toDF("n_docs", "sum_dl", "n_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      }
     }
   }
 

@@ -108,7 +108,9 @@ object CardStore {
   /** Fold every part into ONE part row with the same schema — the
     * store's 35-story maintenance: sums of sums, a lossless HLL
     * union kept in sketch form, and the semilattice sample union, so
-    * [[card]] is bit-identical before/after (CardStoreSpec). */
+    * [[card]] is bit-identical before/after (CardStoreSpec).
+    * Crash-atomic (r13): the overwrite runs under the store's rewrite
+    * journal with the current part files backed up. */
   def compact(spark: SparkSession, dir: String,
               langs: Seq[String] = DefaultLangs, k: Int = 64,
               minParts: Int = 2): Unit = {
@@ -124,11 +126,16 @@ object CardStore {
       langs.map(l => sum(col(s"${l}_tokens")).as(s"${l}_tokens"))
     val folded = parts.agg(aggs.head, aggs.tail: _*)
       .select(parts.columns.map(col): _*) // pin the part column order
-    val (snap, rdd) = graft.operators.Rounds.materialize(
-      folded.coalesce(1),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count()
-    snap.write.mode("overwrite").parquet(dir)
-    rdd.unpersist(blocking = false)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+    graft.sources.CommitLog.rewriting(spark, dir, files.toSeq) {
+      val (snap, rdd) = graft.operators.Rounds.materialize(
+        folded.coalesce(1),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      snap.write.mode("overwrite").parquet(dir)
+      rdd.unpersist(blocking = false)
+    }
   }
 }

@@ -369,33 +369,50 @@ object CorpusIncrement {
     * are rewritten whole by every increment and need nothing. */
   def compact(spark: SparkSession, dir: String, minParts: Int = 2,
               targetFiles: Int = 1): Unit = {
-    val df = s"$dir/df"
-    graft.sources.BucketMaintenance.rewriteBuckets(spark, df,
-      graft.sources.BucketMaintenance.fragmentedBuckets(spark, df, minParts),
-      _.groupBy("shingle", "bucket").agg(sum(col("df")).as("df"))
-        .select("shingle", "df", "bucket"))
-    graft.sources.BucketMaintenance.compact(spark, s"$dir/post", minParts)
-    graft.sources.BucketMaintenance.compact(spark, s"$dir/postd", minParts)
-    // hidx/exdocs are unbucketed: fold to `targetFiles` (corpus-scale
-    // callers size it to keep files executor-memory-shaped; the
-    // default 1 is the registry/test scale)
-    Seq("hidx", "exdocs").foreach { t =>
-      val path = s"$dir/$t"
-      val cur = spark.read.parquet(path)
-      if (cur.inputFiles.length >= minParts + targetFiles - 1) {
-        val (snap, rdd) = Rounds.materialize(cur.coalesce(targetFiles), lvl)
+    // plan first, then run every rewrite under ONE rewrite journal
+    // (CommitLog.rewriting): a kill inside any overwrite's
+    // delete-then-rename commit window restores the backed-up
+    // originals byte-for-byte instead of tearing an artifact (r13).
+    // Backup cost = the fragmented slice being rewritten — the same
+    // order as the rewrite itself.
+    def frag(t: String) = graft.sources.BucketMaintenance
+      .fragmentedBuckets(spark, s"$dir/$t", minParts)
+    val (fDf, fPost, fPostd) = (frag("df"), frag("post"), frag("postd"))
+    val folds = Seq("hidx", "exdocs").filter(t =>
+      spark.read.parquet(s"$dir/$t").inputFiles.length >=
+        minParts + targetFiles - 1)
+    val metaFold =
+      spark.read.parquet(s"$dir/meta").inputFiles.length >= minParts
+    val backup =
+      fDf.map(b => s"df/bucket=$b") ++ fPost.map(b => s"post/bucket=$b") ++
+        fPostd.map(b => s"postd/bucket=$b") ++ folds ++
+        (if (metaFold) Seq("meta") else Nil)
+    if (backup.nonEmpty) graft.sources.CommitLog.rewriting(spark, dir, backup) {
+      graft.sources.BucketMaintenance.rewriteBuckets(spark, s"$dir/df", fDf,
+        _.groupBy("shingle", "bucket").agg(sum(col("df")).as("df"))
+          .select("shingle", "df", "bucket"))
+      graft.sources.BucketMaintenance.rewriteBuckets(spark, s"$dir/post", fPost)
+      graft.sources.BucketMaintenance.rewriteBuckets(spark, s"$dir/postd", fPostd)
+      // hidx/exdocs are unbucketed: fold to `targetFiles` (corpus-scale
+      // callers size it to keep files executor-memory-shaped; the
+      // default 1 is the registry/test scale)
+      folds.foreach { t =>
+        val path = s"$dir/$t"
+        val (snap, rdd) = Rounds.materialize(
+          spark.read.parquet(path).coalesce(targetFiles), lvl)
         rdd.count()
         snap.write.mode("overwrite").parquet(path)
         rdd.unpersist(blocking = false)
       }
+      // meta folds to one row: same params (enforced), running max id
+      if (metaFold) writeMeta(spark, dir, readMeta(spark, dir),
+        overwrite = true)
     }
-    // meta folds to one row: same params (enforced), running max id
-    val m = readMeta(spark, dir)
-    if (spark.read.parquet(s"$dir/meta").inputFiles.length >= minParts)
-      writeMeta(spark, dir, m, overwrite = true)
-    // retire superseded pair/label VERSION directories (each increment
-    // publishes a fresh v=K and deletes nothing, so sub-latest versions
-    // accumulate between compactions exactly like small parts do)
+    // retire superseded pair/label VERSION directories AFTER the
+    // journal closes (each increment publishes a fresh v=K and deletes
+    // nothing, so sub-latest versions accumulate between compactions
+    // exactly like small parts do; they are garbage under any outcome,
+    // so they need no undo coverage)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val vCur = currentV(spark, dir)

@@ -41,16 +41,25 @@ object LmStore {
       .coalesce(1).write.mode("append").parquet(dir)
 
   /** Fold the accumulated parts to one summed part — reads already
-    * perform this sum, so serving is bit-identical before/after. */
+    * perform this sum, so serving is bit-identical before/after.
+    * Crash-atomic (r13): the overwrite runs under the store's rewrite
+    * journal with the current part files backed up, so a kill inside
+    * the delete-then-rename commit window restores the store instead
+    * of losing the model. */
   def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit = {
     val cur = spark.read.parquet(dir)
     if (cur.inputFiles.length >= minParts) {
-      val (snap, rdd) = graft.operators.Rounds.materialize(
-        cur.groupBy("bg").agg(sum(col("c")).as("c")).coalesce(1),
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      snap.write.mode("overwrite").parquet(dir)
-      rdd.unpersist(blocking = false)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      graft.sources.CommitLog.rewriting(spark, dir, files.toSeq) {
+        val (snap, rdd) = graft.operators.Rounds.materialize(
+          cur.groupBy("bg").agg(sum(col("c")).as("c")).coalesce(1),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        snap.write.mode("overwrite").parquet(dir)
+        rdd.unpersist(blocking = false)
+      }
     }
   }
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bm25, Bm25Index}
+
+/** The rewrite half of the commit journal (CommitLog.rewriting): a
+  * maintenance pass that dies inside a partition overwrite's
+  * delete-then-rename window — old files already gone, replacements
+  * half-written — recovers to the pre-maintenance store byte-for-byte
+  * from the undo backup, and a completed pass leaves no journal. */
+class CommitLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileCensus(dir: String): Set[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
+      .filterNot(_._1.startsWith("_ledger"))
+      .toSet
+  }
+
+  test("a kill inside a bucket overwrite is rolled back from the undo backup; " +
+      "a completed compaction leaves no journal and serves identically") {
+    val queries = Seq(1 -> "hash join", 2 -> "window agg")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("commitlog").toString
+    Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      col("doc_id"), col("text"), dir, nBuckets = 8)
+    Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      col("doc_id"), col("text"), dir) // fragment the buckets
+    def served() = Bm25Index.topK(spark, dir, queries)
+      .as[(Int, Long, Long, Double, Int)].collect().toSet
+    val want = served()
+    val before = fileCensus(dir)
+
+    // simulate the torn delete-then-rename window: inside a journaled
+    // rewrite of bucket=0, its old files are deleted and a half-written
+    // replacement appears, then the process dies
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val b0 = new org.apache.hadoop.fs.Path(s"$dir/postings/bucket=0")
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.rewriting(spark, dir,
+        Seq("postings/bucket=0", "meta")) {
+        hfs.listStatus(b0).foreach(f => hfs.delete(f.getPath, false))
+        val half = hfs.create(
+          new org.apache.hadoop.fs.Path(b0, "part-half.snappy.parquet"), true)
+        half.write(Array[Byte](1, 2, 3)); half.close()
+        throw new RuntimeException("simulated crash")
+      }
+    }
+    assert(fileCensus(dir) != before, "the bucket must be torn")
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(fileCensus(dir) == before,
+      "recover must restore the rewritten bucket byte-for-byte")
+    assert(served() == want)
+
+    // the real (journaled) compaction completes: serving identical,
+    // postings folded, journal gone
+    Bm25Index.compact(spark, dir)
+    assert(served() == want)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/_ledger/maint.pre")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/_ledger/maint.undo")))
+    // and recover on the clean compacted store is a no-op
+    val compacted = fileCensus(dir)
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(fileCensus(dir) == compacted)
+  }
+}
