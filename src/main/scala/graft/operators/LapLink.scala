@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   */
 object LapLink {
 
+  /** Nearest-rank percentile: the ceil(p·n)-th smallest value,
+    * p ∈ (0, 1] (p = 1 is the max) — the standard definition, used for
+    * the percentile-based alternative cost below. */
+  private[operators] def nearestRank(xs: Array[Double], p: Double): Double = {
+    require(xs.nonEmpty && p > 0.0 && p <= 1.0)
+    val s = xs.sorted
+    s(math.ceil(p * s.length).toInt - 1)
+  }
+
   /** Penalized cost of a gated pair (shared by [[frameToFrame]] and
     * its spec): d² · (1 + Σ 3·w·|fp − fc| / (fp + fc))². */
   private[operators] def penalizedCost(d2: Double, fp: Array[Double],
@@ -306,14 +315,21 @@ object LapLink {
     * `splitDist` / SPLITTING_MAX_DISTANCE likewise). Middle→middle
     * pairs belong to NO TrackMate block and are never candidates.
     * All blocks are solved together by [[assignEdges]] (weight
-    * 2L − cost with L = maxDist², exact per component), so a start
-    * goes to the gap-close OR the split source that the GLOBAL optimum
-    * prefers, never both. The alternative cost L is shared across
-    * blocks (declared, mirroring the one-ALTERNATIVE_LINKING_COST
-    * structure of the dense solver): a split/merge gate above
-    * √2·maxDist admits candidates the alternative cost then dominates
-    * (weight ≤ 0 ⇒ never matched) — the reference templates keep both
-    * gates well below the gap gate, where the rule is inert.
+    * 2A − cost, exact per component), so a start goes to the gap-close
+    * OR the split source that the GLOBAL optimum prefers, never both.
+    * The no-link ALTERNATIVE COST A is shared across blocks, exactly
+    * as in TrackMate's one-alternative segment matrix. Its value:
+    * with `altCostFactor` set (TrackMate's
+    * ALTERNATIVE_LINKING_COST_FACTOR — every reference template sets
+    * 1.05 with CUTOFF_PERCENTILE 0.9), A = factor ·
+    * percentile(all gated candidate costs of the video's matrix,
+    * `cutoffPercentile`) — the Jaqaman conditioning that rejects
+    * OUTLIER-cost links even when they pass their gate (2A < cost ⇒
+    * leaving both ends unlinked is cheaper); with it unset, A =
+    * maxDist² (the gate bound — the engine's historical default,
+    * where a split/merge gate above √2·maxDist admits candidates the
+    * alternative then dominates; the reference templates keep both
+    * gates well below the gap gate, where that rule is inert).
     *
     * Each block carries its OWN feature-penalty map (TrackMate's
     * GAP_CLOSING/SPLITTING/MERGING_FEATURE_PENALTIES — every one of
@@ -350,11 +366,16 @@ object LapLink {
                    mergeDist: Option[Double] = None,
                    gapPenalties: Seq[(Column, Double)] = Nil,
                    splitPenalties: Seq[(Column, Double)] = Nil,
-                   mergePenalties: Seq[(Column, Double)] = Nil): DataFrame = {
+                   mergePenalties: Seq[(Column, Double)] = Nil,
+                   altCostFactor: Option[Double] = None,
+                   cutoffPercentile: Double = 0.9): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     require(maxGap >= 1, "maxGap must be >= 1")
     require(splitDist.forall(_ > 0.0), "splitDist must be positive")
     require(mergeDist.forall(_ > 0.0), "mergeDist must be positive")
+    require(altCostFactor.forall(_ > 0.0), "altCostFactor must be positive")
+    require(cutoffPercentile > 0.0 && cutoffPercentile <= 1.0,
+      "cutoffPercentile in (0, 1]")
     val spark = spots.sparkSession
     import spark.implicits._
     val maxD2 = maxDist * maxDist
@@ -456,7 +477,16 @@ object LapLink {
           }
           pi += 1
         }
-        assignEdges(np, children.length, edges.result(), maxD2)
+        val es = edges.result()
+        // the matrix-wide alternative cost: factor x percentile of the
+        // gated candidate costs (TrackMate's segment-matrix
+        // conditioning), or the gate bound when no factor is set
+        val alt = altCostFactor match {
+          case Some(f) if es.nonEmpty =>
+            f * nearestRank(es.map(_._3), cutoffPercentile)
+          case _ => maxD2
+        }
+        assignEdges(np, children.length, es, alt)
           .iterator.map { case (pi2, ci2, _) =>
             val p = parents(pi2)
             val c = children(ci2)

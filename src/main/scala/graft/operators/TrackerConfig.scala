@@ -45,13 +45,20 @@ import org.json4s.jackson.JsonMethods
   *       tracker's candidate grid pitch (no TrackMate analogue; its
   *       kd-tree equivalent is internal)
   *
-  * Simplifications vs TrackMate, declared: ALTERNATIVE_LINKING_COST_
-  * FACTOR / CUTOFF_PERCENTILE (cost-matrix conditioning of the dense
-  * solver) have no analogue in the sparse gated Hungarian, and on the
-  * LABEL path ([[tracks]]) the gap-close relabeling ignores
-  * GAP_CLOSING_FEATURE_PENALTIES (all ten reference templates set it
-  * to {}, so no shipped config binds this; the [[lineage]] surface
-  * applies all three per-block maps).
+  *  - ALTERNATIVE_LINKING_COST_FACTOR / CUTOFF_PERCENTILE -> the
+  *       SECOND phase's no-link alternative cost A = factor ·
+  *       percentile(gated candidate costs) via [[lineage]] — the
+  *       Jaqaman conditioning that rejects outlier-cost links even
+  *       under their gate (every template sets 1.05 / 0.9)
+  *
+  * Simplifications vs TrackMate, declared: on the LINKING phase and
+  * the LABEL path ([[tracks]]) the no-link alternative stays the gate
+  * bound (LINKING_MAX_DISTANCE²) rather than the factor·percentile
+  * form — the conditioning keys act in the second phase only — and
+  * the gap-close relabeling ignores GAP_CLOSING_FEATURE_PENALTIES
+  * (all ten reference templates set it to {}, so no shipped config
+  * binds that; the [[lineage]] surface applies all three per-block
+  * maps).
   *
   * `config` may be a whole template (the `tracking` object is used) or
   * the tracking object itself. `spots` is (id, frame, x, y) —
@@ -215,6 +222,8 @@ object TrackerConfig {
       mergeDist = cfg.opt("MERGING_MAX_DISTANCE"),
       gapPenalties = pens("GAP_CLOSING_FEATURE_PENALTIES"),
       splitPenalties = pens("SPLITTING_FEATURE_PENALTIES"),
-      mergePenalties = pens("MERGING_FEATURE_PENALTIES"))
+      mergePenalties = pens("MERGING_FEATURE_PENALTIES"),
+      altCostFactor = cfg.opt("ALTERNATIVE_LINKING_COST_FACTOR"),
+      cutoffPercentile = cfg.d("CUTOFF_PERCENTILE", 0.9))
   }
 }

@@ -113,10 +113,44 @@ class TrackerTemplateSpec extends SparkSpec {
           col("x"), col("y"), gap, maxGap, vid,
           allowSplit = aSplit, allowMerge = aMerge,
           splitDist = Some(split), mergeDist = Some(merge),
-          mergePenalties = Seq((col("AREA"), mergePen)))
+          mergePenalties = Seq((col("AREA"), mergePen)),
+          altCostFactor = Some(1.05), cutoffPercentile = 0.9)
         .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
       assert(got === want, s"template $name")
     }
+  }
+
+  test("the conditioning keys from the template bite: ALTERNATIVE_LINKING_COST_FACTOR " +
+      "x CUTOFF_PERCENTILE rejects an outlier-cost gap under its gate") {
+    // one video, 12 gap candidates across a skipped frame: 11 at d²=1
+    // and one OUTLIER at d²=49 — all under the 10-pixel gap gate. The
+    // gate-bound alternative (no factor keys) closes all 12; the
+    // templates' 1.05/0.9 conditioning sets A = 1.05 · (11th-smallest
+    // of 12 costs) = 1.05, and 2A = 2.1 < 49 leaves the outlier's ends
+    // unlinked — the Jaqaman outlier rejection.
+    val spots = (0 to 11).flatMap { i =>
+      val off = if (i == 11) 7.0 else 1.0
+      Seq((10L * i + 1, 0L, i * 100.0, 0.0), (10L * i + 2, 1L, i * 100.0, 0.0),
+        (10L * i + 3, 3L, i * 100.0, off), (10L * i + 4, 4L, i * 100.0, off))
+    }.toDF("id", "frame", "x", "y")
+    def tpl(conditioning: String) = s"""{
+      "tracking": {"algorithm": "SparseLAP", "settings": {
+        "LINKING_MAX_DISTANCE": 3.0,
+        "ALLOW_GAP_CLOSING": true, "GAP_CLOSING_MAX_DISTANCE": 10.0,
+        "MAX_FRAME_GAP": 3,
+        "ALLOW_TRACK_SPLITTING": false, "ALLOW_TRACK_MERGING": false
+        $conditioning}}}"""
+    def gcs(json: String): Set[(Long, Long)] =
+      TrackerConfig.lineage(spots, json, vid)
+        .filter(col("kind") === "gc")
+        .select("src", "dst").as[(Long, Long)].collect().toSet
+    val all = (0 to 11).map(i => (10L * i + 2, 10L * i + 3)).toSet
+    assert(gcs(tpl("")) === all,
+      "the gate-bound alternative must close all 12 gaps")
+    val conditioned = gcs(tpl(
+      ""","ALTERNATIVE_LINKING_COST_FACTOR": 1.05, "CUTOFF_PERCENTILE": 0.9"""))
+    assert(conditioned === all - ((112L, 113L)),
+      s"the 1.05/0.9 conditioning must reject exactly the outlier; got $conditioned")
   }
 
   test("the merge penalty from the template bites: {AREA: 0.5} redirects a merge " +
