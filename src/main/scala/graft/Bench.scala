@@ -188,7 +188,7 @@ object Bench {
     // "1" — deciseconds, within local run noise), no "unit":"sec"
     // field (units are seconds by contract), bare unprefixed output
     // (run / outputStrategy in build.sbt), and the rotation skip set
-    // above (r13: 89 benched rows ≈ 1.4k chars; the cal series stays
+    // above (r13: 90 benched rows ≈ 1.4k chars; the cal series stays
     // bounded because rerun brackets are shared 5-wide — the r11
     // first cut calibrated per rerun and a false-flag storm from the
     // bimodal light probe pushed the line to 1958 chars).

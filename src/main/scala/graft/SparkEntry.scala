@@ -387,6 +387,20 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) =>
       GapFill.linear(events(s, d), "user_id",
         expr("unix_timestamp(ts) div 3600"), col("value"))),
+    // the reference's ROI/feature-row NAMING contract
+    // (parse_xml.py:195-218): CellID/FrameID 1-indexed and the
+    // per-video zero-padded FrameID-CellID-SpotID filename every
+    // downstream CellPhe stage joins on — window maxima + lpad, fully
+    // SQL-expressible, so the oracle replays it verbatim
+    "q_roiname" -> ((s, d) => {
+      val sp = eventsXY(s, d).select(
+        col("user_id").as("video"), col("event_id").as("spot"),
+        expr("ts_s div 86400").as("frame"),
+        (col("user_id") * 100 + expr("ts_s div 604800")).as("track"))
+      operators.RoiName.filenames(sp, col("video"), col("track"),
+          col("frame"), col("spot"))
+        .select("video", "spot", "cell_id", "frame_id", "roi_filename")
+    }),
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
       val signups = ev.filter(col("event_type") === "signup")
@@ -2657,6 +2671,30 @@ object SparkEntry {
         |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
         |             (150.0, 1000.0, 'high')) AS t(lo, hi, tier)
         |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin,
+
+    // the ROI naming contract replayed verbatim: 1-indexing, per-video
+    // window maxima for the pad widths, lpad-joined filename
+    "q_roiname" ->
+      """WITH sp AS (
+        |  SELECT user_id AS video, event_id AS spot,
+        |    (epoch_us(ts)//1000000) // 86400 AS frame,
+        |    user_id * 100 + (epoch_us(ts)//1000000) // 604800 AS track
+        |  FROM events),
+        |t AS (
+        |  SELECT video, spot, track + 1 AS cell_id, frame + 1 AS frame_id
+        |  FROM sp),
+        |w AS (
+        |  SELECT video, spot, cell_id, frame_id,
+        |    CAST(length(CAST(MAX(cell_id) OVER (PARTITION BY video) AS VARCHAR)) AS INTEGER) AS wc,
+        |    CAST(length(CAST(MAX(frame_id) OVER (PARTITION BY video) AS VARCHAR)) AS INTEGER) AS wf,
+        |    CAST(length(CAST(MAX(spot) OVER (PARTITION BY video) AS VARCHAR)) AS INTEGER) AS ws
+        |  FROM t)
+        |SELECT video, spot, CAST(cell_id AS BIGINT) AS cell_id,
+        |  CAST(frame_id AS BIGINT) AS frame_id,
+        |  lpad(CAST(frame_id AS VARCHAR), wf, '0') || '-' ||
+        |  lpad(CAST(cell_id AS VARCHAR), wc, '0') || '-' ||
+        |  lpad(CAST(spot AS VARCHAR), ws, '0') AS roi_filename
+        |FROM w""".stripMargin,
 
     "q_gap_fill" ->
       """WITH obs AS (
