@@ -63,12 +63,14 @@ object CardStore {
 
   /** Append one batch's card part under `dir`: one row, one file —
     * the batch pays one map-side-combined corpus pass and is never
-    * read again. */
+    * read again. An empty batch appends nothing (its global aggregate
+    * would be a row of NULL sums, which would poison the fold). */
   def append(df: DataFrame, id: Column, text: Column, lang: Column,
              dir: String, langs: Seq[String] = DefaultLangs,
              k: Int = 64, lgK: Int = 12): Unit =
-    partRow(df, id, text, lang, langs, k, lgK)
-      .coalesce(1).write.mode("append").parquet(dir)
+    if (!df.isEmpty)
+      partRow(df, id, text, lang, langs, k, lgK)
+        .coalesce(1).write.mode("append").parquet(dir)
 
   /** The assembled card over every persisted part (filter the parts
     * read upstream for a sub-range): exact additive figures +
