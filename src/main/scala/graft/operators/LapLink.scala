@@ -33,20 +33,55 @@ import org.apache.spark.sql.functions._
   * cost = d² · (1 + Σ 3·w·|f_p − f_c| / (f_p + f_c))², penalty 0 when
   * both values are 0 — so geometry proposes and features veto: a
   * nearer spot with a very different size/intensity loses to a
-  * slightly farther look-alike, and a link whose inflated cost
-  * exceeds the 2L alternative is dropped entirely (leaving both ends
-  * unlinked is cheaper). The emitted `dist` stays the geometric
-  * distance; the gate stays `maxDist`.
+  * slightly farther look-alike. As in TrackMate's linking matrix, the
+  * `maxDist` gate applies to the PENALIZED cost (the cost function's
+  * value is checked against costThreshold = maxDist²), so a nearby
+  * pair with a wildly different feature value is not a candidate at
+  * all; with no penalties this reduces to the geometric gate. The
+  * emitted `dist` stays the geometric distance.
+  *
+  * `altCostFactor` / `cutoffPercentile` are the
+  * ALTERNATIVE_LINKING_COST_FACTOR / CUTOFF_PERCENTILE surface for
+  * THIS phase: with the factor set, the no-link alternative of each
+  * frame-pair matrix is A = factor · percentile(that pair's gated
+  * costs) instead of the gate bound maxDist². The percentile DEFAULTS
+  * to 1.0 — factor·max — because that is what TrackMate's
+  * SparseLAPFrameToFrameTracker does: it hardcodes percentile 1d when
+  * building JaqamanLinkingCostMatrixCreator (whose
+  * computeAlternativeCosts short-circuits percentile == 1 to
+  * factor·max; KalmanTracker uses the same 1.05/1.0 pair as named
+  * constants), and CUTOFF_PERCENTILE binds only the SEGMENT matrix
+  * (phase 2). With factor·max every gated link survives the
+  * alternative (cost ≤ max < 2A), so under the reference templates
+  * the linking phase differs from the gate-bound default only through
+  * the penalized-cost gate; a caller passing an explicit sub-1
+  * percentile gets genuine Jaqaman outlier rejection per frame pair.
   */
 object LapLink {
 
-  /** Nearest-rank percentile: the ceil(p·n)-th smallest value,
-    * p ∈ (0, 1] (p = 1 is the max) — the standard definition, used for
-    * the percentile-based alternative cost below. */
-  private[operators] def nearestRank(xs: Array[Double], p: Double): Double = {
+  /** TrackMate's percentile (TMUtils.getPercentile): rank position
+    * p·(n+1) over the sorted values, LINEARLY INTERPOLATED between the
+    * two neighbouring order statistics, clamped to [min, max]; a
+    * single value is returned as-is. p ∈ (0, 1]. The conditioning
+    * callers below feed this TrackMate's CUTOFF_PERCENTILE, so the
+    * definition must be the interpolated one, not nearest-rank —
+    * near rank boundaries the two disagree and with them which
+    * outlier links the alternative cost rejects. p = 1 gives the max
+    * (pos = n+1 clamps), which is exactly
+    * JaqamanLinkingCostMatrixCreator.computeAlternativeCosts'
+    * percentile == 1 → factor·max short-circuit. */
+  private[graft] def percentileTM(xs: Array[Double], p: Double): Double = {
     require(xs.nonEmpty && p > 0.0 && p <= 1.0)
+    if (xs.length == 1) return xs(0)
     val s = xs.sorted
-    s(math.ceil(p * s.length).toInt - 1)
+    val n = s.length
+    val pos = p * (n + 1)
+    if (pos < 1.0) s(0)
+    else if (pos >= n) s(n - 1)
+    else {
+      val ip = pos.toInt
+      s(ip - 1) + (pos - ip) * (s(ip) - s(ip - 1))
+    }
   }
 
   /** Penalized cost of a gated pair (shared by [[frameToFrame]] and
@@ -66,8 +101,13 @@ object LapLink {
 
   def frameToFrame(spots: DataFrame, id: Column, frame: Column,
                    x: Column, y: Column, maxDist: Double,
-                   featurePenalties: Seq[(Column, Double)] = Nil): DataFrame = {
+                   featurePenalties: Seq[(Column, Double)] = Nil,
+                   altCostFactor: Option[Double] = None,
+                   cutoffPercentile: Double = 1.0): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
+    require(altCostFactor.forall(_ > 0.0), "altCostFactor must be positive")
+    require(cutoffPercentile > 0.0 && cutoffPercentile <= 1.0,
+      "cutoffPercentile in (0, 1]")
     val spark = spots.sparkSession
     import spark.implicits._
     val weights = featurePenalties.map(_._2).toArray
@@ -127,14 +167,36 @@ object LapLink {
                     val cost =
                       if (weights.isEmpty) d2
                       else penalizedCost(d2, ps(pi)._4, cs(ci)._4, weights)
-                    edges += ((pi, ci, cost))
-                    d2s.put(pi.toLong << 32 | ci.toLong, d2)
+                    // TrackMate's linking matrix gates on the COST:
+                    // FeaturePenaltyCostFunction's value is checked
+                    // against costThreshold = maxDist² (== d² with no
+                    // penalties, where this reduces to the geometric
+                    // gate above)
+                    if (cost <= maxD2) {
+                      edges += ((pi, ci, cost))
+                      d2s.put(pi.toLong << 32 | ci.toLong, d2)
+                    }
                   }
                   ci += 1
                 }
                 pi += 1
               }
-              assignEdges(ps.length, cs.length, edges.result(), maxD2)
+              val es = edges.result()
+              // the matrix-wide no-link alternative: factor ×
+              // percentile of this pair's gated costs (TrackMate's
+              // JaqamanLinkingCostMatrixCreator conditioning), or the
+              // gate bound when no factor is set — the engine's
+              // historical default, bit-identical to pre-conditioning
+              // behavior. NOTE the percentile DEFAULTS to 1.0 (factor
+              // · max): that is what SparseLAPFrameToFrameTracker
+              // hardcodes (it passes 1d, not CUTOFF_PERCENTILE, which
+              // binds the SEGMENT matrix only) — see TrackerConfig.
+              val alt = altCostFactor match {
+                case Some(f) if es.nonEmpty =>
+                  f * percentileTM(es.map(_._3), cutoffPercentile)
+                case _ => maxD2
+              }
+              assignEdges(ps.length, cs.length, es, alt)
                 .iterator.map { case (pi2, ci2, _) =>
                   val d2 = d2s.get(pi2.toLong << 32 | ci2.toLong)
                   (ps(pi2)._1, cs(ci2)._1,
@@ -244,9 +306,14 @@ object LapLink {
   def gapClose(spots: DataFrame, labels: DataFrame,
                id: Column, frame: Column, x: Column, y: Column,
                maxDist: Double, maxGap: Int,
-               videoOf: Long => Long): DataFrame = {
+               videoOf: Long => Long,
+               altCostFactor: Option[Double] = None,
+               cutoffPercentile: Double = 0.9): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     require(maxGap >= 1, "maxGap must be >= 1")
+    require(altCostFactor.forall(_ > 0.0), "altCostFactor must be positive")
+    require(cutoffPercentile > 0.0 && cutoffPercentile <= 1.0,
+      "cutoffPercentile in (0, 1]")
     val spark = spots.sparkSession
     import spark.implicits._
     val s = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
@@ -286,7 +353,18 @@ object LapLink {
           }
           pi += 1
         }
-        assignEdges(segs.length, segs.length, edges.result(), maxD2)
+        val es = edges.result()
+        // the segment matrix's no-link alternative: the Jaqaman
+        // conditioning (factor × CUTOFF_PERCENTILE of the video's
+        // gated candidate costs, interpolated percentile as in
+        // TrackMate's segment matrix) when the factor is set, the
+        // gate bound otherwise — same rule as [[gapCloseFull]]
+        val alt = altCostFactor match {
+          case Some(f) if es.nonEmpty =>
+            f * percentileTM(es.map(_._3), cutoffPercentile)
+          case _ => maxD2
+        }
+        assignEdges(segs.length, segs.length, es, alt)
           .iterator.map { case (pi2, ci2, d2) =>
             (segs(pi2).eid, segs(ci2).sid, segs(ci2).sframe - segs(pi2).eframe,
               graft.functions.Numeric.croundD(math.sqrt(d2), 4),
@@ -483,7 +561,7 @@ object LapLink {
         // conditioning), or the gate bound when no factor is set
         val alt = altCostFactor match {
           case Some(f) if es.nonEmpty =>
-            f * nearestRank(es.map(_._3), cutoffPercentile)
+            f * percentileTM(es.map(_._3), cutoffPercentile)
           case _ => maxD2
         }
         assignEdges(np, children.length, es, alt)
@@ -513,11 +591,14 @@ object LapLink {
   def closeGaps(spots: DataFrame, labels: DataFrame,
                 id: Column, frame: Column, x: Column, y: Column,
                 maxDist: Double, maxGap: Int,
-                videoOf: Long => Long): DataFrame = {
+                videoOf: Long => Long,
+                altCostFactor: Option[Double] = None,
+                cutoffPercentile: Double = 0.9): DataFrame = {
     val lb = labels.select(col("id").cast("long").as("id"),
       col("track_id").cast("long").as("track_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val links = gapClose(spots, lb, id, frame, x, y, maxDist, maxGap, videoOf)
+    val links = gapClose(spots, lb, id, frame, x, y, maxDist, maxGap, videoOf,
+      altCostFactor, cutoffPercentile)
     val chain = links.select(col("src_track").as("src"), col("dst_track").as("dst"))
     val lbl = ChainLabel.heads(chain)
     val minT = lbl.groupBy(col("head")).agg(min(col("id")).as("_new"))

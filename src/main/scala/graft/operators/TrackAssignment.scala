@@ -274,8 +274,13 @@ object TrackAssignment {
     * carry (id, frame, x, y). */
   def divisionAwareGapClosedByVideo(spots: DataFrame, edges: DataFrame,
                                     maxDist: Double, maxGap: Int,
-                                    videoOf: Long => Long): DataFrame = {
+                                    videoOf: Long => Long,
+                                    altCostFactor: Option[Double] = None,
+                                    cutoffPercentile: Double = 0.9): DataFrame = {
     require(maxDist > 0.0 && maxGap >= 1)
+    require(altCostFactor.forall(_ > 0.0), "altCostFactor must be positive")
+    require(cutoffPercentile > 0.0 && cutoffPercentile <= 1.0,
+      "cutoffPercentile in (0, 1]")
     val spark = spots.sparkSession
     import spark.implicits._
     val maxD2 = maxDist * maxDist
@@ -324,8 +329,18 @@ object TrackAssignment {
           }
           pi += 1
         }
+        val segEs = segEdges.result()
+        // the same Jaqaman segment-matrix conditioning as
+        // LapLink.gapClose (factor × interpolated CUTOFF_PERCENTILE of
+        // the video's gated costs), keeping the fused path
+        // output-identical to the staged chain under the same keys
+        val segAlt = altCostFactor match {
+          case Some(f) if segEs.nonEmpty =>
+            f * LapLink.percentileTM(segEs.map(_._3), cutoffPercentile)
+          case _ => maxD2
+        }
         val matches = LapLink.assignEdges(tracks.length, tracks.length,
-          segEdges.result(), maxD2)
+          segEs, segAlt)
         // matched segment pairs form chains; relabel to min track id
         val next = new java.util.HashMap[Long, Long]()
         val hasPrev = new java.util.HashSet[Long]()

@@ -46,19 +46,30 @@ import org.json4s.jackson.JsonMethods
   *       kd-tree equivalent is internal)
   *
   *  - ALTERNATIVE_LINKING_COST_FACTOR / CUTOFF_PERCENTILE -> the
-  *       SECOND phase's no-link alternative cost A = factor ·
-  *       percentile(gated candidate costs) via [[lineage]] — the
-  *       Jaqaman conditioning that rejects outlier-cost links even
-  *       under their gate (every template sets 1.05 / 0.9)
+  *       Jaqaman alternative-cost conditioning, applied on EVERY
+  *       dispatch surface (every template sets 1.05 / 0.9), each as
+  *       TrackMate wires it:
+  *       · LINKING phase ([[tracks]] and [[lineage]]'s frame edges):
+  *         A = factor · max(the frame pair's gated costs) —
+  *         SparseLAPFrameToFrameTracker hardcodes percentile 1d when
+  *         it builds JaqamanLinkingCostMatrixCreator
+  *         (computeAlternativeCosts' percentile == 1 branch is
+  *         factor·max; KalmanTracker names the same 1.05/1d pair as
+  *         constants), so CUTOFF_PERCENTILE does NOT bind this phase
+  *       · SEGMENT phase: A = factor · CUTOFF_PERCENTILE(gated
+  *         candidate costs), interpolated as TMUtils.getPercentile —
+  *         both in [[lineage]]'s full split/merge matrix and in
+  *         [[tracks]]' gap-close relabeling, which rejects
+  *         outlier-cost gap closings even under their gate
   *
-  * Simplifications vs TrackMate, declared: on the LINKING phase and
-  * the LABEL path ([[tracks]]) the no-link alternative stays the gate
-  * bound (LINKING_MAX_DISTANCE²) rather than the factor·percentile
-  * form — the conditioning keys act in the second phase only — and
-  * the gap-close relabeling ignores GAP_CLOSING_FEATURE_PENALTIES
-  * (all ten reference templates set it to {}, so no shipped config
-  * binds that; the [[lineage]] surface applies all three per-block
-  * maps).
+  * Simplifications vs TrackMate, declared: the label path's gap-close
+  * relabeling ignores GAP_CLOSING_FEATURE_PENALTIES (all ten
+  * reference templates set it to {}, so no shipped config binds that;
+  * the [[lineage]] surface applies all three per-block maps), and its
+  * conditioning percentile ranges over the gap-close candidates only
+  * (its matrix has no split/merge blocks — by construction, since the
+  * reference's label semantics consume only gap-close links,
+  * parse_xml.py:147-158).
   *
   * `config` may be a whole template (the `tracking` object is used) or
   * the tracking object itself. `spots` is (id, frame, x, y) —
@@ -121,8 +132,12 @@ object TrackerConfig {
         cfg.penalties("LINKING_FEATURE_PENALTIES")
           .map { case (name, w) => (col(name), w) }
       else Nil
+    // cutoffPercentile stays frameToFrame's default 1.0 (factor·max):
+    // TrackMate's SparseLAPFrameToFrameTracker passes 1d, NOT
+    // CUTOFF_PERCENTILE, which conditions the segment matrix only
     LapLink.frameToFrame(spots, col("id"), col("frame"),
-      col("x"), col("y"), linkDist, pens)
+      col("x"), col("y"), linkDist, pens,
+      altCostFactor = cfg.opt("ALTERNATIVE_LINKING_COST_FACTOR"))
   }
 
   /** Track labels (id, track_id) under the template's tracker. */
@@ -155,7 +170,9 @@ object TrackerConfig {
           TrackAssignment.divisionAwareGapClosedByVideo(spots,
             edges.select("src", "dst"),
             maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", linkDist),
-            maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf)
+            maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf,
+            altCostFactor = cfg.opt("ALTERNATIVE_LINKING_COST_FACTOR"),
+            cutoffPercentile = cfg.d("CUTOFF_PERCENTILE", 0.9))
         else
           TrackAssignment.divisionAwareByVideo(spots,
             edges.select("src", "dst"), videoOf)

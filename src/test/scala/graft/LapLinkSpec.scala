@@ -103,10 +103,12 @@ class LapLinkSpec extends SparkSpec {
     assert(penalized === Set((1L, 11L)))
   }
 
-  test("feature penalties: a link costlier than both alternatives is dropped") {
-    // single gated pair, but the penalty inflates its cost past 2L
-    // (d²=1, areas 1 vs 99 at weight 3: (1 + 9·98/100)² ≈ 96 > 2·25):
-    // leaving both unlinked is globally cheaper, so no link is emitted
+  test("feature penalties: a cost past the gate drops the candidate entirely") {
+    // single geometrically-gated pair, but the penalty inflates its
+    // cost past the gate² threshold (d²=1, areas 1 vs 99 at weight 3:
+    // (1 + 9·98/100)² ≈ 96 > 25): as in TrackMate, whose linking
+    // matrix checks the cost function's PENALIZED value against
+    // costThreshold = maxDist², the pair is not a candidate at all
     val spots = Seq((1L, 0L, 0.0, 0.0, 1.0), (11L, 1L, 1.0, 0.0, 99.0))
     val got = LapLink.frameToFrame(
         spots.toDF("id", "frame", "x", "y", "area"),
@@ -114,6 +116,49 @@ class LapLinkSpec extends SparkSpec {
         featurePenalties = Seq(col("area") -> 3.0))
       .as[(Long, Long, Double)].collect()
     assert(got.isEmpty, s"got ${got.toSeq}")
+    // a milder penalty landing UNDER the gate² keeps the link: d²=1,
+    // areas 40 vs 60 at weight 3 → (1 + 3·3·20/100)² = 7.84 ≤ 25
+    val mild = Seq((1L, 0L, 0.0, 0.0, 40.0), (11L, 1L, 1.0, 0.0, 60.0))
+    val kept = LapLink.frameToFrame(
+        mild.toDF("id", "frame", "x", "y", "area"),
+        col("id"), col("frame"), col("x"), col("y"), maxDist = 5.0,
+        featurePenalties = Seq(col("area") -> 3.0))
+      .as[(Long, Long, Double)].collect()
+    assert(kept.map(r => (r._1, r._2)).toSet === Set((1L, 11L)))
+  }
+
+  test("TMUtils-style interpolated percentile: hand-computed order statistics") {
+    val xs = Array(5.0, 1.0, 3.0, 2.0, 4.0) // sorted: 1 2 3 4 5
+    // pos = p·(n+1) = p·6, linear interpolation between neighbours
+    assert(LapLink.percentileTM(xs, 0.5) === 3.0)          // pos 3.0
+    assert(LapLink.percentileTM(xs, 0.25) === 1.5)         // pos 1.5
+    assert(math.abs(LapLink.percentileTM(xs, 0.9) - 5.0) < 1e-12) // pos 5.4 clamps to max
+    assert(LapLink.percentileTM(xs, 1.0) === 5.0)          // factor·max short-circuit
+    assert(LapLink.percentileTM(Array(7.0), 0.3) === 7.0)  // single value
+    assert(LapLink.percentileTM(Array(2.0, 10.0), 0.1) === 2.0) // pos 0.3 clamps to min
+    // the nearest-rank definition would differ here: ceil(0.9·5)=5th=5
+    // vs interpolated 5.0 agree, but ceil(0.25·5)=2nd=2 vs 1.5 do not
+  }
+
+  test("an explicit sub-1 cutoff percentile refuses a planted within-gate outlier") {
+    // 19 cheap pairs (d²=1) and one expensive-but-gated pair (d²=49,
+    // gate 100): the operator surface allows conditioning this phase
+    // at p90 — A = 1.05 · interp-p90 ≈ 1.05, 2A ≈ 2.1 < 49 drops the
+    // outlier; TrackMate's own linking phase (percentile 1.0, the
+    // default here) keeps it
+    val spots = (0 to 19).flatMap { i =>
+      val off = if (i == 19) 7.0 else 1.0
+      Seq((10L * i + 1, 0L, i * 100.0, 0.0), (10L * i + 2, 1L, i * 100.0, off))
+    }.toDF("id", "frame", "x", "y")
+    def links(p: Double): Set[(Long, Long)] =
+      LapLink.frameToFrame(spots, col("id"), col("frame"),
+          col("x"), col("y"), maxDist = 10.0,
+          altCostFactor = Some(1.05), cutoffPercentile = p)
+        .select("src", "dst").as[(Long, Long)].collect().toSet
+    val all = (0 to 19).map(i => (10L * i + 1, 10L * i + 2)).toSet
+    assert(links(1.0) === all, "percentile 1.0 = factor·max keeps every link")
+    assert(links(0.9) === all - ((191L, 192L)),
+      "p90 conditioning must refuse exactly the outlier")
   }
 
   test("empty penalties: identical to the pure-distance assignment") {

@@ -41,10 +41,15 @@ class TrackerConfigSpec extends SparkSpec {
       "QC": {"minimum_observations": 50}
     }"""
     val got = collectTracks(TrackerConfig.tracks(spots, template, vid))
+    // the factor key conditions BOTH phases of the direct chain:
+    // linking at TrackMate's hardcoded percentile 1.0, gap closing at
+    // the CUTOFF_PERCENTILE default 0.9
     val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
-      col("x"), col("y"), 10.0, Seq((col("AREA"), 0.5)))
+      col("x"), col("y"), 10.0, Seq((col("AREA"), 0.5)),
+      altCostFactor = Some(1.05))
     val want = collectTracks(TrackAssignment.divisionAwareGapClosedByVideo(
-      spots, edges.select("src", "dst"), 12.0, 3, vid))
+      spots, edges.select("src", "dst"), 12.0, 3, vid,
+      altCostFactor = Some(1.05), cutoffPercentile = 0.9))
     assert(got === want && got.nonEmpty)
     // the gap-closed chain rejoined the frame-4 spot to its track
     val byId = got.toMap

@@ -12,9 +12,12 @@ import graft.operators.{LapLink, TrackAssignment, TrackerConfig}
   * TrackerKeys settings surface — the three ALLOW flags, three
   * per-block distance gates (gap/split/merge set DIFFERENTLY), the
   * frame-gap bound, four per-block feature-penalty objects (the
-  * merging one non-empty), and the dense-solver conditioning keys
-  * (ALTERNATIVE_LINKING_COST_FACTOR, CUTOFF_PERCENTILE — declared
-  * no-ops here). This spec synthesizes ten templates of exactly that
+  * merging one non-empty), and the Jaqaman conditioning keys
+  * (ALTERNATIVE_LINKING_COST_FACTOR, CUTOFF_PERCENTILE — applied on
+  * every dispatch surface: factor·max per frame-pair matrix in the
+  * linking phase, TrackMate's hardcoded percentile 1d; factor ·
+  * interpolated CUTOFF_PERCENTILE in the segment phase, where they
+  * reject outlier-cost links). This spec synthesizes ten templates of exactly that
   * structure (values vary per row; the files themselves are not
   * embedded) and pins both dispatch surfaces against the direct call
   * chain, so any reference template's tracking section runs
@@ -91,9 +94,10 @@ class TrackerTemplateSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       val pens = linkPen.map(w => Seq((col("AREA"), w))).getOrElse(Nil)
       val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
-        col("x"), col("y"), link, pens)
+        col("x"), col("y"), link, pens, altCostFactor = Some(1.05))
       val want = TrackAssignment.divisionAwareGapClosedByVideo(
-          spots, edges.select("src", "dst"), gap, maxGap, vid)
+          spots, edges.select("src", "dst"), gap, maxGap, vid,
+          altCostFactor = Some(1.05), cutoffPercentile = 0.9)
         .as[(Long, Long)].collect().toSet
       assert(got === want && got.nonEmpty, s"template $name")
     }
@@ -106,7 +110,7 @@ class TrackerTemplateSpec extends SparkSpec {
         .select("src", "dst", "kind").as[(Long, Long, String)].collect().toSet
       val pens = linkPen.map(w => Seq((col("AREA"), w))).getOrElse(Nil)
       val edges = LapLink.frameToFrame(spots, col("id"), col("frame"),
-        col("x"), col("y"), link, pens)
+        col("x"), col("y"), link, pens, altCostFactor = Some(1.05))
       val labels = TrackAssignment.divisionAwareByVideo(spots,
         edges.select("src", "dst"), vid)
       val want = LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),
@@ -122,16 +126,22 @@ class TrackerTemplateSpec extends SparkSpec {
 
   test("the conditioning keys from the template bite: ALTERNATIVE_LINKING_COST_FACTOR " +
       "x CUTOFF_PERCENTILE rejects an outlier-cost gap under its gate") {
-    // one video, 12 gap candidates across a skipped frame: 11 at d²=1
-    // and one OUTLIER at d²=49 — all under the 10-pixel gap gate. The
-    // gate-bound alternative (no factor keys) closes all 12; the
-    // templates' 1.05/0.9 conditioning sets A = 1.05 · (11th-smallest
-    // of 12 costs) = 1.05, and 2A = 2.1 < 49 leaves the outlier's ends
+    // one video, 20 gap candidates across a skipped frame: 19 at
+    // d²≈1 and one OUTLIER at d²≈49 — all under the 10-pixel gap
+    // gate (each track also drifts 0.1 px/frame in x so no
+    // frame-to-frame distance is exactly 0 and the linking matrices
+    // stay non-degenerate). The gate-bound alternative (no factor
+    // keys) closes all 20; the templates' 1.05/0.9 conditioning takes
+    // the INTERPOLATED p90 of the 20 costs (TMUtils.getPercentile:
+    // pos = 0.9·21 = 18.9 falls between the 18th and 19th smallest,
+    // both ≈1) ≈ 1, so 2A ≈ 2.2 < 49 leaves the outlier's ends
     // unlinked — the Jaqaman outlier rejection.
-    val spots = (0 to 11).flatMap { i =>
-      val off = if (i == 11) 7.0 else 1.0
-      Seq((10L * i + 1, 0L, i * 100.0, 0.0), (10L * i + 2, 1L, i * 100.0, 0.0),
-        (10L * i + 3, 3L, i * 100.0, off), (10L * i + 4, 4L, i * 100.0, off))
+    val outlier = 19
+    val spots = (0 to outlier).flatMap { i =>
+      val off = if (i == outlier) 7.0 else 1.0
+      def xat(f: Long) = i * 100.0 + f * 0.1
+      Seq((10L * i + 1, 0L, xat(0), 0.0), (10L * i + 2, 1L, xat(1), 0.0),
+        (10L * i + 3, 3L, xat(3), off), (10L * i + 4, 4L, xat(4), off))
     }.toDF("id", "frame", "x", "y")
     def tpl(conditioning: String) = s"""{
       "tracking": {"algorithm": "SparseLAP", "settings": {
@@ -140,17 +150,53 @@ class TrackerTemplateSpec extends SparkSpec {
         "MAX_FRAME_GAP": 3,
         "ALLOW_TRACK_SPLITTING": false, "ALLOW_TRACK_MERGING": false
         $conditioning}}}"""
+    val cond =
+      ""","ALTERNATIVE_LINKING_COST_FACTOR": 1.05, "CUTOFF_PERCENTILE": 0.9"""
     def gcs(json: String): Set[(Long, Long)] =
       TrackerConfig.lineage(spots, json, vid)
         .filter(col("kind") === "gc")
         .select("src", "dst").as[(Long, Long)].collect().toSet
-    val all = (0 to 11).map(i => (10L * i + 2, 10L * i + 3)).toSet
+    val all = (0 to outlier).map(i => (10L * i + 2, 10L * i + 3)).toSet
     assert(gcs(tpl("")) === all,
-      "the gate-bound alternative must close all 12 gaps")
-    val conditioned = gcs(tpl(
-      ""","ALTERNATIVE_LINKING_COST_FACTOR": 1.05, "CUTOFF_PERCENTILE": 0.9"""))
-    assert(conditioned === all - ((112L, 113L)),
+      "the gate-bound alternative must close all 20 gaps")
+    val conditioned = gcs(tpl(cond))
+    val outlierGc = (10L * outlier + 2, 10L * outlier + 3)
+    assert(conditioned === all - outlierGc,
       s"the 1.05/0.9 conditioning must reject exactly the outlier; got $conditioned")
+    // the LABEL path applies the same segment conditioning: without
+    // the keys every fragment pair merges into one track per i (20
+    // tracks); with them the outlier's two fragments keep separate
+    // labels (21 tracks)
+    def nTracks(json: String): Long =
+      TrackerConfig.tracks(spots, json, vid)
+        .select("track_id").distinct().count()
+    assert(nTracks(tpl("")) === outlier + 1L)
+    assert(nTracks(tpl(cond)) === outlier + 2L,
+      "tracks() must refuse the outlier gap too — the conditioning is " +
+        "not a lineage-only surface")
+  }
+
+  test("linking phase under the template keys: factor at TrackMate's hardcoded " +
+      "percentile 1.0 (factor·max) never refuses a gated link") {
+    // SparseLAPFrameToFrameTracker passes percentile 1d to its cost
+    // matrix creator, so A = 1.05·max(gated costs) and every gated
+    // link has cost ≤ max < 2A: on the same 20-candidate layout with
+    // NO skipped frame, the conditioned linking phase emits exactly
+    // the unconditioned links — including the d²=49 'outlier', which
+    // only the SEGMENT phase's p90 conditioning may reject.
+    val outlier = 19
+    val spots = (0 to outlier).flatMap { i =>
+      val off = if (i == outlier) 7.0 else 1.0
+      Seq((10L * i + 1, 0L, i * 100.0, 0.0), (10L * i + 2, 1L, i * 100.0, off))
+    }.toDF("id", "frame", "x", "y")
+    def links(factor: Option[Double]): Set[(Long, Long)] =
+      LapLink.frameToFrame(spots, col("id"), col("frame"),
+          col("x"), col("y"), maxDist = 10.0, altCostFactor = factor)
+        .select("src", "dst").as[(Long, Long)].collect().toSet
+    val all = (0 to outlier).map(i => (10L * i + 1, 10L * i + 2)).toSet
+    assert(links(None) === all)
+    assert(links(Some(1.05)) === all,
+      "factor·max conditioning must keep every gated frame-to-frame link")
   }
 
   test("the merge penalty from the template bites: {AREA: 0.5} redirects a merge " +
