@@ -121,8 +121,10 @@ object CommitLog {
     * file not in the journaled census, every directory the torn
     * commit introduced (emptied bottom-up), then RESTORE any undo
     * backup ([[rewriting]]'s journal of files the work was allowed to
-    * rewrite). Journals of committed batches and torn journal temp
-    * files are dropped. Idempotent. */
+    * rewrite). Journals of committed batches, torn journal temp
+    * files, and orphaned undo directories (their `.pre` already
+    * consumed — a crash between a completed pass's two journal
+    * deletes) are dropped. Idempotent. */
   def recover(spark: SparkSession, storeDir: String): Unit = {
     val (fs, root) = fsOf(spark, storeDir)
     val ld = ledgerDir(root)
@@ -157,6 +159,19 @@ object CommitLog {
           fs.delete(s.getPath, false)
           ()
         }
+      }
+    }
+    // second pass: an undo dir whose .pre is gone belongs to a pass
+    // that already COMPLETED (the crash fell between its two journal
+    // deletes), so its backups are a superseded generation; a later
+    // torn run must never restore them (they would resurrect
+    // pre-compaction parts alongside the compacted file) — drop them
+    fs.listStatus(ld).foreach { s =>
+      val name = s.getPath.getName
+      if (name.endsWith(".undo") &&
+          !fs.exists(new Path(ld, name.stripSuffix(".undo") + ".pre"))) {
+        fs.delete(s.getPath, true)
+        ()
       }
     }
   }
@@ -206,6 +221,13 @@ object CommitLog {
     fs.mkdirs(ld)
     val pre = new Path(ld, "maint.pre")
     val undo = new Path(ld, "maint.undo")
+    // a COMPLETED prior pass that died between its journal deletes
+    // (pre gone, undo still here) leaves an orphaned undo dir recover
+    // does not key on; merging fresh backups into those
+    // superseded-generation files would let a later torn run restore
+    // pre-compaction parts alongside the compacted file — clear it
+    // before copying this pass's backups
+    fs.delete(undo, true)
     writeLines(fs, pre, census(fs, root).toSeq.sorted)
     backup.foreach { rel =>
       val src = new Path(root, rel)

@@ -111,8 +111,10 @@ object CardStore {
     * store's 35-story maintenance: sums of sums, a lossless HLL
     * union kept in sketch form, and the semilattice sample union, so
     * [[card]] is bit-identical before/after (CardStoreSpec).
-    * Crash-atomic (r13): the overwrite runs under the store's rewrite
-    * journal with the current part files backed up. */
+    * Crash-atomic (r14): the fold appends a new part and retires the
+    * old parts under the store's rewrite journal — the journal root
+    * is never overwritten, so a kill at any point recovers the exact
+    * pre-compaction part set (CardStoreSpec crash injection). */
   def compact(spark: SparkSession, dir: String,
               langs: Seq[String] = DefaultLangs, k: Int = 64,
               minParts: Int = 2): Unit = {
@@ -135,8 +137,16 @@ object CardStore {
       val (snap, rdd) = graft.operators.Rounds.materialize(
         folded.coalesce(1),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      snap.write.mode("overwrite").parquet(dir)
+      rdd.count() // fold fully computed before any file changes
+      // publish the fold as a NEW appended part, then retire the old
+      // parts individually — NEVER a whole-table overwrite: Spark's
+      // non-partitioned overwrite deletes the entire output path
+      // first, which here is the journal root, so a kill inside it
+      // would take `dir/_ledger` (census + undo backups) down with
+      // the data and void the crash-atomicity the journal provides
+      snap.write.mode("append").parquet(dir)
+      files.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
       rdd.unpersist(blocking = false)
     }
   }

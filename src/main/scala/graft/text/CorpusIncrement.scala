@@ -419,7 +419,12 @@ object CorpusIncrement {
     Seq("pairs", "labels").foreach { a =>
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a")).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-          s.getPath.getName.stripPrefix("v=").toLong < vCur)
+          s.getPath.getName.stripPrefix("v=").toLong != vCur)
+        // != not <: a dir ABOVE vCur is a torn increment's unpublished
+        // debris (a PUBLISHED higher version in one artifact would
+        // have made currentV above throw its lockstep repair message),
+        // so compaction clears it rather than leaving it to the
+        // retrying increment's overwrite
         .foreach(s => fs.delete(s.getPath, true))
     }
   }
@@ -639,9 +644,14 @@ object CorpusIncrement {
     // invisible (no _SUCCESS -> not a published version), and the two
     // writes are independent given the persisted fp/se, so they run
     // concurrently
+    // mode("overwrite") so a RETRY after a torn v=K+1 write (direct-API
+    // crash mid-job: an unpublished dir with no _SUCCESS, invisible to
+    // latestV but present on disk) replaces the debris instead of
+    // failing ErrorIfExists' "path already exists" — which would wedge
+    // every future increment until manual deletion
     inParallel(Seq(
-      () => fp.write.parquet(s"$dir/pairs/v=${v + 1}"),
-      () => newLabels.write.parquet(s"$dir/labels/v=${v + 1}")))
+      () => fp.write.mode("overwrite").parquet(s"$dir/pairs/v=${v + 1}"),
+      () => newLabels.write.mode("overwrite").parquet(s"$dir/labels/v=${v + 1}")))
     fpRdd.unpersist(blocking = false)
     seRdd.unpersist(blocking = false)
 

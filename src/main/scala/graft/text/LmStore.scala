@@ -42,10 +42,11 @@ object LmStore {
 
   /** Fold the accumulated parts to one summed part — reads already
     * perform this sum, so serving is bit-identical before/after.
-    * Crash-atomic (r13): the overwrite runs under the store's rewrite
-    * journal with the current part files backed up, so a kill inside
-    * the delete-then-rename commit window restores the store instead
-    * of losing the model. */
+    * Crash-atomic (r14): the fold appends a new part and retires the
+    * old parts under the store's rewrite journal (never a whole-table
+    * overwrite, which would delete the journal root with the data),
+    * so a kill at any point restores the store instead of losing the
+    * model (LmStoreSpec crash injection). */
   def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit = {
     val cur = spark.read.parquet(dir)
     if (cur.inputFiles.length >= minParts) {
@@ -56,8 +57,14 @@ object LmStore {
         val (snap, rdd) = graft.operators.Rounds.materialize(
           cur.groupBy("bg").agg(sum(col("c")).as("c")).coalesce(1),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.count()
-        snap.write.mode("overwrite").parquet(dir)
+        rdd.count() // fold fully computed before any file changes
+        // append the fold as a NEW part, then retire the old parts
+        // individually — a whole-table overwrite would delete the
+        // journal root (dir/_ledger) along with the data and void
+        // the crash-atomicity (see CardStore.compact)
+        snap.write.mode("append").parquet(dir)
+        files.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
         rdd.unpersist(blocking = false)
       }
     }

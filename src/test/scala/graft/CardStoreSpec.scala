@@ -89,4 +89,64 @@ class CardStoreSpec extends SparkSpec {
     assert(gotE.getAs[Long]("n_docs") === got.getAs[Long]("n_docs") + 1)
     assert(gotE.getAs[Long]("n_tokens") === got.getAs[Long]("n_tokens") + 9)
   }
+
+test("compaction crash injection: the journal root survives the fold and " +
+      "every kill window recovers the exact part set") {
+    val dir = store(3)
+    def census(): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
+        .filterNot(_._1.startsWith("_ledger"))
+        .toSet
+    }
+    val before = census()
+    val want = CardStore.card(spark, dir).head()
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).toSeq
+
+    // kill window 1: the folded part is half-written, nothing deleted
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.rewriting(spark, dir, parts) {
+        val half = hfs.create(new org.apache.hadoop.fs.Path(dir,
+          "part-fold-half.snappy.parquet"), true)
+        half.write(Array[Byte](9, 9, 9)); half.close()
+        throw new RuntimeException("simulated crash mid-fold-write")
+      }
+    }
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(census() == before, "window 1 must roll back byte-exactly")
+
+    // kill window 2: the fold landed and the old parts are ALREADY
+    // DELETED — the window the r13 whole-table overwrite could not
+    // survive (it deleted dir/_ledger itself before writing)
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.rewriting(spark, dir, parts) {
+        val fold = hfs.create(new org.apache.hadoop.fs.Path(dir,
+          "part-fold-new.snappy.parquet"), true)
+        fold.write(Array[Byte](7, 7, 7)); fold.close()
+        parts.foreach(f =>
+          hfs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
+        throw new RuntimeException("simulated crash mid-retire")
+      }
+    }
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(census() == before, "window 2 must restore the retired parts")
+    assert(CardStore.card(spark, dir).head().toSeq == want.toSeq)
+
+    // the real compaction completes: card identical, one data file,
+    // and the journal root is STILL THERE (the r13 flaw deleted it)
+    CardStore.compact(spark, dir)
+    assert(CardStore.card(spark, dir).head().getAs[Long]("n_docs")
+      == want.getAs[Long]("n_docs"))
+    assert(spark.read.parquet(dir).inputFiles.length == 1)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger")),
+      "compaction must never take the journal root down with the data")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger/maint.pre")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger/maint.undo")))
+  }
 }

@@ -69,4 +69,51 @@ class CommitLogSpec extends SparkSpec {
     graft.sources.CommitLog.recover(spark, dir)
     assert(fileCensus(dir) == compacted)
   }
+
+test("a stale undo from a completed pass is never merged into a later " +
+      "rewrite's backups, and recover drops orphaned undo dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orphan_undo").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val before = fileCensus(dir)
+
+    // a COMPLETED earlier pass died between its two journal deletes:
+    // maint.pre is gone but maint.undo survives, holding a
+    // superseded-generation file the store no longer contains
+    val staleUndo = new org.apache.hadoop.fs.Path(s"$dir/_ledger/maint.undo")
+    hfs.mkdirs(staleUndo)
+    val ghost = hfs.create(
+      new org.apache.hadoop.fs.Path(staleUndo, "part-ghost.parquet"), true)
+    ghost.write(Array[Byte](4, 4, 4)); ghost.close()
+
+    // recover on its own must treat the orphan as garbage (its pass
+    // committed) and drop it without touching the store
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(!hfs.exists(staleUndo), "orphaned undo must be dropped")
+    assert(fileCensus(dir) == before)
+
+    // plant it AGAIN, then run a TORN rewrite: pre-fix the fresh
+    // backups were merged into the stale undo dir and recovery
+    // resurrected the ghost file alongside the restored parts
+    hfs.mkdirs(staleUndo)
+    val ghost2 = hfs.create(
+      new org.apache.hadoop.fs.Path(staleUndo, "part-ghost.parquet"), true)
+    ghost2.write(Array[Byte](4, 4, 4)); ghost2.close()
+    val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).toSeq
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.rewriting(spark, dir, parts) {
+        parts.foreach(f =>
+          hfs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
+        throw new RuntimeException("simulated crash")
+      }
+    }
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(fileCensus(dir) == before,
+      "recovery must restore exactly the pre-rewrite store — no ghost " +
+        "file from the stale undo generation")
+  }
 }

@@ -207,4 +207,44 @@ class CorpusIncrementSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("a torn unpublished version dir neither wedges the retrying " +
+      "increment nor survives compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("icorpus_torn").toString
+    val eval = df(evalDocs)
+    CorpusIncrement.build(df(base), eval, dir, shingleK = 3,
+      threshold = 0.4, maxDf = 3L, deconN = 8, rates = rates, nBuckets = 8)
+    // simulate a direct-API increment killed mid pairs/labels write: an
+    // UNPUBLISHED v=1 dir (no _SUCCESS, invisible to latestV) holding
+    // partial debris
+    def plant(a: String, v: Long): Unit = {
+      val d = java.nio.file.Paths.get(dir, a, s"v=$v")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-torn.snappy.parquet"),
+        Array[Byte](1, 2, 3))
+      ()
+    }
+    plant("pairs", 1); plant("labels", 1)
+    // the retry must OVERWRITE the debris and land hash-identical to
+    // the full rebuild (pre-fix: ErrorIfExists threw "path already
+    // exists" and every later increment was wedged)
+    val got = CorpusIncrement.increment(df(batch), dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == run(df(base ++ batch), eval))
+    // a torn dir ABOVE the now-current version (v=1) is debris a
+    // future increment would overwrite anyway, but compaction clears
+    // it too rather than leaving it on disk indefinitely
+    plant("pairs", 5); plant("labels", 5)
+    CorpusIncrement.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "pairs", "v=5")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "labels", "v=5")))
+    // and the store still serves + increments after the maintenance
+    val batch2 = Seq(
+      (3000L, "the wholly novel closing words", "en", "s1"))
+    val got2 = CorpusIncrement.increment(df(batch2), dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(got2 == run(df(base ++ batch ++ batch2), eval))
+  }
 }

@@ -54,4 +54,48 @@ class LmStoreSpec extends SparkSpec {
     assert(scored(dir, rest) == want)
     assert(want.nonEmpty)
   }
+
+test("compaction crash injection: a kill after the old parts are retired " +
+      "recovers the model byte-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("lmcrash").toString
+    Seq(0, 1, 2).foreach(i => LmStore.append(
+      docs.filter(pmod(col("doc_id"), lit(3)) === i), col("text"), dir))
+    val want = scored(dir, docs)
+    def census(): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
+        .filterNot(_._1.startsWith("_ledger"))
+        .toSet
+    }
+    val before = census()
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).toSeq
+    // the worst window of the append-then-retire sequence: new fold
+    // present, EVERY old part already deleted, then the process dies —
+    // under the r13 whole-table overwrite this window had destroyed
+    // the journal root itself
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.rewriting(spark, dir, parts) {
+        val fold = hfs.create(new org.apache.hadoop.fs.Path(dir,
+          "part-fold-new.snappy.parquet"), true)
+        fold.write(Array[Byte](7, 7, 7)); fold.close()
+        parts.foreach(f =>
+          hfs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
+        throw new RuntimeException("simulated crash mid-retire")
+      }
+    }
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(census() == before, "recover must restore the retired parts")
+    assert(scored(dir, docs) == want)
+    // the real compaction still completes and serves identically,
+    // with the journal root intact
+    LmStore.compact(spark, dir)
+    assert(scored(dir, docs) == want)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger")))
+  }
 }
