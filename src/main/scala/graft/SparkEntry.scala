@@ -165,13 +165,17 @@ object SparkEntry {
   }
 
   /** Recursive local-fs dir copy (the increment mutates its store, so
-    * each invocation works on a fresh copy of the cached base). */
+    * each invocation works on a fresh copy of the cached base). The
+    * top level fans out on a parallel collection — the stores copied
+    * here are hundreds of small files, driver-side and IO-bound, so
+    * the sequential walk was pure latency. */
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
       dst.mkdirs()
       val cs = src.listFiles()
-      if (cs != null) cs.foreach(c =>
-        copyTree(c, new java.io.File(dst, c.getName)))
+      if (cs != null)
+        java.util.Arrays.stream(cs).parallel().forEach(c =>
+          copyTree(c, new java.io.File(dst, c.getName)))
     } else {
       java.nio.file.Files.copy(src.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
