@@ -91,6 +91,41 @@ object ChangeLogStream {
       .start()
   }
 
+  /** The tombstone-version SIDECAR: `storeDir/_tomb` (underscore —
+    * invisible to parquet reads of the store) holds one (bucket,
+    * tmin) row per bucket that currently contains delete tombstones,
+    * tmin = the bucket's minimum tombstone ver1. Maintained exactly
+    * on every merge (the touched buckets' rows are recomputed from
+    * the very data that replaced them) so [[retireTombstones]]'
+    * discovery reads this one-file table instead of scanning the
+    * store. Published ATOMICALLY: written to `_tomb.tmp`, then
+    * delete-and-rename over `_tomb` — a crash at any point leaves the
+    * old complete sidecar or none at all, and an ABSENT sidecar just
+    * means fallback-to-scan (which rebuilds it), never a wrong
+    * retirement. */
+  private def tombSidecar(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String,
+                          touched: Seq[Int],
+                          touchedRows: org.apache.spark.sql.DataFrame,
+                          mergeOld: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(storePath, "_tomb")
+    val tmp = new org.apache.hadoop.fs.Path(storePath, "_tomb.tmp")
+    val merged =
+      if (mergeOld && fs.exists(tomb))
+        spark.read.parquet(tomb.toString)
+          .filter(!col("bucket").isin(touched: _*))
+          .unionByName(touchedRows)
+      else touchedRows
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(tomb, true)
+    if (!fs.rename(tmp, tomb))
+      throw new java.io.IOException(s"sidecar rename failed: $tmp -> $tomb")
+    ()
+  }
+
   /** The foreachBatch handler (exposed for the spec's replay pins). */
   def materializeBatch(storeDir: String, nBuckets: Int)
                       (batch: org.apache.spark.sql.DataFrame,
@@ -105,8 +140,9 @@ object ChangeLogStream {
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(storePath, "_started")
+    val bootstrapped = fs.exists(marker)
     val existing =
-      if (fs.exists(marker))
+      if (bootstrapped)
         spark.read.parquet(storeDir)
           .filter(col("bucket").isin(touched: _*))
       else b.limit(0)
@@ -123,6 +159,18 @@ object ChangeLogStream {
     snap.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(storeDir)
+    // maintain the tombstone sidecar from the SAME merged snapshot
+    // that just replaced the touched buckets (exact by construction).
+    // A pre-sidecar legacy store (bootstrapped, no _tomb) is left
+    // alone — an incomplete sidecar would hide other buckets'
+    // tombstones from discovery; retireTombstones' fallback scan
+    // builds the complete one.
+    val tomb = new org.apache.hadoop.fs.Path(storePath, "_tomb")
+    if (!bootstrapped || fs.exists(tomb))
+      tombSidecar(spark, storeDir, touched,
+        snap.filter(col("op") === "D")
+          .groupBy("bucket").agg(min(col("ver1")).as("tmin")),
+        mergeOld = bootstrapped)
     snapRdd.unpersist(blocking = false)
     // the marker makes first-batch bootstrap explicit; created AFTER
     // the first successful write
@@ -167,22 +215,46 @@ object ChangeLogStream {
     * batches through both). Choose the horizon from the feed's
     * watermark, never from wall clock.
     *
-    * Scale shape, stated honestly: the REWRITE touches only buckets
-    * holding a qualifying tombstone (the same pruned-bucket shape as
-    * the merge path), but the DISCOVERY pass scans the whole store —
-    * column-pruned to (op, ver1, bucket), with the tombstone predicate
-    * pushed to parquet so row-group stats skip data-only groups; no
-    * per-bucket tombstone-version sidecar exists (yet), so retirement
-    * costs one 3-column metadata-assisted store scan per run. Run it
-    * at compaction cadence, not per batch. A bucket emptied by
-    * retirement has its partition directory removed. */
+    * Scale shape (r14): DISCOVERY reads the per-bucket
+    * tombstone-version sidecar (`_tomb`: one (bucket, min tombstone
+    * ver1) row per tombstone-holding bucket, maintained exactly by
+    * every merge) — a one-file metadata read, so retirement touches
+    * ONLY the sidecar plus the qualifying buckets. A store without a
+    * sidecar (pre-r14, or one torn mid-publish — the sidecar swap is
+    * atomic, so "absent" is the only failure face) falls back to the
+    * old full-store discovery scan (column-pruned to (op, ver1,
+    * bucket), tombstone predicate pushed to parquet) and REBUILDS the
+    * complete sidecar from the store it just scanned. Either way the
+    * rewritten buckets' sidecar rows are refreshed from a
+    * partition-pruned re-read after the rewrite. Run at compaction
+    * cadence, not per batch. A bucket emptied by retirement has its
+    * partition directory removed. */
   def retireTombstones(spark: org.apache.spark.sql.SparkSession,
                        storeDir: String, horizonVer1: Long): Unit = {
     import org.apache.spark.sql.functions._
     val retirable = col("op") === "D" && col("ver1") < horizonVer1
-    val touched = spark.read.parquet(storeDir).filter(retirable)
-      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(storePath, "_tomb")
+    val fromSidecar = fs.exists(tomb)
+    val touched: Seq[Int] =
+      if (fromSidecar)
+        spark.read.parquet(tomb.toString)
+          .filter(col("tmin") < horizonVer1)
+          .select("bucket").collect().map(_.getInt(0)).toSeq
+      else
+        spark.read.parquet(storeDir).filter(retirable)
+          .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) {
+      // a sidecar-less store with nothing to retire still earns its
+      // sidecar from the scan that just proved that
+      if (!fromSidecar && fs.exists(storePath))
+        tombSidecar(spark, storeDir, Nil,
+          spark.read.parquet(storeDir).filter(col("op") === "D")
+            .groupBy("bucket").agg(min(col("ver1")).as("tmin")),
+          mergeOld = false)
+      return
+    }
     // crash-atomic (r13): the touched buckets run under the store's
     // rewrite journal (a kill mid-overwrite would otherwise lose a
     // bucket, not just leave an unretired tombstone)
@@ -190,6 +262,20 @@ object ChangeLogStream {
       touched.map(b => s"bucket=$b")) {
       graft.sources.BucketMaintenance.rewriteBuckets(spark, storeDir,
         touched, _.filter(!retirable))
+    }
+    // refresh the sidecar: rewritten buckets re-derived from a
+    // partition-pruned read; on the fallback path the whole sidecar
+    // rebuilds so future retirements are sidecar-served
+    if (fs.exists(storePath)) {
+      val base =
+        if (fromSidecar)
+          spark.read.parquet(storeDir).filter(col("bucket").isin(touched: _*))
+        else spark.read.parquet(storeDir)
+      tombSidecar(spark, storeDir,
+        if (fromSidecar) touched else Nil,
+        base.filter(col("op") === "D")
+          .groupBy("bucket").agg(min(col("ver1")).as("tmin")),
+        mergeOld = fromSidecar)
     }
   }
 }

@@ -209,4 +209,62 @@ class ChangeLogStreamSpec extends SparkSpec {
     assert(got.values.filter(_.live)
       .map(c => (c.id, c.ver1, c.ver2, c.payload)).toSet == want)
   }
+
+test("tombstone sidecar: exact per-bucket minimums, sidecar-served retirement " +
+      "== scanning retirement, fallback rebuild for legacy stores") {
+    implicit val sql = spark.sqlContext
+    val dirs = Seq("cdc_tomb_a", "cdc_tomb_b")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    def batch(rows: Seq[CdcEvent], id: Long): Unit = dirs.foreach { d =>
+      ChangeLogStream.materializeBatch(d, 4)(
+        rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
+    }
+    batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b"),
+      CdcEvent(6L, 1L, 1L, "U", "c"), CdcEvent(7L, 2L, 1L, "D", "x")), 0L)
+    batch(Seq(CdcEvent(2L, 5L, 1L, "D", "b"), CdcEvent(6L, 20L, 1L, "D", "c")), 1L)
+
+    def sidecar(d: String): Set[(Int, Long)] =
+      spark.read.parquet(s"$d/_tomb").as[(Int, Long)].collect().toSet
+    def derived(d: String): Set[(Int, Long)] =
+      spark.read.parquet(d).filter($"op" === "D")
+        .groupBy("bucket").agg(org.apache.spark.sql.functions.min($"ver1"))
+        .as[(Int, Long)].collect().toSet
+    // the merge-maintained sidecar equals the store-derived truth:
+    // bucket 2 holds D(2)@5 and D(6)@20 -> tmin 5; bucket 3 D(7)@2
+    assert(sidecar(dirs.head) == derived(dirs.head))
+    assert(sidecar(dirs.head) == Set((2, 5L), (3, 2L)))
+
+    // store B loses its sidecar (the legacy/torn-publish face): its
+    // retirement takes the fallback scan — both stores must land on
+    // byte-identical contents, and B's scan rebuilds the sidecar
+    val bTomb = new java.io.File(dirs(1), "_tomb")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(); ()
+    }
+    rm(bTomb)
+    assert(!bTomb.exists())
+    dirs.foreach(d =>
+      ChangeLogStream.retireTombstones(spark, d, horizonVer1 = 10L))
+    def full(d: String): Set[(Long, Long, Long, String, String)] =
+      spark.read.parquet(d).select("id", "ver1", "ver2", "op", "payload")
+        .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(full(dirs.head) == full(dirs(1)),
+      "sidecar-served and scanning retirement must retire identically")
+    // both sidecars refreshed: only the >= horizon tombstone remains
+    assert(sidecar(dirs.head) == Set((2, 20L)))
+    assert(sidecar(dirs(1)) == Set((2, 20L)),
+      "the fallback scan must rebuild the sidecar")
+    // a no-op retirement against a sidecar-less store with nothing to
+    // retire still builds the sidecar from its proving scan
+    rm(bTomb)
+    ChangeLogStream.retireTombstones(spark, dirs(1), horizonVer1 = 10L)
+    assert(sidecar(dirs(1)) == Set((2, 20L)))
+    // later merges keep maintaining it exactly: D(5)@30 adds a bucket-1
+    // tombstone, and U(6)@31 BEATS the remaining D(6)@20, so bucket 2's
+    // sidecar row must disappear with its tombstone
+    batch(Seq(CdcEvent(5L, 30L, 1L, "D", "z"), CdcEvent(6L, 31L, 1L, "U", "c3")), 2L)
+    dirs.foreach(d => assert(sidecar(d) == derived(d), d))
+    assert(sidecar(dirs.head) == Set((1, 30L)))
+  }
 }
