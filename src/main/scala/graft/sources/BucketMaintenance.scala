@@ -50,8 +50,28 @@ object BucketMaintenance {
     * stale files. */
   def rewriteBuckets(spark: SparkSession, tableDir: String,
                      buckets: Seq[Int],
-                     transform: DataFrame => DataFrame = identity): Unit = {
-    if (buckets.isEmpty) return
+                     transform: DataFrame => DataFrame = identity): Unit =
+    stageRewrite(spark, tableDir, buckets, transform)
+      .foreach(publishRewrite(spark, _))
+
+  /** A fully materialized bucket rewrite awaiting publication: the
+    * transformed rows live in a persisted RDD snapshot, so the
+    * original bucket files are no longer read by anything — which is
+    * what lets `CommitLog.rewritingStaged` DISPLACE them by rename
+    * (metadata-only undo backup) instead of copying them. */
+  final case class StagedRewrite private[sources] (
+      tableDir: String, buckets: Seq[Int], snap: DataFrame,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      kept: Set[Int])
+
+  /** Phase 1 of [[rewriteBuckets]]: read + transform + MATERIALIZE the
+    * given buckets while the store is intact. None when there is
+    * nothing to rewrite. */
+  def stageRewrite(spark: SparkSession, tableDir: String,
+                   buckets: Seq[Int],
+                   transform: DataFrame => DataFrame = identity)
+      : Option[StagedRewrite] = {
+    if (buckets.isEmpty) return None
     val df = transform(
         spark.read.parquet(tableDir).filter(col("bucket").isin(buckets: _*)))
       .repartition(col("bucket"))
@@ -62,13 +82,24 @@ object BucketMaintenance {
     rdd.count()
     val kept = snap.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bounded by |buckets|
-    snap.write.mode("overwrite")
+    Some(StagedRewrite(tableDir, buckets, snap, rdd, kept))
+  }
+
+  /** Phase 2: write the staged rows back (dynamic partition
+    * overwrite), release the snapshot, and drop bucket dirs whose
+    * transformed row set is empty (a dynamic overwrite never rewrites
+    * a partition it emits no rows for — without the delete a
+    * fully-retired bucket would keep its stale files; under the
+    * staged journal the originals are already displaced and the
+    * delete is a no-op). */
+  def publishRewrite(spark: SparkSession, s: StagedRewrite): Unit = {
+    s.snap.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(tableDir)
-    rdd.unpersist(blocking = false)
-    val root = new org.apache.hadoop.fs.Path(tableDir)
+      .partitionBy("bucket").parquet(s.tableDir)
+    s.rdd.unpersist(blocking = false)
+    val root = new org.apache.hadoop.fs.Path(s.tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    buckets.filterNot(kept).foreach { b =>
+    s.buckets.filterNot(s.kept).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
     }
   }

@@ -238,4 +238,45 @@ object CommitLog {
     fs.delete(undo, true)
     ()
   }
+
+  /** The rename-displacing fast path of [[rewriting]]: `stage` runs
+    * FIRST with the store intact and must fully MATERIALIZE everything
+    * `publish` will write (a persisted RDD snapshot, a collected row —
+    * nothing that still reads the displaced files); then every
+    * `backup` path is RENAMED into the undo journal (a metadata
+    * operation, where the copy-based journal paid a second full write
+    * of the rewritten slice — at corpus scale that halves
+    * compaction's write amplification); then `publish` writes the
+    * replacements against the displaced store. Crash recovery is
+    * [[recover]] unchanged: the undo directory holds the ORIGINALS
+    * (complete by rename), so a kill during displacement, publish, or
+    * cleanup restores the pre-maintenance store byte-for-byte exactly
+    * as with copied backups. Same idempotent re-runnable contract as
+    * [[rewriting]]. */
+  def rewritingStaged[A](spark: SparkSession, storeDir: String,
+                         backup: Seq[String])(stage: => A)
+                        (publish: A => Unit): Unit = {
+    recover(spark, storeDir)
+    val (fs, root) = fsOf(spark, storeDir)
+    val ld = ledgerDir(root)
+    fs.mkdirs(ld)
+    val pre = new Path(ld, "maint.pre")
+    val undo = new Path(ld, "maint.undo")
+    fs.delete(undo, true) // same stale-undo clearing as rewriting
+    writeLines(fs, pre, census(fs, root).toSeq.sorted)
+    val staged = stage
+    backup.foreach { rel =>
+      val src = new Path(root, rel)
+      if (fs.exists(src)) {
+        val dst = new Path(undo, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"displace failed: $src -> $dst")
+      }
+    }
+    publish(staged)
+    fs.delete(pre, false)
+    fs.delete(undo, true)
+    ()
+  }
 }

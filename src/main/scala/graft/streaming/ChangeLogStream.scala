@@ -192,10 +192,12 @@ object ChangeLogStream {
     val frag = graft.sources.BucketMaintenance.fragmentedBuckets(
       spark, storeDir, minParts)
     if (frag.isEmpty) return
-    graft.sources.CommitLog.rewriting(spark, storeDir,
-      frag.map(b => s"bucket=$b")) {
-      graft.sources.BucketMaintenance.rewriteBuckets(spark, storeDir, frag)
-    }
+    // rename-displacing journal (r14): the staged snapshot is the only
+    // reader of the old files, so the undo backup is a rename
+    graft.sources.CommitLog.rewritingStaged(spark, storeDir,
+      frag.map(b => s"bucket=$b"))(
+      graft.sources.BucketMaintenance.stageRewrite(spark, storeDir, frag))(
+      _.foreach(graft.sources.BucketMaintenance.publishRewrite(spark, _)))
   }
 
   /** Retire delete tombstones STRICTLY below the feed's out-of-order
@@ -257,12 +259,13 @@ object ChangeLogStream {
     }
     // crash-atomic (r13): the touched buckets run under the store's
     // rewrite journal (a kill mid-overwrite would otherwise lose a
-    // bucket, not just leave an unretired tombstone)
-    graft.sources.CommitLog.rewriting(spark, storeDir,
-      touched.map(b => s"bucket=$b")) {
-      graft.sources.BucketMaintenance.rewriteBuckets(spark, storeDir,
-        touched, _.filter(!retirable))
-    }
+    // bucket, not just leave an unretired tombstone); r14: the
+    // rename-displacing variant, so the undo backup costs no write
+    graft.sources.CommitLog.rewritingStaged(spark, storeDir,
+      touched.map(b => s"bucket=$b"))(
+      graft.sources.BucketMaintenance.stageRewrite(spark, storeDir,
+        touched, _.filter(!retirable)))(
+      _.foreach(graft.sources.BucketMaintenance.publishRewrite(spark, _)))
     // refresh the sidecar: rewritten buckets re-derived from a
     // partition-pruned read; on the fallback path the whole sidecar
     // rebuilds so future retirements are sidecar-served

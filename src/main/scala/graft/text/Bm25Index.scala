@@ -124,23 +124,34 @@ object Bm25Index {
     if (frag.isEmpty && !metaFold) return
     val backup = frag.map(b => s"postings/bucket=$b") ++
       (if (metaFold) Seq("meta") else Nil)
-    graft.sources.CommitLog.rewriting(spark, dir, backup) {
-      graft.sources.BucketMaintenance.rewriteBuckets(spark,
+    // rename-displacing journal (r14): everything the publish writes
+    // is materialized up front (the staged bucket snapshot; the meta
+    // fold is a driver-collected row), so the undo backup is a rename
+    // instead of a second full write of the fragmented slice
+    graft.sources.CommitLog.rewritingStaged(spark, dir, backup)({
+      val staged = graft.sources.BucketMaintenance.stageRewrite(spark,
         s"$dir/postings", frag)
       // meta: fold all build/append rows into one (driver-sized — one
       // row per historical append; the collect sidesteps the
       // read-overwrite conflict entirely)
-      if (metaFold) {
-        val r = spark.read.parquet(s"$dir/meta")
-          .agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("sum_dl")).as("sum_dl"),
-            min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
-          .head()
-        require(r.getInt(2) == r.getInt(3),
-          s"inconsistent n_buckets in $dir/meta: ${r.getInt(2)} vs ${r.getInt(3)}")
+      val metaRow =
+        if (!metaFold) None
+        else {
+          val r = spark.read.parquet(s"$dir/meta")
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("sum_dl")).as("sum_dl"),
+              min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
+            .head()
+          require(r.getInt(2) == r.getInt(3),
+            s"inconsistent n_buckets in $dir/meta: ${r.getInt(2)} vs ${r.getInt(3)}")
+          Some((r.getLong(0), r.getLong(1), r.getInt(2)))
+        }
+      (staged, metaRow)
+    }) { case (staged, metaRow) =>
+      staged.foreach(graft.sources.BucketMaintenance.publishRewrite(spark, _))
+      metaRow.foreach { r =>
         import spark.implicits._
-        Seq((r.getLong(0), r.getLong(1), r.getInt(2)))
-          .toDF("n_docs", "sum_dl", "n_buckets")
+        Seq(r).toDF("n_docs", "sum_dl", "n_buckets")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
       }
     }

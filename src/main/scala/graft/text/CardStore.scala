@@ -133,20 +133,20 @@ object CardStore {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
-    graft.sources.CommitLog.rewriting(spark, dir, files.toSeq) {
+    // staged journal: the fold materializes first, the old parts are
+    // DISPLACED into the undo journal by rename (no second write of
+    // the store), and the fold publishes as a fresh appended part —
+    // never a whole-table overwrite, which would delete the journal
+    // root `dir/_ledger` (census + undo) along with the data and void
+    // the crash-atomicity the journal provides
+    graft.sources.CommitLog.rewritingStaged(spark, dir, files.toSeq)({
       val (snap, rdd) = graft.operators.Rounds.materialize(
         folded.coalesce(1),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.count() // fold fully computed before any file changes
-      // publish the fold as a NEW appended part, then retire the old
-      // parts individually — NEVER a whole-table overwrite: Spark's
-      // non-partitioned overwrite deletes the entire output path
-      // first, which here is the journal root, so a kill inside it
-      // would take `dir/_ledger` (census + undo backups) down with
-      // the data and void the crash-atomicity the journal provides
+      (snap, rdd)
+    }) { case (snap, rdd) =>
       snap.write.mode("append").parquet(dir)
-      files.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
       rdd.unpersist(blocking = false)
     }
   }

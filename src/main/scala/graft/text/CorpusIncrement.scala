@@ -395,26 +395,39 @@ object CorpusIncrement {
       fDf.map(b => s"df/bucket=$b") ++ fPost.map(b => s"post/bucket=$b") ++
         fPostd.map(b => s"postd/bucket=$b") ++ folds ++
         (if (metaFold) Seq("meta") else Nil)
-    if (backup.nonEmpty) graft.sources.CommitLog.rewriting(spark, dir, backup) {
-      graft.sources.BucketMaintenance.rewriteBuckets(spark, s"$dir/df", fDf,
+    // rename-displacing journal (r14): every rewrite stages its fully
+    // materialized replacement FIRST, then the fragmented slices are
+    // displaced into the undo by rename — the copy-based backup paid
+    // a second full write of exactly the data being compacted
+    if (backup.nonEmpty) graft.sources.CommitLog.rewritingStaged(
+      spark, dir, backup)({
+      val sDf = graft.sources.BucketMaintenance.stageRewrite(spark,
+        s"$dir/df", fDf,
         _.groupBy("shingle", "bucket").agg(sum(col("df")).as("df"))
           .select("shingle", "df", "bucket"))
-      graft.sources.BucketMaintenance.rewriteBuckets(spark, s"$dir/post", fPost)
-      graft.sources.BucketMaintenance.rewriteBuckets(spark, s"$dir/postd", fPostd)
+      val sPost = graft.sources.BucketMaintenance.stageRewrite(spark,
+        s"$dir/post", fPost)
+      val sPostd = graft.sources.BucketMaintenance.stageRewrite(spark,
+        s"$dir/postd", fPostd)
       // hidx/exdocs are unbucketed: fold to `targetFiles` (corpus-scale
       // callers size it to keep files executor-memory-shaped; the
       // default 1 is the registry/test scale)
-      folds.foreach { t =>
-        val path = s"$dir/$t"
+      val sFolds = folds.map { t =>
         val (snap, rdd) = Rounds.materialize(
-          spark.read.parquet(path).coalesce(targetFiles), lvl)
+          spark.read.parquet(s"$dir/$t").coalesce(targetFiles), lvl)
         rdd.count()
-        snap.write.mode("overwrite").parquet(path)
-        rdd.unpersist(blocking = false)
+        (t, snap, rdd)
       }
       // meta folds to one row: same params (enforced), running max id
-      if (metaFold) writeMeta(spark, dir, readMeta(spark, dir),
-        overwrite = true)
+      val mMeta = if (metaFold) Some(readMeta(spark, dir)) else None
+      (Seq(sDf, sPost, sPostd).flatten, sFolds, mMeta)
+    }) { case (staged, sFolds, mMeta) =>
+      staged.foreach(graft.sources.BucketMaintenance.publishRewrite(spark, _))
+      sFolds.foreach { case (t, snap, rdd) =>
+        snap.write.mode("overwrite").parquet(s"$dir/$t")
+        rdd.unpersist(blocking = false)
+      }
+      mMeta.foreach(m => writeMeta(spark, dir, m, overwrite = true))
     }
     // retire superseded pair/label VERSION directories AFTER the
     // journal closes (each increment publishes a fresh v=K and deletes

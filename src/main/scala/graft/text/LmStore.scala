@@ -53,18 +53,18 @@ object LmStore {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
-      graft.sources.CommitLog.rewriting(spark, dir, files.toSeq) {
+      // staged journal: fold materializes first, old parts displace
+      // into the undo by rename, fold publishes as a fresh append —
+      // never a whole-table overwrite, which would delete the journal
+      // root with the data (see CardStore.compact)
+      graft.sources.CommitLog.rewritingStaged(spark, dir, files.toSeq)({
         val (snap, rdd) = graft.operators.Rounds.materialize(
           cur.groupBy("bg").agg(sum(col("c")).as("c")).coalesce(1),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rdd.count() // fold fully computed before any file changes
-        // append the fold as a NEW part, then retire the old parts
-        // individually — a whole-table overwrite would delete the
-        // journal root (dir/_ledger) along with the data and void
-        // the crash-atomicity (see CardStore.compact)
+        (snap, rdd)
+      }) { case (snap, rdd) =>
         snap.write.mode("append").parquet(dir)
-        files.foreach(f =>
-          fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
         rdd.unpersist(blocking = false)
       }
     }

@@ -116,4 +116,54 @@ test("a stale undo from a completed pass is never merged into a later " +
       "recovery must restore exactly the pre-rewrite store — no ghost " +
         "file from the stale undo generation")
   }
+
+test("staged displacement: a kill between the rename-away and the publish " +
+      "restores the store byte-for-byte; a completed staged pass is clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("staged").toString
+    (1 to 3).foreach(i => Seq((i.toLong, s"p$i")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(dir))
+    val before = fileCensus(dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).toSeq
+
+    // the displacement window: originals already renamed into the
+    // undo, publish dies before writing anything
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.rewritingStaged(spark, dir, parts)(()) { _ =>
+        throw new RuntimeException("simulated crash after displacement")
+      }
+    }
+    // the data files are GONE from the store (renamed away, not copied)
+    assert(fileCensus(dir) != before, "displacement must have moved files")
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(fileCensus(dir) == before,
+      "recover must restore the displaced originals byte-for-byte")
+
+    // half-published variant: publish wrote a partial replacement too
+    intercept[RuntimeException] {
+      graft.sources.CommitLog.rewritingStaged(spark, dir, parts)(()) { _ =>
+        val half = hfs.create(new org.apache.hadoop.fs.Path(dir,
+          "part-half.snappy.parquet"), true)
+        half.write(Array[Byte](1, 2, 3)); half.close()
+        throw new RuntimeException("simulated crash mid-publish")
+      }
+    }
+    graft.sources.CommitLog.recover(spark, dir)
+    assert(fileCensus(dir) == before)
+
+    // a completed staged pass leaves no journal and the store serves
+    graft.sources.CommitLog.rewritingStaged(spark, dir, parts)({
+      spark.read.parquet(dir).collect().toSeq // staged snapshot
+    }) { rows =>
+      rows.map(r => (r.getLong(0), r.getString(1))).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/_ledger/maint.pre")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/_ledger/maint.undo")))
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "p1"), (2L, "p2"), (3L, "p3")))
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotStore
+
+/** MVCC-lite snapshot isolation: a reader resolved at generation N
+  * keeps reading N's exact file set across concurrent compactions and
+  * appends; a publication is atomic (old complete or new complete,
+  * never a mix); retirement reclaims superseded parts only past the
+  * grace window. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select(col("id").cast("long"), col("s")).as[(Long, String)].collect().toSet
+
+  test("snapshot isolation: an in-flight reader survives compaction and " +
+      "retirement inside the grace window; publication is never a mix") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore").toString
+    val all = (1L to 30L).map(i => (i, s"v$i"))
+    all.grouped(10).foreach(b => SnapshotStore.append(b.toDF("id", "s"), dir))
+    assert(SnapshotStore.currentGen(spark, dir) === 3L)
+    val want = all.toSet
+    assert(rows(SnapshotStore.read(spark, dir)) === want)
+
+    // resolve a reader NOW (generation 3, three part files), then
+    // compact: the reader's plan is pinned to the old files and must
+    // still serve after the new generation publishes
+    val oldReader = SnapshotStore.read(spark, dir)
+    SnapshotStore.compact(spark, dir)
+    assert(SnapshotStore.currentGen(spark, dir) === 4L)
+    assert(rows(SnapshotStore.read(spark, dir)) === want,
+      "compaction must not change contents")
+    assert(rows(oldReader) === want,
+      "the in-flight reader must still see its snapshot")
+
+    // retirement with the default 2-generation grace keeps gen 3's
+    // parts alive for the old reader...
+    SnapshotStore.retire(spark, dir, keepGenerations = 2)
+    assert(rows(oldReader) === want,
+      "grace-window retirement must not break the in-flight reader")
+    // ...and a tight window reclaims them (the reader's lease is the
+    // caller's grace-sizing contract)
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    assert(rows(SnapshotStore.read(spark, dir)) === want)
+    val partDirs = new java.io.File(dir, "parts").listFiles().toSeq
+    assert(partDirs.length === 1,
+      s"superseded parts must be reclaimed; got ${partDirs.map(_.getName)}")
+
+    // appends after compaction keep composing
+    SnapshotStore.append(Seq((31L, "v31")).toDF("id", "s"), dir)
+    assert(rows(SnapshotStore.read(spark, dir)) === want + ((31L, "v31")))
+  }
+
+  test("a torn compaction is invisible: unpublished parts never reach a " +
+      "reader and retirement sweeps them") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_torn").toString
+    val all = (1L to 20L).map(i => (i, s"v$i"))
+    all.grouped(10).foreach(b => SnapshotStore.append(b.toDF("id", "s"), dir))
+    val want = all.toSet
+    val genBefore = SnapshotStore.currentGen(spark, dir)
+
+    // simulate a compactor killed AFTER writing its folded part but
+    // BEFORE publishing CURRENT: write an orphan part dir directly
+    val orphan = new java.io.File(dir, "parts/c_torn")
+    orphan.mkdirs()
+    Seq((999L, "ghost")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(orphan.toString)
+    assert(SnapshotStore.currentGen(spark, dir) === genBefore,
+      "an unpublished part must not advance the generation")
+    assert(rows(SnapshotStore.read(spark, dir)) === want,
+      "readers resolve the old manifest exactly — never a mix")
+
+    // the retrying compactor succeeds alongside the debris, and
+    // retirement sweeps the orphan with the superseded parts
+    SnapshotStore.compact(spark, dir)
+    assert(rows(SnapshotStore.read(spark, dir)) === want)
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    assert(!orphan.exists(), "orphaned torn parts must be swept")
+    assert(rows(SnapshotStore.read(spark, dir)) === want)
+  }
+
+  test("a reader resolved between manifest write and CURRENT swap sees " +
+      "exactly the old generation") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_mid").toString
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    val want = rows(SnapshotStore.read(spark, dir))
+    // plant the NEXT generation's manifest without swapping CURRENT
+    // (the window between the publish's two writes): readers key on
+    // CURRENT alone, so they still resolve the committed set
+    val m = new java.io.File(dir, "_ledger/manifest.99")
+    java.nio.file.Files.write(m.toPath, "parts/b_nonexistent/x.parquet".getBytes)
+    assert(rows(SnapshotStore.read(spark, dir)) === want)
+    assert(SnapshotStore.currentGen(spark, dir) === 1L)
+  }
+}
