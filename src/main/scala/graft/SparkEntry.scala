@@ -567,6 +567,22 @@ object SparkEntry {
           cround(col("bbox_h"), 4).as("bbox_h"),
           cround(col("aspect"), 6).as("aspect"))
     }),
+    // TrackMate Spot2DShapeAnalyzer parity (parse_xml.py's CSV
+    // geometry columns): SHAPE_INDEX = P/sqrt(A) and the
+    // equivalent-disk RADIUS = sqrt(A/pi), both SQL-derivable from
+    // the oracled area/perimeter chain; SOLIDITY (convex-hull ratio,
+    // not SQL-expressible) is spec-pinned in RoiShapeSpec against a
+    // brute-force hull
+    "q_roi_tm" -> ((s, d) => {
+      val ev = eventsXY(s, d)
+      operators.RoiShape.trackmateDescriptors(
+          ev.withColumn("roi", operators.RoiShape.syntheticRoi(
+            col("event_id"), col("x"), col("y"))),
+          col("roi"))
+        .select(col("event_id"),
+          cround(col("shape_index"), 6).as("shape_index"),
+          cround(col("radius"), 4).as("radius"))
+    }),
     // the shape features feeding the one-shuffle multi-feature stats
     // (frame_features_image.py's static features -> summary tables)
     "q_roi_stats" -> ((s, d) => {
@@ -2554,6 +2570,38 @@ object SparkEntry {
         |  floor((max_y - min_y) * 10000.0 + 0.5) / 10000.0 AS bbox_h,
         |  floor((CASE WHEN max_y - min_y > 0.0 THEN (max_x - min_x) / (max_y - min_y)
         |    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS aspect
+        |FROM m""".stripMargin,
+
+    "q_roi_tm" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value AS x,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS y
+        |  FROM events
+        |), geo AS (
+        |  SELECT event_id, event_type, 4 + event_id % 5 AS k,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> x + [1.0,1.0,0.0,-1.0,-1.0,-1.0,0.0,1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS xs,
+        |    list_transform(range(0, 4 + event_id % 5),
+        |      i -> CAST(y AS DOUBLE) + [0.0,1.0,1.0,1.0,0.0,-1.0,-1.0,-1.0][CAST(i+1 AS INT)]
+        |        * CAST((event_id + i) % 3 + 1 AS DOUBLE)) AS ys
+        |  FROM base
+        |), m AS (
+        |  SELECT event_id,
+        |    abs(list_sum(list_transform(range(0, k),
+        |      i -> xs[CAST(i+1 AS INT)] * ys[CAST((i+1) % k + 1 AS INT)]
+        |         - xs[CAST((i+1) % k + 1 AS INT)] * ys[CAST(i+1 AS INT)]))) / 2.0 AS area,
+        |    list_sum(list_transform(range(0, k),
+        |      i -> sqrt((xs[CAST((i+1) % k + 1 AS INT)] - xs[CAST(i+1 AS INT)])
+        |              * (xs[CAST((i+1) % k + 1 AS INT)] - xs[CAST(i+1 AS INT)])
+        |              + (ys[CAST((i+1) % k + 1 AS INT)] - ys[CAST(i+1 AS INT)])
+        |              * (ys[CAST((i+1) % k + 1 AS INT)] - ys[CAST(i+1 AS INT)])))) AS perimeter
+        |  FROM geo
+        |)
+        |SELECT event_id,
+        |  floor((CASE WHEN area > 0.0 THEN perimeter / sqrt(area)
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS shape_index,
+        |  floor(sqrt(area / pi()) * 10000.0 + 0.5) / 10000.0 AS radius
         |FROM m""".stripMargin,
 
     "q_roi_stats" ->

@@ -34,7 +34,8 @@ case class PolygonShape(child: Expression) extends UnaryExpression {
     StructField("min_x", DoubleType, nullable = false),
     StructField("max_x", DoubleType, nullable = false),
     StructField("min_y", DoubleType, nullable = false),
-    StructField("max_y", DoubleType, nullable = false)))
+    StructField("max_y", DoubleType, nullable = false),
+    StructField("hull_area", DoubleType, nullable = false)))
 
   override def nullable: Boolean = true
 
@@ -86,6 +87,43 @@ object PolygonShape {
       i += 1
     }
     new GenericInternalRow(Array[Any](
-      math.abs(shoelace) / 2.0, perim, minX, maxX, minY, maxY))
+      math.abs(shoelace) / 2.0, perim, minX, maxX, minY, maxY,
+      hullArea(xs, ys)))
+  }
+
+  /** Convex-hull area (Andrew monotone chain + shoelace) — the
+    * denominator of TrackMate's SOLIDITY (Spot2DShapeAnalyzer:
+    * solidity = area / convex area). 0.0 for degenerate (collinear)
+    * vertex sets. O(n log n) on the ROI's vertex count — outline
+    * polygons are tens-to-hundreds of points. */
+  private def hullArea(xs: Array[Double], ys: Array[Double]): Double = {
+    val n = xs.length
+    if (n < 3) return 0.0
+    val idx = Array.range(0, n).sortBy(i => (xs(i), ys(i)))
+    def cross(o: Int, a: Int, b: Int): Double =
+      (xs(a) - xs(o)) * (ys(b) - ys(o)) - (ys(a) - ys(o)) * (xs(b) - xs(o))
+    val hull = new Array[Int](2 * n)
+    var k = 0
+    var i = 0
+    while (i < n) { // lower hull
+      while (k >= 2 && cross(hull(k - 2), hull(k - 1), idx(i)) <= 0) k -= 1
+      hull(k) = idx(i); k += 1; i += 1
+    }
+    val lower = k + 1
+    i = n - 2
+    while (i >= 0) { // upper hull
+      while (k >= lower && cross(hull(k - 2), hull(k - 1), idx(i)) <= 0) k -= 1
+      hull(k) = idx(i); k += 1; i -= 1
+    }
+    val m = k - 1 // last point == first
+    if (m < 3) return 0.0
+    var s = 0.0
+    i = 0
+    while (i < m) {
+      val j = if (i + 1 == m) 0 else i + 1
+      s += xs(hull(i)) * ys(hull(j)) - xs(hull(j)) * ys(hull(i))
+      i += 1
+    }
+    math.abs(s) / 2.0
   }
 }

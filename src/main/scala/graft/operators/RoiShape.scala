@@ -16,7 +16,10 @@ object RoiShape {
   /** Appends n_vertices / area / perimeter / circularity / bbox_w /
     * bbox_h / aspect (raw, unrounded doubles) for the given
     * `array<struct<x double, y double>>` ROI column. */
-  def features(df: DataFrame, roi: Column): DataFrame = {
+  def features(df: DataFrame, roi: Column): DataFrame =
+    withShape(df, roi).drop("_shape")
+
+  private def withShape(df: DataFrame, roi: Column): DataFrame = {
     df.withColumn("_shape", graft.functions.PolygonShape(roi))
       .withColumn("n_vertices", size(roi))
       .withColumn("area", col("_shape.area"))
@@ -33,6 +36,32 @@ object RoiShape {
           (col("_shape.max_x") - col("_shape.min_x")) /
             (col("_shape.max_y") - col("_shape.min_y")))
           .otherwise(lit(0.0)))
+  }
+
+  /** TrackMate Spot 2D shape-descriptor parity (r14) — the remaining
+    * geometry columns of parse_xml.py's output CSV (its col_order
+    * lists AREA/PERIMETER/CIRCULARITY/SOLIDITY/SHAPE_INDEX plus the
+    * equivalent RADIUS, all emitted by TrackMate's
+    * Spot2DShapeAnalyzer, which track_images.py:166-167 registers
+    * explicitly): [[features]]' columns plus
+    *  - `shape_index`  = perimeter / sqrt(area),
+    *  - `radius`       = sqrt(area / pi) (the equivalent-area disk —
+    *    what the LabelImageDetector puts in the RADIUS column),
+    *  - `solidity`     = area / convex-hull area (monotone-chain hull
+    *    inside the same codegen'd PolygonShape pass; 0.0 for
+    *    degenerate hulls).
+    * The intensity columns of the CSV (MEAN/…/STD_INTENSITY_CH1,
+    * CONTRAST, SNR) need pixel data and live behind the declared
+    * multimodal decode stub — geometry ends here by construction. */
+  def trackmateDescriptors(df: DataFrame, roi: Column): DataFrame = {
+    withShape(df, roi)
+      .withColumn("shape_index",
+        when(col("area") > 0.0, col("perimeter") / sqrt(col("area")))
+          .otherwise(lit(0.0)))
+      .withColumn("radius", sqrt(col("area") / math.Pi))
+      .withColumn("solidity",
+        when(col("_shape.hull_area") > 0.0,
+          col("area") / col("_shape.hull_area")).otherwise(lit(0.0)))
       .drop("_shape")
   }
 
