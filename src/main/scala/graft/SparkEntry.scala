@@ -583,6 +583,25 @@ object SparkEntry {
           cround(col("shape_index"), 6).as("shape_index"),
           cround(col("radius"), 4).as("radius"))
     }),
+    // timelapse input normalization (main.nf's four-way dispatch +
+    // natural-sort frame_%05d naming contract): a synthetic raw-files
+    // table from events — odd timelapses hold per-frame TIFFs, even
+    // ones JPEGs, both with SPACES in the names and variable-width
+    // numbers so the natural sort genuinely differs from the
+    // lexicographic one; the oracle ranks by the numeric id the names
+    // embed (the definition of natural order on this family). OME and
+    // stack dispatch are spec-pinned (TimelapseIngestSpec)
+    "q_tlm" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val files = ev.select(col("user_id").as("timelapse"),
+        concat(lit("img "), col("event_id").cast("string"),
+          when(col("user_id") % 2 === 0, lit(".jpeg"))
+            .otherwise(lit(".tif"))).as("path"),
+        lit(null).cast("int").as("pages"))
+      sources.TimelapseIngest.manifest(files,
+        Seq.empty[(Long, String)].toDF("timelapse", "xml"))
+    }),
     // the shape features feeding the one-shuffle multi-feature stats
     // (frame_features_image.py's static features -> summary tables)
     "q_roi_stats" -> ((s, d) => {
@@ -2603,6 +2622,25 @@ object SparkEntry {
         |    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS shape_index,
         |  floor(sqrt(area / pi()) * 10000.0 + 0.5) / 10000.0 AS radius
         |FROM m""".stripMargin,
+
+    "q_tlm" ->
+      """WITH f AS (
+        |  SELECT user_id AS timelapse, event_id,
+        |    'img ' || CAST(event_id AS VARCHAR) ||
+        |      CASE WHEN user_id % 2 = 0 THEN '.jpeg' ELSE '.tif' END AS base
+        |  FROM events
+        |), r AS (
+        |  SELECT timelapse,
+        |    CASE WHEN timelapse % 2 = 0 THEN 'jpeg' ELSE 'tiffs' END AS kind,
+        |    base AS src_file, CAST(0 AS BIGINT) AS src_index,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY timelapse ORDER BY event_id)
+        |      AS BIGINT) AS frame_id
+        |  FROM f
+        |)
+        |SELECT timelapse, kind, src_file, src_index, frame_id,
+        |  'frame_' || lpad(CAST(frame_id AS VARCHAR), 5, '0') || '.tiff'
+        |    AS canonical_name
+        |FROM r""".stripMargin,
 
     "q_roi_stats" ->
       """WITH base AS (
