@@ -31,14 +31,42 @@ object LmStore {
   private def normed(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9 ]", "#")
 
-  /** Count one batch and append its additive part: (bg, c), ≤ 39²
-    * rows, one file. */
-  def append(df: DataFrame, text: Column, dir: String): Unit =
+  /** One batch's additive part: (bg, c), ≤ 39² rows. */
+  private def countPart(df: DataFrame, text: Column): DataFrame =
     df.select(normed(text).as("_t"))
       .filter(length(col("_t")) >= 2)
       .select(explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
       .groupBy(col("_e.bg").as("bg")).agg(sum(col("_e.k")).as("c"))
-      .coalesce(1).write.mode("append").parquet(dir)
+
+  /** Count one batch and append its additive part: (bg, c), ≤ 39²
+    * rows, one file. */
+  def append(df: DataFrame, text: Column, dir: String): Unit =
+    countPart(df, text).coalesce(1).write.mode("append").parquet(dir)
+
+  /** The 35b-backed store variant: the SAME additive parts, published
+    * through [[graft.sources.SnapshotStore]]'s versioned manifest —
+    * so a reader resolved before a compaction keeps serving its exact
+    * generation while maintenance runs (snapshot isolation, the
+    * production step the journaled layout declares as single-writer
+    * + recover-on-attach). The artifact semantics are untouched:
+    * counts are associative sums, so the snapshot store's model is
+    * bit-identical to the journaled store's over the same batches
+    * (LmStoreSnapshotSpec pins it), and compaction folds by the very
+    * sum serving performs. Space reclamation moves to
+    * `SnapshotStore.retire`'s grace window. */
+  def appendSnapshot(df: DataFrame, text: Column, dir: String): Unit =
+    graft.sources.SnapshotStore.append(countPart(df, text), dir)
+
+  /** [[model]] served from the manifest's CURRENT generation (the
+    * whole read pins to that generation's exact file set). */
+  def modelSnapshot(spark: SparkSession, dir: String): graft.functions.BigramModel =
+    modelFrom(graft.sources.SnapshotStore.read(spark, dir))
+
+  /** Fold the current generation to one part as a NEW generation —
+    * in-flight readers keep theirs. */
+  def compactSnapshot(spark: SparkSession, dir: String): Unit =
+    graft.sources.SnapshotStore.compact(spark, dir,
+      _.groupBy("bg").agg(sum(col("c")).as("c")))
 
   /** Fold the accumulated parts to one summed part — reads already
     * perform this sum, so serving is bit-identical before/after.
@@ -73,10 +101,13 @@ object LmStore {
   /** The driver-sized model from the summed parts — the same add-one
     * smoothing as [[TextFeatures.charBigramEntropy]], plus the unseen
     * floor ln(1/(tot+v)) so artifact serving is a total function. */
-  def model(spark: SparkSession, dir: String): graft.functions.BigramModel = {
-    val counts = spark.read.parquet(dir)
+  def model(spark: SparkSession, dir: String): graft.functions.BigramModel =
+    modelFrom(spark.read.parquet(dir))
+
+  private def modelFrom(parts: DataFrame): graft.functions.BigramModel = {
+    val counts = parts
       .groupBy("bg").agg(sum(col("c")).as("c")).collect()
-    require(counts.nonEmpty, s"empty LM store at $dir")
+    require(counts.nonEmpty, "empty LM store")
     val tot = counts.iterator.map(_.getLong(1)).sum
     val v = counts.length.toLong
     val sorted = counts.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
