@@ -81,6 +81,25 @@ object NnDescent {
     val n = v.count()
     require(n > kb, s"corpus has $n vectors, need > overbuild*k=$kb")
 
+    // ---- small-corpus execution profile (the corpus-increment r14
+    // pattern): a round is ~8 narrow stages whose data volume is
+    // bounded by the local-join candidate count n·(2·kb)²; when that
+    // fits comfortably in a handful of partitions, corpus-width
+    // shuffles and AQE's per-stage replanning are pure driver latency
+    // multiplied by maxRounds. Under the 50M-candidate gate the
+    // session briefly narrows to 8 shuffle partitions with AQE off
+    // (restored in the finally below — physical knobs only, the build
+    // is bit-deterministic either way); bigger corpora keep the
+    // session's own width and skew handling.
+    val narrow = n * (2L * kb) * (2L * kb) <= 50000000L
+    val savedShuf = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if (narrow) {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    try {
+
     // dense index 0..n-1 per vec_id (sorted => deterministic), for
     // uniform pseudo-random initial candidates; distributed sort +
     // zipWithIndex, never a single-partition window
@@ -185,6 +204,12 @@ object NnDescent {
       .select(col("id").as("vec_id"), col("rank"), col("nbr").as("n_id"),
         col("sim"))
     out
+    } finally {
+      if (narrow) {
+        spark.conf.set("spark.sql.shuffle.partitions", savedShuf)
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      }
+    }
   }
 
   /** INCREMENTAL insert: extend an existing K-NN `graph` over `base`
