@@ -29,7 +29,16 @@ import org.json4s.jackson.JsonMethods
   *  - SPLITTING_MAX_DISTANCE / MERGING_MAX_DISTANCE -> the split and
   *       merge blocks' own distance gates (the reference templates set
   *       all three gates differently — e.g. gap 90 / merge 50 /
-  *       split 5); absent keys fall back to the gap-closing gate
+  *       split 5)
+  *
+  * ABSENT keys take TrackMate's TrackerKeys DEFAULTS (r14): the
+  * reference's `load_tracker` starts from the factory's
+  * `getDefaultSettings()` and OVERLAYS the template's settings
+  * (track_images.py:108-124), so a config omitting a key runs under
+  * the default, not a graft-invented fallback — gap/split/merge gates
+  * 15.0, MAX_FRAME_GAP 2, and the Jaqaman conditioning always on at
+  * 1.05 / 0.9 unless overridden. All ten shipped templates set every
+  * key explicitly, so no reference config is affected.
   *  - GAP_CLOSING/SPLITTING/MERGING_FEATURE_PENALTIES -> the second
   *       phase's per-block penalty maps ([[lineage]] ->
   *       [[LapLink.gapCloseFull]]): cost = d²·(1 + Σ 3·w·|Δf|/Σf)²
@@ -137,7 +146,8 @@ object TrackerConfig {
     // CUTOFF_PERCENTILE, which conditions the segment matrix only
     LapLink.frameToFrame(spots, col("id"), col("frame"),
       col("x"), col("y"), linkDist, pens,
-      altCostFactor = cfg.opt("ALTERNATIVE_LINKING_COST_FACTOR"))
+      altCostFactor =
+        Some(cfg.d("ALTERNATIVE_LINKING_COST_FACTOR", 1.05)))
   }
 
   /** Track labels (id, track_id) under the template's tracker. */
@@ -166,12 +176,22 @@ object TrackerConfig {
           gapFrames = cfg.i("MAX_FRAME_GAP", 2), videoOf)
       case "SimpleSparseLAP" | "SparseLAP" =>
         val edges = jaqamanFrameEdges(spots, cfg, linkDist)
+        // ABSENT keys take TrackMate's TrackerKeys DEFAULTS, because
+        // that is what a template actually means: load_tracker starts
+        // from factory.getDefaultSettings() and OVERLAYS the
+        // template's settings (track_images.py:108-124), so a config
+        // omitting GAP_CLOSING_MAX_DISTANCE runs at 15.0 (not the
+        // linking gate) and the Jaqaman conditioning is ALWAYS on at
+        // 1.05/0.9 unless a key overrides it. All ten shipped
+        // templates set every key explicitly, so no reference config
+        // moves.
         if (cfg.b("ALLOW_GAP_CLOSING", dflt = true))
           TrackAssignment.divisionAwareGapClosedByVideo(spots,
             edges.select("src", "dst"),
-            maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", linkDist),
+            maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", 15.0),
             maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf,
-            altCostFactor = cfg.opt("ALTERNATIVE_LINKING_COST_FACTOR"),
+            altCostFactor =
+              Some(cfg.d("ALTERNATIVE_LINKING_COST_FACTOR", 1.05)),
             cutoffPercentile = cfg.d("CUTOFF_PERCENTILE", 0.9))
         else
           TrackAssignment.divisionAwareByVideo(spots,
@@ -229,18 +249,23 @@ object TrackerConfig {
       if (cfg.algorithm == "SparseLAP")
         cfg.penalties(k).map { case (name, w) => (col(name), w) }
       else Nil
+    // absent keys take TrackMate's TrackerKeys defaults — the
+    // getDefaultSettings-then-overlay semantics of load_tracker
+    // (see tracks()); the 15.0 gates and the 1.05/0.9 conditioning
+    // are what an omitting config actually runs under in TrackMate
     LapLink.gapCloseFull(spots, labels, col("id"), col("frame"),
       col("x"), col("y"),
-      maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", linkDist),
+      maxDist = cfg.d("GAP_CLOSING_MAX_DISTANCE", 15.0),
       maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf,
       allowSplit = cfg.b("ALLOW_TRACK_SPLITTING", dflt = false),
       allowMerge = cfg.b("ALLOW_TRACK_MERGING", dflt = false),
-      splitDist = cfg.opt("SPLITTING_MAX_DISTANCE"),
-      mergeDist = cfg.opt("MERGING_MAX_DISTANCE"),
+      splitDist = Some(cfg.d("SPLITTING_MAX_DISTANCE", 15.0)),
+      mergeDist = Some(cfg.d("MERGING_MAX_DISTANCE", 15.0)),
       gapPenalties = pens("GAP_CLOSING_FEATURE_PENALTIES"),
       splitPenalties = pens("SPLITTING_FEATURE_PENALTIES"),
       mergePenalties = pens("MERGING_FEATURE_PENALTIES"),
-      altCostFactor = cfg.opt("ALTERNATIVE_LINKING_COST_FACTOR"),
+      altCostFactor =
+        Some(cfg.d("ALTERNATIVE_LINKING_COST_FACTOR", 1.05)),
       cutoffPercentile = cfg.d("CUTOFF_PERCENTILE", 0.9))
   }
 }

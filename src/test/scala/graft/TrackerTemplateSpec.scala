@@ -130,8 +130,9 @@ class TrackerTemplateSpec extends SparkSpec {
     // d²≈1 and one OUTLIER at d²≈49 — all under the 10-pixel gap
     // gate (each track also drifts 0.1 px/frame in x so no
     // frame-to-frame distance is exactly 0 and the linking matrices
-    // stay non-degenerate). The gate-bound alternative (no factor
-    // keys) closes all 20; the templates' 1.05/0.9 conditioning takes
+    // stay non-degenerate). The templates' 1.05/0.9 conditioning
+    // (explicit OR via the TrackerKeys defaults an omitting template
+    // inherits through getDefaultSettings-then-overlay) takes
     // the INTERPOLATED p90 of the 20 costs (TMUtils.getPercentile:
     // pos = 0.9·21 = 18.9 falls between the 18th and 19th smallest,
     // both ≈1) ≈ 1, so 2A ≈ 2.2 < 49 leaves the outlier's ends
@@ -157,12 +158,21 @@ class TrackerTemplateSpec extends SparkSpec {
         .filter(col("kind") === "gc")
         .select("src", "dst").as[(Long, Long)].collect().toSet
     val all = (0 to outlier).map(i => (10L * i + 2, 10L * i + 3)).toSet
-    assert(gcs(tpl("")) === all,
-      "the gate-bound alternative must close all 20 gaps")
-    val conditioned = gcs(tpl(cond))
     val outlierGc = (10L * outlier + 2, 10L * outlier + 3)
+    // TrackMate's getDefaultSettings-then-overlay semantics: a template
+    // OMITTING the keys runs under the 1.05/0.9 DEFAULTS, so the
+    // outlier is rejected with and without the explicit keys; the
+    // gate-bound no-conditioning baseline is only reachable through
+    // the operator surface (a deliberately absurd factor restores it)
+    assert(gcs(tpl("")) === all - outlierGc,
+      "TrackerKeys defaults condition an omitting template")
+    val conditioned = gcs(tpl(cond))
     assert(conditioned === all - outlierGc,
       s"the 1.05/0.9 conditioning must reject exactly the outlier; got $conditioned")
+    val unconditioned = gcs(tpl(
+      ""","ALTERNATIVE_LINKING_COST_FACTOR": 1000000.0"""))
+    assert(unconditioned === all,
+      "an explicit huge factor shows the contrast: all 20 gaps close")
     // the LABEL path applies the same segment conditioning: without
     // the keys every fragment pair merges into one track per i (20
     // tracks); with them the outlier's two fragments keep separate
@@ -170,10 +180,13 @@ class TrackerTemplateSpec extends SparkSpec {
     def nTracks(json: String): Long =
       TrackerConfig.tracks(spots, json, vid)
         .select("track_id").distinct().count()
-    assert(nTracks(tpl("")) === outlier + 1L)
+    assert(nTracks(tpl(
+      ""","ALTERNATIVE_LINKING_COST_FACTOR": 1000000.0""")) === outlier + 1L)
     assert(nTracks(tpl(cond)) === outlier + 2L,
       "tracks() must refuse the outlier gap too — the conditioning is " +
         "not a lineage-only surface")
+    assert(nTracks(tpl("")) === outlier + 2L,
+      "the label path conditions under the TrackerKeys defaults too")
   }
 
   test("linking phase under the template keys: factor at TrackMate's hardcoded " +
