@@ -589,7 +589,11 @@ object SparkEntry {
     // ones JPEGs, both with SPACES in the names and variable-width
     // numbers so the natural sort genuinely differs from the
     // lexicographic one; the oracle ranks by the numeric id the names
-    // embed (the definition of natural order on this family). OME and
+    // embed (the definition of natural order on this family), knows
+    // the single-file-timelapse 'stack' dispatch (a lone TIFF is a
+    // stack of coalesce(pages,1)=1 page, frame_id 1 — so a user_id
+    // with one event agrees at any SF), and emits the SCRUBBED
+    // src_file every kind now reports (r15). OME and multi-page
     // stack dispatch are spec-pinned (TimelapseIngestSpec)
     "q_tlm" -> ((s, d) => {
       import s.implicits._
@@ -2626,12 +2630,14 @@ object SparkEntry {
     "q_tlm" ->
       """WITH f AS (
         |  SELECT user_id AS timelapse, event_id,
-        |    'img ' || CAST(event_id AS VARCHAR) ||
-        |      CASE WHEN user_id % 2 = 0 THEN '.jpeg' ELSE '.tif' END AS base
+        |    'img_' || CAST(event_id AS VARCHAR) ||
+        |      CASE WHEN user_id % 2 = 0 THEN '.jpeg' ELSE '.tif' END AS base,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_files
         |  FROM events
         |), r AS (
         |  SELECT timelapse,
-        |    CASE WHEN timelapse % 2 = 0 THEN 'jpeg' ELSE 'tiffs' END AS kind,
+        |    CASE WHEN timelapse % 2 = 0 THEN 'jpeg'
+        |         WHEN n_files = 1 THEN 'stack' ELSE 'tiffs' END AS kind,
         |    base AS src_file, CAST(0 AS BIGINT) AS src_index,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY timelapse ORDER BY event_id)
         |      AS BIGINT) AS frame_id

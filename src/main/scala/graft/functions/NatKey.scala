@@ -12,15 +12,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * renamed `frame_%05d.tiff`), re-expressed as a SORTABLE STRING so
   * the ordering runs as an ordinary (codegen'd, spillable) Spark sort
   * instead of a driver-side comparator: every maximal digit run is
-  * replaced by its value left-padded with zeros to 20 characters
-  * (leading zeros stripped first, so "007" == "7" as in natsort's
-  * integer parse; ties broken by the caller on the raw name), and
-  * text runs pass through. Binary comparison of the keys then equals
-  * the numeric-aware comparison: "frame_9" < "frame_10" (pad makes
-  * 00…09 < 00…10) and a digit run sorts before any letter at the same
-  * position ('0' < 'A' < 'a'). Runs past 20 significant digits keep
+  * replaced by a `\u0001` type tag followed by its value left-padded
+  * with zeros to 20 characters (leading zeros stripped first, so
+  * "007" == "7" as in natsort's integer parse; ties broken by the
+  * caller on the raw name), and text runs pass through. Binary
+  * comparison of the keys then equals natsort's TUPLE comparison:
+  * "frame_9" < "frame_10" (pad makes 00…09 < 00…10), and the tag —
+  * a byte below every text byte — reproduces the tuple-boundary
+  * rule that a name whose text run ENDS where a sibling's continues
+  * sorts first ("img2.tiff" < "img.tiff", because natsort compares
+  * ("img", 2, ".tiff") against ("img.tiff",) and the shorter first
+  * element wins — where an untagged pad would have let '.' < '0'
+  * decide the other way). Runs past 20 significant digits keep
   * their full length — longer keys compare greater against the
-  * padded width, preserving order for any realistic frame index. */
+  * padded width, preserving order for any realistic frame index.
+  * The one ordering the tag cannot represent is a raw `\u0000` NUL
+  * inside a filename (below the tag byte) — not a name any
+  * filesystem produces. */
 case class NaturalSortKey(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -38,6 +46,12 @@ case class NaturalSortKey(child: Expression) extends UnaryExpression {
 object NaturalSortKey {
   val Width = 20
 
+  /** Digit-run type tag: one byte below every text byte (UTF-8
+    * multi-byte sequences start >= 0x80; ASCII text is >= 0x20 in any
+    * real filename), so "digit run starts here" compares BELOW "text
+    * continues here" — natsort's shorter-tuple-element-first rule. */
+  val NumTag = '\u0001'
+
   def apply(name: Column): Column =
     GraftBridge.column(NaturalSortKey(GraftBridge.expression(name)))
 
@@ -54,6 +68,7 @@ object NaturalSortKey {
         while (j < n && in.charAt(j) >= '0' && in.charAt(j) <= '9') j += 1
         var k = i
         while (k < j - 1 && in.charAt(k) == '0') k += 1 // strip leading zeros
+        out.append(NumTag)
         val digits = j - k
         var p = digits
         while (p < Width) { out.append('0'); p += 1 }

@@ -69,10 +69,28 @@ object SnapshotStore {
     finally in.close()
   }
 
-  /** The current generation number, 0 when the store is empty. */
+  /** The current generation number, 0 when the store is empty.
+    *
+    * An ABSENT `CURRENT` does not mean an empty store: on HDFS and the
+    * object-store filesystems `FileSystem.rename` refuses to replace
+    * an existing destination, so [[writeAtomic]]'s delete-then-rename
+    * pair is the NORMAL publication path there — every publish has a
+    * window where CURRENT is missing (and a crash inside it loses
+    * CURRENT until the next publish). Readers therefore fall back to
+    * the newest `manifest.N` on disk: manifests are themselves
+    * rename-published (a present manifest is complete), the newest one
+    * is either the committed generation or the one whose CURRENT swap
+    * was in flight — and in the latter case its part files were fully
+    * written before `publish` ran, so resolving it early is safe. */
   def currentGen(spark: SparkSession, dir: String): Long = {
     val (fs, root) = fsOf(spark, dir)
     if (fs.exists(currentPath(root))) readFile(fs, currentPath(root)).trim.toLong
+    else if (fs.exists(ledger(root)))
+      fs.listStatus(ledger(root)).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("manifest."))
+        .flatMap(_.stripPrefix("manifest.").toLongOption)
+        .maxOption.getOrElse(0L)
     else 0L
   }
 

@@ -66,7 +66,11 @@ object TimelapseIngest {
     * OME companion document where one exists.
     *
     * Output: (timelapse, kind, src_file, src_index, frame_id,
-    * canonical_name) — kind in {ome, jpeg, stack, tiffs}; src_index is
+    * canonical_name) — kind in {ome, jpeg, stack, tiffs}; src_file is
+    * the SCRUBBED source name for every kind (`remove_spaces` renames
+    * files before anything downstream sees them, so the scrubbed name
+    * is the one the pixel jobs resolve — r15 unified the jpeg/tiffs
+    * branches with ome/stack); src_index is
     * the page/IFD inside src_file (0 for one-frame files); frame_id
     * is 1-indexed in canonical order; canonical_name =
     * `frame_%05d.tiff`. */
@@ -117,7 +121,7 @@ object TimelapseIngest {
       .withColumn("frame_id", row_number().over(
         Window.partitionBy("timelapse")
           .orderBy(graft.functions.NaturalSortKey(col("_name")), col("_name"))))
-      .select(col("timelapse"), col("kind"), col("_base").as("src_file"),
+      .select(col("timelapse"), col("kind"), scrub(col("_base")).as("src_file"),
         lit(0L).as("src_index"), col("frame_id").cast("long").as("frame_id"))
 
     // single stack: pages explode in order
@@ -134,7 +138,7 @@ object TimelapseIngest {
       .withColumn("frame_id", row_number().over(
         Window.partitionBy("timelapse")
           .orderBy(graft.functions.NaturalSortKey(col("_name")), col("_name"))))
-      .select(col("timelapse"), col("kind"), col("_base").as("src_file"),
+      .select(col("timelapse"), col("kind"), scrub(col("_base")).as("src_file"),
         lit(0L).as("src_index"), col("frame_id").cast("long").as("frame_id"))
 
     omeFrames.select(col("timelapse"), col("kind"), col("src_file"),

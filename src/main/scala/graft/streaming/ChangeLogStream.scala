@@ -126,6 +126,32 @@ object ChangeLogStream {
     ()
   }
 
+  /** True when `root` holds any data file (non-underscore, non-dot,
+    * outside metadata dirs) — the "is this parquet-readable" guard for
+    * a store that retirement may have emptied of every bucket: a
+    * parquet read of a root holding only `_started`/`_tomb`/`_ledger`
+    * throws (no schema to infer), so callers check first. Metadata
+    * listing only, no data read. */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Boolean = {
+    def meta(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { s =>
+        !meta(s.getPath.getName) && (s.isFile || walk(s.getPath))
+      }
+    fs.exists(root) && walk(root)
+  }
+
+  /** A zero-row frame in the sidecar's (bucket, tmin) schema — what an
+    * all-buckets-retired store publishes so later retirements stay
+    * sidecar-served (an absent sidecar would fall back to a scan that
+    * has no files to infer a schema from). */
+  private def emptySidecarRows(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long)].toDF("bucket", "tmin")
+  }
+
   /** The foreachBatch handler (exposed for the spec's replay pins). */
   def materializeBatch(storeDir: String, nBuckets: Int)
                       (batch: org.apache.spark.sql.DataFrame,
@@ -142,7 +168,11 @@ object ChangeLogStream {
     val marker = new org.apache.hadoop.fs.Path(storePath, "_started")
     val bootstrapped = fs.exists(marker)
     val existing =
-      if (bootstrapped)
+      // a bootstrapped store can still be DATALESS (retirement may
+      // have emptied every bucket) — parquet cannot infer a schema
+      // from underscore dirs alone, so such a store merges like a
+      // fresh one
+      if (bootstrapped && hasDataFiles(fs, storePath))
         spark.read.parquet(storeDir)
           .filter(col("bucket").isin(touched: _*))
       else b.limit(0)
@@ -249,11 +279,14 @@ object ChangeLogStream {
           .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) {
       // a sidecar-less store with nothing to retire still earns its
-      // sidecar from the scan that just proved that
+      // sidecar from the scan that just proved that (a DATALESS store
+      // gets the empty sidecar directly — no schema to scan)
       if (!fromSidecar && fs.exists(storePath))
         tombSidecar(spark, storeDir, Nil,
-          spark.read.parquet(storeDir).filter(col("op") === "D")
-            .groupBy("bucket").agg(min(col("ver1")).as("tmin")),
+          if (hasDataFiles(fs, storePath))
+            spark.read.parquet(storeDir).filter(col("op") === "D")
+              .groupBy("bucket").agg(min(col("ver1")).as("tmin"))
+          else emptySidecarRows(spark),
           mergeOld = false)
       return
     }
@@ -268,17 +301,25 @@ object ChangeLogStream {
       _.foreach(graft.sources.BucketMaintenance.publishRewrite(spark, _)))
     // refresh the sidecar: rewritten buckets re-derived from a
     // partition-pruned read; on the fallback path the whole sidecar
-    // rebuilds so future retirements are sidecar-served
+    // rebuilds so future retirements are sidecar-served. A store the
+    // retirement just EMPTIED of every bucket has no schema to read —
+    // it gets the empty sidecar directly (absent would also be safe,
+    // but a stale one — the pre-refresh state — would not, so the
+    // refresh must not throw past the closed journal)
     if (fs.exists(storePath)) {
-      val base =
-        if (fromSidecar)
-          spark.read.parquet(storeDir).filter(col("bucket").isin(touched: _*))
-        else spark.read.parquet(storeDir)
-      tombSidecar(spark, storeDir,
-        if (fromSidecar) touched else Nil,
-        base.filter(col("op") === "D")
-          .groupBy("bucket").agg(min(col("ver1")).as("tmin")),
-        mergeOld = fromSidecar)
+      if (hasDataFiles(fs, storePath)) {
+        val base =
+          if (fromSidecar)
+            spark.read.parquet(storeDir).filter(col("bucket").isin(touched: _*))
+          else spark.read.parquet(storeDir)
+        tombSidecar(spark, storeDir,
+          if (fromSidecar) touched else Nil,
+          base.filter(col("op") === "D")
+            .groupBy("bucket").agg(min(col("ver1")).as("tmin")),
+          mergeOld = fromSidecar)
+      } else
+        tombSidecar(spark, storeDir, Nil, emptySidecarRows(spark),
+          mergeOld = false)
     }
   }
 }

@@ -267,4 +267,37 @@ test("tombstone sidecar: exact per-bucket minimums, sidecar-served retirement " 
     dirs.foreach(d => assert(sidecar(d) == derived(d), d))
     assert(sidecar(dirs.head) == Set((1, 30L)))
   }
+
+  test("retirement that empties EVERY bucket leaves a working store: the " +
+      "sidecar refresh publishes an empty sidecar instead of throwing, and " +
+      "later batches merge cleanly") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_allgone").toString
+    def batch(rows: Seq[CdcEvent], id: Long): Unit =
+      ChangeLogStream.materializeBatch(dir, 3)(
+        rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
+    def sidecar(): Set[(Int, Long)] =
+      spark.read.parquet(s"$dir/_tomb").select("bucket", "tmin")
+        .as[(Int, Long)].collect().toSet
+    batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b")), 0L)
+    batch(Seq(CdcEvent(1L, 5L, 1L, "D", "a"), CdcEvent(2L, 5L, 1L, "D", "b")), 1L)
+    // every winner is now a tombstone below the horizon: retirement
+    // empties every bucket (partition dirs removed), and the
+    // post-rewrite sidecar refresh has no data files to read — it must
+    // publish the EMPTY sidecar, not throw past the closed journal
+    ChangeLogStream.retireTombstones(spark, dir, horizonVer1 = 100L)
+    assert(!new java.io.File(dir).listFiles().exists(
+      _.getName.startsWith("bucket=")), "all buckets must be gone")
+    assert(sidecar() === Set.empty, "the refreshed sidecar must be empty")
+    // idempotent: a second retirement over the dataless store is a no-op
+    ChangeLogStream.retireTombstones(spark, dir, horizonVer1 = 100L)
+    assert(sidecar() === Set.empty)
+    // and the next batch merges like a bootstrap (a bootstrapped-but-
+    // dataless store has no parquet schema to read)
+    batch(Seq(CdcEvent(3L, 7L, 1L, "U", "c")), 2L)
+    assert(spark.read.parquet(dir).select("id", "ver1", "ver2", "op", "payload")
+      .as[(Long, Long, Long, String, String)].collect().toSet ===
+      Set((3L, 7L, 1L, "U", "c")))
+    assert(sidecar() === Set.empty)
+  }
 }

@@ -81,6 +81,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(SnapshotStore.read(spark, dir)) === want)
   }
 
+  test("an absent CURRENT resolves the newest manifest, not an empty " +
+      "store (rename-refuses-to-replace filesystems delete CURRENT on " +
+      "every publish)") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_nocur").toString
+    val all = (1L to 20L).map(i => (i, s"v$i"))
+    all.grouped(10).foreach(b => SnapshotStore.append(b.toDF("id", "s"), dir))
+    val want = all.toSet
+    // simulate the publish window (or a crash inside it) on a
+    // filesystem whose rename cannot replace: CURRENT is deleted, both
+    // rename-published manifests remain
+    assert(new java.io.File(dir, "_ledger/CURRENT").delete())
+    assert(SnapshotStore.currentGen(spark, dir) === 2L,
+      "readers must fall back to the newest manifest")
+    assert(rows(SnapshotStore.read(spark, dir)) === want,
+      "a mid-publish reader serves the newest complete generation")
+    // the store recovers fully: the next append restores CURRENT
+    SnapshotStore.append(Seq((21L, "v21")).toDF("id", "s"), dir)
+    assert(SnapshotStore.currentGen(spark, dir) === 3L)
+    assert(rows(SnapshotStore.read(spark, dir)) === want + ((21L, "v21")))
+    assert(new java.io.File(dir, "_ledger/CURRENT").exists())
+  }
+
   test("a reader resolved between manifest write and CURRENT swap sees " +
       "exactly the old generation") {
     val dir = java.nio.file.Files.createTempDirectory("snapstore_mid").toString

@@ -28,7 +28,9 @@ class TimelapseIngestSpec extends SparkSpec {
       (1L, "/raw/b 10.tif", None), (1L, "/raw/b 9.tif", None),
       (1L, "/raw/a 100.tif", None), (1L, "/raw/frame2part3.tif", None)))
     assert(got.map(_._3) ===
-      List("a 100.tif", "b 9.tif", "b 10.tif", "frame2part3.tif"))
+      List("a_100.tif", "b_9.tif", "b_10.tif", "frame2part3.tif"),
+      "src_file is the scrubbed name for every kind (remove_spaces " +
+        "renames before anything downstream resolves the file)")
     assert(got.map(_._6) === List("frame_00001.tiff", "frame_00002.tiff",
       "frame_00003.tiff", "frame_00004.tiff"))
     assert(got.forall(_._2 == "tiffs"))
@@ -55,7 +57,7 @@ class TimelapseIngestSpec extends SparkSpec {
       s"OME manifest must order by FirstT; got $t1")
     val t2 = got.filter(_._1 == 2L)
     assert(t2.forall(_._2 == "jpeg"))
-    assert(t2.map(_._3) === List("shot 2.jpeg", "shot 10.JPG"),
+    assert(t2.map(_._3) === List("shot_2.jpeg", "shot_10.JPG"),
       "natural sort on the converted-scrubbed names: 2 before 10")
     val t3 = got.filter(_._1 == 3L)
     assert(t3.map(r => (r._2, r._4, r._5)) ===
@@ -68,14 +70,60 @@ class TimelapseIngestSpec extends SparkSpec {
     val got = run(Seq(
       (1L, "/raw/f 008.tif", None), (1L, "/raw/f 9.tif", None),
       (1L, "/raw/f 10.tif", None)))
-    assert(got.map(_._3) === List("f 008.tif", "f 9.tif", "f 10.tif"))
+    assert(got.map(_._3) === List("f_008.tif", "f_9.tif", "f_10.tif"))
   }
 
   test("the registry family: natural order equals numeric order when names " +
       "embed one variable-width number") {
     val names = Seq(3L, 21L, 100L, 9L, 50L).map(k => s"img $k.tif")
     val got = run(names.map(n => (7L, s"/raw/$n", None: Option[Int])))
-    assert(got.map(_._3) === List("img 3.tif", "img 9.tif", "img 21.tif",
-      "img 50.tif", "img 100.tif"))
+    assert(got.map(_._3) === List("img_3.tif", "img_9.tif", "img_21.tif",
+      "img_50.tif", "img_100.tif"))
+  }
+
+  // ---- natsort tuple-model parity for the sortable key itself ----
+
+  /** Reference model of Python natsort's default ordering: names
+    * tokenize into alternating (text, number, text, ...) tuples — a
+    * leading empty text keeps positions type-aligned when a name
+    * starts with a digit — compared element-wise, the shorter tuple
+    * winning a tie (tuple semantics). */
+  private def natTokens(s: String): Vector[Either[String, BigInt]] = {
+    val runs = "([0-9]+|[^0-9]+)".r.findAllIn(s).toVector
+    val toks = runs.map(r =>
+      if (r.head.isDigit) Right(BigInt(r)): Either[String, BigInt]
+      else Left(r): Either[String, BigInt])
+    if (toks.headOption.exists(_.isRight)) Left("") +: toks else toks
+  }
+
+  private def natLess(a: String, b: String): Boolean = {
+    val (ta, tb) = (natTokens(a), natTokens(b))
+    ta.zip(tb).iterator.map {
+      case (Left(x), Left(y)) => x.compare(y)
+      case (Right(x), Right(y)) => x.compare(y)
+      case _ => fail(s"misaligned tuple types for '$a' vs '$b'")
+    }.find(_ != 0).map(_ < 0).getOrElse(ta.length < tb.length)
+  }
+
+  private def keyOf(s: String): String =
+    graft.functions.NaturalSortKey.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  test("the sortable key reproduces natsort's tuple comparison at text/" +
+      "digit boundaries: 'img2.tiff' before 'img.tiff' (punctuation below " +
+      "'0' must not decide)") {
+    // the advisor's edge: natsort compares ("img", 2, ".tiff") against
+    // ("img.tiff",) — the shorter first element wins, so img2 sorts
+    // first; a bare zero-pad would have let '.' < '0' flip it
+    assert(keyOf("img2.tiff") < keyOf("img.tiff"))
+    assert(natLess("img2.tiff", "img.tiff"))
+
+    val tricky = List("img.tiff", "img2.tiff", "img10.tiff", "img_3.tiff",
+      "a.b", "a1.b", "a 2.b", "2start.tif", ".dot2", "b-1.tif", "b.tif",
+      "frame_9.tiff", "frame_10.tiff", "f008.tif", "f9x.tif", "x", "x0")
+    val byKey = tricky.sortBy(keyOf)
+    val byModel = tricky.sortWith(natLess)
+    assert(byKey === byModel,
+      s"key order must equal the natsort tuple model; key=$byKey model=$byModel")
   }
 }
