@@ -1349,6 +1349,31 @@ object SparkEntry {
       text.Bm25Index.topK(s, dir,
         Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))
     }),
+    // the SNAPSHOT-manifest index (bucket-grain MVCC, r15): the same
+    // build + two appends + compaction as q_bm25c, published through
+    // versioned manifests so a live reader overlapping maintenance
+    // resolves a complete generation — serving is bit-identical, so
+    // q_bm25's oracle applies verbatim through the whole lifecycle
+    // (reader-isolation faces are spec-pinned in Bm25SnapshotSpec)
+    "q_bm25s" -> ((s, d) => {
+      val docs = documents(s, d)
+      val dir = s"/tmp/graft_bm25s_${new java.io.File(d).getName}_" +
+        java.lang.ProcessHandle.current().pid()
+      // buildSnapshot publishes a new generation rather than truncating,
+      // so repeat invocations (bench best-of-2) reset the store first
+      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      text.Bm25Index.buildSnapshot(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("doc_id"), col("text"), dir)
+      text.Bm25Index.appendSnapshot(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        col("doc_id"), col("text"), dir)
+      text.Bm25Index.appendSnapshot(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
+        col("doc_id"), col("text"), dir)
+      text.Bm25Index.compactSnapshot(s, dir)
+      text.Bm25Index.retireSnapshot(s, dir)
+      text.Bm25Index.topKSnapshot(s, dir,
+        Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))
+    }),
     // hybrid dense+sparse retrieval by RRF: query-by-example over the
     // docs∩embeddings overlap (doc_id == vec_id) — BM25 on the probe
     // doc's text fused with exact-cosine on its embedding. The probe
@@ -3532,6 +3557,49 @@ object SparkEntry {
     // compaction re-files rows without changing them, so serving
     // stays bit-identical and q_bm25's oracle applies verbatim again
     "q_bm25c" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
+        |  (3,'customer'),(3,'table'),(3,'scan')
+        |), d AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+        |), f AS (
+        |  SELECT term, COUNT(*) AS dfreq FROM t GROUP BY 1
+        |), s AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(SUM(CAST(
+        |      ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5))
+        |      * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+        |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS score,
+        |    COUNT(*) AS n_terms
+        |  FROM t JOIN q USING (term) JOIN f USING (term)
+        |    JOIN d USING (doc_id) CROSS JOIN st
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s
+        |)
+        |SELECT query_id, doc_id, n_terms,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    // the snapshot-manifest index serves bit-identically through
+    // build + appends + compaction + retirement, so q_bm25's oracle
+    // applies verbatim a third time
+    "q_bm25s" ->
       """WITH q(query_id, term) AS (VALUES
         |  (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
         |  (3,'customer'),(3,'table'),(3,'scan')

@@ -163,6 +163,105 @@ object SnapshotStore {
     publish(fs, root, gen + 1, filesUnder(fs, root, rel))
   }
 
+  // ---- generalized manifest primitives (bucket / multi-table grain) -
+  // The single-table API above folds whole generations; the BUCKETED
+  // stores (BM25 postings + meta, the corpus-increment artifact set)
+  // need the same isolation at a finer grain: a compaction replaces
+  // SOME lines of the manifest (one bucket's files) while the rest
+  // ride through, and one generation spans several logical tables.
+  // The manifest format already carries that — lines are arbitrary
+  // store-relative file paths — so the generalization is just the
+  // primitives: writers organize subtrees (`parts/p_x/bucket=3/...`),
+  // publish the next generation as a transformed line set, and
+  // readers resolve CURRENT once then SELECT lines by prefix/bucket.
+  // Same crash faces as the single-table API (manifests and CURRENT
+  // are rename-published; unpublished files are invisible orphans),
+  // same single-writer / unlimited-reader contract.
+
+  /** The committed file list (store-relative) of the current
+    * generation. */
+  private[graft] def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    manifestFiles(fs, root, currentGen(spark, dir))
+  }
+
+  /** Publish `files` as the next generation; returns its number. */
+  private[graft] def publishNext(spark: SparkSession, dir: String,
+                                 files: Seq[String]): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    fs.mkdirs(ledger(root))
+    val gen = currentGen(spark, dir) + 1
+    publish(fs, root, gen, files)
+    gen
+  }
+
+  /** Data files (recursive, store-relative) under a freshly written
+    * subtree — what a writer feeds [[publishNext]]. */
+  private[graft] def partFiles(spark: SparkSession, dir: String,
+                               rel: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    filesUnder(fs, root, rel)
+  }
+
+  /** Plan over an exact store-relative file list (the reader's half:
+    * resolve [[currentFiles]] once, select lines, read — the plan is
+    * pinned to those files for its lifetime). */
+  private[graft] def readFiles(spark: SparkSession, dir: String,
+                               files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, s"no files to read under $dir")
+    val (_, root) = fsOf(spark, dir)
+    spark.read.parquet(files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** FILE-grain retirement for bucket-compacted stores: [[retire]]
+    * reclaims at the part-DIRECTORY grain, but a bucket compaction
+    * supersedes single files inside part dirs that stay live for
+    * their other buckets. Deletes every data file under the store's
+    * data subtrees unreferenced by the newest `keepGenerations`
+    * manifests, prunes directories left holding only job markers,
+    * and drops manifests past the window — the same grace bargain as
+    * [[retire]]. */
+  private[graft] def retireFileGrain(spark: SparkSession, dir: String,
+                                     keepGenerations: Int = 2): Unit = {
+    require(keepGenerations >= 1, "keepGenerations must be >= 1")
+    val (fs, root) = fsOf(spark, dir)
+    val gen = currentGen(spark, dir)
+    if (gen == 0L) return
+    val keep = ((gen - keepGenerations + 1) max 1L) to gen
+    val live = keep.flatMap(g =>
+      try manifestFiles(fs, root, g)
+      catch { case _: java.io.FileNotFoundException => Nil }).toSet
+    def meta(n: String) = n.startsWith("_") || n.startsWith(".")
+    def sweep(p: Path): Unit = {
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) sweep(s.getPath)
+        else if (!meta(n) && !live.contains(
+            s.getPath.toString.stripPrefix(root.toString).stripPrefix("/"))) {
+          fs.delete(s.getPath, false)
+          ()
+        }
+      }
+      // a dir left with only job markers (_SUCCESS and friends) holds
+      // no live data — prune it whole
+      if (fs.listStatus(p).forall(s => s.isFile && meta(s.getPath.getName))) {
+        fs.delete(p, true)
+        ()
+      }
+    }
+    fs.listStatus(root).foreach { s =>
+      if (s.isDirectory && !meta(s.getPath.getName)) sweep(s.getPath)
+    }
+    fs.listStatus(ledger(root)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("manifest.") &&
+          n.stripPrefix("manifest.").toLongOption.exists(_ < keep.head)) {
+        fs.delete(s.getPath, false)
+        ()
+      }
+    }
+  }
+
   /** Delete parts unreferenced by the newest `keepGenerations`
     * manifests (>= 1 — CURRENT is always kept), plus orphaned part
     * dirs no manifest ever published (torn writers), plus manifests

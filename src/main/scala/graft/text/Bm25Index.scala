@@ -64,29 +64,38 @@ object Bm25Index {
     n.getInt(0)
   }
 
-  private def write(df: DataFrame, id: Column, text: Column, dir: String,
-                    nBuckets: Int, overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
-    // one tokenization feeds BOTH jobs (postings + stats)
+  /** One tokenization pass feeding BOTH artifacts: sink receives the
+    * batch's bucketed postings rows and its one-row stats part. */
+  private def derive[A](df: DataFrame, id: Column, text: Column,
+                        nBuckets: Int)
+                       (sink: (DataFrame, DataFrame) => A): A = {
     val base = Bm25.tokenized(df, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try sink(
       base.select(col("doc_id"), col("dl"), explode(col("_tk")).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
         .withColumn("bucket",
-          pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+          pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")),
+      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets)))
+    finally { base.unpersist(blocking = false); () }
+  }
+
+  private def write(df: DataFrame, id: Column, text: Column, dir: String,
+                    nBuckets: Int, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    derive(df, id, text, nBuckets) { (postings, stats) =>
+      postings
         .write.mode(mode)
         // STATIC overwrite pinned: under a session's dynamic mode a
         // REBUILD would leave stale buckets absent from the new
         // corpus while meta truncates — an inconsistent index
         .option("partitionOverwriteMode", "static")
         .partitionBy("bucket").parquet(s"$dir/postings")
-      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .withColumn("n_buckets", lit(nBuckets))
-        .write.mode(mode).parquet(s"$dir/meta")
-    } finally { base.unpersist(blocking = false); () }
+      stats.write.mode(mode).parquet(s"$dir/meta")
+    }
   }
 
   /** Compact the index in place — the "35-story" maintenance the
@@ -155,6 +164,179 @@ object Bm25Index {
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
       }
     }
+  }
+
+  // ---- the snapshot-manifest variant (bucket-grain MVCC, r15) ------
+  //
+  // The journaled index above is crash-atomic but NOT reader-isolated:
+  // compact's dynamic partition overwrite deletes a bucket's old files
+  // before renaming the new ones in, so a live reader overlapping
+  // maintenance can see a partial bucket (single-writer DECLARED, the
+  // r14 verdict's last scale weakness in the store family). This
+  // variant publishes the same artifacts through
+  // [[graft.sources.SnapshotStore]]'s versioned manifest at BUCKET
+  // grain: postings/meta batches land as immutable part subtrees
+  // (`parts/p_x/bucket=N/…`, `parts/m_x/…`), each publication is one
+  // atomic CURRENT swap, and a reader resolves CURRENT once — so a
+  // query keeps serving its exact generation while compaction
+  // replaces single buckets' files underneath it (never a mix,
+  // Bm25SnapshotSpec's pin). Serving stays BIT-IDENTICAL to the
+  // journaled path (same postings rows, same associative meta sums,
+  // same [[Bm25.scoreTf]] tail), so q_bm25's oracle applies verbatim
+  // through build + append + compaction. No CommitLog: unpublished
+  // parts are invisible orphans [[retireSnapshot]] sweeps; space
+  // reclamation moves to the manifest's grace window. Scale shape is
+  // unchanged — a query still reads only its terms' buckets (the
+  // prune moves from partition dirs to MANIFEST LINES, which is also
+  // what lets compaction supersede one bucket's files while every
+  // other line rides through).
+
+  /** Bucket id of a manifest line, None for meta/non-bucket lines. */
+  private val BucketRe = "/bucket=(\\d+)/".r
+  private def bucketOf(line: String): Option[Int] =
+    BucketRe.findFirstMatchIn(line).map(_.group(1).toInt)
+  private def isMetaLine(l: String): Boolean = l.startsWith("parts/m_")
+
+  /** The stored bucket count, from the snapshot's meta lines. */
+  private def bucketsOfMeta(meta: DataFrame, dir: String): Int = {
+    val n = meta.select(min(col("n_buckets")), max(col("n_buckets"))).head()
+    require(n.getInt(0) == n.getInt(1),
+      s"inconsistent n_buckets in $dir: ${n.getInt(0)} vs ${n.getInt(1)}")
+    n.getInt(0)
+  }
+
+  private def snapshotMeta(spark: SparkSession, dir: String,
+                           lines: Seq[String]): DataFrame =
+    graft.sources.SnapshotStore.readFiles(spark, dir, lines.filter(isMetaLine))
+
+  /** Write one batch's postings + stats as fresh immutable parts and
+    * publish `keep ++ their files` as the next generation. */
+  private def publishParts(df: DataFrame, id: Column, text: Column,
+                           dir: String, nBuckets: Int,
+                           keep: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    derive(df, id, text, nBuckets) { (postings, stats) =>
+      // one file per bucket (repartition on the partition column) —
+      // the artifact's file count grows with BATCHES, not tasks
+      postings.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$dir/parts/p_$uid")
+      stats.coalesce(1).write.parquet(s"$dir/parts/m_$uid")
+    }
+    graft.sources.SnapshotStore.publishNext(spark, dir, keep ++
+      graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/p_$uid") ++
+      graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/m_$uid"))
+    ()
+  }
+
+  /** Build the snapshot index (a rebuild publishes a manifest of only
+    * the new parts — superseded files await [[retireSnapshot]], so
+    * in-flight readers of the old corpus keep serving it). */
+  def buildSnapshot(df: DataFrame, id: Column, text: Column, dir: String,
+                    nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1)
+    publishParts(df, id, text, dir, nBuckets, Nil)
+  }
+
+  /** Append one batch: new parts + the prior generation's lines,
+    * published atomically. Layout truth (bucket count) comes from the
+    * stored meta, as in [[append]]. */
+  def appendSnapshot(df: DataFrame, id: Column, text: Column,
+                     dir: String): Unit = {
+    val spark = df.sparkSession
+    val lines = graft.sources.SnapshotStore.currentFiles(spark, dir)
+    publishParts(df, id, text, dir,
+      bucketsOfMeta(snapshotMeta(spark, dir, lines), dir), lines)
+  }
+
+  /** Fold every fragmented bucket (>= `minParts` manifest lines) to
+    * one file and the meta parts to one row, as ONE new generation:
+    * intact buckets' lines ride through untouched, replaced files
+    * stay on disk for in-flight readers, and serving is bit-identical
+    * (rows re-filed, the meta fold is the sum serving computes). */
+  def compactSnapshot(spark: SparkSession, dir: String,
+                      minParts: Int = 2): Unit = {
+    val store = graft.sources.SnapshotStore
+    val lines = store.currentFiles(spark, dir)
+    val byBucket = lines.flatMap(l => bucketOf(l).map(_ -> l))
+      .groupBy(_._1).map { case (b, ls) => b -> ls.map(_._2) }
+    val fragFiles = byBucket.valuesIterator
+      .filter(_.length >= minParts).flatten.toSeq
+    val metaLines = lines.filter(isMetaLine)
+    val metaFold = metaLines.length >= minParts
+    if (fragFiles.isEmpty && !metaFold) return
+    val nb = bucketsOfMeta(snapshotMeta(spark, dir, lines), dir)
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    var next = lines
+    if (fragFiles.nonEmpty) {
+      // bucket is re-derived from term — the very function that
+      // assigned it — so the fold needs no partition-column recovery
+      store.readFiles(spark, dir, fragFiles)
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(nb)).cast("int"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$dir/parts/c_$uid")
+      next = next.filterNot(fragFiles.toSet) ++
+        store.partFiles(spark, dir, s"parts/c_$uid")
+    }
+    if (metaFold) {
+      import spark.implicits._
+      val r = store.readFiles(spark, dir, metaLines)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
+          min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
+        .head()
+      require(r.getInt(2) == r.getInt(3),
+        s"inconsistent n_buckets in $dir: ${r.getInt(2)} vs ${r.getInt(3)}")
+      Seq((r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toDF("n_docs", "sum_dl", "n_buckets")
+        .coalesce(1).write.parquet(s"$dir/parts/m_$uid")
+      next = next.filterNot(metaLines.toSet) ++
+        store.partFiles(spark, dir, s"parts/m_$uid")
+    }
+    store.publishNext(spark, dir, next)
+    ()
+  }
+
+  /** Reclaim files unreferenced by the newest `keepGenerations`
+    * manifests (file grain — a compaction supersedes single files
+    * inside part dirs that stay live for their other buckets), plus
+    * torn writers' orphans. Size the window to the longest reader. */
+  def retireSnapshot(spark: SparkSession, dir: String,
+                     keepGenerations: Int = 2): Unit =
+    graft.sources.SnapshotStore.retireFileGrain(spark, dir, keepGenerations)
+
+  /** [[topK]] served from the manifest's CURRENT generation: the
+    * query's term buckets select manifest LINES (the static prune,
+    * now at file grain), and the whole plan pins to that exact file
+    * set for its lifetime — bit-identical to [[Bm25.topK]] over the
+    * same corpus. */
+  def topKSnapshot(spark: SparkSession, dir: String,
+                   queries: Seq[(Int, String)], k: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val store = graft.sources.SnapshotStore
+    val lines = store.currentFiles(spark, dir)
+    val meta = snapshotMeta(spark, dir, lines)
+    val nBuckets = bucketsOfMeta(meta, dir)
+    val qTerms = Bm25.queryTerms(spark, queries)
+    val terms = qTerms.select("term").distinct()
+    val bks = terms.withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    val postLines = lines.filter(l => bucketOf(l).exists(bks))
+    val tfAll =
+      if (postLines.nonEmpty) store.readFiles(spark, dir, postLines)
+      else {
+        // none of the query's buckets materialized a file: serve the
+        // empty result in the postings schema (one any-bucket footer)
+        val any = lines.filter(l => bucketOf(l).isDefined)
+        require(any.nonEmpty, s"empty snapshot BM25 index at $dir")
+        store.readFiles(spark, dir, any.take(1)).limit(0)
+      }
+    val tf = tfAll.join(broadcast(terms), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val stats = meta
+      .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
+    Bm25.scoreTf(tf, stats, qTerms, k, k1, b)
   }
 
   /** Serve top-`k` per query from the persisted index — bit-identical
