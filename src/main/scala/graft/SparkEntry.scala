@@ -91,14 +91,17 @@ object SparkEntry {
   }
 
   /** Build-once publish of a /tmp artifact dir: `build` writes into a
-    * staged dir whose LAST write must create `meta/_SUCCESS` (the
-    * completion marker), then an atomic rename publishes. Torn-dir
-    * replacement is serialized through a lock file so two racers
-    * cannot delete each other's freshly published artifact; the lock
-    * loser waits for the winner's publish instead of deleting. */
-  private def publishCached(dir: String)(build: String => Unit): Unit = {
+    * staged dir whose LAST write must create `marker` (the relative
+    * completion marker — `meta/_SUCCESS` for the parts stores,
+    * `_ledger/CURRENT` for the manifest stores), then an atomic rename
+    * publishes. Torn-dir replacement is serialized through a lock
+    * file so two racers cannot delete each other's freshly published
+    * artifact; the lock loser waits for the winner's publish instead
+    * of deleting. */
+  private def publishCached(dir: String, marker: String = "meta/_SUCCESS")
+                           (build: String => Unit): Unit = {
     val target = new java.io.File(dir)
-    def published = new java.io.File(s"$dir/meta/_SUCCESS").exists()
+    def published = new java.io.File(s"$dir/$marker").exists()
     if (published) return
     val stage = new java.io.File(
       dir + ".stage." + java.lang.ProcessHandle.current().pid())
@@ -136,9 +139,10 @@ object SparkEntry {
     * of the %11 corpus built once per dataset) and the id threshold —
     * so the
     * registry q_icorpus measures the INCREMENT path, never the base
-    * build, exactly like [[knnBaseIndex]] for q_knn_ins. Works because
-    * CorpusIncrement.build writes meta/ LAST: its _SUCCESS doubles as
-    * the publish-completion marker. */
+    * build, exactly like [[knnBaseIndex]] for q_knn_ins. The store's
+    * own `_ledger/CURRENT` (written by the build's manifest publish,
+    * which is its LAST write) doubles as the publish-completion
+    * marker. */
   private def icorpusBase(s: SparkSession, d: String): (String, Long) = {
     val docs = documents(s, d)
     val corpus = docs.filter(col("doc_id") % 11 =!= 0)
@@ -154,8 +158,8 @@ object SparkEntry {
         lit(1000000007L)))).head()
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     val dir =
-      s"/tmp/graft_icorpus_v2_${new java.io.File(d).getName}_$fp"
-    publishCached(dir) { stage =>
+      s"/tmp/graft_icorpus_v3_${new java.io.File(d).getName}_$fp"
+    publishCached(dir, marker = "_ledger/CURRENT") { stage =>
       graft.text.CorpusIncrement.build(base,
         docs.filter(col("doc_id") % 11 === 0), stage,
         rates = Map("en" -> 0.25, "zh" -> 0.8))

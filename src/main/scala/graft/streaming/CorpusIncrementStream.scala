@@ -16,21 +16,26 @@ import graft.text.CorpusIncrement
   * completes the story by maintaining the GLOBAL stages' artifacts
   * between batches.
   *
-  * Replay semantics: an increment touches SEVERAL artifact dirs, so
-  * it cannot be made atomic by one dynamic overwrite; the batch runs
-  * under [[ExactlyOnce.ledgered]]'s rollback journal
-  * ([[graft.sources.CommitLog]]). A replayed COMPLETED batch (crash
-  * after the work, before the checkpoint commit) is skipped by its
-  * commit marker; a crash MID-increment — between any two of the
-  * eight artifact writes, or mid-write-job — is rolled back to the
-  * journaled pre-batch file census, byte-exactly, before the next
-  * batch (or any recover-attached reader) sees the store. The
-  * increment path only ever ADDS files (appends + fresh pair/label
-  * version dirs — CorpusIncrement's add-only contract), which is what
-  * makes undo-by-delete exact. Crash-injection recovery is pinned in
-  * CorpusIncrementStreamSpec (serving == the batch rebuild after
-  * kill + recover + replay). Batch doc-id monotonicity is the 31g3
-  * ordering contract, enforced fail-fast by the increment itself. */
+  * Replay semantics (r15 — manifest-native): an increment publishes
+  * ONE manifest generation across all eight artifact dirs, so the
+  * store needs no rollback journal — a crash between ANY two artifact
+  * writes (or mid-write-job) leaves only unpublished debris that no
+  * reader resolves and [[CorpusIncrement.compact]]'s retirement
+  * sweeps; the next attempt re-runs against the prior generation with
+  * no recovery step. Exactly-once then needs only a replay gate:
+  *  - a batch with its commit marker (`_ledger/batch.<id>`, written
+  *    after the publish) is SKIPPED;
+  *  - a marker-less batch whose ids are all <= the store's committed
+  *    max doc id was PUBLISHED by a run that died between the CURRENT
+  *    swap and its marker — the only way the manifest-resolved meta
+  *    can reflect the batch — so it is marked and skipped, never
+  *    double-applied (the increment's own monotonic-ids fail-fast
+  *    would refuse it anyway, but a refusal would wedge the stream);
+  *  - anything else applies and then marks.
+  * Batch doc-id monotonicity is the 31g3 ordering contract, enforced
+  * fail-fast by the increment itself. Crash faces are pinned in
+  * CorpusIncrementStreamSpec (mid-increment debris invisible; lost
+  * marker skipped; replayed completed batch a no-op). */
 object CorpusIncrementStream {
 
   def maintain(docs: DataFrame, dir: String,
@@ -41,9 +46,26 @@ object CorpusIncrementStream {
       .foreachBatch(maintainBatch(dir) _)
       .start()
 
+  private def markerPath(dir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"_ledger/batch.$batchId")
+
   /** The foreachBatch handler (exposed for the spec's replay pins). */
-  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
-    ExactlyOnce.ledgered(dir) { (b, _) =>
-      if (!b.isEmpty) { CorpusIncrement.increment(b, dir); () }
-    }(batch, batchId)
+  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = markerPath(dir, batchId)
+    if (fs.exists(marker)) return
+    def mark(): Unit = { fs.create(marker, true).close() }
+    if (batch.isEmpty) { mark(); return }
+    val bMax = batch.agg(
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0)
+    if (bMax <= CorpusIncrement.maxDocId(spark, dir)) {
+      // published, marker lost: commit the marker and move on
+      mark(); return
+    }
+    CorpusIncrement.increment(batch, dir)
+    mark()
+  }
 }

@@ -20,15 +20,33 @@ import graft.operators.{ConnectedComponents, Rounds}
   * df-band-crossing cases where a batch doc retroactively changes
   * BASE-vs-BASE pair evidence).
   *
-  * Artifacts under `dir` (ADD-ONLY on the increment path: parquet
-  * appends plus fresh version directories — the property the
-  * rollback journal's undo-by-delete depends on):
+  * PUBLICATION (r15): the whole artifact set rides ONE versioned
+  * manifest ([[graft.sources.SnapshotStore]]'s bucket-grain
+  * primitives) — every write lands as a fresh immutable part subtree,
+  * and a build/increment/compaction publishes ONE manifest generation
+  * spanning all eight artifact dirs (one atomic CURRENT swap). That
+  * subsumes both of the previous protocols at once: the rollback
+  * journal (a kill between ANY two dir writes just leaves unpublished
+  * debris — readers resolve the prior generation with no recovery
+  * step, CorpusIncrementStreamSpec's pin) and the pairs/labels
+  * `v=K` version-pair lockstep (the old torn-version fail-fast is
+  * structurally unreachable: both artifacts change in the same
+  * generation or neither). Readers are SNAPSHOT-ISOLATED: a query
+  * resolves CURRENT once and keeps its exact file set across
+  * concurrent maintenance; superseded and orphaned files are
+  * reclaimed by [[compact]]'s file-grain retirement behind a
+  * generation grace window.
+  *
+  * Artifacts under `dir` (each part subtree immutable once written):
   *  - `hidx/`   (h = xxhash64(text), doc_id): exact-dedup index, one
   *    row per distinct surviving text (22a's artifact);
   *  - `post/`   (shingle, doc_id) for every exact-dedup survivor,
   *    partitioned by shingle-hash bucket, plus the DUAL doc-bucketed
   *    copy `postd/` — shingle-keyed and doc-keyed probes each prune
-  *    statically, at 2x linear storage (the dual-index trade);
+  *    statically, at 2x linear storage (the dual-index trade); under
+  *    the manifest the prune selects manifest LINES by bucket, which
+  *    is also what lets compaction supersede one bucket's files while
+  *    every other line rides through;
   *  - `df/`     additive (shingle, df) parts — document frequency is a
   *    SUM over parts, so an append never rewrites old rows (the
   *    LSM/delta pattern; merge at read is an increment-grain groupBy);
@@ -41,12 +59,8 @@ import graft.operators.{ConnectedComponents, Rounds}
   *    the two artifacts whose contents an increment REPLACES (pair
   *    evidence can be retracted, see below), both sparse (dup
   *    evidence, not corpus) so the rewrite is cheap. Each replacement
-  *    lands as a fresh `v=K/` VERSION directory (readers resolve the
-  *    latest version published with a `_SUCCESS`; superseded versions
-  *    are retired by [[compact]], the same cadence that folds small
-  *    parts) — so an increment only ever ADDS files, which is what
-  *    lets the streaming wrapper's rollback journal
-  *    ([[graft.sources.CommitLog]]) undo a torn batch exactly;
+  *    is a fresh part subtree whose lines supersede the old ones in
+  *    the SAME generation as every other artifact's append;
   *  - `meta/`   params + the running max doc id (layout truth read
   *    back at increment time, the Bm25Index lesson).
   *
@@ -91,7 +105,8 @@ import graft.operators.{ConnectedComponents, Rounds}
   * once — the last is output-grain and inherent: the result IS the
   * whole corpus sample); every such read statically prunes to the
   * probe set's buckets (driver-collected bucket ids, the 30l3
-  * pattern). Every exchange is increment-grain.
+  * pattern, served from manifest lines without listing a single
+  * untouched bucket). Every exchange is increment-grain.
   * Bounded-batch contract as for 23e: a batch of corpus magnitude is
   * a rebuild, not an increment. The one assembly join (labels onto
   * exdocs) is dup-evidence-sized on the build side; at corpus scale
@@ -106,9 +121,88 @@ object CorpusIncrement {
                           rates: Map[String, Double], defaultRate: Double,
                           maxDocId: Long)
 
-  private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val rows = spark.read.parquet(s"$dir/meta").collect()
-    require(rows.nonEmpty, s"no meta under $dir")
+  // ---- manifest plumbing ---------------------------------------------
+
+  private val BucketRe = "/bucket=(\\d+)/".r
+  private def bucketLine(line: String): Option[Int] =
+    BucketRe.findFirstMatchIn(line).map(_.group(1).toInt)
+
+  /** One operation's view of the store: the committed manifest lines
+    * resolved ONCE, plus the parts this operation has written so far
+    * (an increment reads the df/post parts it just appended — the
+    * band analysis needs the NEW state), minus lines it supersedes
+    * (pairs/labels replacements, compaction folds). [[publish]] swaps
+    * the whole view in as the next generation — one atomic CURRENT
+    * rename across all eight artifact dirs. */
+  private final class Store(val spark: SparkSession, val dir: String,
+                            rebuild: Boolean = false) {
+    private val base: Seq[String] =
+      if (rebuild) Nil
+      else graft.sources.SnapshotStore.currentFiles(spark, dir)
+    private val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val dropped = scala.collection.mutable.Set.empty[String]
+
+    def lines: Seq[String] = base.filterNot(dropped) ++ pending
+    def linesOf(name: String): Seq[String] =
+      lines.filter(_.startsWith(name + "/"))
+
+    /** A fresh immutable part path for `name` (never collides — every
+      * write of every attempt gets its own subtree). */
+    def fresh(name: String): String =
+      s"$name/p_${java.util.UUID.randomUUID().toString.take(12)}"
+
+    /** Register a just-written part's files as pending lines. NOT
+      * thread-safe — concurrent write groups register after joining. */
+    def register(rel: String): Unit = {
+      pending ++= graft.sources.SnapshotStore.partFiles(spark, dir, rel)
+      ()
+    }
+
+    /** Supersede an artifact's COMMITTED lines (pending ones stay). */
+    def drop(name: String): Unit = {
+      dropped ++= base.filter(_.startsWith(name + "/"))
+      ()
+    }
+
+    def dropLines(ls: Seq[String]): Unit = { dropped ++= ls; () }
+
+    def table(name: String): DataFrame = {
+      val ls = linesOf(name)
+      require(ls.nonEmpty, s"no $name artifact under $dir")
+      graft.sources.SnapshotStore.readFiles(spark, dir, ls)
+    }
+
+    /** The artifact restricted to `bks` buckets — a pure manifest-line
+      * selection (the static prune). An empty selection serves the
+      * empty frame in the artifact's schema (one footer read). */
+    def tableBuckets(name: String, bks: Seq[Int]): DataFrame = {
+      val want = bks.toSet
+      val ls = linesOf(name).filter(l => bucketLine(l).exists(want))
+      if (ls.nonEmpty) graft.sources.SnapshotStore.readFiles(spark, dir, ls)
+      else table(name).limit(0)
+    }
+
+    def publish(): Unit = {
+      graft.sources.SnapshotStore.publishNext(spark, dir, lines)
+      ()
+    }
+  }
+
+  /** Manifest-resolved read of one artifact (the spec/ops surface —
+    * a raw `spark.read.parquet(dir/name)` would also see superseded
+    * and unpublished files). */
+  def artifact(spark: SparkSession, dir: String, name: String): DataFrame =
+    new Store(spark, dir).table(name)
+
+  /** The store's committed max doc id — the streaming wrapper's
+    * already-applied probe (a batch whose ids are all <= this was
+    * published by a run that died before its marker). */
+  def maxDocId(spark: SparkSession, dir: String): Long =
+    readMeta(new Store(spark, dir)).maxDocId
+
+  private def readMeta(st: Store): Meta = {
+    val rows = st.table("meta").collect()
+    require(rows.nonEmpty, s"no meta under ${st.dir}")
     val ps = rows.map { r =>
       (r.getInt(r.fieldIndex("shingle_k")), r.getDouble(r.fieldIndex("threshold")),
         r.getLong(r.fieldIndex("max_df")), r.getInt(r.fieldIndex("decon_n")),
@@ -117,57 +211,24 @@ object CorpusIncrement {
         r.getSeq[Double](r.fieldIndex("rate_bps")),
         r.getDouble(r.fieldIndex("default_rate")))
     }.distinct
-    require(ps.length == 1, s"inconsistent meta under $dir")
+    require(ps.length == 1, s"inconsistent meta under ${st.dir}")
     val p = ps.head
     Meta(p._1, p._2, p._3, p._4, p._5, p._6.zip(p._7).toMap, p._8,
       rows.map(_.getLong(rows.head.fieldIndex("max_doc_id"))).max)
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, m: Meta,
-                        overwrite: Boolean): Unit = {
-    import spark.implicits._
+  /** One meta row as a fresh part (the manifest supersedes/extends —
+    * no overwrite mode exists in this store). */
+  private def writeMeta(st: Store, m: Meta): Unit = {
+    import st.spark.implicits._
     val (grps, rs) = m.rates.toSeq.sortBy(_._1).unzip
+    val rel = st.fresh("meta")
     Seq((m.k, m.threshold, m.maxDf, m.deconN, m.nBuckets, grps, rs,
         m.defaultRate, m.maxDocId))
       .toDF("shingle_k", "threshold", "max_df", "decon_n", "n_buckets",
         "rate_grps", "rate_bps", "default_rate", "max_doc_id")
-      .coalesce(1)
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .parquet(s"$dir/meta")
-  }
-
-  /** Latest version of a `v=K/`-versioned artifact, counting only
-    * versions PUBLISHED by their write job's `_SUCCESS` marker — a
-    * torn version directory (crash mid-write) is invisible to
-    * readers even before [[graft.sources.CommitLog.recover]] removes
-    * it. */
-  private def latestV(fs: org.apache.hadoop.fs.FileSystem,
-                      dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val vs = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filter(v => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS")))
-    require(vs.nonEmpty, s"no published version under $dir")
-    vs.max
-  }
-
-  /** The store's current pair/label version — the two artifacts
-    * version in lockstep (pairs then labels per increment), so a
-    * mismatch means a torn DIRECT-API increment: fail fast and name
-    * the repair rather than serve a pair graph against another
-    * version's components. */
-  private def currentV(spark: SparkSession, dir: String): Long = {
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val vp = latestV(fs, s"$dir/pairs")
-    val vl = latestV(fs, s"$dir/labels")
-    require(vp == vl,
-      s"torn pair/label versions under $dir ($vp vs $vl): " +
-        "run graft.sources.CommitLog.recover, or re-run the increment " +
-        "under the streaming wrapper's journal")
-    vp
+      .coalesce(1).write.parquet(s"${st.dir}/$rel")
+    st.register(rel)
   }
 
   /** Run independent driver actions as CONCURRENT Spark jobs (one
@@ -195,25 +256,25 @@ object CorpusIncrement {
       pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
 
   /** [[prunedByShingle]]'s doc-keyed twin over the `postd/` dual
-    * layout: static partition pruning by the filter docs' buckets,
+    * layout: manifest-line selection by the filter docs' buckets,
     * then the broadcast semi join. */
-  private def prunedByDoc(table: DataFrame, docs: DataFrame,
+  private def prunedByDoc(st: Store, name: String, docs: DataFrame,
                           nBuckets: Int): DataFrame = {
     val bks = docBucketed(docs, nBuckets)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    table.filter(col("bucket").isin(bks: _*))
+    st.tableBuckets(name, bks)
       .join(broadcast(docs), Seq("doc_id"), "left_semi")
   }
 
   /** Map-side broadcast-filtered read of a shingle-bucketed artifact:
-    * statically prunes to the filter set's buckets (driver-collected
+    * selects the filter set's buckets' manifest lines (driver-computed
     * bucket ids, <= nBuckets values) then semi-joins the broadcast
     * increment-grain shingle set. */
-  private def prunedByShingle(table: DataFrame, shingles: DataFrame,
+  private def prunedByShingle(st: Store, name: String, shingles: DataFrame,
                               nBuckets: Int): DataFrame = {
     val bks = bucketed(shingles, nBuckets)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    table.filter(col("bucket").isin(bks: _*))
+    st.tableBuckets(name, bks)
       .join(broadcast(shingles), Seq("shingle"), "left_semi")
   }
 
@@ -270,17 +331,17 @@ object CorpusIncrement {
   /** The corpus sample served from the artifacts: near-dup canonical
     * keep (labels join), decon gate, deterministic stratified
     * sampling — output (doc_id, lang, source), the 31g contract. */
-  def assemble(spark: SparkSession, dir: String): DataFrame =
-    assembleAt(spark, dir, readMeta(spark, dir), currentV(spark, dir))
+  def assemble(spark: SparkSession, dir: String): DataFrame = {
+    val st = new Store(spark, dir)
+    assembleSt(st, readMeta(st))
+  }
 
-  /** [[assemble]] with the meta row and pair/label version already in
-    * hand — the increment's tail calls this directly so the store's
-    * meta and version directories are not re-read and re-listed by
-    * the very call that just wrote them. */
-  private def assembleAt(spark: SparkSession, dir: String, m: Meta,
-                         v: Long): DataFrame = {
-    val kept = spark.read.parquet(s"$dir/exdocs")
-      .join(spark.read.parquet(s"$dir/labels/v=$v")
+  /** [[assemble]] against an already-resolved store view and meta row
+    * — the increment's tail calls this directly so the manifest and
+    * meta are not re-read by the very call that just published them. */
+  private def assembleSt(st: Store, m: Meta): DataFrame = {
+    val kept = st.table("exdocs")
+      .join(st.table("labels")
         .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .filter(col("dflag") === 0)
@@ -289,19 +350,23 @@ object CorpusIncrement {
       .select("doc_id", "lang", "source")
   }
 
-  /** Full build over `base`, persisting every artifact under `dir`
-    * (all dirs overwritten — a rebuild resets the store). Returns the
-    * assembled corpus output (== [[CorpusBuild.run]] over `base`). */
+  /** Full build over `base`, persisting every artifact under `dir` as
+    * ONE manifest generation (a rebuild publishes only the new parts —
+    * any previous generation's files await [[compact]]'s retirement).
+    * Returns the assembled corpus output (== [[CorpusBuild.run]] over
+    * `base`). */
   def build(base: DataFrame, eval: DataFrame, dir: String,
             shingleK: Int = 3, threshold: Double = 0.5,
             maxDf: Long = 1000L, deconN: Int = 8,
             rates: Map[String, Double] = Map.empty,
             defaultRate: Double = 1.0, nBuckets: Int = 64): DataFrame = {
     val spark = base.sparkSession
+    val st = new Store(spark, dir, rebuild = true)
     val ex = exSurvivors(base).persist(lvl)
     ex.count()
-    ex.select(col("h"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/hidx")
+    val relH = st.fresh("hidx")
+    ex.select(col("h"), col("doc_id")).write.parquet(s"$dir/$relH")
+    st.register(relH)
     val arr = ex.select(col("doc_id"),
         graft.functions.WordShingles(col("text"), shingleK).as("shs"))
       .filter(size(col("shs")) > 0).persist(lvl)
@@ -311,48 +376,50 @@ object CorpusIncrement {
     // without it every task writes into every bucket dir (tasks x
     // buckets small files) and all later artifact scans pay the
     // listing/footer cost (the BucketMaintenance write shape)
+    val relP = st.fresh("post")
     bucketed(post, nBuckets).repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("bucket").parquet(s"$dir/post")
+      .write.partitionBy("bucket").parquet(s"$dir/$relP")
+    st.register(relP)
     // the DUAL doc-bucketed copy: shingle-keyed probes (df lookups,
     // postings of band-relevant shingles) prune post/; doc-keyed
     // probes (the affected-doc full postings) prune postd/ — both
-    // access patterns are static partition prunes, at 2x linear
-    // storage (the standard dual-index trade)
+    // access patterns are manifest-line prunes, at 2x linear storage
+    // (the standard dual-index trade)
+    val relPd = st.fresh("postd")
     docBucketed(post, nBuckets).repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("bucket").parquet(s"$dir/postd")
+      .write.partitionBy("bucket").parquet(s"$dir/$relPd")
+    st.register(relPd)
+    val relDf = st.fresh("df")
     bucketed(post.groupBy("shingle").agg(count(lit(1)).as("df")), nBuckets)
       .repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("bucket").parquet(s"$dir/df")
+      .write.partitionBy("bucket").parquet(s"$dir/$relDf")
+    st.register(relDf)
+    val relEv = st.fresh("evalsh")
     eval.select(explode(
         graft.functions.WordShingles(col("text"), deconN)).as("g"))
-      .distinct().write.mode("overwrite").parquet(s"$dir/evalsh")
-    intrinsics(ex, spark.read.parquet(s"$dir/evalsh"), deconN, shingleK)
-      .write.mode("overwrite").parquet(s"$dir/exdocs")
+      .distinct().write.parquet(s"$dir/$relEv")
+    st.register(relEv)
+    val relEx = st.fresh("exdocs")
+    intrinsics(ex, st.table("evalsh"), deconN, shingleK)
+      .write.parquet(s"$dir/$relEx")
+    st.register(relEx)
     val sizes = arr.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
-    // a rebuild resets the versioned artifacts outright (stale higher
-    // versions from a previous store generation must not outrank v=0)
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    Seq("pairs", "labels").foreach(a =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$a"), true))
-    pairsFrom(post, sizes, maxDf, threshold)
-      .write.parquet(s"$dir/pairs/v=0")
-    val pairs = spark.read.parquet(s"$dir/pairs/v=0")
-    labelsOf(spark, pairs).write.parquet(s"$dir/labels/v=0")
+    val relPr = st.fresh("pairs")
+    pairsFrom(post, sizes, maxDf, threshold).write.parquet(s"$dir/$relPr")
+    st.register(relPr)
+    val pairs = st.table("pairs")
+    val relL = st.fresh("labels")
+    labelsOf(spark, pairs).write.parquet(s"$dir/$relL")
+    st.register(relL)
     val maxId = base.agg(max(col("doc_id"))).head()
     require(!maxId.isNullAt(0), "empty base corpus")
     val meta = Meta(shingleK, threshold, maxDf, deconN, nBuckets,
       rates, defaultRate, maxId.getLong(0))
-    writeMeta(spark, dir, meta, overwrite = true)
+    writeMeta(st, meta)
+    st.publish()
     ex.unpersist(blocking = false)
     arr.unpersist(blocking = false)
-    assembleAt(spark, dir, meta, 0L)
+    assembleSt(st, meta)
   }
 
   private def labelsOf(spark: SparkSession, edges: DataFrame): DataFrame =
@@ -363,107 +430,92 @@ object CorpusIncrement {
       edges.select(col("d1").as("src"), col("d2").as("dst")))
 
   /** Periodic artifact maintenance — the store-side twin of
-    * [[graft.text.Bm25Index.compact]]: every increment appends one
-    * part per touched artifact, so at crawl cadence the stores accrete
-    * files (and `df/`, the ADDITIVE artifact, accretes one row per
-    * (shingle, batch) whose sum every read re-aggregates). Compaction
-    * folds each fragmented df bucket by SUMMING its rows per shingle —
-    * the same associative merge reads already perform, so every later
-    * read, increment, and [[assemble]] is bit-identical before/after
-    * (CorpusIncrementSpec pins it by running the same next batch
-    * through a compacted and an uncompacted clone) — and re-files the
-    * disjoint-row stores (post/hidx/exdocs: batch slices never overlap
-    * by construction, so theirs is pure file folding). pairs/labels
-    * are rewritten whole by every increment and need nothing. */
+    * [[graft.text.Bm25Index.compactSnapshot]]: every increment appends
+    * one part per touched artifact, so at crawl cadence the stores
+    * accrete files (and `df/`, the ADDITIVE artifact, accretes one row
+    * per (shingle, batch) whose sum every read re-aggregates).
+    * Compaction folds each fragmented df bucket by SUMMING its rows
+    * per shingle — the same associative merge reads already perform,
+    * so every later read, increment, and [[assemble]] is bit-identical
+    * before/after (CorpusIncrementSpec pins it by running the same
+    * next batch through a compacted and an uncompacted clone) — and
+    * re-files the disjoint-row stores (post/hidx/exdocs: batch slices
+    * never overlap by construction, so theirs is pure file folding).
+    * pairs/labels are replaced whole by every increment and need
+    * nothing. Everything publishes as ONE new generation (no journal:
+    * replaced files stay on disk for in-flight readers), then
+    * file-grain retirement reclaims parts unreferenced by the newest
+    * `keepGenerations` manifests — superseded folds, old pairs/labels
+    * replacements, and any torn run's unpublished debris. Fragment
+    * census = manifest lines per bucket (no filesystem listing). */
   def compact(spark: SparkSession, dir: String, minParts: Int = 2,
-              targetFiles: Int = 1): Unit = {
-    // plan first, then run every rewrite under ONE rewrite journal
-    // (CommitLog.rewriting): a kill inside any overwrite's
-    // delete-then-rename commit window restores the backed-up
-    // originals byte-for-byte instead of tearing an artifact (r13).
-    // Backup cost = the fragmented slice being rewritten — the same
-    // order as the rewrite itself.
-    def frag(t: String) = graft.sources.BucketMaintenance
-      .fragmentedBuckets(spark, s"$dir/$t", minParts)
-    val (fDf, fPost, fPostd) = (frag("df"), frag("post"), frag("postd"))
-    val folds = Seq("hidx", "exdocs").filter(t =>
-      spark.read.parquet(s"$dir/$t").inputFiles.length >=
-        minParts + targetFiles - 1)
-    val metaFold =
-      spark.read.parquet(s"$dir/meta").inputFiles.length >= minParts
-    val backup =
-      fDf.map(b => s"df/bucket=$b") ++ fPost.map(b => s"post/bucket=$b") ++
-        fPostd.map(b => s"postd/bucket=$b") ++ folds ++
-        (if (metaFold) Seq("meta") else Nil)
-    // rename-displacing journal (r14): every rewrite stages its fully
-    // materialized replacement FIRST, then the fragmented slices are
-    // displaced into the undo by rename — the copy-based backup paid
-    // a second full write of exactly the data being compacted
-    if (backup.nonEmpty) graft.sources.CommitLog.rewritingStaged(
-      spark, dir, backup)({
-      val sDf = graft.sources.BucketMaintenance.stageRewrite(spark,
-        s"$dir/df", fDf,
-        _.groupBy("shingle", "bucket").agg(sum(col("df")).as("df"))
-          .select("shingle", "df", "bucket"))
-      val sPost = graft.sources.BucketMaintenance.stageRewrite(spark,
-        s"$dir/post", fPost)
-      val sPostd = graft.sources.BucketMaintenance.stageRewrite(spark,
-        s"$dir/postd", fPostd)
-      // hidx/exdocs are unbucketed: fold to `targetFiles` (corpus-scale
-      // callers size it to keep files executor-memory-shaped; the
-      // default 1 is the registry/test scale)
-      val sFolds = folds.map { t =>
-        val (snap, rdd) = Rounds.materialize(
-          spark.read.parquet(s"$dir/$t").coalesce(targetFiles), lvl)
-        rdd.count()
-        (t, snap, rdd)
+              targetFiles: Int = 1, keepGenerations: Int = 2): Unit = {
+    val st = new Store(spark, dir)
+    var changed = false
+    // bucketed artifacts: fold each fragmented bucket's lines into one
+    // file inside a fresh part; bucket is re-derived from the very
+    // hash that assigned it (the files carry no partition column)
+    def foldBuckets(name: String, rebucket: DataFrame => DataFrame,
+                    fold: DataFrame => DataFrame): Unit = {
+      val byBucket = st.linesOf(name).flatMap(l => bucketLine(l).map(_ -> l))
+        .groupBy(_._1).map { case (b, ls) => b -> ls.map(_._2) }
+      val fragLines = byBucket.valuesIterator
+        .filter(_.length >= minParts).flatten.toSeq
+      if (fragLines.nonEmpty) {
+        val rel = st.fresh(name)
+        rebucket(fold(
+            graft.sources.SnapshotStore.readFiles(spark, dir, fragLines)))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/$rel")
+        st.dropLines(fragLines)
+        st.register(rel)
+        changed = true
       }
-      // meta folds to one row: same params (enforced), running max id
-      val mMeta = if (metaFold) Some(readMeta(spark, dir)) else None
-      (Seq(sDf, sPost, sPostd).flatten, sFolds, mMeta)
-    }) { case (staged, sFolds, mMeta) =>
-      staged.foreach(graft.sources.BucketMaintenance.publishRewrite(spark, _))
-      sFolds.foreach { case (t, snap, rdd) =>
-        snap.write.mode("overwrite").parquet(s"$dir/$t")
-        rdd.unpersist(blocking = false)
+    }
+    val nBuckets = readMeta(st).nBuckets
+    foldBuckets("df", bucketed(_, nBuckets),
+      _.groupBy("shingle").agg(sum(col("df")).as("df")))
+    foldBuckets("post", bucketed(_, nBuckets), identity)
+    foldBuckets("postd", docBucketed(_, nBuckets), identity)
+    // hidx/exdocs are unbucketed: fold to `targetFiles` (corpus-scale
+    // callers size it to keep files executor-memory-shaped; the
+    // default 1 is the registry/test scale)
+    Seq("hidx", "exdocs").foreach { t =>
+      val ls = st.linesOf(t)
+      if (ls.length >= minParts + targetFiles - 1) {
+        val rel = st.fresh(t)
+        graft.sources.SnapshotStore.readFiles(spark, dir, ls)
+          .coalesce(targetFiles).write.parquet(s"$dir/$rel")
+        st.dropLines(ls)
+        st.register(rel)
+        changed = true
       }
-      mMeta.foreach(m => writeMeta(spark, dir, m, overwrite = true))
     }
-    // retire superseded pair/label VERSION directories AFTER the
-    // journal closes (each increment publishes a fresh v=K and deletes
-    // nothing, so sub-latest versions accumulate between compactions
-    // exactly like small parts do; they are garbage under any outcome,
-    // so they need no undo coverage)
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val vCur = currentV(spark, dir)
-    Seq("pairs", "labels").foreach { a =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a")).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-          s.getPath.getName.stripPrefix("v=").toLong != vCur)
-        // != not <: a dir ABOVE vCur is a torn increment's unpublished
-        // debris (a PUBLISHED higher version in one artifact would
-        // have made currentV above throw its lockstep repair message),
-        // so compaction clears it rather than leaving it to the
-        // retrying increment's overwrite
-        .foreach(s => fs.delete(s.getPath, true))
+    // meta folds to one row: same params (enforced), running max id
+    if (st.linesOf("meta").length >= minParts) {
+      val m = readMeta(st)
+      st.drop("meta")
+      writeMeta(st, m)
+      changed = true
     }
+    if (changed) st.publish()
+    // reclaim superseded + orphaned files behind the grace window
+    graft.sources.SnapshotStore.retireFileGrain(spark, dir, keepGenerations)
   }
 
   /** Fold one crawl batch into the artifacts and return the updated
-    * corpus output — hash-identical to `build(base ∪ batch)`. */
+    * corpus output — hash-identical to `build(base ∪ batch)`. The
+    * whole increment publishes as ONE manifest generation: a crash
+    * anywhere before the CURRENT swap leaves readers on the prior
+    * generation (unpublished parts are invisible debris retirement
+    * sweeps), and the swap itself commits all eight artifact dirs at
+    * once. */
   def increment(batch: DataFrame, dir: String): DataFrame = {
     val spark = batch.sparkSession
-    val m = readMeta(spark, dir)
-    // resolve the pair/label version first (fails fast on a torn
-    // direct-API store). The increment itself deletes NOTHING — not
-    // even superseded version directories (compact retires those) —
-    // so the journal's undo-by-delete restores the pre-batch store
-    // EXACTLY and the file census is the crash-recovery invariant the
-    // stream spec pins byte-for-byte.
-    val v = currentV(spark, dir)
+    val st = new Store(spark, dir)
+    val m = readMeta(st)
     val bMin = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (bMin.isNullAt(0)) return assemble(spark, dir)
+    if (bMin.isNullAt(0)) return assembleSt(st, m)
     require(bMin.getLong(0) > m.maxDocId,
       s"batch ids must exceed indexed ids (min ${bMin.getLong(0)} <= " +
         s"${m.maxDocId}): out-of-order ingest would break min-id dedup parity")
@@ -471,29 +523,28 @@ object CorpusIncrement {
     // ---- exact stage: in-batch min-id dedup, then the index probe.
     // dup hashes come from a map-side semi of hidx against the
     // broadcast batch hash set (never a shuffle of the index). bx is
-    // RE-ROOTED on a persisted RDD, not just cached: the hidx append
-    // below triggers Spark's refreshByPath recache, and a merely
-    // cached bx (whose plan READS hidx) would re-execute against the
-    // just-appended index and dedup the whole batch against itself.
+    // RE-ROOTED on a persisted RDD so the many downstream consumers
+    // (six appends, the band analysis, the pair splice) share one
+    // computed batch instead of re-deriving it.
     val bq = exSurvivors(batch)
-    val hidx = spark.read.parquet(s"$dir/hidx")
+    val hidx = st.table("hidx")
     val dupH = hidx.join(broadcast(bq.select("h").distinct()),
       Seq("h"), "left_semi").select("h").distinct()
     val (bx, bxRdd) = Rounds.materialize(
       bq.join(broadcast(dupH), Seq("h"), "left_anti"), lvl)
     val nBatch = bxRdd.count()
 
-    // ---- increment-grain execution profile: from here to the version
-    // publish every stage carries BATCH-sized data (bounded-batch
-    // contract) or a batch-pruned sliver of the store, where a
-    // corpus-sized shuffle width is pure task-scheduling latency and
-    // AQE's per-stage replanning adds a driver round-trip per stage
-    // with nothing to re-plan. For small batches the session briefly
-    // narrows to 8 shuffle partitions with AQE off (restored in the
-    // finally below) — physical-execution knobs only, the output is
-    // bit-identical, and the sf0.1 orchestration floor measured
-    // ~10.5 -> ~7.7 s. Large batches keep the session's own width
-    // (and AQE's skew handling) untouched.
+    // ---- increment-grain execution profile: from here to the publish
+    // every stage carries BATCH-sized data (bounded-batch contract) or
+    // a batch-pruned sliver of the store, where a corpus-sized shuffle
+    // width is pure task-scheduling latency and AQE's per-stage
+    // replanning adds a driver round-trip per stage with nothing to
+    // re-plan. For small batches the session briefly narrows to 8
+    // shuffle partitions with AQE off (restored in the finally below)
+    // — physical-execution knobs only, the output is bit-identical,
+    // and the sf0.1 orchestration floor measured ~10.5 -> ~7.7 s.
+    // Large batches keep the session's own width (and AQE's skew
+    // handling) untouched.
     val narrow = nBatch <= 200000L
     val savedShuf = spark.conf.get("spark.sql.shuffle.partitions")
     val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -505,17 +556,19 @@ object CorpusIncrement {
 
     // ---- append the batch's slices of every additive artifact
     // increment-grain appends: one file each (coalesce / bucket
-    // repartition), so the store's file count grows with BATCHES, not
-    // batches x tasks x buckets. The five appends are INDEPENDENT
-    // given bx, so they run as two concurrent groups instead of five
-    // sequential jobs (group 1 also warms the shingle cache the
-    // postings group consumes): the r12 verdict measured the
-    // increment's cost as ~20 sequential job launches, not data.
+    // repartition) into FRESH part subtrees, so the store's file count
+    // grows with BATCHES, not batches x tasks x buckets. The five
+    // appends are INDEPENDENT given bx, so they run as one concurrent
+    // group instead of five sequential jobs; their lines register
+    // after the group joins (the store view is single-threaded).
     val bArr = bx.select(col("doc_id"),
         graft.functions.WordShingles(col("text"), m.k).as("shs"))
       .filter(size(col("shs")) > 0).persist(lvl)
     val bPost = bArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val dfB = bPost.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
+    val evalsh = st.table("evalsh")
+    val (relH, relEx, relP, relPd, relDf) = (st.fresh("hidx"),
+      st.fresh("exdocs"), st.fresh("post"), st.fresh("postd"), st.fresh("df"))
     // ONE six-way concurrent group (r14; r12 ran it as two batches of
     // three): every append is independent given bx, and the shared
     // bArr/dfB caches are computed exactly once under the block
@@ -524,27 +577,24 @@ object CorpusIncrement {
     // the hidx/exdocs writes (which don't consume it) hold two slots
     inParallel(Seq(
       () => bx.select(col("h"), col("doc_id"))
-        .coalesce(1).write.mode("append").parquet(s"$dir/hidx"),
-      () => intrinsics(bx, spark.read.parquet(s"$dir/evalsh"), m.deconN, m.k)
-        .coalesce(1).write.mode("append").parquet(s"$dir/exdocs"),
+        .coalesce(1).write.parquet(s"$dir/$relH"),
+      () => intrinsics(bx, evalsh, m.deconN, m.k)
+        .coalesce(1).write.parquet(s"$dir/$relEx"),
       () => { bArr.count(); () },
       () => bucketed(bPost, m.nBuckets).repartition(col("bucket"))
-        .write.mode("append")
-        .partitionBy("bucket").parquet(s"$dir/post"),
+        .write.partitionBy("bucket").parquet(s"$dir/$relP"),
       () => docBucketed(bPost, m.nBuckets).repartition(col("bucket"))
-        .write.mode("append")
-        .partitionBy("bucket").parquet(s"$dir/postd"),
+        .write.partitionBy("bucket").parquet(s"$dir/$relPd"),
       // populates the dfB cache the band analysis below consumes
       () => bucketed(dfB, m.nBuckets).repartition(col("bucket"))
-        .write.mode("append")
-        .partitionBy("bucket").parquet(s"$dir/df")))
+        .write.partitionBy("bucket").parquet(s"$dir/$relDf")))
+    Seq(relH, relEx, relP, relPd, relDf).foreach(st.register)
 
-    // ---- df-band analysis over batch-present shingles (reads INCLUDE
-    // the just-appended parts, so the summed df is already the new
-    // state; the old state is new minus the batch's own part)
-    val dfAll = spark.read.parquet(s"$dir/df")
-    val postAll = spark.read.parquet(s"$dir/post")
-    val bands = prunedByShingle(dfAll, dfB.select("shingle"), m.nBuckets)
+    // ---- df-band analysis over batch-present shingles (the store
+    // view now includes the just-registered parts, so the summed df is
+    // already the new state; the old state is new minus the batch's
+    // own part)
+    val bands = prunedByShingle(st, "df", dfB.select("shingle"), m.nBuckets)
       .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
       .join(dfB, Seq("shingle"))
       .withColumn("_in_new", col("_dfn").between(2, m.maxDf))
@@ -564,16 +614,15 @@ object CorpusIncrement {
     // cross products, never a base-base re-expansion.
     val changed = bands.filter(col("_in_new") =!= col("_in_old"))
       .select("shingle")
-    val cDocs = prunedByShingle(postAll, changed, m.nBuckets)
+    val cDocs = prunedByShingle(st, "post", changed, m.nBuckets)
       .select("doc_id")
       .union(bx.select("doc_id")).distinct().persist(lvl)
-    // (a) pairs WITHIN C: complete postings of C docs — a STATICALLY
+    // (a) pairs WITHIN C: complete postings of C docs — a manifest-
     // PRUNED read of the doc-bucketed dual layout (C's bucket ids are
     // driver-collected, <= nBuckets), true new-state bands for ALL
     // their shingles (df/ summed for exactly those shingles)
-    val cPost = prunedByDoc(spark.read.parquet(s"$dir/postd"), cDocs,
-      m.nBuckets).persist(lvl)
-    val ibC = prunedByShingle(dfAll, cPost.select("shingle").distinct(),
+    val cPost = prunedByDoc(st, "postd", cDocs, m.nBuckets).persist(lvl)
+    val ibC = prunedByShingle(st, "df", cPost.select("shingle").distinct(),
         m.nBuckets)
       .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
       .filter(col("_dfn").between(2, m.maxDf)).select("shingle")
@@ -588,7 +637,7 @@ object CorpusIncrement {
     // base ids by contract. Disjoint from (a) (exactly one endpoint in
     // C) and from keptOld (no old pair has a batch endpoint).
     val relIb = bands.filter(col("_in_new")).select("shingle")
-    val interB = prunedByShingle(postAll, relIb, m.nBuckets)
+    val interB = prunedByShingle(st, "post", relIb, m.nBuckets)
       .withColumn("_b", col("doc_id") > m.maxDocId)
       .join(broadcast(cDocs.withColumn("_c", lit(1))), Seq("doc_id"), "left")
       .groupBy("shingle")
@@ -601,7 +650,7 @@ object CorpusIncrement {
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     // set sizes are per-doc intrinsics persisted at ingest — no
     // posting pull for cross-pair endpoints
-    val sizes = spark.read.parquet(s"$dir/exdocs")
+    val sizes = st.table("exdocs")
       .select(col("doc_id"), col("sz"))
     val newPairs = thresholdPairs(interA.unionByName(interB), sizes,
       m.threshold).persist(lvl)
@@ -609,7 +658,7 @@ object CorpusIncrement {
     // ---- splice the pair graph: pairs with BOTH endpoints in C are
     // replaced by recomputation (a); (b) adds pairs no old pair could
     // be; every other old pair is provably unchanged and rides through
-    val oldPairs = spark.read.parquet(s"$dir/pairs/v=$v")
+    val oldPairs = st.table("pairs")
     val cD = (side: String) => cDocs.toDF(side)
     val keptOld = oldPairs
       .join(broadcast(cD("d1").withColumn("_a1", lit(1))), Seq("d1"), "left")
@@ -630,7 +679,7 @@ object CorpusIncrement {
     val pairEnds = cDocs
       .union(newPairs.select(col("d1").as("doc_id")))
       .union(newPairs.select(col("d2").as("doc_id"))).distinct()
-    val oldLabels = spark.read.parquet(s"$dir/labels/v=$v")
+    val oldLabels = st.table("labels")
     val touched = oldLabels
       .join(broadcast(pairEnds.toDF("node")), Seq("node"), "left_semi")
       .select("component").distinct()
@@ -683,26 +732,28 @@ object CorpusIncrement {
       .join(broadcast(touched), Seq("component"), "left_anti")
       .unionByName(subLabels)
 
-    // the replacement pair graph and labels land as the NEXT version
-    // directory — fresh paths, so neither write overwrites a path its
-    // own plan reads (the refreshByPath hazard the pre-versioning code
-    // paid an extra materialization barrier to dodge), a torn write is
-    // invisible (no _SUCCESS -> not a published version), and the two
-    // writes are independent given the persisted fp/se, so they run
-    // concurrently
-    // mode("overwrite") so a RETRY after a torn v=K+1 write (direct-API
-    // crash mid-job: an unpublished dir with no _SUCCESS, invisible to
-    // latestV but present on disk) replaces the debris instead of
-    // failing ErrorIfExists' "path already exists" — which would wedge
-    // every future increment until manual deletion
+    // the replacement pair graph and labels land as FRESH part
+    // subtrees whose lines supersede the old ones in the same
+    // generation — fresh paths, so neither write overwrites a path its
+    // own plan reads, a torn write is invisible (unpublished lines
+    // never reach a manifest), a retry cannot collide (new uuid), and
+    // the two writes are independent given the persisted fp/se, so
+    // they run concurrently
+    val (relPr, relL) = (st.fresh("pairs"), st.fresh("labels"))
     inParallel(Seq(
-      () => fp.write.mode("overwrite").parquet(s"$dir/pairs/v=${v + 1}"),
-      () => newLabels.write.mode("overwrite").parquet(s"$dir/labels/v=${v + 1}")))
+      () => fp.write.parquet(s"$dir/$relPr"),
+      () => newLabels.write.parquet(s"$dir/$relL")))
+    st.drop("pairs")
+    st.drop("labels")
+    st.register(relPr)
+    st.register(relL)
     fpRdd.unpersist(blocking = false)
     seRdd.unpersist(blocking = false)
 
-    writeMeta(spark, dir, m.copy(maxDocId = bMin.getLong(1)),
-      overwrite = false)
+    val m2 = m.copy(maxDocId = bMin.getLong(1))
+    writeMeta(st, m2)
+    // ---- the commit point: ONE generation spanning all eight dirs
+    st.publish()
     bxRdd.unpersist(blocking = false)
     bArr.unpersist(blocking = false)
     bands.unpersist(blocking = false)
@@ -710,9 +761,9 @@ object CorpusIncrement {
     newPairs.unpersist(blocking = false)
     dfB.unpersist(blocking = false)
     cDocs.unpersist(blocking = false)
-    // serve from the version this increment just published — the meta
-    // row and the v+1 lockstep are already in hand, so no re-read
-    assembleAt(spark, dir, m.copy(maxDocId = bMin.getLong(1)), v + 1)
+    // serve from the view this increment just published — the meta row
+    // and the fresh labels are already in hand, so no re-read
+    assembleSt(st, m2)
     } finally {
       if (narrow) {
         spark.conf.set("spark.sql.shuffle.partitions", savedShuf)

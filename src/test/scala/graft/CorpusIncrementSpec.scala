@@ -131,15 +131,16 @@ class CorpusIncrementSpec extends SparkSpec {
     cp(new java.io.File(dirA), new java.io.File(dirB))
 
     // the df artifact is genuinely fragmented (build part + batch part)
-    def dfFiles(d: String) = spark.read.parquet(s"$d/df").inputFiles.length
+    def dfFiles(d: String) =
+      CorpusIncrement.artifact(spark, d, "df").inputFiles.length
     assert(dfFiles(dirB) > 8, s"expected fragmented df, got ${dfFiles(dirB)}")
     CorpusIncrement.compact(spark, dirB)
     assert(dfFiles(dirB) <= 8) // one file per touched bucket
-    assert(spark.read.parquet(s"$dirB/hidx").inputFiles.length == 1)
+    assert(CorpusIncrement.artifact(spark, dirB, "hidx").inputFiles.length == 1)
     // folded df rows: one per (shingle) with the summed count
-    val dfA = spark.read.parquet(s"$dirA/df").groupBy("shingle")
+    val dfA = CorpusIncrement.artifact(spark, dirA, "df").groupBy("shingle")
       .agg(sum("df").as("df")).as[(String, Long)].collect().toSet
-    val dfB2 = spark.read.parquet(s"$dirB/df")
+    val dfB2 = CorpusIncrement.artifact(spark, dirB, "df")
       .select("shingle", "df").as[(String, Long)].collect().toSet
     assert(dfB2 == dfA)
 
@@ -208,38 +209,38 @@ class CorpusIncrementSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("a torn unpublished version dir neither wedges the retrying " +
-      "increment nor survives compaction") {
+  test("unpublished debris from a torn increment neither reaches readers " +
+      "nor wedges the retry, and tight-window compaction sweeps it") {
     val dir = java.nio.file.Files.createTempDirectory("icorpus_torn").toString
     val eval = df(evalDocs)
     CorpusIncrement.build(df(base), eval, dir, shingleK = 3,
       threshold = 0.4, maxDf = 3L, deconN = 8, rates = rates, nBuckets = 8)
-    // simulate a direct-API increment killed mid pairs/labels write: an
-    // UNPUBLISHED v=1 dir (no _SUCCESS, invisible to latestV) holding
-    // partial debris
-    def plant(a: String, v: Long): Unit = {
-      val d = java.nio.file.Paths.get(dir, a, s"v=$v")
+    val want0 = CorpusIncrement.assemble(spark, dir)
+      .as[(Long, String, String)].collect().toSet
+    // simulate a direct-API increment killed between two of its eight
+    // artifact writes: fresh part subtrees exist on disk but no
+    // manifest generation references them
+    def plant(a: String): java.nio.file.Path = {
+      val d = java.nio.file.Paths.get(dir, a, "p_torndebris")
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.write(d.resolve("part-torn.snappy.parquet"),
         Array[Byte](1, 2, 3))
-      ()
+      d
     }
-    plant("pairs", 1); plant("labels", 1)
-    // the retry must OVERWRITE the debris and land hash-identical to
-    // the full rebuild (pre-fix: ErrorIfExists threw "path already
-    // exists" and every later increment was wedged)
+    val debris = Seq("pairs", "labels", "hidx", "df").map(plant)
+    // readers resolve the prior generation exactly — no recovery step
+    assert(CorpusIncrement.assemble(spark, dir)
+      .as[(Long, String, String)].collect().toSet == want0,
+      "unpublished parts must never reach a reader")
+    // the retry lands hash-identical to the full rebuild, debris or not
     val got = CorpusIncrement.increment(df(batch), dir)
       .as[(Long, String, String)].collect().toSet
     assert(got == run(df(base ++ batch), eval))
-    // a torn dir ABOVE the now-current version (v=1) is debris a
-    // future increment would overwrite anyway, but compaction clears
-    // it too rather than leaving it on disk indefinitely
-    plant("pairs", 5); plant("labels", 5)
-    CorpusIncrement.compact(spark, dir)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "pairs", "v=5")))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "labels", "v=5")))
+    // tight-window maintenance sweeps the orphans (grace 1: only the
+    // current generation's files survive)
+    CorpusIncrement.compact(spark, dir, keepGenerations = 1)
+    debris.foreach(d => assert(!java.nio.file.Files.exists(d),
+      s"orphaned debris $d must be swept"))
     // and the store still serves + increments after the maintenance
     val batch2 = Seq(
       (3000L, "the wholly novel closing words", "en", "s1"))

@@ -54,7 +54,7 @@ class CorpusIncrementStreamSpec extends SparkSpec {
     // a replayed COMPLETED batch is skipped by the ledger — the store
     // (including the additive df parts a blind re-append would
     // corrupt) is byte-for-byte untouched
-    def dfRows() = spark.read.parquet(s"$dir/df")
+    def dfRows() = CorpusIncrement.artifact(spark, dir, "df")
       .select("shingle", "df").as[(String, Long)].collect()
       .groupBy(identity).map { case (k, v) => (k, v.length) }.toSet
     val before = (out(), dfRows())
@@ -68,20 +68,9 @@ class CorpusIncrementStreamSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet)
   }
 
-  /** (relative path, size) of every data file under `dir`, ledger and
-    * stream checkpoint excluded. */
-  private def fileCensus(dir: String): Set[(String, Long)] = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.walk(root).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
-      .filterNot(p => p._1.startsWith("_ledger") || p._1.startsWith("_ckpt"))
-      .toSet
-  }
-
-  test("crash injection: a kill mid-increment (across the eight artifact " +
-      "dirs) rolls back byte-exactly; the replayed batch then lands") {
+  test("crash faces: mid-increment debris is invisible to readers with no " +
+      "recovery step; a publish that lost its marker is skipped, never " +
+      "double-applied; the replayed torn batch lands") {
     val dir = java.nio.file.Files.createTempDirectory("icorpus_crash").toString
     val eval = Seq((1L, "quick brown fox jumps over the lazy sleeping dog tonight",
       "en", "ev")).toDF(cols: _*)
@@ -96,53 +85,58 @@ class CorpusIncrementStreamSpec extends SparkSpec {
       threshold = 0.4, maxDf = 3L, deconN = 8, nBuckets = 8)
     def out() = CorpusIncrement.assemble(spark, dir)
       .as[(Long, String, String)].collect().toSet
+    def lines() = graft.sources.SnapshotStore.currentFiles(spark, dir).toSet
     val want0 = out()
-    val committedCensus = fileCensus(dir)
+    val committedLines = lines()
 
-    // the widest torn span: the increment ran to completion across all
-    // eight artifact dirs (hidx/post/postd/df/exdocs/meta appends +
-    // the new pairs/labels version dirs) and died before the marker
-    val boom = intercept[RuntimeException] {
-      graft.sources.CommitLog.atomically(spark, dir, 0L) {
-        CorpusIncrement.increment(b1.toDF(cols: _*), dir)
-        throw new RuntimeException("simulated crash")
-      }
+    // a kill between ANY two of the eight artifact writes leaves fresh
+    // part subtrees no manifest references: the committed generation
+    // is untouched and readers resolve it with NO recovery step
+    Seq("hidx", "post", "df", "pairs", "labels").foreach { a =>
+      val d = java.nio.file.Paths.get(dir, a, "p_torndebris")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-torn.snappy.parquet"),
+        Array[Byte](1, 2, 3))
     }
-    assert(boom.getMessage == "simulated crash")
-    assert(fileCensus(dir) != committedCensus, "the store must be torn")
-    graft.sources.CommitLog.recover(spark, dir)
-    assert(fileCensus(dir) == committedCensus,
-      "rollback must restore the committed file set byte-for-byte")
-    assert(out() == want0)
+    assert(lines() == committedLines,
+      "unpublished debris must not reach the manifest")
+    assert(out() == want0, "readers stay on the prior generation")
 
-    // the stream replays batch 0 (checkpoint never committed): it now
-    // applies cleanly and serving equals the full rebuild
+    // an in-flight reader resolved BEFORE the batch keeps its snapshot
+    // while the replayed batch 0 lands (checkpoint never committed)
+    val preReader = CorpusIncrement.assemble(spark, dir)
     CorpusIncrementStream.maintainBatch(dir)(b1.toDF(cols: _*), 0L)
-    assert(out() == CorpusBuild.run((base ++ b1).toDF(cols: _*), eval,
+    val want1 = CorpusBuild.run((base ++ b1).toDF(cols: _*), eval,
         shingleK = 3, threshold = 0.4, maxDf = 3L, deconN = 8)
-      .as[(Long, String, String)].collect().toSet)
+      .as[(Long, String, String)].collect().toSet
+    assert(out() == want1)
+    assert(preReader.as[(Long, String, String)].collect().toSet == want0,
+      "the in-flight reader must still serve its generation")
 
-    // a torn DIRECT-API store (pair/label versions out of lockstep —
-    // the kill-between-version-dirs case) fails fast at read time and
-    // is repaired by recover
-    val committed2 = fileCensus(dir)
-    intercept[RuntimeException] {
-      graft.sources.CommitLog.atomically(spark, dir, 1L) {
-        val src = java.nio.file.Paths.get(dir, "pairs", "v=1")
-        val dst = java.nio.file.Paths.get(dir, "pairs", "v=9")
-        java.nio.file.Files.createDirectories(dst)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(src).iterator().asScala.foreach(f =>
-          java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)))
-        throw new RuntimeException("simulated crash")
-      }
+    // the lost-marker face: a run that PUBLISHED its generation but
+    // died before writing the batch marker. Simulated by applying the
+    // increment directly (no marker), then replaying through the
+    // wrapper: it must detect the batch as committed (all ids <= the
+    // stored max doc id), mark, and skip — not throw, not double-apply
+    val b2 = Seq((2000L, "the rho sigma tau upsilon chi", "en", "s1"))
+    CorpusIncrement.increment(b2.toDF(cols: _*), dir)
+    val linesAfterB2 = lines()
+    val want2 = out()
+    CorpusIncrementStream.maintainBatch(dir)(b2.toDF(cols: _*), 1L)
+    assert(lines() == linesAfterB2, "the lost-marker replay must not publish")
+    assert(out() == want2)
+    // ...and now the marker exists, so a second replay short-circuits
+    CorpusIncrementStream.maintainBatch(dir)(b2.toDF(cols: _*), 1L)
+    assert(lines() == linesAfterB2)
+
+    // tight-window maintenance sweeps the planted debris and every
+    // superseded generation; serving is unchanged
+    CorpusIncrement.compact(spark, dir, keepGenerations = 1)
+    Seq("hidx", "post", "df", "pairs", "labels").foreach { a =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, a, "p_torndebris")),
+        s"debris under $a must be swept")
     }
-    val torn = intercept[IllegalArgumentException] { out() }
-    assert(torn.getMessage.contains("torn pair/label versions"))
-    graft.sources.CommitLog.recover(spark, dir)
-    assert(fileCensus(dir) == committed2)
-    assert(out() == CorpusBuild.run((base ++ b1).toDF(cols: _*), eval,
-        shingleK = 3, threshold = 0.4, maxDf = 3L, deconN = 8)
-      .as[(Long, String, String)].collect().toSet)
+    assert(out() == want2)
   }
 }
