@@ -275,10 +275,13 @@ object LapLink {
     }.toSeq
   }
 
-  /** One track segment's endpoints for the gap-closing pass. */
+  /** One track segment's endpoints for the gap-closing pass; `sfs`/
+    * `efs` carry the start/end spot's penalty feature values (empty
+    * when the caller declares none). */
   private[operators] case class Seg(track: Long,
                                     sid: Long, sframe: Long, sx: Double, sy: Double,
-                                    eid: Long, eframe: Long, ex: Double, ey: Double)
+                                    eid: Long, eframe: Long, ex: Double, ey: Double,
+                                    sfs: Seq[Double], efs: Seq[Double])
 
   /** Segment-level gap closing — the SECOND phase of the reference's
     * default trackers (track_images.py:95-97, the jaqaman SparseLAP
@@ -308,7 +311,8 @@ object LapLink {
                maxDist: Double, maxGap: Int,
                videoOf: Long => Long,
                altCostFactor: Option[Double] = None,
-               cutoffPercentile: Double = 0.9): DataFrame = {
+               cutoffPercentile: Double = 0.9,
+               gapPenalties: Seq[(Column, Double)] = Nil): DataFrame = {
     require(maxDist > 0.0, "maxDist must be positive")
     require(maxGap >= 1, "maxGap must be >= 1")
     require(altCostFactor.forall(_ > 0.0), "altCostFactor must be positive")
@@ -316,28 +320,43 @@ object LapLink {
       "cutoffPercentile in (0, 1]")
     val spark = spots.sparkSession
     import spark.implicits._
+    // GAP_CLOSING_FEATURE_PENALTIES, exactly as in [[gapCloseFull]]'s
+    // gap block: cost = d² · (1 + Σ 3·w·|Δf|/Σf)², the gate applied to
+    // the PENALIZED cost (TrackMate's segment matrix thresholds the
+    // cost); with an empty map this is bit-identical to the geometric
+    // path. The endpoint spot's feature values ride the same
+    // endpoint structs the coordinates do.
+    val w = gapPenalties.map(_._2).toArray
+    val hasPens = gapPenalties.nonEmpty // Columns must not reach closures
+    val featArr =
+      if (gapPenalties.isEmpty) typedLit(Array.empty[Double])
+      else array(gapPenalties.map(_._1.cast("double")): _*)
     val s = spots.select(id.cast("long").as("id"), frame.cast("long").as("frame"),
-      x.cast("double").as("x"), y.cast("double").as("y"))
+      x.cast("double").as("x"), y.cast("double").as("y"), featArr.as("fs"))
     val lb = labels.select(col("id").cast("long").as("id"),
       col("track_id").cast("long").as("track"))
     val seg = s.join(lb, Seq("id"))
       .groupBy(col("track"))
       .agg(
-        min_by(struct(col("id"), col("frame"), col("x"), col("y")),
+        min_by(struct(col("id"), col("frame"), col("x"), col("y"), col("fs")),
           struct(col("frame"), col("id"))).as("s0"),
-        max_by(struct(col("id"), col("frame"), col("x"), col("y")),
+        max_by(struct(col("id"), col("frame"), col("x"), col("y"), col("fs")),
           struct(col("frame"), negate(col("id")))).as("s1"))
       .select(col("track"),
         col("s0.id").as("sid"), col("s0.frame").as("sframe"),
         col("s0.x").as("sx"), col("s0.y").as("sy"),
         col("s1.id").as("eid"), col("s1.frame").as("eframe"),
-        col("s1.x").as("ex"), col("s1.y").as("ey"))
+        col("s1.x").as("ex"), col("s1.y").as("ey"),
+        col("s0.fs").as("sfs"), col("s1.fs").as("efs"))
       .as[Seg]
     val maxD2 = maxDist * maxDist
     seg.groupByKey(r => videoOf(r.track))
       .flatMapGroups { (_, it) =>
         val segs = it.toArray
+        val eFs = segs.map(_.efs.toArray)
+        val sFs = segs.map(_.sfs.toArray)
         val edges = Array.newBuilder[(Int, Int, Double)]
+        val d2s = new java.util.HashMap[Long, Double]()
         var pi = 0
         while (pi < segs.length) {
           var ci = 0
@@ -347,7 +366,15 @@ object LapLink {
               val dx = segs(ci).sx - segs(pi).ex
               val dy = segs(ci).sy - segs(pi).ey
               val d2 = dx * dx + dy * dy
-              if (d2 <= maxD2) edges += ((pi, ci, d2))
+              if (d2 <= maxD2) {
+                val cost =
+                  if (!hasPens) d2
+                  else penalizedCost(d2, eFs(pi), sFs(ci), w)
+                if (cost <= maxD2) {
+                  edges += ((pi, ci, cost))
+                  d2s.put(pi.toLong << 32 | ci.toLong, d2)
+                }
+              }
             }
             ci += 1
           }
@@ -365,7 +392,8 @@ object LapLink {
           case _ => maxD2
         }
         assignEdges(segs.length, segs.length, es, alt)
-          .iterator.map { case (pi2, ci2, d2) =>
+          .iterator.map { case (pi2, ci2, _) =>
+            val d2 = d2s.get(pi2.toLong << 32 | ci2.toLong)
             (segs(pi2).eid, segs(ci2).sid, segs(ci2).sframe - segs(pi2).eframe,
               graft.functions.Numeric.croundD(math.sqrt(d2), 4),
               segs(pi2).track, segs(ci2).track)
@@ -593,12 +621,13 @@ object LapLink {
                 maxDist: Double, maxGap: Int,
                 videoOf: Long => Long,
                 altCostFactor: Option[Double] = None,
-                cutoffPercentile: Double = 0.9): DataFrame = {
+                cutoffPercentile: Double = 0.9,
+                gapPenalties: Seq[(Column, Double)] = Nil): DataFrame = {
     val lb = labels.select(col("id").cast("long").as("id"),
       col("track_id").cast("long").as("track_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val links = gapClose(spots, lb, id, frame, x, y, maxDist, maxGap, videoOf,
-      altCostFactor, cutoffPercentile)
+      altCostFactor, cutoffPercentile, gapPenalties)
     val chain = links.select(col("src_track").as("src"), col("dst_track").as("dst"))
     val lbl = ChainLabel.heads(chain)
     val minT = lbl.groupBy(col("head")).agg(min(col("id")).as("_new"))

@@ -276,7 +276,9 @@ object TrackAssignment {
                                     maxDist: Double, maxGap: Int,
                                     videoOf: Long => Long,
                                     altCostFactor: Option[Double] = None,
-                                    cutoffPercentile: Double = 0.9): DataFrame = {
+                                    cutoffPercentile: Double = 0.9,
+                                    gapPenalties: Seq[(org.apache.spark.sql.Column, Double)] = Nil)
+      : DataFrame = {
     require(maxDist > 0.0 && maxGap >= 1)
     require(altCostFactor.forall(_ > 0.0), "altCostFactor must be positive")
     require(cutoffPercentile > 0.0 && cutoffPercentile <= 1.0,
@@ -284,9 +286,19 @@ object TrackAssignment {
     val spark = spots.sparkSession
     import spark.implicits._
     val maxD2 = maxDist * maxDist
+    // GAP_CLOSING_FEATURE_PENALTIES — the same penalized segment cost
+    // (and penalized GATE) as LapLink.gapClose, so the fused path
+    // stays output-identical to the staged chain under the same keys;
+    // empty map = bit-identical geometric behavior
+    val w = gapPenalties.map(_._2).toArray
+    val hasPens = gapPenalties.nonEmpty // Columns must not reach the closure
+    val featArr =
+      if (gapPenalties.isEmpty) typedLit(Array.empty[Double])
+      else array(gapPenalties.map(_._1.cast("double")): _*)
     val sp = spots.select(col("id").cast("long"), col("frame").cast("long"),
-        col("x").cast("double"), col("y").cast("double"))
-      .as[(Long, Long, Double, Double)].groupByKey(s => videoOf(s._1))
+        col("x").cast("double"), col("y").cast("double"), featArr)
+      .as[(Long, Long, Double, Double, Seq[Double])]
+      .groupByKey(s => videoOf(s._1))
     val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
       .as[(Long, Long)].groupByKey(e => videoOf(e._2))
@@ -294,8 +306,10 @@ object TrackAssignment {
       val frame = new java.util.HashMap[Long, Long]()
       val xs = new java.util.HashMap[Long, Double]()
       val ys = new java.util.HashMap[Long, Double]()
-      spIt.foreach { case (id, f, x, y) =>
+      val fss = new java.util.HashMap[Long, Array[Double]]()
+      spIt.foreach { case (id, f, x, y, fs) =>
         frame.put(id, f); xs.put(id, x); ys.put(id, y)
+        if (hasPens) { fss.put(id, fs.toArray); () }
       }
       val es = new java.util.LinkedHashSet[(Long, Long)]()
       edIt.foreach(es.add)
@@ -323,7 +337,13 @@ object TrackAssignment {
               val dx = xs.get(startOf(ci)) - xs.get(endOf(pi))
               val dy = ys.get(startOf(ci)) - ys.get(endOf(pi))
               val d2 = dx * dx + dy * dy
-              if (d2 <= maxD2) segEdges += ((pi, ci, d2))
+              if (d2 <= maxD2) {
+                val cost =
+                  if (!hasPens) d2
+                  else LapLink.penalizedCost(d2,
+                    fss.get(endOf(pi)), fss.get(startOf(ci)), w)
+                if (cost <= maxD2) segEdges += ((pi, ci, cost))
+              }
             }
             ci += 1
           }

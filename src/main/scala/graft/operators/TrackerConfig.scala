@@ -71,13 +71,15 @@ import org.json4s.jackson.JsonMethods
   *         [[tracks]]' gap-close relabeling, which rejects
   *         outlier-cost gap closings even under their gate
   *
-  * Simplifications vs TrackMate, declared: the label path's gap-close
-  * relabeling ignores GAP_CLOSING_FEATURE_PENALTIES (all ten
-  * reference templates set it to {}, so no shipped config binds that;
-  * the [[lineage]] surface applies all three per-block maps), and its
-  * conditioning percentile ranges over the gap-close candidates only
-  * (its matrix has no split/merge blocks — by construction, since the
-  * reference's label semantics consume only gap-close links,
+  * The label path's gap-close relabeling applies
+  * GAP_CLOSING_FEATURE_PENALTIES too (r15 — the same penalized cost
+  * and penalized gate as [[lineage]]'s gap block, so the two surfaces
+  * agree on every close; all ten reference templates set the map to
+  * {}, where both reduce bit-identically to the geometric cost). One
+  * declared narrowing remains: the relabel pass's conditioning
+  * percentile ranges over the gap-close candidates only (its matrix
+  * has no split/merge blocks — by construction, since the reference's
+  * label semantics consume only gap-close links,
   * parse_xml.py:147-158).
   *
   * `config` may be a whole template (the `tracking` object is used) or
@@ -192,7 +194,16 @@ object TrackerConfig {
             maxGap = cfg.i("MAX_FRAME_GAP", 2), videoOf,
             altCostFactor =
               Some(cfg.d("ALTERNATIVE_LINKING_COST_FACTOR", 1.05)),
-            cutoffPercentile = cfg.d("CUTOFF_PERCENTILE", 0.9))
+            cutoffPercentile = cfg.d("CUTOFF_PERCENTILE", 0.9),
+            // the penalty map is SparseLAP surface, like the linking
+            // one (TrackMate's Simple factory hides it); it prices —
+            // and gates — the relabel pass's gap closes exactly as it
+            // does lineage's gap block, so the two surfaces agree
+            gapPenalties =
+              if (cfg.algorithm == "SparseLAP")
+                cfg.penalties("GAP_CLOSING_FEATURE_PENALTIES")
+                  .map { case (name, w) => (col(name), w) }
+              else Nil)
         else
           TrackAssignment.divisionAwareByVideo(spots,
             edges.select("src", "dst"), videoOf)

@@ -129,6 +129,56 @@ class TrackerConfigSpec extends SparkSpec {
     assert(dflt.count() === 0L)
   }
 
+  test("GAP_CLOSING_FEATURE_PENALTIES binds the label path's relabel " +
+      "pass: a penalty-driven gap-close flip that tracks() and lineage() " +
+      "agree on") {
+    // one video, three frame-linked segments: A ends at 102 (AREA 10);
+    // candidate starts 201 (nearer, d2=4, AREA 100) and 301 (farther,
+    // d2=9, AREA 10), both inside the gap gate (4.0 -> maxD2=16)
+    val sp = Seq(
+      (101L, 0L, 0.0, 0.0, 10.0), (102L, 1L, 1.0, 0.0, 10.0),
+      (201L, 3L, 3.0, 0.0, 100.0), (202L, 4L, 4.0, 0.0, 100.0),
+      (301L, 3L, 1.0, 3.0, 10.0), (302L, 4L, 1.0, 4.0, 10.0)
+    ).toDF("id", "frame", "x", "y", "AREA")
+    def template(pen: String) = s"""{
+      "tracking": {"algorithm": "SparseLAP", "settings": {
+        "LINKING_MAX_DISTANCE": 5.0,
+        "ALLOW_GAP_CLOSING": true,
+        "GAP_CLOSING_MAX_DISTANCE": 4.0,
+        "MAX_FRAME_GAP": 2,
+        "GAP_CLOSING_FEATURE_PENALTIES": $pen,
+        "ALLOW_TRACK_SPLITTING": false,
+        "ALLOW_TRACK_MERGING": false,
+        "ALTERNATIVE_LINKING_COST_FACTOR": 1.05,
+        "CUTOFF_PERCENTILE": 0.9
+      }}}"""
+    def trackOf(m: Map[Long, Long], id: Long) = m(id)
+    def gcLinks(cfg: String): Set[(Long, Long)] =
+      TrackerConfig.lineage(sp, cfg, vid)
+        .filter(col("kind") === "gc")
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect().toSet
+
+    // empty map: the geometrically nearer start wins (cost 4 < 9)
+    val plain = collectTracks(TrackerConfig.tracks(sp, template("{}"), vid)).toMap
+    assert(trackOf(plain, 102L) == trackOf(plain, 201L),
+      "without penalties the nearer start joins A")
+    assert(trackOf(plain, 102L) != trackOf(plain, 301L))
+    assert(gcLinks(template("{}")) == Set((102L, 201L)))
+
+    // {"AREA": 1.0}: 102->201's penalized cost 4*(1 + 3*90/110)^2 ~ 48
+    // exceeds the gate (16), so it falls out of the block entirely and
+    // the same-area farther start 301 (cost 9) wins — in the RELABEL
+    // pass and in lineage's gap block alike
+    val penCfg = template("""{"AREA": 1.0}""")
+    val pen = collectTracks(TrackerConfig.tracks(sp, penCfg, vid)).toMap
+    assert(trackOf(pen, 102L) == trackOf(pen, 301L),
+      "the penalty must flip the close to the same-area start")
+    assert(trackOf(pen, 102L) != trackOf(pen, 201L))
+    assert(gcLinks(penCfg) == Set((102L, 301L)),
+      "lineage's gap block must agree with the relabel pass")
+  }
+
   test("an unknown algorithm throws listing the menu") {
     val bad = """{"algorithm": "Magic", "settings": {}}"""
     val ex = intercept[IllegalArgumentException] {
