@@ -142,6 +142,12 @@ object CorpusIncrement {
     private val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     private val dropped = scala.collection.mutable.Set.empty[String]
 
+    /** The session [[table]] plans on — the increment points it at
+      * its narrowed CLONE for the batch-grain middle phase and back
+      * at the caller's session for the returned assembly. */
+    private var cur: SparkSession = spark
+    def useSession(s: SparkSession): Unit = { cur = s }
+
     def lines: Seq[String] = base.filterNot(dropped) ++ pending
     def linesOf(name: String): Seq[String] =
       lines.filter(_.startsWith(name + "/"))
@@ -169,7 +175,7 @@ object CorpusIncrement {
     def table(name: String): DataFrame = {
       val ls = linesOf(name)
       require(ls.nonEmpty, s"no $name artifact under $dir")
-      graft.sources.SnapshotStore.readFiles(spark, dir, ls)
+      graft.sources.SnapshotStore.readFiles(cur, dir, ls)
     }
 
     /** The artifact restricted to `bks` buckets — a pure manifest-line
@@ -178,7 +184,7 @@ object CorpusIncrement {
     def tableBuckets(name: String, bks: Seq[Int]): DataFrame = {
       val want = bks.toSet
       val ls = linesOf(name).filter(l => bucketLine(l).exists(want))
-      if (ls.nonEmpty) graft.sources.SnapshotStore.readFiles(spark, dir, ls)
+      if (ls.nonEmpty) graft.sources.SnapshotStore.readFiles(cur, dir, ls)
       else table(name).limit(0)
     }
 
@@ -539,20 +545,26 @@ object CorpusIncrement {
     // a batch-pruned sliver of the store, where a corpus-sized shuffle
     // width is pure task-scheduling latency and AQE's per-stage
     // replanning adds a driver round-trip per stage with nothing to
-    // re-plan. For small batches the session briefly narrows to 8
-    // shuffle partitions with AQE off (restored in the finally below)
-    // — physical-execution knobs only, the output is bit-identical,
-    // and the sf0.1 orchestration floor measured ~10.5 -> ~7.7 s.
-    // Large batches keep the session's own width (and AQE's skew
-    // handling) untouched.
+    // re-plan. For small batches the middle phase runs on a CLONED
+    // session (`newSession`: same SparkContext, block manager, and
+    // caches — its own SQLConf) narrowed to 8 shuffle partitions with
+    // AQE off; r15: the clone replaces the r14 mutate-and-restore of
+    // the SHARED session's conf, whose window a concurrent query
+    // planned on the same SparkSession would have inherited. Physical-
+    // execution knobs only, the output is bit-identical, and the
+    // returned assembly re-roots on the caller's session (full width).
+    // Large batches keep the caller session throughout (AQE skew
+    // handling intact).
     val narrow = nBatch <= 200000L
-    val savedShuf = spark.conf.get("spark.sql.shuffle.partitions")
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    if (narrow) {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-    try {
+    val sx = if (narrow) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2
+    } else spark
+    st.useSession(sx)
+    val bxN = org.apache.spark.sql.GraftBridge.internalDF(
+      sx, bxRdd, bx.schema)
 
     // ---- append the batch's slices of every additive artifact
     // increment-grain appends: one file each (coalesce / bucket
@@ -561,7 +573,7 @@ object CorpusIncrement {
     // appends are INDEPENDENT given bx, so they run as one concurrent
     // group instead of five sequential jobs; their lines register
     // after the group joins (the store view is single-threaded).
-    val bArr = bx.select(col("doc_id"),
+    val bArr = bxN.select(col("doc_id"),
         graft.functions.WordShingles(col("text"), m.k).as("shs"))
       .filter(size(col("shs")) > 0).persist(lvl)
     val bPost = bArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
@@ -576,9 +588,9 @@ object CorpusIncrement {
     // explicit bArr.count() rides along so the cache warms even while
     // the hidx/exdocs writes (which don't consume it) hold two slots
     inParallel(Seq(
-      () => bx.select(col("h"), col("doc_id"))
+      () => bxN.select(col("h"), col("doc_id"))
         .coalesce(1).write.parquet(s"$dir/$relH"),
-      () => intrinsics(bx, evalsh, m.deconN, m.k)
+      () => intrinsics(bxN, evalsh, m.deconN, m.k)
         .coalesce(1).write.parquet(s"$dir/$relEx"),
       () => { bArr.count(); () },
       () => bucketed(bPost, m.nBuckets).repartition(col("bucket"))
@@ -616,7 +628,7 @@ object CorpusIncrement {
       .select("shingle")
     val cDocs = prunedByShingle(st, "post", changed, m.nBuckets)
       .select("doc_id")
-      .union(bx.select("doc_id")).distinct().persist(lvl)
+      .union(bxN.select("doc_id")).distinct().persist(lvl)
     // (a) pairs WITHIN C: complete postings of C docs — a manifest-
     // PRUNED read of the doc-bucketed dual layout (C's bucket ids are
     // driver-collected, <= nBuckets), true new-state bands for ALL
@@ -762,13 +774,10 @@ object CorpusIncrement {
     dfB.unpersist(blocking = false)
     cDocs.unpersist(blocking = false)
     // serve from the view this increment just published — the meta row
-    // and the fresh labels are already in hand, so no re-read
+    // and the fresh labels are already in hand, so no re-read; back on
+    // the CALLER's session, so the corpus-scale assembly plans at the
+    // caller's width, not the clone's
+    st.useSession(spark)
     assembleSt(st, m2)
-    } finally {
-      if (narrow) {
-        spark.conf.set("spark.sql.shuffle.partitions", savedShuf)
-        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      }
-    }
   }
 }

@@ -75,10 +75,12 @@ object NnDescent {
     val lvl = StorageLevel.MEMORY_AND_DISK
 
     // embeddings + norms: read by every round's scoring join
-    val v = corpus.select(col("vec_id"), col("embedding"),
+    // (columnar-cached; the narrowed clone below sees the same cache
+    // through the shared CacheManager)
+    val v0 = corpus.select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       .persist(lvl)
-    val n = v.count()
+    val n = v0.count()
     require(n > kb, s"corpus has $n vectors, need > overbuild*k=$kb")
 
     // ---- small-corpus execution profile (the corpus-increment r14
@@ -86,24 +88,30 @@ object NnDescent {
     // bounded by the local-join candidate count n·(2·kb)²; when that
     // fits comfortably in a handful of partitions, corpus-width
     // shuffles and AQE's per-stage replanning are pure driver latency
-    // multiplied by maxRounds. Under the 50M-candidate gate the
-    // session briefly narrows to 8 shuffle partitions with AQE off
-    // (restored in the finally below — physical knobs only, the build
-    // is bit-deterministic either way); bigger corpora keep the
-    // session's own width and skew handling.
+    // multiplied by maxRounds. Under the 50M-candidate gate the build
+    // runs on a CLONED session (`newSession`: same SparkContext and
+    // caches, its own SQLConf) narrowed to 8 shuffle partitions with
+    // AQE off — r15: the clone replaces the r14 mutate-and-restore of
+    // the SHARED session's conf, whose window a concurrent query
+    // planned on the same SparkSession would have inherited. Physical
+    // knobs only; the build is bit-deterministic either way. Bigger
+    // corpora keep the caller session's own width and skew handling,
+    // and the RETURNED plan is re-rooted on the caller's session
+    // either way, so downstream consumption runs at full width.
     val narrow = n * (2L * kb) * (2L * kb) <= 50000000L
-    val savedShuf = spark.conf.get("spark.sql.shuffle.partitions")
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    if (narrow) {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-    try {
+    val sx = if (narrow) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2
+    } else spark
+    val v =
+      if (narrow) org.apache.spark.sql.GraftBridge.onSession(sx, v0) else v0
 
     // dense index 0..n-1 per vec_id (sorted => deterministic), for
     // uniform pseudo-random initial candidates; distributed sort +
     // zipWithIndex, never a single-partition window
-    import spark.implicits._
+    import sx.implicits._
     val idmap = v.select(col("vec_id")).sort("vec_id")
       .as[Long].rdd.zipWithIndex.toDF("vec_id", "idx")
       .persist(lvl)
@@ -190,26 +198,20 @@ object NnDescent {
       round += 1
     }
     // the returned plan is re-rooted on the final round's persisted
-    // RDD, so neither the embedding table nor the id map is read
-    // again — release both now (the RDD backing `out` is freed by
-    // ContextCleaner when the caller drops the plan, the
-    // ConnectedComponents contract)
+    // RDD — on the CALLER's session, so the tail (and everything
+    // downstream) plans at the caller's width — and neither the
+    // embedding table nor the id map is read again: release both now
+    // (the RDD backing `out` is freed by ContextCleaner when the
+    // caller drops the plan, the ConnectedComponents contract)
     idmap.unpersist(blocking = false)
-    v.unpersist(blocking = false)
-    val out = knn
+    v0.unpersist(blocking = false)
+    org.apache.spark.sql.GraftBridge.internalDF(spark, knnRdd, knn.schema)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("sim").desc, col("nbr"))))
       .filter(col("rank") <= k)
       .select(col("id").as("vec_id"), col("rank"), col("nbr").as("n_id"),
         col("sim"))
-    out
-    } finally {
-      if (narrow) {
-        spark.conf.set("spark.sql.shuffle.partitions", savedShuf)
-        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      }
-    }
   }
 
   /** INCREMENTAL insert: extend an existing K-NN `graph` over `base`

@@ -12,6 +12,16 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-bind a DataFrame's logical plan to another session of the
+    * SAME SparkContext (the execution-profile clones): the plan —
+    * including any persisted cache, which lives in the shared
+    * CacheManager keyed by canonicalized plan — is unchanged; only
+    * the SQLConf that plans it differs. */
+  def onSession(spark: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
+
   /** Re-root a DataFrame plan on a materialized InternalRow RDD
     * (lineage/plan truncation for iterative algorithms, with the
     * persistence lifecycle under caller control — unlike
