@@ -1444,8 +1444,8 @@ object SparkEntry {
       val scheme = element_at(array(lit("http://"), lit("HTTP://"),
         lit("HTTPS://"), lit("https://")), (id % 4).cast("int") + 1)
       val suffix = element_at(array(lit(".Example.com"),
-        lit(".example.co.uk"), lit(".test.org"),
-        lit(".news.example.com")), (id % 4).cast("int") + 1)
+        lit(".example.co.uk"), lit(".GitHub.io"),
+        lit(".blogspot.com.au")), (id % 4).cast("int") + 1)
       val url = concat(scheme,
         when(id % 2 === 0, "WWW.").otherwise(""),
         lit("Site"), (id % 23).cast("string"), suffix,
@@ -3774,15 +3774,15 @@ object SparkEntry {
     // DuckDB defaults to first-match where Spark replaces all) and
     // the domain-grain rollup joined back to doc grain
     "q_url" ->
-      """WITH u AS (
+      ("""WITH u AS (
         |  SELECT doc_id, n_chars,
         |    (CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTP://'
         |      WHEN 2 THEN 'HTTPS://' ELSE 'https://' END)
         |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
         |    || 'Site' || CAST(doc_id % 23 AS VARCHAR)
         |    || (CASE doc_id % 4 WHEN 0 THEN '.Example.com'
-        |      WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.test.org'
-        |      ELSE '.news.example.com' END)
+        |      WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.GitHub.io'
+        |      ELSE '.blogspot.com.au' END)
         |    || (CASE WHEN doc_id % 10 = 0 THEN ':80'
         |      WHEN doc_id % 10 = 5 THEN ':443' ELSE '' END)
         |    || '/Dir' || CAST(doc_id % 7 AS VARCHAR)
@@ -3822,14 +3822,24 @@ object SparkEntry {
         |      '\?$', '', 'g'),
         |    '/+(\?|$)', '\1', 'g') AS url_canon
         |  FROM c3
-        |), dm AS (
+        |), hh AS (
         |  SELECT doc_id, n_chars, url_canon,
-        |    regexp_extract(url_canon, '^https?://([^/?#:]*)', 1) AS host,
-        |    regexp_extract(regexp_extract(url_canon,
-        |        '^https?://([^/?#:]*)', 1),
-        |      '([^.]+\.(?:co\.uk|ac\.uk|org\.uk|com\.au|co\.jp|co\.nz|com\.br)|[^.]+\.[^.]+)$',
-        |      1) AS domain
+        |    regexp_extract(url_canon, '^https?://([^/?#:]*)', 1) AS host
         |  FROM c4
+        |), dm AS (
+        |  SELECT doc_id, n_chars, url_canon, host,
+        |    CASE
+        |      WHEN len(hp) >= 4
+        |        AND array_to_string(hp[-3:], '.') IN (""" +
+      graft.text.Psl.sql3 + """)
+        |        THEN array_to_string(hp[-4:], '.')
+        |      WHEN len(hp) >= 3
+        |        AND array_to_string(hp[-2:], '.') IN (""" +
+      graft.text.Psl.sql2 + """)
+        |        THEN array_to_string(hp[-3:], '.')
+        |      WHEN len(hp) >= 2 THEN array_to_string(hp[-2:], '.')
+        |      ELSE '' END AS domain
+        |  FROM (SELECT *, string_split(host, '.') AS hp FROM hh)
         |), r AS (
         |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
@@ -3839,7 +3849,7 @@ object SparkEntry {
         |)
         |SELECT dm.doc_id, dm.url_canon, dm.host, dm.domain,
         |  r.n_docs, r.n_hosts, r.n_urls, r.total_chars
-        |FROM dm JOIN r USING (domain)""".stripMargin,
+        |FROM dm JOIN r USING (domain)""").stripMargin,
 
     // the integer fixed-point PageRank recurrence unrolled for the
     // registry's 3 iterations: every term BIGINT floor division

@@ -28,18 +28,22 @@ import org.apache.spark.sql.functions._
   *  6. trailing slashes dropped (before `?` or end), so the root path
   *     `/` and directory-form paths normalize.
   *
-  * The registrable domain is the host's last two labels, or three
-  * when the last two are a multi-label public suffix from a small
-  * built-in set (`co.uk ac.uk org.uk com.au co.jp co.nz com.br`) — a
-  * DECLARED heuristic standing in for the full Mozilla public-suffix
-  * list (external data; the rollup grain is what matters here, and
-  * the suffix set is one literal alternation both engines share).
+  * The registrable domain is public-suffix + one label, resolved
+  * against [[Psl]]'s embedded snapshot of the Mozilla public-suffix
+  * list (r15 — ~280 two-label ICANN/private entries plus the common
+  * three-label hosting suffixes; the r14 build carried only seven):
+  * longest listed suffix wins, so `a.b.github.io` rolls up to
+  * `b.github.io` and `x.blogspot.com.au` IS a registrable domain.
+  * Hosts with no listed suffix take their last two labels;
+  * single-label hosts (no dot) have no registrable domain (empty).
+  * Wildcard/exception PSL rules and the long tail of rare entries
+  * remain a DECLARED narrowing. Still map-only: the lookup is an
+  * `isInCollection` (codegen'd set probe) over the split host's
+  * label slices — no join, no UDF.
   */
 object Url {
 
   private val trackNames = "(?:utm_[a-z0-9]+|gclid|fbclid)"
-  private[text] val multiSuffix =
-    "co\\.uk|ac\\.uk|org\\.uk|com\\.au|co\\.jp|co\\.nz|com\\.br"
 
   /** The canonical form of `url` per the rules above. */
   def canonicalize(url: Column): Column = {
@@ -71,10 +75,21 @@ object Url {
   def host(canonical: Column): Column =
     regexp_extract(canonical, "^https?://([^/?#:]*)", 1)
 
-  /** Registrable domain of a host under the built-in suffix set. */
-  def registrableDomain(host: Column): Column =
-    regexp_extract(host,
-      "([^.]+\\.(?:" + multiSuffix + ")|[^.]+\\.[^.]+)$", 1)
+  /** Registrable domain of a host under [[Psl]]'s suffix snapshot:
+    * last-3-labels suffix beats last-2 beats the default two-label
+    * rule; "" for single-label hosts. Positive-start slices keep
+    * every branch total (short hosts yield short slices, and the
+    * label-count guards make the branch choice exact). */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    def lastK(k: Int): Column =
+      concat_ws(".", slice(parts, greatest(n - lit(k) + 1, lit(1)), lit(k)))
+    when(n >= 4 && lastK(3).isInCollection(Psl.suffixes3), lastK(4))
+      .when(n >= 3 && lastK(2).isInCollection(Psl.suffixes2), lastK(3))
+      .when(n >= 2, lastK(2))
+      .otherwise(lit(""))
+  }
 
   /** Canonicalize `url` and derive (url_canon, host, domain) columns
     * alongside the input rows. */

@@ -71,6 +71,30 @@ class UrlSpec extends SparkSpec {
         "b.ac.uk", ""))
   }
 
+  test("the PSL snapshot resolves private hosting and three-label " +
+      "suffixes: user sites ARE registrable domains, longest suffix wins") {
+    assert(dom(
+        // private-section hosting: each user site is its own domain
+        "alice.github.io", "www2.alice.github.io", "team.netlify.app",
+        "blog.blogspot.com",
+        // three-label suffix beats the two-label ccTLD rule
+        "bob.blogspot.com.au", "x.bob.blogspot.com.au",
+        // two-label ccTLD entries beyond the old 7-entry set
+        "shop.com.sg", "uni.edu.pl", "dept.gob.mx", "a.co.ke",
+        // a host that IS a public suffix has no registrable label —
+        // the default rule keeps its last two (PSL answers null; the
+        // rollup grain here keeps the suffix as its own bucket)
+        "github.io",
+        // unlisted two-label stays the default rule
+        "x.unlisted.zz")
+      == Seq("alice.github.io", "alice.github.io", "team.netlify.app",
+        "blog.blogspot.com",
+        "bob.blogspot.com.au", "bob.blogspot.com.au",
+        "shop.com.sg", "uni.edu.pl", "dept.gob.mx", "a.co.ke",
+        "github.io",
+        "unlisted.zz"))
+  }
+
   test("idempotence: canonicalizing a canonical url is a no-op") {
     val raw = Seq(
       "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&id=3#frag",
