@@ -69,35 +69,37 @@ object Bench {
     // ROTATES per round so every registry query gets a driver timing
     // at least every other round (the r7 verdict's blind-spot fix):
     // BENCH_r(N) ∪ BENCH_r(N+1) always covers the full registry.
-    // THIS round (r14, rotation A): rest exactly the rows BENCH_r13
-    // measured (90; BENCH_r13 ∪ BENCH_r14 = the full registry)
+    // THIS round (r15, rotation B): rest exactly the rows BENCH_r14
+    // measured (97, including r14's debuts q_roi_tm and q_tlm)
     // EXCEPT the never-rested heavies (q_nnd, q_knn_ins, q_interact,
     // q_semdedup, q_corpus2, q_corpus, q_dedup_clusters, q_rank,
-    // q_icorpus — per the SURVEY §6 rotation note, heavies bench
-    // every round). The 86 rows r13 rested all bench this round; no
-    // new registry queries this round (21y2/35b are spec-surface).
+    // q_icorpus, and q_bm25c — newly promoted to the heavy set per
+    // the SURVEY §6 rotation note; heavies bench every round). The
+    // 81 rows r14 rested all bench this round, plus the one new
+    // registry query q_bm25s (debuts always bench).
     val lineSkip = Set(
-      "q01_pricing_summary", "q02_min_per_group",
-      "q02_regional_cheapest", "q03_topk_revenue", "q04_late_priority",
-      "q05_local_supplier", "q06_filter_agg", "q07_nation_volume",
-      "q10_returned_items", "q11_important_parts", "q12_late_counts",
-      "q13_order_histogram", "q14_promo_revenue", "q15_top_supplier",
-      "q16_distinct_suppliers", "q17_small_qty", "q18_large_orders",
-      "q19_disjunctive", "q20_excess_suppliers", "q22_idle_customers",
-      "q_ann_cosine", "q_ann_lsh", "q_anti_join", "q_blur", "q_bm25i",
-      "q_bpe", "q_chunk", "q_connected_components", "q_csamp",
-      "q_decon", "q_dedup_exact", "q_dsir", "q_editjoin", "q_enc",
-      "q_entropy", "q_entropy3", "q_fdecon", "q_filter_min_obs",
-      "q_frame_stats", "q_frame_stats_multi", "q_gcf", "q_glcm",
-      "q_hll", "q_icard", "q_inccc", "q_incnear", "q_jaccard_pairs",
-      "q_kf", "q_kf2", "q_ksamp", "q_link_iou", "q_link_lap",
-      "q_link_mutual", "q_minhash_pairs", "q_mix", "q_mm_corpus",
-      "q_mm_decode", "q_norm", "q_pack", "q_pivot", "q_pq",
-      "q_profile", "q_qc_duplicates", "q_qc_track_summary", "q_rjr",
-      "q_roi_shape", "q_roiname", "q_rollup", "q_rp",
-      "q_sample_stratified", "q_scut", "q_sdecon", "q_sessionize",
-      "q_set_except", "q_shard", "q_tfidf", "q_ulm", "q_upsert",
-      "q_url", "q_window_rank", "q_wp")
+      "q08_market_share", "q09_product_profit",
+      "q21_last_shipper", "q_afp", "q_ann_ivf", "q_asof_join",
+      "q_attrs", "q_audio", "q_bm25", "q_card", "q_cdc", "q_clip",
+      "q_comp", "q_cos_dedup", "q_cube", "q_curr",
+      "q_density_grid", "q_drift", "q_dsirs", "q_ebin",
+      "q_fingerprint", "q_gap_fill", "q_gc", "q_gct", "q_gdedup",
+      "q_gsplit", "q_hardneg", "q_hh_tokens", "q_html", "q_ilm",
+      "q_img_dedup", "q_incdedup", "q_lang_id", "q_ldedup",
+      "q_link_nn", "q_link_track", "q_manifest", "q_ml_classify",
+      "q_ml_cluster", "q_mm_frames", "q_movement", "q_oov",
+      "q_padbatch", "q_pca", "q_pii", "q_pipeline_e2e", "q_pool",
+      "q_qc_cells_per_frame", "q_qc_frame_dist",
+      "q_qc_track_hist", "q_qcls", "q_qsk", "q_quant", "q_ragc",
+      "q_range_join", "q_rank2", "q_roi_stats", "q_roi_tm",
+      "q_rrf", "q_shuf", "q_simhash", "q_simhash_pairs",
+      "q_sketch_stats", "q_snapdiff", "q_span", "q_srcgate",
+      "q_stream_window", "q_text_lines", "q_text_quality",
+      "q_text_repetition", "q_text_scrub", "q_text_tokens",
+      "q_tlm", "q_tmix", "q_track_split", "q_ts_autocorr",
+      "q_ts_elev_multi", "q_ts_elevation", "q_ts_median",
+      "q_ts_moments", "q_ts_trend", "q_ts_wavelet", "q_vad",
+      "q_walk", "q_winnow", "q_winnow_containment", "q_xent")
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }
@@ -178,6 +180,65 @@ object Bench {
       if (dirty(rerunLo(name), rerunLo(name) + 1) &&
         dirty(calLo(name), calLo(name) + 1)) hot += name
     }
+    def r1g(v: Double): String =
+      if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+      else "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    // SCALING cross-check guard (r15 — the BENCH_r14 lesson: three
+    // rows shipped >2x their same-code clean-sweep times because a
+    // minutes-long contention burst hit every back-to-back sample,
+    // while the CPU cal probe saw only part of it). Every >= 1 s row
+    // is compared against the newest SCALING artifact's clean sf0.1
+    // time for the same query (same box, one clean session): a row
+    // over 2x its reference takes ONE more recovery sample after a
+    // deliberate delay (contention only inflates, so min-merge is
+    // safe), and a row STILL over 2x self-reports in "hot" as
+    // name:measured/reference — the artifact carries both numbers
+    // instead of silently recording the poisoned one. Reference
+    // resolution: SPARK_GRAFT_SCALING_REF, else the highest-numbered
+    // SCALING_r*.json in the working directory; no reference (or a
+    // non-sf0.1 run) disables the guard rather than misfiring.
+    val scalingRef: Map[String, Double] =
+      if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
+      else {
+        val f = sys.env.get("SPARK_GRAFT_SCALING_REF").orElse {
+          val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+            .filter(_.getName.matches("SCALING_r\\d+\\.json"))
+          if (fs.isEmpty) None
+          else Some(fs.maxBy(f =>
+            f.getName.stripPrefix("SCALING_r").stripSuffix(".json").toInt)
+            .getPath)
+        }
+        f.filter(new java.io.File(_).exists()).map { path =>
+          try {
+            import org.json4s._
+            org.json4s.jackson.JsonMethods.parse(
+              new java.io.File(path)) \ "queries" match {
+              case JObject(fields) => fields.collect {
+                case (name, JObject(vs)) => vs.collectFirst {
+                  case ("big", JDouble(v))  => name -> v
+                  case ("big", JInt(v))     => name -> v.toDouble
+                  case ("big", JDecimal(v)) => name -> v.toDouble
+                }
+              }.flatten.toMap
+              case _ => Map.empty[String, Double]
+            }
+          } catch { case _: Throwable => Map.empty[String, Double] }
+        }.getOrElse(Map.empty)
+      }
+    def overRef(name: String): Option[Double] = scalingRef.get(name)
+      .filter(ref => results(name) >= 1.0 && results(name) > 2.0 * ref)
+    val poisoned = sweep.map(_._1).filter(n => overRef(n).isDefined)
+    if (poisoned.nonEmpty) {
+      Thread.sleep(20000) // let a burst pass before the recovery pass
+      calibrate()
+      poisoned.foreach { name =>
+        val t = timeOnce(name, SparkEntry.queries(name))
+        if (t >= 0 && t < results(name)) results(name) = t
+      }
+      calibrate()
+    }
+    val hotRef = poisoned.flatMap(n =>
+      overRef(n).map(ref => n + ":" + r1g(results(n)) + "/" + r1g(ref)))
     // Output budget: the driver stores the LAST 2000 chars of merged
     // output, which must hold the whole JSON line plus sbt's trailing
     // "[success] Total time: ..." line (~76 chars) — so the line must
@@ -207,7 +268,8 @@ object Bench {
     // series only adjudicates if its ratios are readable
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val calJson = calSeries.map(r2).mkString("[", ",", "]")
-    val hotJson = hot.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hotJson = (hot.toSeq ++ hotRef).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${r1(total)},"cal":$calJson,""" +
         s""""hot":$hotJson,"queries":$qs,"sf":"$sfName"}"""
