@@ -80,27 +80,23 @@ object TimelapseIngest {
       col("pages").cast("int").as("pages"))
     val ext = lower(regexp_extract(col("path"), "\\.([^./]+)$", 1))
     val base = regexp_extract(col("path"), "([^/]+)$", 1)
+    val byTl = Window.partitionBy("timelapse")
+    // ONE scan of the files table (r15 — the four-way dispatch used to
+    // branch-and-union, scanning files once per kind): the dispatch
+    // counts ride a window over the same timelapse partitioning the
+    // frame ranking needs, so the whole non-OME path is one scan, one
+    // exchange, two Window passes
     val tagged = f
       .withColumn("_base", base)
       .withColumn("_is_jpeg", ext.isin("jpg", "jpeg"))
       .withColumn("_is_tiff", ext.isin("tif", "tiff"))
-    // per-timelapse dispatch facts (one tiny aggregate)
-    val disp = tagged.groupBy("timelapse")
-      .agg(sum(when(col("_is_jpeg"), 1).otherwise(0)).as("_njpeg"),
-        sum(when(col("_is_tiff"), 1).otherwise(0)).as("_ntiff"))
+      .withColumn("_njpeg",
+        sum(when(col("_is_jpeg"), 1).otherwise(0)).over(byTl))
+      .withColumn("_ntiff",
+        sum(when(col("_is_tiff"), 1).otherwise(0)).over(byTl))
     val ome = companions.select(col("timelapse").cast("long").as("timelapse"),
         from_xml(col("xml"), OmeSchema).as("_ome"))
       .withColumn("_has_ome", lit(true))
-    val withKind = tagged
-      .join(disp, Seq("timelapse"))
-      .join(ome.select("timelapse", "_has_ome"), Seq("timelapse"), "left")
-      .withColumn("kind",
-        when(col("_has_ome"), lit("ome"))
-          .when(col("_njpeg") > 0, lit("jpeg"))
-          .when(col("_ntiff") === 1, lit("stack"))
-          .when(col("_ntiff") > 1, lit("tiffs"))
-          .otherwise(lit(null)))
-      .filter(col("kind").isNotNull)
 
     // OME: the companion IS the manifest; member files need no listing
     val omeFrames = ome
@@ -114,38 +110,44 @@ object TimelapseIngest {
         Window.partitionBy("timelapse").orderBy(col("_ord"), col("src_index"))))
       .drop("_ord")
 
-    // JPEG: basename keeps, extension becomes .tiff, then natural sort
-    val jpegFrames = withKind.filter(col("kind") === "jpeg" && col("_is_jpeg"))
+    // the kind-tagged union of the three file-backed shapes: jpeg
+    // keeps one frame per file with the extension rewritten for the
+    // sort; a single stack explodes its pages (frame order = page
+    // order, as a zero-padded rank key); many tiffs keep one frame per
+    // file — ranked by ONE window whose key is kind-appropriate
+    val fileFrames = tagged
+      .join(ome.select("timelapse", "_has_ome"), Seq("timelapse"), "left")
+      .withColumn("kind",
+        when(col("_has_ome"), lit(null)) // OME members come from the XML
+          .when(col("_njpeg") > 0, lit("jpeg"))
+          .when(col("_ntiff") === 1, lit("stack"))
+          .when(col("_ntiff") > 1, lit("tiffs"))
+          .otherwise(lit(null)))
+      .filter(col("kind").isNotNull)
+      .filter(when(col("kind") === "jpeg", col("_is_jpeg"))
+        .otherwise(col("_is_tiff")))
+      .withColumn("_scrub", scrub(col("_base")))
       .withColumn("_name",
-        concat(regexp_replace(scrub(col("_base")), "\\.[^.]+$", ""), lit(".tiff")))
+        when(col("kind") === "jpeg",
+          concat(regexp_replace(col("_scrub"), "\\.[^.]+$", ""), lit(".tiff")))
+          .otherwise(col("_scrub")))
+      .withColumn("src_index",
+        explode(when(col("kind") === "stack",
+            sequence(lit(0), coalesce(col("pages"), lit(1)) - 1))
+          .otherwise(array(lit(0)))))
+      .withColumn("_key",
+        when(col("kind") === "stack",
+          lpad(col("src_index").cast("string"), 20, "0"))
+          .otherwise(graft.functions.NaturalSortKey(col("_name"))))
       .withColumn("frame_id", row_number().over(
-        Window.partitionBy("timelapse")
-          .orderBy(graft.functions.NaturalSortKey(col("_name")), col("_name"))))
-      .select(col("timelapse"), col("kind"), scrub(col("_base")).as("src_file"),
-        lit(0L).as("src_index"), col("frame_id").cast("long").as("frame_id"))
-
-    // single stack: pages explode in order
-    val stackFrames = withKind.filter(col("kind") === "stack" && col("_is_tiff"))
-      .select(col("timelapse"), col("kind"), scrub(col("_base")).as("src_file"),
-        explode(sequence(lit(0), coalesce(col("pages"), lit(1)) - 1)).as("src_index"))
-      .withColumn("frame_id", col("src_index").cast("long") + 1L)
-      .select(col("timelapse"), col("kind"), col("src_file"),
-        col("src_index").cast("long").as("src_index"), col("frame_id"))
-
-    // many tiffs: scrub + natural sort
-    val tiffFrames = withKind.filter(col("kind") === "tiffs" && col("_is_tiff"))
-      .withColumn("_name", scrub(col("_base")))
-      .withColumn("frame_id", row_number().over(
-        Window.partitionBy("timelapse")
-          .orderBy(graft.functions.NaturalSortKey(col("_name")), col("_name"))))
-      .select(col("timelapse"), col("kind"), scrub(col("_base")).as("src_file"),
-        lit(0L).as("src_index"), col("frame_id").cast("long").as("frame_id"))
+        byTl.orderBy(col("_key"), col("_name"), col("src_index"))))
+      .select(col("timelapse"), col("kind"), col("_scrub").as("src_file"),
+        col("src_index").cast("long").as("src_index"),
+        col("frame_id").cast("long").as("frame_id"))
 
     omeFrames.select(col("timelapse"), col("kind"), col("src_file"),
         col("src_index"), col("frame_id").cast("long").as("frame_id"))
-      .unionByName(jpegFrames)
-      .unionByName(stackFrames)
-      .unionByName(tiffFrames)
+      .unionByName(fileFrames)
       .withColumn("canonical_name", canonical(col("frame_id")))
   }
 }

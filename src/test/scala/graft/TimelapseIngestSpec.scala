@@ -81,6 +81,26 @@ class TimelapseIngestSpec extends SparkSpec {
       "img_50.tif", "img_100.tif"))
   }
 
+  test("the manifest plans ONE scan of the files table (kind-tagged " +
+      "union, not a branch per input kind)") {
+    val m = TimelapseIngest.manifest(Seq(
+        (1L, "/raw/a 2.tif", None: Option[Int]),
+        (1L, "/raw/a 10.tif", None: Option[Int]),
+        (2L, "/raw/s.jpeg", None: Option[Int]),
+        (3L, "/raw/stack.tif", Some(3))).toDF("timelapse", "path", "pages"),
+      noXml)
+    val fileScans = m.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.output.exists(_.name == "pages") => l
+    }
+    assert(fileScans.length == 1,
+      s"expected one files scan, got ${fileScans.length}")
+    // and the fused plan still dispatches all three file-backed kinds
+    val kinds = m.select("timelapse", "kind").distinct()
+      .as[(Long, String)].collect().toMap
+    assert(kinds == Map(1L -> "tiffs", 2L -> "jpeg", 3L -> "stack"))
+  }
+
   // ---- natsort tuple-model parity for the sortable key itself ----
 
   /** Reference model of Python natsort's default ordering: names
