@@ -75,8 +75,8 @@ object Bench {
     // q_semdedup, q_corpus2, q_corpus, q_dedup_clusters, q_rank,
     // q_icorpus, and q_bm25c — newly promoted to the heavy set per
     // the SURVEY §6 rotation note; heavies bench every round). The
-    // 81 rows r14 rested all bench this round, plus the one new
-    // registry query q_bm25s (debuts always bench).
+    // 81 rows r14 rested all bench this round, plus the two new
+    // registry queries q_bm25s and q_cdcm (debuts always bench).
     val lineSkip = Set(
       "q08_market_share", "q09_product_profit",
       "q21_last_shipper", "q_afp", "q_ann_ivf", "q_asof_join",

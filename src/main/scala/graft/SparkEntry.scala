@@ -1517,6 +1517,28 @@ object SparkEntry {
           col("event_id").as("last_event"),
           col("event_type").as("last_type"), col("value").as("last_value"))
     }),
+    // the MATERIALIZED changelog store under the snapshot manifest
+    // (30s4's r15 twin): three OUT-OF-ORDER batches of the q_upsert
+    // CDC family merge into the bucketed store (max-version
+    // semilattice, tombstones retained), then the committed snapshot's
+    // LIVE rows are served — equal to a single latest-per-key pass
+    // over the whole log, which is exactly what the oracle computes
+    "q_cdcm" -> ((s, d) => {
+      val log = events(s, d).selectExpr("user_id % 500 AS id",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS ver1", "event_id AS ver2",
+        "CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op",
+        "event_type AS payload")
+      val dir = s"/tmp/graft_cdcm_${new java.io.File(d).getName}_" +
+        java.lang.ProcessHandle.current().pid()
+      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      (0 until 3).foreach(i =>
+        streaming.ChangeLogStream.materializeSnapshotBatch(dir, 16)(
+          log.filter(col("ver2") % 3 === i), i.toLong))
+      streaming.ChangeLogStream.readSnapshot(s, dir)
+        .filter(col("op") =!= "D")
+        .select("id", "ver1", "ver2", "payload")
+    }),
     // incremental connected components: persisted base labels extended
     // with a batch of new edges via the QUOTIENT graph (work scales
     // with the increment); synthetic edges from doc ids (the q_rank
@@ -3987,6 +4009,21 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM log)
         |SELECT id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS last_ts,
         |  event_id AS last_event, event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
+
+    // the snapshot changelog store's live rows equal latest-per-key
+    // over the whole log regardless of batching (the semilattice)
+    "q_cdcm" ->
+      """WITH log AS (
+        |  SELECT user_id % 500 AS id,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ver1,
+        |    event_id AS ver2,
+        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    event_type AS payload
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |        ORDER BY ver1 DESC, ver2 DESC) AS rn FROM log)
+        |SELECT id, ver1, ver2, payload
         |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
 
     // the full re-solve over base ∪ batch edges: min-reachable-id

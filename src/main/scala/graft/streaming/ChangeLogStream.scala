@@ -208,6 +208,179 @@ object ChangeLogStream {
     ()
   }
 
+  // ---- the snapshot-manifest variant (bucket-grain MVCC, r15) ------
+  //
+  // The journaled store above is crash-atomic but NOT reader-isolated:
+  // every merge's dynamic partition overwrite deletes a touched
+  // bucket's old files before renaming the new ones in, so a live
+  // reader overlapping a merge/compaction/retirement can see a partial
+  // bucket (single-writer declared). This variant publishes through
+  // [[graft.sources.SnapshotStore]]'s versioned manifest: each merge
+  // writes the touched buckets' NEW state as a fresh immutable part
+  // (`data/b_x/bucket=N/…`) plus a fresh complete tombstone table
+  // (`tomb/t_x/…` — the `_tomb` sidecar promoted to a manifest line
+  // set, transactional WITH the data instead of best-effort beside
+  // it), and swaps CURRENT once — a reader resolves a complete store
+  // or the prior one, never a mix. Two structural simplifications
+  // fall out: no compaction exists (a merge REPLACES its buckets'
+  // lines, so a bucket is always exactly one live file), and no
+  // rollback journal exists (unpublished parts are invisible debris
+  // [[retireSnapshot]] sweeps; a torn merge re-runs against the prior
+  // generation). Exactly-once is a marker replay gate plus the
+  // max-version semilattice: replaying a published batch recomputes
+  // semantically identical bucket contents, so even a lost marker
+  // cannot corrupt. Reclamation moves to the manifest grace window.
+
+  private val BucketRe = "/bucket=(\\d+)/".r
+  private def bucketOf(line: String): Option[Int] =
+    BucketRe.findFirstMatchIn(line).map(_.group(1).toInt)
+  private def isTombLine(l: String): Boolean = l.startsWith("tomb/")
+
+  private def uuid12 = java.util.UUID.randomUUID().toString.take(12)
+
+  /** Streaming maintenance of the snapshot store. */
+  def materializeSnapshot(log: Dataset[CdcEvent], storeDir: String,
+                          checkpointDir: String,
+                          nBuckets: Int): StreamingQuery = {
+    require(nBuckets >= 1)
+    log.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch(materializeSnapshotBatch(storeDir, nBuckets) _)
+      .start()
+  }
+
+  /** One micro-batch merge into the snapshot store (exposed for the
+    * spec's replay pins and for batch-driven callers). */
+  def materializeSnapshotBatch(storeDir: String, nBuckets: Int)
+                              (batch: org.apache.spark.sql.DataFrame,
+                               batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val store = graft.sources.SnapshotStore
+    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(storeDir,
+      s"_ledger/batch.$batchId")
+    if (fs.exists(marker)) return
+    def mark(): Unit = { fs.create(marker, true).close() }
+    if (batch.isEmpty) { mark(); return }
+    val lines = store.currentFiles(spark, storeDir)
+    def bucketCol = pmod(col("id"), lit(nBuckets)).cast("int")
+    val b = batch.withColumn("bucket", bucketCol)
+    val touched: Set[Int] = b.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val touchedLines = lines.filter(l => bucketOf(l).exists(touched))
+    // the touched buckets' committed state (bucket re-derived from id
+    // — the partition column does not ride inside the files)
+    val existing =
+      if (touchedLines.nonEmpty)
+        store.readFiles(spark, storeDir, touchedLines)
+          .withColumn("bucket", bucketCol)
+      else b.limit(0)
+    val relD = s"data/b_$uuid12"
+    graft.operators.ChangeLog.latest(
+        existing.unionByName(b), Seq("id"), Seq("ver1", "ver2"))
+      .select(col("id"), col("ver1"), col("ver2"), col("op"),
+        col("payload"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$storeDir/$relD")
+    val newData = store.partFiles(spark, storeDir, relD)
+    // the tombstone table: untouched buckets' rows ride through, the
+    // touched buckets' rows are re-derived from the state that was
+    // just written (exact by construction, and published in the SAME
+    // generation as the data — no sidecar swap window)
+    val tombLines = lines.filter(isTombLine)
+    val fresh = store.readFiles(spark, storeDir, newData)
+      .withColumn("bucket", bucketCol)
+      .filter(col("op") === "D")
+      .groupBy("bucket").agg(min(col("ver1")).as("tmin"))
+    val oldTomb =
+      if (tombLines.nonEmpty)
+        store.readFiles(spark, storeDir, tombLines)
+          .filter(!col("bucket").isin(touched.toSeq: _*))
+      else fresh.limit(0)
+    val relT = s"tomb/t_$uuid12"
+    oldTomb.unionByName(fresh).coalesce(1)
+      .write.parquet(s"$storeDir/$relT")
+    store.publishNext(spark, storeDir,
+      lines.filterNot(touchedLines.toSet).filterNot(tombLines.toSet) ++
+        newData ++ store.partFiles(spark, storeDir, relT))
+    mark()
+  }
+
+  /** The committed snapshot (tombstones included — live rows are
+    * `op != 'D'`, the 30s2 reader filter), pinned to one generation
+    * for the plan's lifetime. Empty store = empty frame. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   storeDir: String): org.apache.spark.sql.DataFrame = {
+    val store = graft.sources.SnapshotStore
+    val dataLines = store.currentFiles(spark, storeDir)
+      .filter(l => bucketOf(l).isDefined)
+    if (dataLines.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, String, String)]
+        .toDF("id", "ver1", "ver2", "op", "payload")
+    } else store.readFiles(spark, storeDir, dataLines)
+      .select("id", "ver1", "ver2", "op", "payload")
+  }
+
+  /** [[retireTombstones]] for the snapshot store: discovery reads the
+    * manifest's tombstone table, qualifying buckets rewrite to fresh
+    * parts (a fully-retired bucket simply publishes no lines), and
+    * data + tombstone table move in ONE generation. Same horizon
+    * safety argument as the journaled variant. */
+  def retireTombstonesSnapshot(spark: org.apache.spark.sql.SparkSession,
+                               storeDir: String, horizonVer1: Long,
+                               nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val store = graft.sources.SnapshotStore
+    val lines = store.currentFiles(spark, storeDir)
+    val tombLines = lines.filter(isTombLine)
+    if (tombLines.isEmpty) return
+    val touched: Set[Int] = store.readFiles(spark, storeDir, tombLines)
+      .filter(col("tmin") < horizonVer1)
+      .select("bucket").collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    def bucketCol = pmod(col("id"), lit(nBuckets)).cast("int")
+    val touchedData = lines.filter(l => bucketOf(l).exists(touched))
+    val retirable = col("op") === "D" && col("ver1") < horizonVer1
+    val relD = s"data/r_$uuid12"
+    store.readFiles(spark, storeDir, touchedData)
+      .filter(!retirable)
+      .withColumn("bucket", bucketCol)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$storeDir/$relD")
+    val newData = store.partFiles(spark, storeDir, relD)
+    val survivors =
+      if (newData.nonEmpty)
+        store.readFiles(spark, storeDir, newData)
+          .withColumn("bucket", bucketCol)
+          .filter(col("op") === "D")
+          .groupBy("bucket").agg(min(col("ver1")).as("tmin"))
+      else {
+        import spark.implicits._
+        Seq.empty[(Int, Long)].toDF("bucket", "tmin")
+      }
+    val relT = s"tomb/t_$uuid12"
+    store.readFiles(spark, storeDir, tombLines)
+      .filter(!col("bucket").isin(touched.toSeq: _*))
+      .unionByName(survivors)
+      .coalesce(1).write.parquet(s"$storeDir/$relT")
+    store.publishNext(spark, storeDir,
+      lines.filterNot(touchedData.toSet).filterNot(tombLines.toSet) ++
+        newData ++ store.partFiles(spark, storeDir, relT))
+    ()
+  }
+
+  /** Reclaim files unreferenced by the newest `keepGenerations`
+    * manifests plus torn writers' debris (file grain; size the window
+    * to the longest-running reader). */
+  def retireSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, keepGenerations: Int = 2): Unit =
+    graft.sources.SnapshotStore.retireFileGrain(spark, storeDir,
+      keepGenerations)
+
   /** Compact the store's fragmented buckets to one file each — the
     * small-file maintenance [[materialize]] defers (every micro-batch
     * adds one part per touched bucket). Row contents never change, so
