@@ -560,6 +560,13 @@ object CorpusIncrement {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       s2.conf.set("spark.sql.adaptive.enabled", "false")
+      // the clone's file-status cache starts cold and every pruned
+      // read lists explicit leaf files; above the default 32-path
+      // threshold Spark runs each listing as a distributed JOB —
+      // pure launch latency at increment grain. Keep listings
+      // driver-side on the clone (hundreds of paths, metadata-only).
+      s2.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "10000")
       s2
     } else spark
     st.useSession(sx)
