@@ -1436,16 +1436,19 @@ object SparkEntry {
     // (the q_html pattern — both engines build the identical string,
     // chosen to exercise every rule: mixed-case scheme/host, www,
     // default and non-default ports on both schemes, tracking params
-    // leading/middle/whole-query, trailing slashes, fragments, a
-    // multi-label public suffix and a subdomain); doc-grain output
-    // enriched with the domain-grain rollup, all map-only + one agg
+    // leading/middle/whole-query, trailing slashes, fragments,
+    // multi-label public suffixes, a subdomain, and — r16 — a
+    // wildcard-rule host (*.ck) and an exception-rule host (!www.ck));
+    // doc-grain output enriched with the domain-grain rollup, all
+    // map-only + one agg
     "q_url" -> ((s, d) => {
       val id = col("doc_id")
       val scheme = element_at(array(lit("http://"), lit("HTTP://"),
         lit("HTTPS://"), lit("https://")), (id % 4).cast("int") + 1)
       val suffix = element_at(array(lit(".Example.com"),
         lit(".example.co.uk"), lit(".GitHub.io"),
-        lit(".blogspot.com.au")), (id % 4).cast("int") + 1)
+        lit(".blogspot.com.au"), lit(".edu.CK"), lit(".WWW.ck")),
+        (id % 6).cast("int") + 1)
       val url = concat(scheme,
         when(id % 2 === 0, "WWW.").otherwise(""),
         lit("Site"), (id % 23).cast("string"), suffix,
@@ -3802,9 +3805,10 @@ object SparkEntry {
         |      WHEN 2 THEN 'HTTPS://' ELSE 'https://' END)
         |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
         |    || 'Site' || CAST(doc_id % 23 AS VARCHAR)
-        |    || (CASE doc_id % 4 WHEN 0 THEN '.Example.com'
+        |    || (CASE doc_id % 6 WHEN 0 THEN '.Example.com'
         |      WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.GitHub.io'
-        |      ELSE '.blogspot.com.au' END)
+        |      WHEN 3 THEN '.blogspot.com.au'
+        |      WHEN 4 THEN '.edu.CK' ELSE '.WWW.ck' END)
         |    || (CASE WHEN doc_id % 10 = 0 THEN ':80'
         |      WHEN doc_id % 10 = 5 THEN ':443' ELSE '' END)
         |    || '/Dir' || CAST(doc_id % 7 AS VARCHAR)
@@ -3851,14 +3855,21 @@ object SparkEntry {
         |), dm AS (
         |  SELECT doc_id, n_chars, url_canon, host,
         |    CASE
+        |      WHEN len(hp) >= 2
+        |        AND array_to_string(hp[-2:], '.') IN (""" +
+      graft.text.Psl.sqlExc + """)
+        |        THEN array_to_string(hp[-2:], '.')
         |      WHEN len(hp) >= 4
         |        AND array_to_string(hp[-3:], '.') IN (""" +
       graft.text.Psl.sql3 + """)
         |        THEN array_to_string(hp[-4:], '.')
         |      WHEN len(hp) >= 3
-        |        AND array_to_string(hp[-2:], '.') IN (""" +
+        |        AND (array_to_string(hp[-2:], '.') IN (""" +
       graft.text.Psl.sql2 + """)
+        |          OR hp[-1] IN (""" + graft.text.Psl.sqlWild + """))
         |        THEN array_to_string(hp[-3:], '.')
+        |      WHEN len(hp) >= 2 AND hp[-1] IN (""" +
+      graft.text.Psl.sqlWild + """) THEN ''
         |      WHEN len(hp) >= 2 THEN array_to_string(hp[-2:], '.')
         |      ELSE '' END AS domain
         |  FROM (SELECT *, string_split(host, '.') AS hp FROM hh)

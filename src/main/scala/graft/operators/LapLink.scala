@@ -198,7 +198,12 @@ object LapLink {
               }
               assignEdges(ps.length, cs.length, es, alt)
                 .iterator.map { case (pi2, ci2, _) =>
-                  val d2 = d2s.get(pi2.toLong << 32 | ci2.toLong)
+                  // getOrDefault(NaN) + require: a missing key must
+                  // fail loudly, not unbox null to distance 0.0
+                  val d2 = d2s.getOrDefault(pi2.toLong << 32 | ci2.toLong,
+                    Double.NaN)
+                  require(!d2.isNaN,
+                    s"assigned edge $pi2->$ci2 has no gated distance")
                   (ps(pi2)._1, cs(ci2)._1,
                     graft.functions.Numeric.croundD(math.sqrt(d2), 4))
                 }
@@ -393,7 +398,10 @@ object LapLink {
         }
         assignEdges(segs.length, segs.length, es, alt)
           .iterator.map { case (pi2, ci2, _) =>
-            val d2 = d2s.get(pi2.toLong << 32 | ci2.toLong)
+            val d2 = d2s.getOrDefault(pi2.toLong << 32 | ci2.toLong,
+              Double.NaN)
+            require(!d2.isNaN,
+              s"assigned edge $pi2->$ci2 has no gated distance")
             (segs(pi2).eid, segs(ci2).sid, segs(ci2).sframe - segs(pi2).eframe,
               graft.functions.Numeric.croundD(math.sqrt(d2), 4),
               segs(pi2).track, segs(ci2).track)
@@ -596,7 +604,10 @@ object LapLink {
           .iterator.map { case (pi2, ci2, _) =>
             val p = parents(pi2)
             val c = children(ci2)
-            val d2 = d2s.get(pi2.toLong << 32 | ci2.toLong)
+            val d2 = d2s.getOrDefault(pi2.toLong << 32 | ci2.toLong,
+              Double.NaN)
+            require(!d2.isNaN,
+              s"assigned edge $pi2->$ci2 has no gated distance")
             val kind =
               if (pi2 < nEnds && ci2 < nStarts) "gc"
               else if (pi2 < nEnds) "merge"

@@ -62,7 +62,17 @@ object CorpusIncrementStream {
       org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0)
     if (bMax <= CorpusIncrement.maxDocId(spark, dir)) {
-      // published, marker lost: commit the marker and move on
+      // published, marker lost: commit the marker and move on. The
+      // gate cannot distinguish that face from a contract-violating
+      // out-of-order batch (ids all <= committed max) that was NEVER
+      // applied — which this path would silently discard — so make the
+      // decision observable for operators auditing the feed's
+      // monotonicity contract.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"corpus-increment replay gate: batch $batchId (max doc_id " +
+          s"$bMax <= committed max) marked as already-published at $dir" +
+          " — if this batch was out-of-order rather than a lost marker," +
+          " its rows are dropped by the 31g3 monotonic-ids contract")
       mark(); return
     }
     CorpusIncrement.increment(batch, dir)

@@ -6,12 +6,15 @@ package graft.text
   * plus one label. Single-label TLDs need no entry (the default
   * last-two-labels rule covers them). The snapshot carries the ICANN
   * second-level registrations and private-section hosting suffixes
-  * that dominate real crawl rollups (~280 entries); the full list
-  * also has wildcard (`*.ck`) and exception (`!www.ck`) rules and
-  * thousands of rare entries — a DECLARED narrowing. Kept as plain
-  * string sets so the Spark side (an `isInCollection` over split
-  * host labels) and the DuckDB oracle (the same list interpolated
-  * into an `IN`) share one source of truth. */
+  * that dominate real crawl rollups; r16 adds the list's WILDCARD
+  * rules (`*.ck` — any two-label suffix under the TLD is public, so
+  * registration happens at the third label) and EXCEPTION rules
+  * (`!www.ck` — carved back out of its wildcard: the host itself IS
+  * the registrable domain). The long tail of rare listed entries
+  * remains a DECLARED narrowing. Kept as plain string sets so the
+  * Spark side (an `isInCollection` over split host labels) and the
+  * DuckDB oracle (the same list interpolated into an `IN`) share one
+  * source of truth. */
 object Psl {
 
   /** Two-label public suffixes. */
@@ -140,14 +143,32 @@ object Psl {
     "workers.dev", "neocities.org", "readthedocs.io", "glitch.me",
     "onrender.com", "surge.sh", "now.sh", "fly.dev", "deno.dev",
     "repl.co", "bitbucket.io", "webflow.io", "hashnode.dev",
-    "cloudfront.net", "s3.amazonaws.com")
+    "cloudfront.net")
 
   /** Three-label public suffixes (the private section's per-country
-    * hosting entries are the common ones). */
+    * hosting entries are the common ones; `s3.amazonaws.com` is the
+    * S3-website-bucket rule — three labels, so it lives here where
+    * the last-THREE-label probe can actually match it). */
   val suffixes3: Seq[String] = Seq(
     "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
     "blogspot.co.nz", "blogspot.co.za", "blogspot.com.ar",
-    "blogspot.com.es", "blogspot.co.il")
+    "blogspot.com.es", "blogspot.co.il", "s3.amazonaws.com")
+
+  /** TLDs carrying a wildcard rule (`*.<tld>`): EVERY two-label
+    * suffix under them is public, so the registrable domain is the
+    * last THREE labels — unless an [[exceptions2]] rule carves the
+    * host back out. Snapshot of the list's long-standing ICANN
+    * wildcards; `bd`/`np` also keep their explicit second-level
+    * entries in [[suffixes2]] (same outcome — a listed two-label rule
+    * and the wildcard agree on where registration happens). */
+  val wildcardTlds: Seq[String] = Seq(
+    "bd", "ck", "er", "jm", "kh", "mm", "np", "pg")
+
+  /** Exception rules (`!www.ck`): hosts ending in one of these are
+    * registrable AT this suffix (the exception cancels its wildcard,
+    * making the entry itself the registrable domain). Checked before
+    * every other rule — PSL semantics give exceptions top priority. */
+  val exceptions2: Seq[String] = Seq("www.ck")
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => "'" + s + "'").mkString(", ")
@@ -155,4 +176,6 @@ object Psl {
   /** The lists as SQL `IN (...)` bodies, for the DuckDB oracle. */
   val sql2: String = sqlList(suffixes2)
   val sql3: String = sqlList(suffixes3)
+  val sqlWild: String = sqlList(wildcardTlds)
+  val sqlExc: String = sqlList(exceptions2)
 }

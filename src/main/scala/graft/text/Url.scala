@@ -30,16 +30,17 @@ import org.apache.spark.sql.functions._
   *
   * The registrable domain is public-suffix + one label, resolved
   * against [[Psl]]'s embedded snapshot of the Mozilla public-suffix
-  * list (r15 — ~280 two-label ICANN/private entries plus the common
-  * three-label hosting suffixes; the r14 build carried only seven):
-  * longest listed suffix wins, so `a.b.github.io` rolls up to
-  * `b.github.io` and `x.blogspot.com.au` IS a registrable domain.
-  * Hosts with no listed suffix take their last two labels;
-  * single-label hosts (no dot) have no registrable domain (empty).
-  * Wildcard/exception PSL rules and the long tail of rare entries
-  * remain a DECLARED narrowing. Still map-only: the lookup is an
-  * `isInCollection` (codegen'd set probe) over the split host's
-  * label slices — no join, no UDF.
+  * list (567 listed ICANN/private entries; r16 adds the wildcard
+  * `*.tld` rules and the `!www.ck` exception): exception beats all,
+  * then longest suffix wins, so `a.b.github.io` rolls up to
+  * `b.github.io`, `x.blogspot.com.au` IS a registrable domain, and
+  * `a.edu.ck` is registrable under the `*.ck` wildcard while
+  * `x.www.ck` rolls up to `www.ck` (the exception). Hosts with no
+  * listed suffix take their last two labels; single-label hosts (no
+  * dot) have no registrable domain (empty). The long tail of rare
+  * listed entries remains a DECLARED narrowing. Still map-only: the
+  * lookup is an `isInCollection` (codegen'd set probe) over the
+  * split host's label slices — no join, no UDF.
   */
 object Url {
 
@@ -75,18 +76,29 @@ object Url {
   def host(canonical: Column): Column =
     regexp_extract(canonical, "^https?://([^/?#:]*)", 1)
 
-  /** Registrable domain of a host under [[Psl]]'s suffix snapshot:
-    * last-3-labels suffix beats last-2 beats the default two-label
-    * rule; "" for single-label hosts. Positive-start slices keep
-    * every branch total (short hosts yield short slices, and the
-    * label-count guards make the branch choice exact). */
+  /** Registrable domain of a host under [[Psl]]'s suffix snapshot,
+    * PSL rule order (r16 adds wildcards + exceptions): an exception
+    * rule wins outright (the host's last two labels ARE the
+    * registrable domain — `x.www.ck` and `www.ck` both roll up to
+    * `www.ck`); then the longest match — a listed 3-label suffix,
+    * then a listed 2-label suffix OR a `*.tld` wildcard (both make
+    * the last three labels registrable); a 2-label host under a
+    * wildcard TLD is itself a public suffix (no registrable domain);
+    * unlisted hosts take their last two labels; single-label hosts
+    * have none. Positive-start slices keep every branch total (short
+    * hosts yield short slices, and the label-count guards make the
+    * branch choice exact). */
   def registrableDomain(host: Column): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
     def lastK(k: Int): Column =
       concat_ws(".", slice(parts, greatest(n - lit(k) + 1, lit(1)), lit(k)))
-    when(n >= 4 && lastK(3).isInCollection(Psl.suffixes3), lastK(4))
-      .when(n >= 3 && lastK(2).isInCollection(Psl.suffixes2), lastK(3))
+    val tld = element_at(parts, -1)
+    when(n >= 2 && lastK(2).isInCollection(Psl.exceptions2), lastK(2))
+      .when(n >= 4 && lastK(3).isInCollection(Psl.suffixes3), lastK(4))
+      .when(n >= 3 && (lastK(2).isInCollection(Psl.suffixes2) ||
+        tld.isInCollection(Psl.wildcardTlds)), lastK(3))
+      .when(n >= 2 && tld.isInCollection(Psl.wildcardTlds), lit(""))
       .when(n >= 2, lastK(2))
       .otherwise(lit(""))
   }

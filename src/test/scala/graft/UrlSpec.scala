@@ -95,6 +95,42 @@ class UrlSpec extends SparkSpec {
         "unlisted.zz"))
   }
 
+  test("PSL wildcard and exception rules: *.ck registers at the third " +
+      "label, !www.ck carves the host back out, exception beats wildcard") {
+    assert(dom(
+        // wildcard *.ck: edu.ck is a public suffix — any 2-label
+        // suffix under a wildcard TLD is
+        "a.edu.ck", "x.a.edu.ck", "a.anything.ck",
+        // a 2-label host under a wildcard TLD IS a public suffix —
+        // no registrable domain
+        "edu.ck",
+        // the !www.ck exception: the host itself is registrable,
+        // beating the wildcard that would have demanded three labels
+        "www.ck", "x.www.ck", "deep.x.www.ck",
+        // wildcard-vs-listed precedence: np carries BOTH the *.np
+        // wildcard and listed entries (com.np) — same outcome either
+        // way (registration at the third label), and an UNLISTED
+        // second level under np still registers at the third label
+        // because the wildcard covers it
+        "a.com.np", "a.weird.np")
+      == Seq(
+        "a.edu.ck", "a.edu.ck", "a.anything.ck",
+        "",
+        "www.ck", "www.ck", "www.ck",
+        "a.com.np", "a.weird.np"))
+  }
+
+  test("s3.amazonaws.com is a THREE-label suffix: website buckets are " +
+      "registrable domains, not rolled up to amazonaws.com") {
+    assert(dom("bucket.s3.amazonaws.com", "x.bucket.s3.amazonaws.com",
+        "s3.amazonaws.com")
+      == Seq("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com",
+        // the suffix itself has no registrable label below it; the
+        // default rule keeps its last two (same convention as the
+        // github.io pin above)
+        "amazonaws.com"))
+  }
+
   test("idempotence: canonicalizing a canonical url is a no-op") {
     val raw = Seq(
       "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&id=3#frag",
