@@ -265,6 +265,7 @@ object ChangeLogStream {
     if (fs.exists(marker)) return
     def mark(): Unit = { fs.create(marker, true).close() }
     if (batch.isEmpty) { mark(); return }
+    val fence = store.acquireFence(spark, storeDir)
     val lines = store.currentFiles(spark, storeDir)
     def bucketCol = pmod(col("id"), lit(nBuckets)).cast("int")
     val b = batch.withColumn("bucket", bucketCol)
@@ -305,7 +306,7 @@ object ChangeLogStream {
       .write.parquet(s"$storeDir/$relT")
     store.publishNext(spark, storeDir,
       lines.filterNot(touchedLines.toSet).filterNot(tombLines.toSet) ++
-        newData ++ store.partFiles(spark, storeDir, relT))
+        newData ++ store.partFiles(spark, storeDir, relT), fence)
     mark()
   }
 
@@ -335,6 +336,7 @@ object ChangeLogStream {
                                nBuckets: Int): Unit = {
     import org.apache.spark.sql.functions._
     val store = graft.sources.SnapshotStore
+    val fence = store.acquireFence(spark, storeDir)
     val lines = store.currentFiles(spark, storeDir)
     val tombLines = lines.filter(isTombLine)
     if (tombLines.isEmpty) return
@@ -369,7 +371,7 @@ object ChangeLogStream {
       .coalesce(1).write.parquet(s"$storeDir/$relT")
     store.publishNext(spark, storeDir,
       lines.filterNot(touchedData.toSet).filterNot(tombLines.toSet) ++
-        newData ++ store.partFiles(spark, storeDir, relT))
+        newData ++ store.partFiles(spark, storeDir, relT), fence)
     ()
   }
 

@@ -210,10 +210,11 @@ object Bm25Index {
     graft.sources.SnapshotStore.readFiles(spark, dir, lines.filter(isMetaLine))
 
   /** Write one batch's postings + stats as fresh immutable parts and
-    * publish `keep ++ their files` as the next generation. */
+    * publish `keep ++ their files` as the next generation, under the
+    * caller's writer fence (claimed before `keep` was read). */
   private def publishParts(df: DataFrame, id: Column, text: Column,
                            dir: String, nBuckets: Int,
-                           keep: Seq[String]): Unit = {
+                           keep: Seq[String], fence: Long): Unit = {
     val spark = df.sparkSession
     val uid = java.util.UUID.randomUUID().toString.take(12)
     derive(df, id, text, nBuckets) { (postings, stats) =>
@@ -225,7 +226,8 @@ object Bm25Index {
     }
     graft.sources.SnapshotStore.publishNext(spark, dir, keep ++
       graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/p_$uid") ++
-      graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/m_$uid"))
+      graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/m_$uid"),
+      fence)
     ()
   }
 
@@ -235,18 +237,22 @@ object Bm25Index {
   def buildSnapshot(df: DataFrame, id: Column, text: Column, dir: String,
                     nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
-    publishParts(df, id, text, dir, nBuckets, Nil)
+    val fence = graft.sources.SnapshotStore.acquireFence(df.sparkSession, dir)
+    publishParts(df, id, text, dir, nBuckets, Nil, fence)
   }
 
   /** Append one batch: new parts + the prior generation's lines,
-    * published atomically. Layout truth (bucket count) comes from the
-    * stored meta, as in [[append]]. */
+    * published atomically under a fence claimed BEFORE the lines are
+    * read (a second writer claiming after us makes our publish throw
+    * instead of dropping its lines). Layout truth (bucket count)
+    * comes from the stored meta, as in [[append]]. */
   def appendSnapshot(df: DataFrame, id: Column, text: Column,
                      dir: String): Unit = {
     val spark = df.sparkSession
+    val fence = graft.sources.SnapshotStore.acquireFence(spark, dir)
     val lines = graft.sources.SnapshotStore.currentFiles(spark, dir)
     publishParts(df, id, text, dir,
-      bucketsOfMeta(snapshotMeta(spark, dir, lines), dir), lines)
+      bucketsOfMeta(snapshotMeta(spark, dir, lines), dir), lines, fence)
   }
 
   /** Fold every fragmented bucket (>= `minParts` manifest lines) to
@@ -257,6 +263,7 @@ object Bm25Index {
   def compactSnapshot(spark: SparkSession, dir: String,
                       minParts: Int = 2): Unit = {
     val store = graft.sources.SnapshotStore
+    val fence = store.acquireFence(spark, dir)
     val lines = store.currentFiles(spark, dir)
     val byBucket = lines.flatMap(l => bucketOf(l).map(_ -> l))
       .groupBy(_._1).map { case (b, ls) => b -> ls.map(_._2) }
@@ -293,7 +300,7 @@ object Bm25Index {
       next = next.filterNot(metaLines.toSet) ++
         store.partFiles(spark, dir, s"parts/m_$uid")
     }
-    store.publishNext(spark, dir, next)
+    store.publishNext(spark, dir, next, fence)
     ()
   }
 

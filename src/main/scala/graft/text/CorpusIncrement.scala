@@ -135,7 +135,14 @@ object CorpusIncrement {
     * the whole view in as the next generation — one atomic CURRENT
     * rename across all eight artifact dirs. */
   private final class Store(val spark: SparkSession, val dir: String,
-                            rebuild: Boolean = false) {
+                            rebuild: Boolean = false,
+                            mutating: Boolean = false) {
+    // a mutating view claims its writer fence BEFORE resolving the
+    // base lines it will transform: a second writer claiming after us
+    // makes OUR publish throw instead of dropping its lines
+    private val fence: Long =
+      if (mutating) graft.sources.SnapshotStore.acquireFence(spark, dir)
+      else -1L
     private val base: Seq[String] =
       if (rebuild) Nil
       else graft.sources.SnapshotStore.currentFiles(spark, dir)
@@ -189,7 +196,8 @@ object CorpusIncrement {
     }
 
     def publish(): Unit = {
-      graft.sources.SnapshotStore.publishNext(spark, dir, lines)
+      require(mutating, s"read-only store view cannot publish at $dir")
+      graft.sources.SnapshotStore.publishNext(spark, dir, lines, fence)
       ()
     }
   }
@@ -367,7 +375,7 @@ object CorpusIncrement {
             rates: Map[String, Double] = Map.empty,
             defaultRate: Double = 1.0, nBuckets: Int = 64): DataFrame = {
     val spark = base.sparkSession
-    val st = new Store(spark, dir, rebuild = true)
+    val st = new Store(spark, dir, rebuild = true, mutating = true)
     val ex = exSurvivors(base).persist(lvl)
     ex.count()
     val relH = st.fresh("hidx")
@@ -456,7 +464,7 @@ object CorpusIncrement {
     * census = manifest lines per bucket (no filesystem listing). */
   def compact(spark: SparkSession, dir: String, minParts: Int = 2,
               targetFiles: Int = 1, keepGenerations: Int = 2): Unit = {
-    val st = new Store(spark, dir)
+    val st = new Store(spark, dir, mutating = true)
     var changed = false
     // bucketed artifacts: fold each fragmented bucket's lines into one
     // file inside a fresh part; bucket is re-derived from the very
@@ -518,7 +526,7 @@ object CorpusIncrement {
     * once. */
   def increment(batch: DataFrame, dir: String): DataFrame = {
     val spark = batch.sparkSession
-    val st = new Store(spark, dir)
+    val st = new Store(spark, dir, mutating = true)
     val m = readMeta(st)
     val bMin = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (bMin.isNullAt(0)) return assembleSt(st, m)

@@ -103,6 +103,91 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(new java.io.File(dir, "_ledger/CURRENT").exists())
   }
 
+  test("manifest-list indirection: an append reuses every prior " +
+      "manifest part by reference and writes exactly one new one — " +
+      "publish cost O(delta), not O(live files)") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_mlist").toString
+    def ledgerNames(prefix: String): Seq[String] =
+      new java.io.File(dir, "_ledger").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith(prefix)).sorted
+    def manifestRefs(gen: Long): Seq[String] =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_ledger", s"manifest.$gen"))
+        .linesIterator.filter(_.startsWith("@")).map(_.drop(1)).toSeq
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    val gen1Parts = manifestRefs(1L)
+    assert(gen1Parts.length === 1, "one append = one manifest part")
+    SnapshotStore.append((6L to 9L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    val gen2Parts = manifestRefs(2L)
+    assert(gen2Parts.length === 2)
+    assert(gen2Parts.contains(gen1Parts.head),
+      "the untouched prior part must be REUSED by reference, not rewritten")
+    assert(ledgerNames("mp_").length === 2,
+      "no extra manifest parts beyond the two appends'")
+    assert(rows(SnapshotStore.read(spark, dir))
+      === (1L to 9L).map(i => (i, s"v$i")).toSet)
+    // a full fold stops referencing the old parts; retirement then
+    // drops the unreferenced manifest parts with their manifests
+    SnapshotStore.compact(spark, dir)
+    assert(manifestRefs(3L).toSet.intersect(gen2Parts.toSet).isEmpty)
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    assert(ledgerNames("mp_") === manifestRefs(3L),
+      "manifest parts unreferenced by the kept window must be swept")
+  }
+
+  test("writer fencing: a stale writer's publish throws instead of " +
+      "silently dropping the newer writer's lines") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_fence").toString
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    // writer A claims the store and resolves its view...
+    val fenceA = SnapshotStore.acquireFence(spark, dir)
+    val viewA = SnapshotStore.currentFiles(spark, dir)
+    // ...then writer B claims AFTER A and publishes first (B's fence
+    // is newest at B's publish, so B proceeds)
+    val fenceB = SnapshotStore.acquireFence(spark, dir)
+    val relB = "parts/b_fence_b"
+    Seq((100L, "b")).toDF("id", "s").coalesce(1)
+      .write.parquet(s"$dir/$relB")
+    SnapshotStore.publishNext(spark, dir,
+      SnapshotStore.currentFiles(spark, dir) ++
+        SnapshotStore.partFiles(spark, dir, relB), fenceB)
+    assert(rows(SnapshotStore.read(spark, dir))
+      === (1L to 5L).map(i => (i, s"v$i")).toSet + ((100L, "b")))
+    // A's publish was computed from a pre-B read: it MUST fail fast —
+    // publishing viewA would drop B's row
+    val relA = "parts/b_fence_a"
+    Seq((200L, "a")).toDF("id", "s").coalesce(1)
+      .write.parquet(s"$dir/$relA")
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.publishNext(spark, dir,
+        viewA ++ SnapshotStore.partFiles(spark, dir, relA), fenceA)
+    }
+    assert(e.getMessage.contains("stale writer"))
+    // the store still serves B's generation, lines intact
+    assert(rows(SnapshotStore.read(spark, dir))
+      === (1L to 5L).map(i => (i, s"v$i")).toSet + ((100L, "b")))
+  }
+
+  test("AS-OF generation reads: a pinned pre-compaction generation " +
+      "equals the pre-compaction store until retired") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_asof").toString
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    SnapshotStore.append((6L to 8L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    val want = (1L to 8L).map(i => (i, s"v$i")).toSet
+    SnapshotStore.compact(spark, dir)
+    assert(SnapshotStore.generations(spark, dir) === Seq(1L, 2L, 3L))
+    // read AS OF N-1 after the compaction == the pre-compaction store
+    assert(rows(SnapshotStore.read(spark, dir, 2L)) === want)
+    assert(rows(SnapshotStore.read(spark, dir, 1L))
+      === (1L to 5L).map(i => (i, s"v$i")).toSet)
+    assert(rows(SnapshotStore.read(spark, dir, 3L)) === want)
+    // past the grace window the generation is gone (manifest retired)
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    assert(SnapshotStore.generations(spark, dir) === Seq(3L))
+    intercept[Exception] { SnapshotStore.read(spark, dir, 1L).collect() }
+    assert(rows(SnapshotStore.read(spark, dir, 3L)) === want)
+  }
+
   test("a reader resolved between manifest write and CURRENT swap sees " +
       "exactly the old generation") {
     val dir = java.nio.file.Files.createTempDirectory("snapstore_mid").toString
