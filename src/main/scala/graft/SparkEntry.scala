@@ -77,7 +77,10 @@ object SparkEntry {
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     val dir =
       s"/tmp/graft_knn_${tag}_${new java.io.File(d).getName}_$fp"
-    publishCached(dir) { stage =>
+    // r16: saveKnn publishes through the manifest, so completion is
+    // _ledger/CURRENT — a pre-r16 cached dir (meta/_SUCCESS layout)
+    // counts as unpublished and is rebuilt in place
+    publishCached(dir, marker = "_ledger/CURRENT") { stage =>
       graft.vector.IndexStore.saveKnn(stage,
         graft.vector.NnDescent.build(emb, k = 10,
           maxRounds = 6, convergedFrac = 0.01), 10)
@@ -1367,15 +1370,15 @@ object SparkEntry {
       // so repeat invocations (bench best-of-2) reset the store first
       org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(dir), true)
-      text.Bm25Index.buildSnapshot(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      text.Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         col("doc_id"), col("text"), dir)
-      text.Bm25Index.appendSnapshot(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         col("doc_id"), col("text"), dir)
-      text.Bm25Index.appendSnapshot(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
+      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
         col("doc_id"), col("text"), dir)
-      text.Bm25Index.compactSnapshot(s, dir)
-      text.Bm25Index.retireSnapshot(s, dir)
-      text.Bm25Index.topKSnapshot(s, dir,
+      text.Bm25Index.compact(s, dir)
+      text.Bm25Index.retire(s, dir)
+      text.Bm25Index.topK(s, dir,
         Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))
     }),
     // hybrid dense+sparse retrieval by RRF: query-by-example over the
@@ -1536,7 +1539,7 @@ object SparkEntry {
       org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(dir), true)
       (0 until 3).foreach(i =>
-        streaming.ChangeLogStream.materializeSnapshotBatch(dir, 16)(
+        streaming.ChangeLogStream.materializeBatch(dir, 16)(
           log.filter(col("ver2") % 3 === i), i.toLong))
       streaming.ChangeLogStream.readSnapshot(s, dir)
         .filter(col("op") =!= "D")

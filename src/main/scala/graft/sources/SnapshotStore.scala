@@ -40,7 +40,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    expire-snapshots strikes). A crash ANYWHERE leaves either the
   *    old CURRENT (unpublished parts are invisible orphans retire
   *    sweeps) or the new one (complete by construction) — no journal
-  *    replay needed, which is why this store needs no CommitLog.
+  *    replay needed, which is why this store needs no rollback journal.
   *
   * Single concurrent WRITER by contract, readers unlimited — and the
   * contract is ENFORCED at publish (r16): every mutating operation

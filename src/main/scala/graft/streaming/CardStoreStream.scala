@@ -15,13 +15,19 @@ import graft.text.CardStore
   * of the flowing data; this member maintains the CUMULATIVE release
   * card as a persisted artifact.
   *
-  * The append is one directory, but a replayed batch would double the
-  * additive masses (sums, unlike the 21w overwrite layout, are not
-  * idempotent), so the batch runs under [[ExactlyOnce.ledgered]]'s
-  * journal: completed replays are marker-skipped and a torn append
-  * rolls back to the committed file census. Periodic
-  * [[CardStore.compact]] folds the parts (card pinned bit-identical,
-  * CardStoreSpec). */
+  * Replay semantics (r16 — manifest-native, the 31g4 gate shape): the
+  * card store publishes through the MVCC manifest, so a crash mid-
+  * append leaves only unpublished debris no reader resolves and
+  * [[CardStore.retire]] sweeps — no rollback journal. Exactly-once
+  * (additive sums are NOT replay-idempotent) then needs only:
+  *  - a batch with its commit marker (`_ledger/batch.<id>`, written
+  *    after the publish) is SKIPPED;
+  *  - a marker-less batch whose id is <= the store's committed max
+  *    `src_batch` was PUBLISHED by a run that died between the
+  *    CURRENT swap and its marker — the only way the stamped part can
+  *    be committed — so it is marked and skipped, never double-summed;
+  *  - anything else appends (stamping `src_batch`) and then marks.
+  * Batch-id monotonicity is the streaming checkpoint's contract. */
 object CardStoreStream {
 
   def maintain(docs: DataFrame, dir: String,
@@ -32,13 +38,24 @@ object CardStoreStream {
       .foreachBatch(maintainBatch(dir) _)
       .start()
 
-  /** The foreachBatch handler (exposed for the spec's replay pins).
-    * Parts land under `dir/parts` so the ledger directory never sits
-    * inside the parquet table the card reads. */
-  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
-    ExactlyOnce.ledgered(dir) { (b, _) =>
-      if (!b.isEmpty)
-        CardStore.append(b, col("doc_id"), col("text"), col("lang"),
-          s"$dir/parts")
-    }(batch, batchId)
+  /** The foreachBatch handler (exposed for the spec's replay pins). */
+  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"_ledger/batch.$batchId")
+    if (fs.exists(marker)) return
+    def mark(): Unit = {
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+    if (batch.isEmpty) { mark(); return }
+    if (CardStore.maxSrcBatch(spark, dir) >= batchId) {
+      // published, marker lost: commit the marker and move on
+      mark(); return
+    }
+    CardStore.append(batch, col("doc_id"), col("text"), col("lang"),
+      dir, srcBatch = batchId)
+    mark()
+  }
 }

@@ -29,21 +29,4 @@ object ExactlyOnce {
       .partitionBy("batch_id").parquet(path)
   }
 
-  /** Exactly-once gate for MULTI-write stores that one dynamic
-    * overwrite cannot make idempotent (the BM25 index's postings +
-    * meta, the corpus-artifact set), on the batch-grain rollback
-    * journal ([[graft.sources.CommitLog]]): a replayed COMPLETED batch
-    * is skipped by its commit marker (the original ledger contract),
-    * and a crash MID-apply — between the postings and meta writes,
-    * between artifact directories, or mid-write-job — is ROLLED BACK
-    * from the journaled pre-state census before the next batch (or any
-    * recover-attached reader) touches the store, so readers resolve
-    * only committed file sets. `apply`'s writes must only ADD files
-    * (the stores' append/versioned-dir contract); crash-injection
-    * recovery is spec-pinned per store (Bm25StreamSpec,
-    * CorpusIncrementStreamSpec). */
-  def ledgered(storeDir: String)(apply: (DataFrame, Long) => Unit)
-              (batch: DataFrame, batchId: Long): Unit =
-    graft.sources.CommitLog.atomically(batch.sparkSession, storeDir,
-      batchId) { apply(batch, batchId) }
 }

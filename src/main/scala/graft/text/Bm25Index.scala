@@ -11,15 +11,32 @@ import org.apache.spark.sql.functions._
   * postings without touching old ones, and serves queries from the
   * artifact.
   *
-  * Layout under `dir`:
-  *  - `postings/` — (term, doc_id, tf, dl) partitioned by
-  *    `bucket = pmod(xxhash64(term), nBuckets)`, so a query reads
-  *    only its terms' buckets (driver-computed `isin` → static
-  *    partition pruning, the 30s4 pattern) and an append writes new
-  *    files into existing partitions without rewriting them;
-  *  - `meta/` — one (n_docs, sum_dl) row per build/append part:
-  *    corpus stats are sums of per-part sums (exact integers), so
-  *    serving reads meta and adds.
+  * Publication (r16 — consolidated onto the engine's ONE store
+  * protocol, [[graft.sources.SnapshotStore]]'s bucket-grain MVCC
+  * manifest; the journaled twin the r15 build still carried is
+  * deleted): postings/meta batches land as immutable part subtrees
+  * (`parts/p_x/bucket=N/…`, `parts/m_x/…`), each publication is one
+  * atomic CURRENT swap, and a reader resolves CURRENT once — so a
+  * query keeps serving its exact generation while compaction replaces
+  * single buckets' files underneath it (never a mix, Bm25SnapshotSpec's
+  * pin). A torn writer leaves only unpublished debris no reader
+  * resolves and [[retire]] sweeps — no rollback journal exists; a
+  * split-brain second writer fails fast at publish (the store fence).
+  * Space reclamation is [[retire]]'s grace window.
+  *
+  * Artifacts per part:
+  *  - postings: (term, doc_id, tf, dl) filed under
+  *    `bucket = pmod(xxhash64(term), nBuckets)`, one file per bucket
+  *    per batch — a query reads ONLY its terms' buckets (the static
+  *    prune is manifest-LINE selection: untouched buckets are never
+  *    even listed), and an append adds lines without touching old
+  *    ones;
+  *  - meta: one (n_docs, sum_dl, n_buckets, src_batch) row per
+  *    build/append — corpus stats are sums of per-part sums (exact
+  *    integers); `n_buckets` is the persisted layout truth; and
+  *    `src_batch` (-1 for batch-API callers) lets the streaming
+  *    maintainer ([[graft.streaming.Bm25Stream]]) probe the committed
+  *    max batch id for its lost-marker replay gate.
   *
   * EXACTNESS: document frequency is counted from the query-filtered
   * postings at serving time (df is a property of the postings, not a
@@ -27,47 +44,33 @@ import org.apache.spark.sql.functions._
   * whether it arrived at build or append; N/sum_dl are associative
   * integer sums; and the scoring tail IS [[Bm25.scoreTf]] — so index
   * serving over base ∪ appended batches is BIT-IDENTICAL to
-  * [[Bm25.topK]] over the concatenated corpus, which is what lets the
-  * registry query reuse the direct query's SQL oracle verbatim.
-  *
-  * Append idempotence is the caller's stream contract (wrap in the
-  * 21w/30s4 foreachBatch patterns for exactly-once); [[compact]]
-  * folds the accumulated small append parts back down with serving
-  * pinned bit-identical (Bm25IndexSpec). */
+  * [[Bm25.topK]] over the concatenated corpus, through build + append
+  * + compaction + retirement, which is what lets the registry queries
+  * reuse the direct query's SQL oracle verbatim. */
 object Bm25Index {
 
-  def build(df: DataFrame, id: Column, text: Column, dir: String,
-            nBuckets: Int = 64): Unit = {
-    require(nBuckets >= 1)
-    write(df, id, text, dir, nBuckets, overwrite = true)
-  }
+  /** Bucket id of a manifest line, None for meta/non-bucket lines. */
+  private val BucketRe = "/bucket=(\\d+)/".r
+  private def bucketOf(line: String): Option[Int] =
+    BucketRe.findFirstMatchIn(line).map(_.group(1).toInt)
+  private def isMetaLine(l: String): Boolean = l.startsWith("parts/m_")
 
-  /** Append a new batch's postings + stats part — cost scales with
-    * the batch (its own tokenization and one bucket-partitioned
-    * write), never the index. The bucket layout comes from the
-    * STORED meta (a layout parameter is corruption waiting to
-    * mismatch, so it is persisted once at build and never passed
-    * again). Batch doc ids must be disjoint from indexed ones
-    * (re-ingest dedup is 22a's job). */
-  def append(df: DataFrame, id: Column, text: Column,
-             dir: String): Unit =
-    write(df, id, text, dir, storedBuckets(df.sparkSession, dir),
-      overwrite = false)
-
-  /** The bucket count the index was built with, read from meta —
-    * the single source of layout truth for append and topK. */
-  private def storedBuckets(spark: SparkSession, dir: String): Int = {
-    val n = spark.read.parquet(s"$dir/meta")
-      .select(min(col("n_buckets")), max(col("n_buckets"))).head()
+  /** The stored bucket count, from the committed meta lines. */
+  private def bucketsOfMeta(meta: DataFrame, dir: String): Int = {
+    val n = meta.select(min(col("n_buckets")), max(col("n_buckets"))).head()
     require(n.getInt(0) == n.getInt(1),
-      s"inconsistent n_buckets in $dir/meta: ${n.getInt(0)} vs ${n.getInt(1)}")
+      s"inconsistent n_buckets in $dir: ${n.getInt(0)} vs ${n.getInt(1)}")
     n.getInt(0)
   }
+
+  private def meta(spark: SparkSession, dir: String,
+                   lines: Seq[String]): DataFrame =
+    graft.sources.SnapshotStore.readFiles(spark, dir, lines.filter(isMetaLine))
 
   /** One tokenization pass feeding BOTH artifacts: sink receives the
     * batch's bucketed postings rows and its one-row stats part. */
   private def derive[A](df: DataFrame, id: Column, text: Column,
-                        nBuckets: Int)
+                        nBuckets: Int, srcBatch: Long)
                        (sink: (DataFrame, DataFrame) => A): A = {
     val base = Bm25.tokenized(df, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -79,145 +82,20 @@ object Bm25Index {
         .withColumn("bucket",
           pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")),
       base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .withColumn("n_buckets", lit(nBuckets)))
+        .withColumn("n_buckets", lit(nBuckets))
+        .withColumn("src_batch", lit(srcBatch)))
     finally { base.unpersist(blocking = false); () }
   }
-
-  private def write(df: DataFrame, id: Column, text: Column, dir: String,
-                    nBuckets: Int, overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
-    derive(df, id, text, nBuckets) { (postings, stats) =>
-      postings
-        .write.mode(mode)
-        // STATIC overwrite pinned: under a session's dynamic mode a
-        // REBUILD would leave stale buckets absent from the new
-        // corpus while meta truncates — an inconsistent index
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("bucket").parquet(s"$dir/postings")
-      stats.write.mode(mode).parquet(s"$dir/meta")
-    }
-  }
-
-  /** Compact the index in place — the "35-story" maintenance the
-    * append path defers: every [[append]] adds one parquet part per
-    * touched postings bucket plus one meta row, so at crawl cadence a
-    * bucket accumulates thousands of tiny files whose open/footer cost
-    * eventually dominates serving. Compaction rewrites each FRAGMENTED
-    * bucket (>= `minParts` data files) into a single file and folds
-    * the meta parts into one row.
-    *
-    * Serving stays BIT-IDENTICAL: postings rows are re-filed, never
-    * changed, and the meta fold is the same associative integer sum
-    * serving already computes ([[topK]] aggregates meta before use, so
-    * one pre-summed row reads back the exact same N / sum_dl). The two
-    * steps are independently idempotent and each preserves serving on
-    * its own, so a failure between them leaves a valid index.
-    *
-    * Scale shape: work is proportional to the fragmented buckets'
-    * data, not the index — intact buckets are never read (the same
-    * static `isin` pruning serving uses), and each rewritten bucket's
-    * rows hash to one task (`repartition` on the partition column), so
-    * the overwrite emits exactly one file per bucket.
-    *
-    * Crash-atomic (r13): the whole pass runs under the store's
-    * rewrite journal ([[graft.sources.CommitLog.rewriting]] — the
-    * fragmented buckets and the meta dir are backed up before the
-    * overwrites), so a kill inside a partition overwrite's
-    * delete-then-rename commit window restores the pre-compaction
-    * store byte-for-byte instead of losing a bucket. */
-  def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit = {
-    val frag = graft.sources.BucketMaintenance.fragmentedBuckets(
-      spark, s"$dir/postings", minParts)
-    val metaFold =
-      spark.read.parquet(s"$dir/meta").inputFiles.length >= minParts
-    if (frag.isEmpty && !metaFold) return
-    val backup = frag.map(b => s"postings/bucket=$b") ++
-      (if (metaFold) Seq("meta") else Nil)
-    // rename-displacing journal (r14): everything the publish writes
-    // is materialized up front (the staged bucket snapshot; the meta
-    // fold is a driver-collected row), so the undo backup is a rename
-    // instead of a second full write of the fragmented slice
-    graft.sources.CommitLog.rewritingStaged(spark, dir, backup)({
-      val staged = graft.sources.BucketMaintenance.stageRewrite(spark,
-        s"$dir/postings", frag)
-      // meta: fold all build/append rows into one (driver-sized — one
-      // row per historical append; the collect sidesteps the
-      // read-overwrite conflict entirely)
-      val metaRow =
-        if (!metaFold) None
-        else {
-          val r = spark.read.parquet(s"$dir/meta")
-            .agg(sum(col("n_docs")).as("n_docs"),
-              sum(col("sum_dl")).as("sum_dl"),
-              min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
-            .head()
-          require(r.getInt(2) == r.getInt(3),
-            s"inconsistent n_buckets in $dir/meta: ${r.getInt(2)} vs ${r.getInt(3)}")
-          Some((r.getLong(0), r.getLong(1), r.getInt(2)))
-        }
-      (staged, metaRow)
-    }) { case (staged, metaRow) =>
-      staged.foreach(graft.sources.BucketMaintenance.publishRewrite(spark, _))
-      metaRow.foreach { r =>
-        import spark.implicits._
-        Seq(r).toDF("n_docs", "sum_dl", "n_buckets")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-      }
-    }
-  }
-
-  // ---- the snapshot-manifest variant (bucket-grain MVCC, r15) ------
-  //
-  // The journaled index above is crash-atomic but NOT reader-isolated:
-  // compact's dynamic partition overwrite deletes a bucket's old files
-  // before renaming the new ones in, so a live reader overlapping
-  // maintenance can see a partial bucket (single-writer DECLARED, the
-  // r14 verdict's last scale weakness in the store family). This
-  // variant publishes the same artifacts through
-  // [[graft.sources.SnapshotStore]]'s versioned manifest at BUCKET
-  // grain: postings/meta batches land as immutable part subtrees
-  // (`parts/p_x/bucket=N/…`, `parts/m_x/…`), each publication is one
-  // atomic CURRENT swap, and a reader resolves CURRENT once — so a
-  // query keeps serving its exact generation while compaction
-  // replaces single buckets' files underneath it (never a mix,
-  // Bm25SnapshotSpec's pin). Serving stays BIT-IDENTICAL to the
-  // journaled path (same postings rows, same associative meta sums,
-  // same [[Bm25.scoreTf]] tail), so q_bm25's oracle applies verbatim
-  // through build + append + compaction. No CommitLog: unpublished
-  // parts are invisible orphans [[retireSnapshot]] sweeps; space
-  // reclamation moves to the manifest's grace window. Scale shape is
-  // unchanged — a query still reads only its terms' buckets (the
-  // prune moves from partition dirs to MANIFEST LINES, which is also
-  // what lets compaction supersede one bucket's files while every
-  // other line rides through).
-
-  /** Bucket id of a manifest line, None for meta/non-bucket lines. */
-  private val BucketRe = "/bucket=(\\d+)/".r
-  private def bucketOf(line: String): Option[Int] =
-    BucketRe.findFirstMatchIn(line).map(_.group(1).toInt)
-  private def isMetaLine(l: String): Boolean = l.startsWith("parts/m_")
-
-  /** The stored bucket count, from the snapshot's meta lines. */
-  private def bucketsOfMeta(meta: DataFrame, dir: String): Int = {
-    val n = meta.select(min(col("n_buckets")), max(col("n_buckets"))).head()
-    require(n.getInt(0) == n.getInt(1),
-      s"inconsistent n_buckets in $dir: ${n.getInt(0)} vs ${n.getInt(1)}")
-    n.getInt(0)
-  }
-
-  private def snapshotMeta(spark: SparkSession, dir: String,
-                           lines: Seq[String]): DataFrame =
-    graft.sources.SnapshotStore.readFiles(spark, dir, lines.filter(isMetaLine))
 
   /** Write one batch's postings + stats as fresh immutable parts and
     * publish `keep ++ their files` as the next generation, under the
     * caller's writer fence (claimed before `keep` was read). */
   private def publishParts(df: DataFrame, id: Column, text: Column,
-                           dir: String, nBuckets: Int,
+                           dir: String, nBuckets: Int, srcBatch: Long,
                            keep: Seq[String], fence: Long): Unit = {
     val spark = df.sparkSession
     val uid = java.util.UUID.randomUUID().toString.take(12)
-    derive(df, id, text, nBuckets) { (postings, stats) =>
+    derive(df, id, text, nBuckets, srcBatch) { (postings, stats) =>
       // one file per bucket (repartition on the partition column) —
       // the artifact's file count grows with BATCHES, not tasks
       postings.repartition(col("bucket"))
@@ -231,28 +109,39 @@ object Bm25Index {
     ()
   }
 
-  /** Build the snapshot index (a rebuild publishes a manifest of only
-    * the new parts — superseded files await [[retireSnapshot]], so
-    * in-flight readers of the old corpus keep serving it). */
-  def buildSnapshot(df: DataFrame, id: Column, text: Column, dir: String,
-                    nBuckets: Int = 64): Unit = {
+  /** Build the index (a rebuild publishes a manifest of only the new
+    * parts — superseded files await [[retire]], so in-flight readers
+    * of the old corpus keep serving it). */
+  def build(df: DataFrame, id: Column, text: Column, dir: String,
+            nBuckets: Int = 64, srcBatch: Long = -1L): Unit = {
     require(nBuckets >= 1)
     val fence = graft.sources.SnapshotStore.acquireFence(df.sparkSession, dir)
-    publishParts(df, id, text, dir, nBuckets, Nil, fence)
+    publishParts(df, id, text, dir, nBuckets, srcBatch, Nil, fence)
   }
 
   /** Append one batch: new parts + the prior generation's lines,
     * published atomically under a fence claimed BEFORE the lines are
     * read (a second writer claiming after us makes our publish throw
     * instead of dropping its lines). Layout truth (bucket count)
-    * comes from the stored meta, as in [[append]]. */
-  def appendSnapshot(df: DataFrame, id: Column, text: Column,
-                     dir: String): Unit = {
+    * comes from the stored meta. Batch doc ids must be disjoint from
+    * indexed ones (re-ingest dedup is 22a's job). */
+  def append(df: DataFrame, id: Column, text: Column, dir: String,
+             srcBatch: Long = -1L): Unit = {
     val spark = df.sparkSession
     val fence = graft.sources.SnapshotStore.acquireFence(spark, dir)
     val lines = graft.sources.SnapshotStore.currentFiles(spark, dir)
     publishParts(df, id, text, dir,
-      bucketsOfMeta(snapshotMeta(spark, dir, lines), dir), lines, fence)
+      bucketsOfMeta(meta(spark, dir, lines), dir), srcBatch, lines, fence)
+  }
+
+  /** The committed max `src_batch` (-1 when the store is empty or
+    * only batch-API parts exist) — the streaming maintainer's
+    * already-applied probe for a published-but-unmarked batch. A
+    * parts-grain read (one row per batch since the last compaction). */
+  def maxSrcBatch(spark: SparkSession, dir: String): Long = {
+    if (graft.sources.SnapshotStore.currentGen(spark, dir) == 0L) return -1L
+    val lines = graft.sources.SnapshotStore.currentFiles(spark, dir)
+    meta(spark, dir, lines).agg(max(col("src_batch"))).head().getLong(0)
   }
 
   /** Fold every fragmented bucket (>= `minParts` manifest lines) to
@@ -260,8 +149,7 @@ object Bm25Index {
     * intact buckets' lines ride through untouched, replaced files
     * stay on disk for in-flight readers, and serving is bit-identical
     * (rows re-filed, the meta fold is the sum serving computes). */
-  def compactSnapshot(spark: SparkSession, dir: String,
-                      minParts: Int = 2): Unit = {
+  def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit = {
     val store = graft.sources.SnapshotStore
     val fence = store.acquireFence(spark, dir)
     val lines = store.currentFiles(spark, dir)
@@ -272,7 +160,7 @@ object Bm25Index {
     val metaLines = lines.filter(isMetaLine)
     val metaFold = metaLines.length >= minParts
     if (fragFiles.isEmpty && !metaFold) return
-    val nb = bucketsOfMeta(snapshotMeta(spark, dir, lines), dir)
+    val nb = bucketsOfMeta(meta(spark, dir, lines), dir)
     val uid = java.util.UUID.randomUUID().toString.take(12)
     var next = lines
     if (fragFiles.nonEmpty) {
@@ -290,12 +178,13 @@ object Bm25Index {
       import spark.implicits._
       val r = store.readFiles(spark, dir, metaLines)
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
-          min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"))
+          min(col("n_buckets")).as("_bmin"), max(col("n_buckets")).as("_bmax"),
+          max(col("src_batch")).as("src_batch"))
         .head()
       require(r.getInt(2) == r.getInt(3),
         s"inconsistent n_buckets in $dir: ${r.getInt(2)} vs ${r.getInt(3)}")
-      Seq((r.getLong(0), r.getLong(1), r.getInt(2)))
-        .toDF("n_docs", "sum_dl", "n_buckets")
+      Seq((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(4)))
+        .toDF("n_docs", "sum_dl", "n_buckets", "src_batch")
         .coalesce(1).write.parquet(s"$dir/parts/m_$uid")
       next = next.filterNot(metaLines.toSet) ++
         store.partFiles(spark, dir, s"parts/m_$uid")
@@ -308,22 +197,22 @@ object Bm25Index {
     * manifests (file grain — a compaction supersedes single files
     * inside part dirs that stay live for their other buckets), plus
     * torn writers' orphans. Size the window to the longest reader. */
-  def retireSnapshot(spark: SparkSession, dir: String,
-                     keepGenerations: Int = 2): Unit =
+  def retire(spark: SparkSession, dir: String,
+             keepGenerations: Int = 2): Unit =
     graft.sources.SnapshotStore.retireFileGrain(spark, dir, keepGenerations)
 
-  /** [[topK]] served from the manifest's CURRENT generation: the
-    * query's term buckets select manifest LINES (the static prune,
-    * now at file grain), and the whole plan pins to that exact file
-    * set for its lifetime — bit-identical to [[Bm25.topK]] over the
-    * same corpus. */
-  def topKSnapshot(spark: SparkSession, dir: String,
-                   queries: Seq[(Int, String)], k: Int = 10,
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** [[Bm25.topK]] served from the manifest's CURRENT generation: the
+    * query's term buckets select manifest LINES (the static prune, at
+    * file grain), and the whole plan pins to that exact file set for
+    * its lifetime — bit-identical to [[Bm25.topK]] over the same
+    * corpus. */
+  def topK(spark: SparkSession, dir: String,
+           queries: Seq[(Int, String)], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val store = graft.sources.SnapshotStore
     val lines = store.currentFiles(spark, dir)
-    val meta = snapshotMeta(spark, dir, lines)
-    val nBuckets = bucketsOfMeta(meta, dir)
+    val metaDf = meta(spark, dir, lines)
+    val nBuckets = bucketsOfMeta(metaDf, dir)
     val qTerms = Bm25.queryTerms(spark, queries)
     val terms = qTerms.select("term").distinct()
     val bks = terms.withColumn("bucket",
@@ -336,34 +225,12 @@ object Bm25Index {
         // none of the query's buckets materialized a file: serve the
         // empty result in the postings schema (one any-bucket footer)
         val any = lines.filter(l => bucketOf(l).isDefined)
-        require(any.nonEmpty, s"empty snapshot BM25 index at $dir")
+        require(any.nonEmpty, s"empty BM25 index at $dir")
         store.readFiles(spark, dir, any.take(1)).limit(0)
       }
     val tf = tfAll.join(broadcast(terms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    val stats = meta
-      .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
-    Bm25.scoreTf(tf, stats, qTerms, k, k1, b)
-  }
-
-  /** Serve top-`k` per query from the persisted index — bit-identical
-    * to [[Bm25.topK]] over the same corpus. */
-  def topK(spark: SparkSession, dir: String, queries: Seq[(Int, String)],
-           k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val nBuckets = storedBuckets(spark, dir)
-    val qTerms = Bm25.queryTerms(spark, queries)
-    val terms = qTerms.select("term").distinct()
-    // driver-side bucket ids of the query terms -> static pruning
-    // (terms is driver-sized by the query contract, so the collect is
-    // a handful of rows)
-    val bks = terms.withColumn("bucket",
-        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
-      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val tf = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bks: _*))
-      .join(broadcast(terms), Seq("term"))
-      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    val stats = spark.read.parquet(s"$dir/meta")
+    val stats = metaDf
       .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
     Bm25.scoreTf(tf, stats, qTerms, k, k1, b)
   }

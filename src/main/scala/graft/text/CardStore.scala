@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.QuantileSketch
+import graft.sources.SnapshotStore
 
 /** INCREMENTAL dataset card — [[DatasetCard.card]]'s one-row release
   * summary computable over any ingest range WITHOUT rescanning the
@@ -33,14 +34,25 @@ import graft.operators.QuantileSketch
   * pinned identical), and the raw corpus is never rescanned. At
   * 100 TB the card becomes a metadata read.
   *
-  * Append idempotence is the caller's stream contract (wrap in the
-  * 21w/30s4 foreachBatch patterns or the CommitLog journal). */
+  * Publication (r16 — consolidated onto the MVCC manifest): parts
+  * publish through [[graft.sources.SnapshotStore]], the engine's one
+  * store protocol — an in-flight card read keeps serving its exact
+  * generation while a compaction publishes the fold (snapshot
+  * isolation, CardStoreSpec's concurrent-reader pin), a torn append
+  * or fold is invisible unpublished debris ([[retire]] sweeps it; no
+  * rollback journal exists to replay), and a split-brain second
+  * writer fails fast at publish (the store's fence). Parts carry a
+  * `src_batch` column (-1 for batch-API appends) so a streaming
+  * maintainer can probe the committed max batch id — its lost-marker
+  * replay gate ([[graft.streaming.CardStoreStream]]), since additive
+  * sums are not replay-idempotent. */
 object CardStore {
 
   val DefaultLangs: Seq[String] = Seq("en", "zh", "de", "es", "fr")
 
   private def partRow(df: DataFrame, id: Column, text: Column, lang: Column,
-                      langs: Seq[String], k: Int, lgK: Int): DataFrame = {
+                      langs: Seq[String], k: Int, lgK: Int,
+                      srcBatch: Long): DataFrame = {
     val base = df.select(id.as("_id"), text.as("_t"), lang.as("_l"),
       size(split(text, "\\s+")).cast("long").as("_tok"),
       TextFeatures.qualityKeep(text).cast("long").as("_keep"),
@@ -59,20 +71,35 @@ object CardStore {
       .withColumn("smp", transform(col("_sk"),
         x => struct(x.getField("_1").as("pri"), x.getField("_2").as("v"))))
       .drop("_sk")
+      .withColumn("src_batch", lit(srcBatch))
   }
 
-  /** Append one batch's card part under `dir`: one row, one file —
-    * the batch pays one map-side-combined corpus pass and is never
-    * read again. An empty batch appends nothing (its global aggregate
-    * would be a row of NULL sums, which would poison the fold). */
+  /** Append one batch's card part under `dir`: one row, one file, one
+    * manifest generation — the batch pays one map-side-combined corpus
+    * pass and is never read again. An empty batch appends nothing (its
+    * global aggregate would be a row of NULL sums, which would poison
+    * the fold). `srcBatch` stamps the part for the streaming
+    * maintainer's replay probe; batch-API callers leave the default. */
   def append(df: DataFrame, id: Column, text: Column, lang: Column,
              dir: String, langs: Seq[String] = DefaultLangs,
-             k: Int = 64, lgK: Int = 12): Unit =
+             k: Int = 64, lgK: Int = 12, srcBatch: Long = -1L): Unit =
     if (!df.isEmpty)
-      partRow(df, id, text, lang, langs, k, lgK)
-        .coalesce(1).write.mode("append").parquet(dir)
+      SnapshotStore.append(
+        partRow(df, id, text, lang, langs, k, lgK, srcBatch), dir)
 
-  /** The assembled card over every persisted part (filter the parts
+  /** The committed parts, pinned to one manifest generation for the
+    * plan's lifetime. */
+  private def parts(spark: SparkSession, dir: String): DataFrame =
+    SnapshotStore.read(spark, dir)
+
+  /** The store's committed max `src_batch` (-1 when the store is
+    * empty or only batch-API parts exist) — the streaming maintainer's
+    * already-applied probe for a published-but-unmarked batch. */
+  def maxSrcBatch(spark: SparkSession, dir: String): Long =
+    if (SnapshotStore.currentGen(spark, dir) == 0L) -1L
+    else parts(spark, dir).agg(max(col("src_batch"))).head().getLong(0)
+
+  /** The assembled card over every committed part (filter the parts
     * read upstream for a sub-range): exact additive figures +
     * keep_rate + the token-length percentiles (all SQL-replayable),
     * plus the HLL members (`n_distinct_texts_approx`,
@@ -81,7 +108,7 @@ object CardStore {
   def card(spark: SparkSession, dir: String,
            langs: Seq[String] = DefaultLangs, k: Int = 64,
            percents: Seq[Int] = Seq(50, 95)): DataFrame = {
-    val parts = spark.read.parquet(dir)
+    val ps = parts(spark, dir)
     val aggs: Seq[Column] = Seq(
       count(lit(1)).as("n_parts"),
       sum(col("n_docs")).as("n_docs"),
@@ -92,7 +119,7 @@ object CardStore {
         .as("n_distinct_texts_approx"),
       QuantileSketch.unionAgg(col("smp"), k).as("smp")) ++
       langs.map(l => sum(col(s"${l}_tokens")).as(s"${l}_tokens"))
-    val merged = parts.agg(aggs.head, aggs.tail: _*)
+    val merged = ps.agg(aggs.head, aggs.tail: _*)
       .withColumn("keep_rate", graft.functions.Numeric.cround(
         col("_kd").cast("double") / col("n_docs"), 6))
       .withColumn("other_tokens",
@@ -107,47 +134,37 @@ object CardStore {
     }.drop("smp", "_kd")
   }
 
-  /** Fold every part into ONE part row with the same schema — the
-    * store's 35-story maintenance: sums of sums, a lossless HLL
-    * union kept in sketch form, and the semilattice sample union, so
-    * [[card]] is bit-identical before/after (CardStoreSpec).
-    * Crash-atomic (r14): the fold appends a new part and retires the
-    * old parts under the store's rewrite journal — the journal root
-    * is never overwritten, so a kill at any point recovers the exact
-    * pre-compaction part set (CardStoreSpec crash injection). */
+  /** Fold every part into ONE part row with the same schema — sums of
+    * sums, a lossless HLL union kept in sketch form, the semilattice
+    * sample union, and the max `src_batch` — so [[card]] is
+    * bit-identical before/after (CardStoreSpec). Published as a new
+    * manifest generation: in-flight readers keep serving theirs, a
+    * crash anywhere leaves only invisible debris, and the superseded
+    * parts await [[retire]]'s grace window. */
   def compact(spark: SparkSession, dir: String,
               langs: Seq[String] = DefaultLangs, k: Int = 64,
               minParts: Int = 2): Unit = {
-    val parts = spark.read.parquet(dir)
-    if (parts.inputFiles.length < minParts) return
-    val aggs: Seq[Column] = Seq(
-      sum(col("n_docs")).as("n_docs"),
-      sum(col("n_tokens")).as("n_tokens"),
-      sum(col("n_chars")).as("n_chars"),
-      sum(col("keep_docs")).as("keep_docs"),
-      hll_union_agg(col("hll"), lit(false)).as("hll"),
-      QuantileSketch.unionAgg(col("smp"), k).as("smp")) ++
-      langs.map(l => sum(col(s"${l}_tokens")).as(s"${l}_tokens"))
-    val folded = parts.agg(aggs.head, aggs.tail: _*)
-      .select(parts.columns.map(col): _*) // pin the part column order
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
-    // staged journal: the fold materializes first, the old parts are
-    // DISPLACED into the undo journal by rename (no second write of
-    // the store), and the fold publishes as a fresh appended part —
-    // never a whole-table overwrite, which would delete the journal
-    // root `dir/_ledger` (census + undo) along with the data and void
-    // the crash-atomicity the journal provides
-    graft.sources.CommitLog.rewritingStaged(spark, dir, files.toSeq)({
-      val (snap, rdd) = graft.operators.Rounds.materialize(
-        folded.coalesce(1),
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count() // fold fully computed before any file changes
-      (snap, rdd)
-    }) { case (snap, rdd) =>
-      snap.write.mode("append").parquet(dir)
-      rdd.unpersist(blocking = false)
-    }
+    if (SnapshotStore.currentGen(spark, dir) == 0L) return
+    if (parts(spark, dir).inputFiles.length < minParts) return
+    SnapshotStore.compact(spark, dir, { ps =>
+      val aggs: Seq[Column] = Seq(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("keep_docs")).as("keep_docs"),
+        hll_union_agg(col("hll"), lit(false)).as("hll"),
+        QuantileSketch.unionAgg(col("smp"), k).as("smp"),
+        max(col("src_batch")).as("src_batch")) ++
+        langs.map(l => sum(col(s"${l}_tokens")).as(s"${l}_tokens"))
+      ps.agg(aggs.head, aggs.tail: _*)
+        .select(ps.columns.map(col): _*) // pin the part column order
+    })
   }
+
+  /** Reclaim parts unreferenced by the newest `keepGenerations`
+    * manifests plus torn writers' debris — size the window to the
+    * longest-running card read. */
+  def retire(spark: SparkSession, dir: String,
+             keepGenerations: Int = 2): Unit =
+    SnapshotStore.retire(spark, dir, keepGenerations)
 }

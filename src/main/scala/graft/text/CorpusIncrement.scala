@@ -389,7 +389,7 @@ object CorpusIncrement {
     // repartition on the partition column: ONE file per bucket —
     // without it every task writes into every bucket dir (tasks x
     // buckets small files) and all later artifact scans pay the
-    // listing/footer cost (the BucketMaintenance write shape)
+    // listing/footer cost (one file per bucket per write)
     val relP = st.fresh("post")
     bucketed(post, nBuckets).repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(s"$dir/$relP")

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.SnapshotStore
+
 /** INCREMENTAL LM artifacts — the model-artifact member of the
   * incremental family (22a dedup index, 7i2/7i4 sketches, 30l3 BM25,
   * 31g3 corpus store): [[TextFeatures.charBigramEntropy]] re-counts
@@ -25,7 +27,16 @@ import org.apache.spark.sql.functions._
   * spec-pinned). The model carries the smoothed unseen floor, so
   * serving docs with grams the corpus never produced is total — when
   * scoring the training corpus itself (the q_entropy parity case) the
-  * floor is provably never consulted. */
+  * floor is provably never consulted.
+  *
+  * Publication (r16 — consolidated onto the MVCC manifest, the
+  * engine's ONE store protocol): parts publish through
+  * [[graft.sources.SnapshotStore]] — a model resolved before
+  * maintenance serves its exact generation while compaction and
+  * grace-window retirement run (LmStoreSnapshotSpec), a torn fold is
+  * invisible unpublished debris (no rollback journal to replay), and
+  * a split-brain second writer fails fast at publish (the store's
+  * fence). */
 object LmStore {
 
   private def normed(text: Column): Column =
@@ -38,71 +49,35 @@ object LmStore {
       .select(explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
       .groupBy(col("_e.bg").as("bg")).agg(sum(col("_e.k")).as("c"))
 
-  /** Count one batch and append its additive part: (bg, c), ≤ 39²
-    * rows, one file. */
+  /** Count one batch and append its additive part — (bg, c), ≤ 39²
+    * rows, one file, one manifest generation. */
   def append(df: DataFrame, text: Column, dir: String): Unit =
-    countPart(df, text).coalesce(1).write.mode("append").parquet(dir)
+    SnapshotStore.append(countPart(df, text), dir)
 
-  /** The 35b-backed store variant: the SAME additive parts, published
-    * through [[graft.sources.SnapshotStore]]'s versioned manifest —
-    * so a reader resolved before a compaction keeps serving its exact
-    * generation while maintenance runs (snapshot isolation, the
-    * production step the journaled layout declares as single-writer
-    * + recover-on-attach). The artifact semantics are untouched:
-    * counts are associative sums, so the snapshot store's model is
-    * bit-identical to the journaled store's over the same batches
-    * (LmStoreSnapshotSpec pins it), and compaction folds by the very
-    * sum serving performs. Space reclamation moves to
-    * `SnapshotStore.retire`'s grace window. */
-  def appendSnapshot(df: DataFrame, text: Column, dir: String): Unit =
-    graft.sources.SnapshotStore.append(countPart(df, text), dir)
+  /** Fold the current generation to one summed part as a NEW
+    * generation — reads already perform this sum, so serving is
+    * bit-identical before/after, and in-flight readers keep their
+    * generation until [[retire]]'s grace window closes. */
+  def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit =
+    if (SnapshotStore.currentGen(spark, dir) > 0L &&
+        SnapshotStore.read(spark, dir).inputFiles.length >= minParts)
+      SnapshotStore.compact(spark, dir,
+        _.groupBy("bg").agg(sum(col("c")).as("c")))
 
-  /** [[model]] served from the manifest's CURRENT generation (the
-    * whole read pins to that generation's exact file set). */
-  def modelSnapshot(spark: SparkSession, dir: String): graft.functions.BigramModel =
-    modelFrom(graft.sources.SnapshotStore.read(spark, dir))
+  /** Reclaim parts unreferenced by the newest `keepGenerations`
+    * manifests plus torn writers' debris — size the window to the
+    * longest-running model build. */
+  def retire(spark: SparkSession, dir: String,
+             keepGenerations: Int = 2): Unit =
+    SnapshotStore.retire(spark, dir, keepGenerations)
 
-  /** Fold the current generation to one part as a NEW generation —
-    * in-flight readers keep theirs. */
-  def compactSnapshot(spark: SparkSession, dir: String): Unit =
-    graft.sources.SnapshotStore.compact(spark, dir,
-      _.groupBy("bg").agg(sum(col("c")).as("c")))
-
-  /** Fold the accumulated parts to one summed part — reads already
-    * perform this sum, so serving is bit-identical before/after.
-    * Crash-atomic (r14): the fold appends a new part and retires the
-    * old parts under the store's rewrite journal (never a whole-table
-    * overwrite, which would delete the journal root with the data),
-    * so a kill at any point restores the store instead of losing the
-    * model (LmStoreSpec crash injection). */
-  def compact(spark: SparkSession, dir: String, minParts: Int = 2): Unit = {
-    val cur = spark.read.parquet(dir)
-    if (cur.inputFiles.length >= minParts) {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
-      // staged journal: fold materializes first, old parts displace
-      // into the undo by rename, fold publishes as a fresh append —
-      // never a whole-table overwrite, which would delete the journal
-      // root with the data (see CardStore.compact)
-      graft.sources.CommitLog.rewritingStaged(spark, dir, files.toSeq)({
-        val (snap, rdd) = graft.operators.Rounds.materialize(
-          cur.groupBy("bg").agg(sum(col("c")).as("c")).coalesce(1),
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.count() // fold fully computed before any file changes
-        (snap, rdd)
-      }) { case (snap, rdd) =>
-        snap.write.mode("append").parquet(dir)
-        rdd.unpersist(blocking = false)
-      }
-    }
-  }
-
-  /** The driver-sized model from the summed parts — the same add-one
-    * smoothing as [[TextFeatures.charBigramEntropy]], plus the unseen
-    * floor ln(1/(tot+v)) so artifact serving is a total function. */
+  /** The driver-sized model from the summed parts of the manifest's
+    * CURRENT generation (the whole read pins to that generation's
+    * exact file set) — the same add-one smoothing as
+    * [[TextFeatures.charBigramEntropy]], plus the unseen floor
+    * ln(1/(tot+v)) so artifact serving is a total function. */
   def model(spark: SparkSession, dir: String): graft.functions.BigramModel =
-    modelFrom(spark.read.parquet(dir))
+    modelFrom(SnapshotStore.read(spark, dir))
 
   private def modelFrom(parts: DataFrame): graft.functions.BigramModel = {
     val counts = parts

@@ -50,31 +50,30 @@ class Bm25IndexSpec extends SparkSpec {
       col("doc_id"), col("text"), dir)
     Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
       col("doc_id"), col("text"), dir)
-    def partsPerBucket(): Seq[Int] = {
-      val root = new java.io.File(s"$dir/postings")
-      root.listFiles().toSeq.filter(f => f.isDirectory &&
-          f.getName.startsWith("bucket="))
-        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
-    }
-    assert(partsPerBucket().exists(_ >= 2), "appends should fragment buckets")
+    val BucketRe = "/bucket=(\\d+)/".r
+    def linesPerBucket(): Map[Int, Int] =
+      graft.sources.SnapshotStore.currentFiles(spark, dir)
+        .flatMap(l => BucketRe.findFirstMatchIn(l).map(_.group(1).toInt))
+        .groupBy(identity).map { case (b, ls) => b -> ls.length }
+    def metaLines(): Int =
+      graft.sources.SnapshotStore.currentFiles(spark, dir)
+        .count(_.startsWith("parts/m_"))
+    assert(linesPerBucket().values.exists(_ >= 2),
+      "appends should fragment buckets")
     val before = Bm25Index.topK(spark, dir, queries)
       .as[(Int, Long, Long, Double, Int)].collect().toSet
     Bm25Index.compact(spark, dir)
-    // every bucket is exactly one file; meta folded to one part
-    assert(partsPerBucket().forall(_ == 1), s"got ${partsPerBucket()}")
-    assert(spark.read.parquet(s"$dir/meta").inputFiles.length == 1)
+    // every bucket is exactly one manifest line; meta folded to one
+    assert(linesPerBucket().values.forall(_ == 1), s"got ${linesPerBucket()}")
+    assert(metaLines() == 1)
     val after = Bm25Index.topK(spark, dir, queries)
       .as[(Int, Long, Long, Double, Int)].collect().toSet
     assert(after == before)
     assert(after.nonEmpty)
-    // the compacted index still equals the direct query (transitively
-    // proven, asserted anyway: the whole point of the maintenance)
-    val want = Bm25Index.topK(spark, dir, queries)
-      .as[(Int, Long, Long, Double, Int)].collect().toSet
-    assert(want == before)
-    // idempotent: a second compaction is a no-op census-wise
+    // idempotent: a second compaction is a no-op (generation unmoved)
+    val gen = graft.sources.SnapshotStore.currentGen(spark, dir)
     Bm25Index.compact(spark, dir)
-    assert(partsPerBucket().forall(_ == 1))
+    assert(graft.sources.SnapshotStore.currentGen(spark, dir) == gen)
     assert(Bm25Index.topK(spark, dir, queries)
       .as[(Int, Long, Long, Double, Int)].collect().toSet == before)
   }
@@ -83,17 +82,18 @@ class Bm25IndexSpec extends SparkSpec {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
     val dir = java.nio.file.Files.createTempDirectory("bm25_prune").toString
     Bm25Index.build(docs, col("doc_id"), col("text"), dir, nBuckets = 16)
-    // the partition filter on the driver-computed bucket set reaches
-    // the scan: exactly one bucket's partition for a one-term query
-    // (sparkPlan, not executedPlan — AQE wraps the latter before
-    // execution and hides the scan node)
-    val nParts = Bm25Index.topK(spark, dir, Seq(1 -> "hash"))
+    // the static prune is manifest-LINE selection: the postings scan's
+    // file set IS the one bucket of a one-term query — untouched
+    // buckets are never even listed (sparkPlan, not executedPlan — AQE
+    // wraps the latter before execution and hides the scan node)
+    val scanFiles = Bm25Index.topK(spark, dir, Seq(1 -> "hash"))
       .queryExecution.sparkPlan.collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) =>
+          if f.relation.location.rootPaths.exists(_.toString.contains("parts/p_")) =>
         f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-          .map(_.values).length
+          .flatMap(_.files).length
       }
-    assert(nParts.nonEmpty && nParts.head == 1, s"partitions read: $nParts")
+    assert(scanFiles.nonEmpty && scanFiles.head == 1,
+      s"postings files read: $scanFiles")
   }
 }

@@ -24,11 +24,11 @@ class Bm25SnapshotSpec extends SparkSpec {
 
   private def loadStore(dir: String): Unit = {
     val docs = Tables.load(spark, sfDir, "documents")
-    Bm25Index.buildSnapshot(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+    Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
       col("doc_id"), col("text"), dir, nBuckets = 8)
-    Bm25Index.appendSnapshot(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+    Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
       col("doc_id"), col("text"), dir)
-    Bm25Index.appendSnapshot(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
+    Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
       col("doc_id"), col("text"), dir)
   }
 
@@ -61,16 +61,16 @@ class Bm25SnapshotSpec extends SparkSpec {
       col("doc_id"), col("text"), dirJ)
     val direct = rows(Bm25.topK(docs, col("doc_id"), col("text"), queries))
     assert(direct.nonEmpty)
-    assert(rows(Bm25Index.topKSnapshot(spark, dirS, queries)) === direct)
+    assert(rows(Bm25Index.topK(spark, dirS, queries)) === direct)
     assert(rows(Bm25Index.topK(spark, dirJ, queries)) === direct)
     // maintenance preserves serving bit-exactly
-    Bm25Index.compactSnapshot(spark, dirS)
-    assert(rows(Bm25Index.topKSnapshot(spark, dirS, queries)) === direct)
-    Bm25Index.retireSnapshot(spark, dirS, keepGenerations = 1)
-    assert(rows(Bm25Index.topKSnapshot(spark, dirS, queries)) === direct)
+    Bm25Index.compact(spark, dirS)
+    assert(rows(Bm25Index.topK(spark, dirS, queries)) === direct)
+    Bm25Index.retire(spark, dirS, keepGenerations = 1)
+    assert(rows(Bm25Index.topK(spark, dirS, queries)) === direct)
     // idempotent: a second compaction finds nothing fragmented
     val gen = graft.sources.SnapshotStore.currentGen(spark, dirS)
-    Bm25Index.compactSnapshot(spark, dirS)
+    Bm25Index.compact(spark, dirS)
     assert(graft.sources.SnapshotStore.currentGen(spark, dirS) === gen,
       "a no-op compaction must not publish a generation")
   }
@@ -84,45 +84,45 @@ class Bm25SnapshotSpec extends SparkSpec {
       "appends should fragment buckets")
     // resolve a reader NOW (generation 3): its plan pins that exact
     // file set for its lifetime
-    val preReader = Bm25Index.topKSnapshot(spark, dir, queries)
-    val want = rows(Bm25Index.topKSnapshot(spark, dir, queries))
-    Bm25Index.compactSnapshot(spark, dir)
+    val preReader = Bm25Index.topK(spark, dir, queries)
+    val want = rows(Bm25Index.topK(spark, dir, queries))
+    Bm25Index.compact(spark, dir)
     // grace-window retirement (default keeps 2 generations) leaves the
     // pre-compaction reader's files alive
-    Bm25Index.retireSnapshot(spark, dir)
+    Bm25Index.retire(spark, dir)
     assert(rows(preReader) === want,
       "the in-flight reader must still serve its snapshot mid-maintenance")
-    assert(rows(Bm25Index.topKSnapshot(spark, dir, queries)) === want,
+    assert(rows(Bm25Index.topK(spark, dir, queries)) === want,
       "a fresh reader resolves the compacted generation — same rows")
     // a tight window reclaims the superseded bucket files (file grain:
     // the live part dirs keep only their compacted file per bucket)
-    Bm25Index.retireSnapshot(spark, dir, keepGenerations = 1)
+    Bm25Index.retire(spark, dir, keepGenerations = 1)
     assert(filesPerBucket(dir).values.forall(_ == 1),
       s"got ${filesPerBucket(dir)}")
-    assert(rows(Bm25Index.topKSnapshot(spark, dir, queries)) === want)
+    assert(rows(Bm25Index.topK(spark, dir, queries)) === want)
   }
 
   test("a torn compactor is invisible and swept; a query whose terms hit " +
       "no materialized bucket serves empty instead of throwing") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_snaptorn").toString
     loadStore(dir)
-    val want = rows(Bm25Index.topKSnapshot(spark, dir, queries))
+    val want = rows(Bm25Index.topK(spark, dir, queries))
     // a compactor killed after writing its folded part but before
     // publishing: an orphan subtree no manifest references
     val orphan = new java.io.File(dir, "parts/c_torn/bucket=0")
     orphan.mkdirs()
     Seq((999999L, "ghost", 1L, 1L)).toDF("doc_id", "term", "tf", "dl")
       .coalesce(1).write.mode("overwrite").parquet(orphan.toString)
-    assert(rows(Bm25Index.topKSnapshot(spark, dir, queries)) === want,
+    assert(rows(Bm25Index.topK(spark, dir, queries)) === want,
       "unpublished parts must never reach a reader")
-    Bm25Index.retireSnapshot(spark, dir, keepGenerations = 1)
+    Bm25Index.retire(spark, dir, keepGenerations = 1)
     assert(!orphan.exists(), "orphaned torn parts must be swept")
-    assert(rows(Bm25Index.topKSnapshot(spark, dir, queries)) === want)
+    assert(rows(Bm25Index.topK(spark, dir, queries)) === want)
 
     // a one-doc index materializes one bucket; a query hashing
     // elsewhere must serve the empty result in the right schema
     val tiny = java.nio.file.Files.createTempDirectory("bm25_snaptiny").toString
-    Bm25Index.buildSnapshot(Seq((1L, "alpha")).toDF("doc_id", "text"),
+    Bm25Index.build(Seq((1L, "alpha")).toDF("doc_id", "text"),
       col("doc_id"), col("text"), tiny, nBuckets = 64)
     val probes = Seq("beta", "gamma", "delta", "epsilon").map(t => t ->
       spark.range(1).select(pmod(xxhash64(lit(t)), lit(64)).cast("int"))
@@ -130,6 +130,6 @@ class Bm25SnapshotSpec extends SparkSpec {
     val inBucket = spark.range(1)
       .select(pmod(xxhash64(lit("alpha")), lit(64)).cast("int")).head().getInt(0)
     val miss = probes.find(_._2 != inBucket).map(_._1).get
-    assert(rows(Bm25Index.topKSnapshot(spark, tiny, Seq(9 -> miss))).isEmpty)
+    assert(rows(Bm25Index.topK(spark, tiny, Seq(9 -> miss))).isEmpty)
   }
 }

@@ -73,9 +73,14 @@ class CardStoreSpec extends SparkSpec {
     assert(math.abs(got2.getAs[Long]("n_distinct_texts_approx") - exact)
       .toDouble / exact < 0.05)
 
-    // compaction folds to ONE part with the card bit-identical
+    // compaction folds to ONE part with the card bit-identical (the
+    // superseded parts stay for the grace window; retirement reclaims)
     CardStore.compact(spark, dir)
-    assert(spark.read.parquet(dir).inputFiles.length === 1)
+    assert(graft.sources.SnapshotStore.read(spark, dir)
+      .inputFiles.length === 1)
+    CardStore.retire(spark, dir, keepGenerations = 1)
+    assert(new java.io.File(dir, "parts").listFiles().length === 1,
+      "retirement must reclaim the folded-away parts")
     val gotC = CardStore.card(spark, dir).head()
     assert(gotC.getAs[Long]("n_parts") === 1L)
     for (c <- exactCols :+ "n_distinct_texts_approx" :+ "dup_ratio_approx")
@@ -90,63 +95,47 @@ class CardStoreSpec extends SparkSpec {
     assert(gotE.getAs[Long]("n_tokens") === got.getAs[Long]("n_tokens") + 9)
   }
 
-test("compaction crash injection: the journal root survives the fold and " +
-      "every kill window recovers the exact part set") {
+  test("snapshot isolation and crash faces: a torn fold is invisible " +
+      "debris, an in-flight card read survives compaction + retirement, " +
+      "and the chain keeps composing") {
     val dir = store(3)
-    def census(): Set[(String, Long)] = {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
-        .filterNot(_._1.startsWith("_ledger"))
-        .toSet
-    }
-    val before = census()
     val want = CardStore.card(spark, dir).head()
-    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.isFile).map(_.getPath.getName).toSeq
+    val gen = graft.sources.SnapshotStore.currentGen(spark, dir)
 
-    // kill window 1: the folded part is half-written, nothing deleted
-    intercept[RuntimeException] {
-      graft.sources.CommitLog.rewriting(spark, dir, parts) {
-        val half = hfs.create(new org.apache.hadoop.fs.Path(dir,
-          "part-fold-half.snappy.parquet"), true)
-        half.write(Array[Byte](9, 9, 9)); half.close()
-        throw new RuntimeException("simulated crash mid-fold-write")
-      }
-    }
-    graft.sources.CommitLog.recover(spark, dir)
-    assert(census() == before, "window 1 must roll back byte-exactly")
+    // torn compactor: a folded part fully written but never published
+    // (killed before the CURRENT swap) — readers never see it, the
+    // generation does not advance, and retirement sweeps it
+    val orphan = new java.io.File(dir, "parts/c_torn")
+    orphan.mkdirs()
+    CardStore.card(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(orphan.toString) // any parquet bytes
+    assert(graft.sources.SnapshotStore.currentGen(spark, dir) === gen,
+      "an unpublished fold must not advance the generation")
+    assert(CardStore.card(spark, dir).head().toSeq === want.toSeq,
+      "readers resolve the committed parts exactly — never the debris")
 
-    // kill window 2: the fold landed and the old parts are ALREADY
-    // DELETED — the window the r13 whole-table overwrite could not
-    // survive (it deleted dir/_ledger itself before writing)
-    intercept[RuntimeException] {
-      graft.sources.CommitLog.rewriting(spark, dir, parts) {
-        val fold = hfs.create(new org.apache.hadoop.fs.Path(dir,
-          "part-fold-new.snappy.parquet"), true)
-        fold.write(Array[Byte](7, 7, 7)); fold.close()
-        parts.foreach(f =>
-          hfs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
-        throw new RuntimeException("simulated crash mid-retire")
-      }
-    }
-    graft.sources.CommitLog.recover(spark, dir)
-    assert(census() == before, "window 2 must restore the retired parts")
-    assert(CardStore.card(spark, dir).head().toSeq == want.toSeq)
-
-    // the real compaction completes: card identical, one data file,
-    // and the journal root is STILL THERE (the r13 flaw deleted it)
+    // an in-flight card read resolved BEFORE the fold keeps serving
+    // through compaction and grace-window retirement
+    val inFlight = CardStore.card(spark, dir)
     CardStore.compact(spark, dir)
+    CardStore.retire(spark, dir, keepGenerations = 2)
+    assert(inFlight.head().toSeq === want.toSeq,
+      "the in-flight reader must keep its pre-compaction generation")
+    assert(!orphan.exists(), "orphaned torn folds must be swept")
+
+    // the committed card is identical through the fold, and a tight
+    // retirement leaves exactly the folded part
     assert(CardStore.card(spark, dir).head().getAs[Long]("n_docs")
-      == want.getAs[Long]("n_docs"))
-    assert(spark.read.parquet(dir).inputFiles.length == 1)
-    assert(hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger")),
-      "compaction must never take the journal root down with the data")
-    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger/maint.pre")))
-    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger/maint.undo")))
+      === want.getAs[Long]("n_docs"))
+    CardStore.retire(spark, dir, keepGenerations = 1)
+    assert(graft.sources.SnapshotStore.read(spark, dir)
+      .inputFiles.length === 1)
+
+    // a later batch appends onto the compacted store (composability)
+    val extra = Seq((900002L, "one more tiny document", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    CardStore.append(extra, col("doc_id"), col("text"), col("lang"), dir)
+    assert(CardStore.card(spark, dir).head().getAs[Long]("n_docs")
+      === want.getAs[Long]("n_docs") + 1)
   }
 }

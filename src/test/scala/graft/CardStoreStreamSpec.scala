@@ -30,7 +30,7 @@ class CardStoreStreamSpec extends SparkSpec {
     val exactCols = Seq("n_docs", "n_tokens", "n_chars", "keep_rate",
       "en_tokens", "zh_tokens", "de_tokens", "es_tokens", "fr_tokens",
       "other_tokens", "m", "tok_p50", "tok_p95")
-    def got() = CardStore.card(spark, s"$dir/parts").head()
+    def got() = CardStore.card(spark, dir).head()
     val want = DatasetCard.card(docs, col("doc_id"), col("text"),
       col("lang")).head()
     for (c <- Seq("n_docs", "n_tokens", "n_chars", "keep_rate", "en_tokens",
@@ -43,11 +43,30 @@ class CardStoreStreamSpec extends SparkSpec {
     CardStoreStream.maintainBatch(dir)(
       feed.take(3).toDF("doc_id", "text", "lang"), 0L)
     assert(exactCols.map(c => got().getAs[Any](c)) === before)
-    // an unseen batch id applies
+    // the LOST-MARKER face: a batch published (src_batch committed)
+    // by a run that died before writing its marker is probed via the
+    // committed max src_batch — marked and skipped, never double-summed
     CardStoreStream.maintainBatch(dir)(
       Seq((900001L, "the quick brown fox jumps over the lazy dog", "en"))
         .toDF("doc_id", "text", "lang"), 99L)
     assert(got().getAs[Long]("n_docs") === want.getAs[Long]("n_docs") + 1)
     assert(got().getAs[Long]("n_tokens") === want.getAs[Long]("n_tokens") + 9)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_ledger/batch.99")
+    assert(fs.exists(marker))
+    assert(fs.delete(marker, false)) // simulate dying before the marker
+    CardStoreStream.maintainBatch(dir)(
+      Seq((900001L, "the quick brown fox jumps over the lazy dog", "en"))
+        .toDF("doc_id", "text", "lang"), 99L)
+    assert(got().getAs[Long]("n_docs") === want.getAs[Long]("n_docs") + 1,
+      "a published-but-unmarked batch must not double the masses")
+    assert(fs.exists(marker), "the gate must re-commit the lost marker")
+
+    // an unseen batch id still applies after the gate
+    CardStoreStream.maintainBatch(dir)(
+      Seq((900002L, "another tiny document", "en"))
+        .toDF("doc_id", "text", "lang"), 100L)
+    assert(got().getAs[Long]("n_docs") === want.getAs[Long]("n_docs") + 2)
   }
 }

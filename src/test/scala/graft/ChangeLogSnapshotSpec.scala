@@ -26,7 +26,7 @@ class ChangeLogSnapshotSpec extends SparkSpec {
     rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload")
 
   private def apply(dir: String, rows: Seq[CdcEvent], id: Long): Unit =
-    ChangeLogStream.materializeSnapshotBatch(dir, 3)(batchDf(rows), id)
+    ChangeLogStream.materializeBatch(dir, 3)(batchDf(rows), id)
 
   private def full(dir: String): Set[(Long, Long, Long, String, String)] =
     ChangeLogStream.readSnapshot(spark, dir)
@@ -103,7 +103,7 @@ class ChangeLogSnapshotSpec extends SparkSpec {
     val committed = full(dir)
     assert(full(dir) == committed && !committed.exists(_._1 == 999L),
       "unpublished parts must never reach a reader")
-    ChangeLogStream.retireSnapshot(spark, dir, keepGenerations = 1)
+    ChangeLogStream.retire(spark, dir, keepGenerations = 1)
     assert(!debris.exists(), "torn debris must be swept")
     assert(full(dir) == committed)
   }
@@ -116,13 +116,13 @@ class ChangeLogSnapshotSpec extends SparkSpec {
     val liveBefore = live(dir)
     // horizon above every tombstone's ver1 (5, 2) but below live rows'
     // relevance: all tombstones retire, live rows stay
-    ChangeLogStream.retireTombstonesSnapshot(spark, dir,
+    ChangeLogStream.retireTombstones(spark, dir,
       horizonVer1 = 100L, nBuckets = 3)
     assert(live(dir) == liveBefore)
     assert(full(dir).forall(_._4 != "D"), "all tombstones retired")
     assert(tomb(dir) == Set.empty)
     // idempotent second retirement
-    ChangeLogStream.retireTombstonesSnapshot(spark, dir,
+    ChangeLogStream.retireTombstones(spark, dir,
       horizonVer1 = 100L, nBuckets = 3)
     assert(live(dir) == liveBefore)
     // a store whose EVERY row was a tombstone empties completely and
@@ -130,7 +130,7 @@ class ChangeLogSnapshotSpec extends SparkSpec {
     val dir2 = java.nio.file.Files.createTempDirectory("cdcsnap_all").toString
     apply(dir2, Seq(CdcEvent(1L, 5L, 1L, "D", "a"),
       CdcEvent(2L, 5L, 1L, "D", "b")), 0L)
-    ChangeLogStream.retireTombstonesSnapshot(spark, dir2,
+    ChangeLogStream.retireTombstones(spark, dir2,
       horizonVer1 = 100L, nBuckets = 3)
     assert(full(dir2) == Set.empty)
     assert(tomb(dir2) == Set.empty)
@@ -138,23 +138,26 @@ class ChangeLogSnapshotSpec extends SparkSpec {
     assert(live(dir2) == Set((3L, 7L, 1L, "c")))
   }
 
-  test("streaming maintenance end-to-end matches the journaled store") {
+  test("streaming maintenance end-to-end matches the batch-driven " +
+      "handler and the 30s2 batch snapshot") {
     implicit val sql = spark.sqlContext
     val dirS = java.nio.file.Files.createTempDirectory("cdcsnap_str").toString
-    val dirJ = java.nio.file.Files.createTempDirectory("cdcsnap_jrn").toString
+    val dirB = java.nio.file.Files.createTempDirectory("cdcsnap_bat").toString
     val batches = Seq(log.take(5), log.drop(5))
     val stream = MemoryStream[CdcEvent]
-    val q = ChangeLogStream.materializeSnapshot(stream.toDS(), dirS,
+    val q = ChangeLogStream.materialize(stream.toDS(), dirS,
       s"$dirS/_ckpt", nBuckets = 3)
     try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
     batches.zipWithIndex.foreach { case (b, i) =>
-      ChangeLogStream.materializeBatch(dirJ, 3)(batchDf(b), i.toLong)
+      ChangeLogStream.materializeBatch(dirB, 3)(batchDf(b), i.toLong)
     }
-    val journaled = spark.read.parquet(dirJ)
-      .select("id", "ver1", "ver2", "op", "payload")
-      .as[(Long, Long, Long, String, String)].collect().toSet
-    assert(full(dirS) == journaled)
+    assert(full(dirS) == full(dirB))
     assert(full(dirS).nonEmpty)
+    val want = ChangeLog.snapshot(log.toDF(), Seq("id"),
+        Seq("ver1", "ver2"), "op")
+      .select("id", "ver1", "ver2", "payload")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(live(dirS) == want)
   }
 }

@@ -8,7 +8,10 @@ import graft.streaming.{CdcCurrent, CdcEvent, ChangeLogStream}
 
 /** Streaming CDC latest-state: the final emitted state across
   * micro-batches equals the batch snapshot on the same log, replays
-  * are absorbed idempotently, and deletes emit live=false. */
+  * are absorbed idempotently, deletes emit live=false — plus the
+  * materialized store's merge/tombstone/retirement semantics on the
+  * manifest protocol (the store's isolation and crash faces live in
+  * ChangeLogSnapshotSpec). */
 class ChangeLogStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -76,7 +79,7 @@ class ChangeLogStreamSpec extends SparkSpec {
     finally q.stop()
 
     def full(): Set[(Long, Long, Long, String, String)] =
-      spark.read.parquet(dir).select("id", "ver1", "ver2", "op", "payload")
+      ChangeLogStream.readSnapshot(spark, dir)
         .as[(Long, Long, Long, String, String)].collect().toSet
     def live(): Set[(Long, Long, Long, String)] =
       full().filter(_._4 != "D").map(r => (r._1, r._2, r._3, r._5))
@@ -90,9 +93,12 @@ class ChangeLogStreamSpec extends SparkSpec {
     assert(full().contains((2L, 5L, 21L, "D", "c")))
     assert(full().contains((6L, 2L, 61L, "D", "z")))
     val before = full()
-    // replaying the last micro-batch through the handler is a no-op
+    // replaying an applied batch id through the handler is marker-
+    // skipped — no new generation, contents untouched
+    val gen = graft.sources.SnapshotStore.currentGen(spark, dir)
     ChangeLogStream.materializeBatch(dir, 3)(
-      batches.last.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), 99L)
+      batches.last.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), 1L)
+    assert(graft.sources.SnapshotStore.currentGen(spark, dir) == gen)
     assert(full() == before)
     // a stale out-of-order upsert for a LIVE key cannot regress it
     ChangeLogStream.materializeBatch(dir, 3)(
@@ -106,6 +112,14 @@ class ChangeLogStreamSpec extends SparkSpec {
         .selectExpr("id", "ver1", "ver2", "op", "payload"), 101L)
     assert(full() == before)
     assert(live() == want)
+    // merge IS the compactor: after all those merges, every bucket is
+    // exactly one live manifest line (no separate compaction exists)
+    val perBucket = graft.sources.SnapshotStore.currentFiles(spark, dir)
+      .flatMap(l => "/bucket=(\\d+)/".r.findFirstMatchIn(l)
+        .map(_.group(1).toInt))
+      .groupBy(identity).map(_._2.length)
+    assert(perBucket.nonEmpty && perBucket.forall(_ == 1),
+      s"one live file per bucket expected, got $perBucket")
   }
 
   test("materialized store bootstrap survives an all-deletes first batch") {
@@ -120,41 +134,9 @@ class ChangeLogStreamSpec extends SparkSpec {
       stream.addData(CdcEvent(7L, 1L, 70L, "U", "live"))
       q.processAllAvailable() // second batch must read the store fine
     } finally q.stop()
-    val rows = spark.read.parquet(dir)
+    val rows = ChangeLogStream.readSnapshot(spark, dir)
       .select("id", "op").as[(Long, String)].collect().toSet
     assert(rows == Set((5L, "D"), (7L, "U")))
-  }
-
-  test("store compaction folds buckets to one file; contents bit-identical") {
-    implicit val sql = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("cdc_compact").toString
-    def batch(rows: Seq[CdcEvent], id: Long): Unit =
-      ChangeLogStream.materializeBatch(dir, 4)(
-        rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
-    batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b"),
-      CdcEvent(4L, 1L, 1L, "U", "c")), 0L)
-    batch(Seq(CdcEvent(1L, 2L, 2L, "U", "a2"), CdcEvent(5L, 2L, 2L, "U", "d")), 1L)
-    batch(Seq(CdcEvent(2L, 3L, 3L, "D", "b"), CdcEvent(9L, 3L, 3L, "U", "e")), 2L)
-    // a guaranteed second part in bucket 1 (a wide merge can land a
-    // bucket's rows in several tasks → several files; fabricate the
-    // fragmentation deterministically with a direct partition append)
-    Seq((13L, 1L, 1L, "U", "m")).toDF("id", "ver1", "ver2", "op", "payload")
-      .withColumn("bucket", lit(1))
-      .write.mode("append").partitionBy("bucket").parquet(dir)
-    def parts(): Seq[Int] = new java.io.File(dir).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
-    def full(): Set[(Long, Long, Long, String, String)] =
-      spark.read.parquet(dir).select("id", "ver1", "ver2", "op", "payload")
-        .as[(Long, Long, Long, String, String)].collect().toSet
-    assert(parts().exists(_ >= 2), "merges should fragment buckets")
-    val before = full()
-    ChangeLogStream.compactStore(spark, dir)
-    assert(parts().forall(_ == 1), s"got ${parts()}")
-    assert(full() == before)
-    // a merge after compaction behaves exactly as before it
-    batch(Seq(CdcEvent(2L, 2L, 9L, "U", "stale")), 3L) // loses to D at ver 3
-    assert(full() == before)
   }
 
   test("tombstone retirement below the horizon changes no still-possible outcome") {
@@ -167,20 +149,22 @@ class ChangeLogStreamSpec extends SparkSpec {
         rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
     }
     // keys chosen so bucket 3 (= id % 4) holds ONLY the key-7
-    // tombstone: retirement must delete the emptied partition dir
+    // tombstone: retirement must leave that bucket with no live lines
     batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b"),
       CdcEvent(6L, 1L, 1L, "U", "c"), CdcEvent(7L, 2L, 1L, "D", "x")), 0L)
     batch(Seq(CdcEvent(2L, 5L, 1L, "D", "b"), CdcEvent(6L, 20L, 1L, "D", "c")), 1L)
     def full(d: String): Set[(Long, Long, Long, String, String)] =
-      spark.read.parquet(d).select("id", "ver1", "ver2", "op", "payload")
+      ChangeLogStream.readSnapshot(spark, d)
         .as[(Long, Long, Long, String, String)].collect().toSet
     val retired = Set((2L, 5L, 1L, "D", "b"), (7L, 2L, 1L, "D", "x"))
-    ChangeLogStream.retireTombstones(spark, dirs.head, horizonVer1 = 10L)
+    ChangeLogStream.retireTombstones(spark, dirs.head, horizonVer1 = 10L,
+      nBuckets = 4)
     // exactly the sub-horizon tombstones are gone; D(6) at ver 20 stays
     assert(full(dirs.head) == full(dirs(1)) -- retired)
     assert(full(dirs.head).contains((6L, 20L, 1L, "D", "c")))
-    // the emptied bucket directory is removed outright
-    assert(!new java.io.File(dirs.head, "bucket=3").exists())
+    // the emptied bucket publishes no lines at all
+    assert(!graft.sources.SnapshotStore.currentFiles(spark, dirs.head)
+      .exists(_.contains("/bucket=3/")))
     // every event that can still arrive (ver1 >= horizon) produces the
     // same store state with or without the retired tombstones: a fresh
     // upsert for a retired key wins in both (it beat ver 2 anyway), a
@@ -208,96 +192,5 @@ class ChangeLogStreamSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got.values.filter(_.live)
       .map(c => (c.id, c.ver1, c.ver2, c.payload)).toSet == want)
-  }
-
-test("tombstone sidecar: exact per-bucket minimums, sidecar-served retirement " +
-      "== scanning retirement, fallback rebuild for legacy stores") {
-    implicit val sql = spark.sqlContext
-    val dirs = Seq("cdc_tomb_a", "cdc_tomb_b")
-      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
-    def batch(rows: Seq[CdcEvent], id: Long): Unit = dirs.foreach { d =>
-      ChangeLogStream.materializeBatch(d, 4)(
-        rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
-    }
-    batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b"),
-      CdcEvent(6L, 1L, 1L, "U", "c"), CdcEvent(7L, 2L, 1L, "D", "x")), 0L)
-    batch(Seq(CdcEvent(2L, 5L, 1L, "D", "b"), CdcEvent(6L, 20L, 1L, "D", "c")), 1L)
-
-    def sidecar(d: String): Set[(Int, Long)] =
-      spark.read.parquet(s"$d/_tomb").as[(Int, Long)].collect().toSet
-    def derived(d: String): Set[(Int, Long)] =
-      spark.read.parquet(d).filter($"op" === "D")
-        .groupBy("bucket").agg(org.apache.spark.sql.functions.min($"ver1"))
-        .as[(Int, Long)].collect().toSet
-    // the merge-maintained sidecar equals the store-derived truth:
-    // bucket 2 holds D(2)@5 and D(6)@20 -> tmin 5; bucket 3 D(7)@2
-    assert(sidecar(dirs.head) == derived(dirs.head))
-    assert(sidecar(dirs.head) == Set((2, 5L), (3, 2L)))
-
-    // store B loses its sidecar (the legacy/torn-publish face): its
-    // retirement takes the fallback scan — both stores must land on
-    // byte-identical contents, and B's scan rebuilds the sidecar
-    val bTomb = new java.io.File(dirs(1), "_tomb")
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-      f.delete(); ()
-    }
-    rm(bTomb)
-    assert(!bTomb.exists())
-    dirs.foreach(d =>
-      ChangeLogStream.retireTombstones(spark, d, horizonVer1 = 10L))
-    def full(d: String): Set[(Long, Long, Long, String, String)] =
-      spark.read.parquet(d).select("id", "ver1", "ver2", "op", "payload")
-        .as[(Long, Long, Long, String, String)].collect().toSet
-    assert(full(dirs.head) == full(dirs(1)),
-      "sidecar-served and scanning retirement must retire identically")
-    // both sidecars refreshed: only the >= horizon tombstone remains
-    assert(sidecar(dirs.head) == Set((2, 20L)))
-    assert(sidecar(dirs(1)) == Set((2, 20L)),
-      "the fallback scan must rebuild the sidecar")
-    // a no-op retirement against a sidecar-less store with nothing to
-    // retire still builds the sidecar from its proving scan
-    rm(bTomb)
-    ChangeLogStream.retireTombstones(spark, dirs(1), horizonVer1 = 10L)
-    assert(sidecar(dirs(1)) == Set((2, 20L)))
-    // later merges keep maintaining it exactly: D(5)@30 adds a bucket-1
-    // tombstone, and U(6)@31 BEATS the remaining D(6)@20, so bucket 2's
-    // sidecar row must disappear with its tombstone
-    batch(Seq(CdcEvent(5L, 30L, 1L, "D", "z"), CdcEvent(6L, 31L, 1L, "U", "c3")), 2L)
-    dirs.foreach(d => assert(sidecar(d) == derived(d), d))
-    assert(sidecar(dirs.head) == Set((1, 30L)))
-  }
-
-  test("retirement that empties EVERY bucket leaves a working store: the " +
-      "sidecar refresh publishes an empty sidecar instead of throwing, and " +
-      "later batches merge cleanly") {
-    implicit val sql = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("cdc_allgone").toString
-    def batch(rows: Seq[CdcEvent], id: Long): Unit =
-      ChangeLogStream.materializeBatch(dir, 3)(
-        rows.toDF().selectExpr("id", "ver1", "ver2", "op", "payload"), id)
-    def sidecar(): Set[(Int, Long)] =
-      spark.read.parquet(s"$dir/_tomb").select("bucket", "tmin")
-        .as[(Int, Long)].collect().toSet
-    batch(Seq(CdcEvent(1L, 1L, 1L, "U", "a"), CdcEvent(2L, 1L, 1L, "U", "b")), 0L)
-    batch(Seq(CdcEvent(1L, 5L, 1L, "D", "a"), CdcEvent(2L, 5L, 1L, "D", "b")), 1L)
-    // every winner is now a tombstone below the horizon: retirement
-    // empties every bucket (partition dirs removed), and the
-    // post-rewrite sidecar refresh has no data files to read — it must
-    // publish the EMPTY sidecar, not throw past the closed journal
-    ChangeLogStream.retireTombstones(spark, dir, horizonVer1 = 100L)
-    assert(!new java.io.File(dir).listFiles().exists(
-      _.getName.startsWith("bucket=")), "all buckets must be gone")
-    assert(sidecar() === Set.empty, "the refreshed sidecar must be empty")
-    // idempotent: a second retirement over the dataless store is a no-op
-    ChangeLogStream.retireTombstones(spark, dir, horizonVer1 = 100L)
-    assert(sidecar() === Set.empty)
-    // and the next batch merges like a bootstrap (a bootstrapped-but-
-    // dataless store has no parquet schema to read)
-    batch(Seq(CdcEvent(3L, 7L, 1L, "U", "c")), 2L)
-    assert(spark.read.parquet(dir).select("id", "ver1", "ver2", "op", "payload")
-      .as[(Long, Long, Long, String, String)].collect().toSet ===
-      Set((3L, 7L, 1L, "U", "c")))
-    assert(sidecar() === Set.empty)
   }
 }

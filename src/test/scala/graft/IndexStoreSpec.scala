@@ -33,6 +33,38 @@ class IndexStoreSpec extends SparkSpec {
     assert(cells.subsetOf(Set(1, 3)))
   }
 
+  test("reader isolation: a loaded index keeps serving its generation " +
+      "through a re-save; retirement reclaims the superseded save") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val d = java.nio.file.Files.createTempDirectory("idx_iso").toString
+    val (assigned, cents) = IvfAnn.quantize(emb, nlist = 8)
+    IndexStore.saveIvf(d, emb, assigned, cents)
+    val (a1, c1, v1) = IndexStore.loadIvf(spark, d) // resolved NOW
+    val want = IvfAnn.topKWith(a1, c1, v1, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    // a rebuild with a DIFFERENT quantizer publishes a new generation
+    // under the live reader
+    val (assigned2, cents2) = IvfAnn.quantize(emb, nlist = 4)
+    IndexStore.saveIvf(d, emb, assigned2, cents2)
+    assert(IvfAnn.topKWith(a1, c1, v1, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet == want,
+      "the in-flight reader must keep serving its pre-rebuild generation")
+    // the new generation serves the new quantizer's answer
+    val (a2, c2, v2) = IndexStore.loadIvf(spark, d)
+    val fresh2 = IvfAnn.topKWith(assigned2, cents2, emb, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(IvfAnn.topKWith(a2, c2, v2, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet == fresh2)
+    // tight retirement reclaims the superseded save's subtree
+    IndexStore.retire(spark, d, keepGenerations = 1)
+    val partDirs = new java.io.File(d, "parts").listFiles().map(_.getName)
+    assert(partDirs.count(_.startsWith("vectors_")) == 1,
+      s"superseded vector saves must be reclaimed; got ${partDirs.toSeq}")
+    assert(IvfAnn.topKWith(a2, c2, v2, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet == fresh2)
+  }
+
   test("PQ round-trip: ADC + re-rank over loaded artifacts equals the fresh pipeline") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

@@ -31,7 +31,7 @@ class IvfAppendSpec extends SparkSpec {
     val stream = MemoryStream[VecAt]
     val (b1, b2) = arrivalIds.splitAt(arrivalIds.size / 2)
     val q = VectorProbeStream.appendIvfStream(stream.toDS(),
-      spark.read.parquet(s"$dir/centroids"),
+      IndexStore.loadIvf(spark, dir)._2, // manifest-resolved centroids
       s"$dir/delta", s"$dir/ckpt")
     try Seq(b1, b2).zipWithIndex.foreach { case (ids, bi) =>
       stream.addData(ids.map(id => VecAt(at(bi + 1), id, vecs(id).toSeq)): _*)

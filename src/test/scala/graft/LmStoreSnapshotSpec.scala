@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.sources.SnapshotStore
 import graft.text.{LmStore, TextFeatures}
 
-/** The snapshot-manifested LM store: bit-parity with the journaled
-  * store and the direct operator, plus the isolation the manifest
-  * buys — a model resolved before maintenance serves its generation
-  * while compaction and grace-window retirement run. */
+/** The LM store's snapshot isolation (the store publishes through the
+  * MVCC manifest — the engine's one store protocol): bit-parity with
+  * the direct operator, plus a model resolved before maintenance
+  * serving its generation while compaction and grace-window
+  * retirement run. */
 class LmStoreSnapshotSpec extends SparkSpec {
   import spark.implicits._
 
@@ -18,46 +19,46 @@ class LmStoreSnapshotSpec extends SparkSpec {
     LmStore.score(docs, col("doc_id"), col("text"), m)
       .as[(Long, Long, Double)].collect().toSet
 
-  test("snapshot store == journaled store == direct operator; compaction " +
-      "and retirement preserve serving bit-exactly") {
-    val snapDir = java.nio.file.Files.createTempDirectory("lmsnap").toString
-    val plainDir = java.nio.file.Files.createTempDirectory("lmplain").toString
+  test("store == direct operator; an in-flight reader survives " +
+      "compaction and retirement; serving bit-exact throughout") {
+    val dir = java.nio.file.Files.createTempDirectory("lmsnap").toString
     Seq(0, 1, 2).foreach { i =>
-      val b = docs.filter(pmod(col("doc_id"), lit(3)) === i)
-      LmStore.appendSnapshot(b, col("text"), snapDir)
-      LmStore.append(b, col("text"), plainDir)
+      LmStore.append(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        col("text"), dir)
     }
     val want = TextFeatures.charBigramEntropy(docs, col("doc_id"),
       col("text")).as[(Long, Long, Double)].collect().toSet
-    assert(scored(LmStore.modelSnapshot(spark, snapDir)) == want)
-    assert(scored(LmStore.model(spark, plainDir)) == want)
-    assert(SnapshotStore.currentGen(spark, snapDir) === 3L)
+    assert(scored(LmStore.model(spark, dir)) == want)
+    assert(SnapshotStore.currentGen(spark, dir) === 3L)
 
-    // an in-flight READER'S generation survives the maintenance the
-    // journaled store would have rewritten under it: resolve the parts
-    // frame now, compact + retire within grace, then build the model
-    // from the OLD resolution
-    val oldParts = SnapshotStore.read(spark, snapDir)
-    LmStore.compactSnapshot(spark, snapDir)
-    SnapshotStore.retire(spark, snapDir, keepGenerations = 2)
-    assert(scored(LmStore.modelSnapshot(spark, snapDir)) == want,
+    // an in-flight READER'S generation survives maintenance: resolve
+    // the parts frame now, compact + retire within grace, then build
+    // the model from the OLD resolution
+    val oldParts = SnapshotStore.read(spark, dir)
+    LmStore.compact(spark, dir)
+    SnapshotStore.retire(spark, dir, keepGenerations = 2)
+    assert(scored(LmStore.model(spark, dir)) == want,
       "the folded generation must serve identically")
     val oldModel = oldParts.groupBy("bg").agg(sum(col("c")).as("c")).collect()
     assert(oldModel.nonEmpty,
       "the pre-compaction reader must still resolve its file set")
 
     // tight retirement reclaims to the folded part; serving unchanged
-    SnapshotStore.retire(spark, snapDir, keepGenerations = 1)
-    assert(new java.io.File(snapDir, "parts").listFiles().length === 1)
-    assert(scored(LmStore.modelSnapshot(spark, snapDir)) == want)
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    assert(new java.io.File(dir, "parts").listFiles().length === 1)
+    assert(scored(LmStore.model(spark, dir)) == want)
 
-    // the chain keeps composing: append onto the compacted snapshot
-    val extra = Seq((900001L, "aa bb aa", "en", "s1"))
-      .toDF("doc_id", "text", "lang", "source")
-    LmStore.appendSnapshot(extra, col("text"), snapDir)
-    LmStore.append(extra, col("text"), plainDir)
-    assert(scored(LmStore.modelSnapshot(spark, snapDir)) ==
-      scored(LmStore.model(spark, plainDir)),
-      "snapshot and journaled stores must stay bit-identical")
+    // the chain keeps composing: append onto the compacted store, and
+    // the model equals a one-shot train over the extended corpus
+    val extra = Seq((900001L, "aa bb aa")).toDF("doc_id", "text")
+    LmStore.append(extra, col("text"), dir)
+    val corpus = docs.select("doc_id", "text").unionByName(extra)
+    val wantExt = TextFeatures.charBigramEntropy(corpus,
+        col("doc_id"), col("text")).as[(Long, Long, Double)].collect().toSet
+    val gotExt = LmStore.score(corpus, col("doc_id"),
+        col("text"), LmStore.model(spark, dir))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotExt == wantExt,
+      "post-compaction appends must keep one-shot parity")
   }
 }

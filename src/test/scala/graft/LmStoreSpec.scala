@@ -36,10 +36,12 @@ class LmStoreSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("lmc").toString
     Seq(0, 1, 2).foreach(i => LmStore.append(
       docs.filter(pmod(col("doc_id"), lit(3)) === i), col("text"), dir))
-    assert(spark.read.parquet(dir).inputFiles.length == 3)
+    assert(graft.sources.SnapshotStore.read(spark, dir)
+      .inputFiles.length == 3)
     val before = scored(dir, docs)
     LmStore.compact(spark, dir)
-    assert(spark.read.parquet(dir).inputFiles.length == 1)
+    assert(graft.sources.SnapshotStore.read(spark, dir)
+      .inputFiles.length == 1)
     assert(scored(dir, docs) == before)
   }
 
@@ -55,47 +57,30 @@ class LmStoreSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
-test("compaction crash injection: a kill after the old parts are retired " +
-      "recovers the model byte-exactly") {
+  test("a torn fold is invisible unpublished debris: serving unchanged, " +
+      "no recovery step, retirement sweeps it") {
     val dir = java.nio.file.Files.createTempDirectory("lmcrash").toString
     Seq(0, 1, 2).foreach(i => LmStore.append(
       docs.filter(pmod(col("doc_id"), lit(3)) === i), col("text"), dir))
     val want = scored(dir, docs)
-    def census(): Set[(String, Long)] = {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
-        .filterNot(_._1.startsWith("_ledger"))
-        .toSet
-    }
-    val before = census()
-    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.isFile).map(_.getPath.getName).toSeq
-    // the worst window of the append-then-retire sequence: new fold
-    // present, EVERY old part already deleted, then the process dies —
-    // under the r13 whole-table overwrite this window had destroyed
-    // the journal root itself
-    intercept[RuntimeException] {
-      graft.sources.CommitLog.rewriting(spark, dir, parts) {
-        val fold = hfs.create(new org.apache.hadoop.fs.Path(dir,
-          "part-fold-new.snappy.parquet"), true)
-        fold.write(Array[Byte](7, 7, 7)); fold.close()
-        parts.foreach(f =>
-          hfs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
-        throw new RuntimeException("simulated crash mid-retire")
-      }
-    }
-    graft.sources.CommitLog.recover(spark, dir)
-    assert(census() == before, "recover must restore the retired parts")
-    assert(scored(dir, docs) == want)
-    // the real compaction still completes and serves identically,
-    // with the journal root intact
+    val gen = graft.sources.SnapshotStore.currentGen(spark, dir)
+    // a compactor killed AFTER writing its folded part but BEFORE the
+    // CURRENT swap: the part exists on disk, no manifest names it
+    val orphan = new java.io.File(dir, "parts/c_torn")
+    orphan.mkdirs()
+    graft.sources.SnapshotStore.read(spark, dir)
+      .groupBy("bg").agg(sum(col("c")).as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(orphan.toString)
+    assert(graft.sources.SnapshotStore.currentGen(spark, dir) == gen,
+      "an unpublished fold must not advance the generation")
+    assert(scored(dir, docs) == want,
+      "serving resolves the committed parts exactly — never the debris")
+    // the retrying compactor succeeds alongside the debris; retirement
+    // sweeps the orphan with the superseded parts
     LmStore.compact(spark, dir)
     assert(scored(dir, docs) == want)
-    assert(hfs.exists(new org.apache.hadoop.fs.Path(dir, "_ledger")))
+    LmStore.retire(spark, dir, keepGenerations = 1)
+    assert(!orphan.exists(), "orphaned torn folds must be swept")
+    assert(scored(dir, docs) == want)
   }
 }
