@@ -231,17 +231,21 @@ object CorpusIncrement {
       rows.map(_.getLong(rows.head.fieldIndex("max_doc_id"))).max)
   }
 
-  /** One meta row as a fresh part (the manifest supersedes/extends —
-    * no overwrite mode exists in this store). */
-  private def writeMeta(st: Store, m: Meta): Unit = {
+  /** The one-row meta frame (driver-held values). */
+  private def metaRow(st: Store, m: Meta): DataFrame = {
     import st.spark.implicits._
     val (grps, rs) = m.rates.toSeq.sortBy(_._1).unzip
-    val rel = st.fresh("meta")
     Seq((m.k, m.threshold, m.maxDf, m.deconN, m.nBuckets, grps, rs,
         m.defaultRate, m.maxDocId))
       .toDF("shingle_k", "threshold", "max_df", "decon_n", "n_buckets",
         "rate_grps", "rate_bps", "default_rate", "max_doc_id")
-      .coalesce(1).write.parquet(s"${st.dir}/$rel")
+  }
+
+  /** One meta row as a fresh part (the manifest supersedes/extends —
+    * no overwrite mode exists in this store). */
+  private def writeMeta(st: Store, m: Meta): Unit = {
+    val rel = st.fresh("meta")
+    metaRow(st, m).coalesce(1).write.parquet(s"${st.dir}/$rel")
     st.register(rel)
   }
 
@@ -264,6 +268,19 @@ object CorpusIncrement {
   private def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket",
       pmod(xxhash64(col("shingle")), lit(nBuckets)).cast("int"))
+
+  /** Collect `df` into a LOCAL relation with the same schema (r16 —
+    * the splice-launch fusion): every caller previously BROADCAST the
+    * frame, which already materializes it on the driver, so the
+    * explicit collect is memory-neutral — but a LocalTableScan feeds
+    * downstream broadcast joins with ZERO exchange sub-jobs, where
+    * each broadcast of a distributed frame launched one per consumer.
+    * Increment-grain frames only (C docs, crossed shingles, touched
+    * components). */
+  private def localized(sx: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    sx.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
 
   private def docBucketed(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket",
@@ -540,6 +557,7 @@ object CorpusIncrement {
     // RE-ROOTED on a persisted RDD so the many downstream consumers
     // (six appends, the band analysis, the pair splice) share one
     // computed batch instead of re-deriving it.
+    spark.sparkContext.setJobDescription("icorpus: batch dedup probe")
     val bq = exSurvivors(batch)
     val hidx = st.table("hidx")
     val dupH = hidx.join(broadcast(bq.select("h").distinct()),
@@ -594,6 +612,8 @@ object CorpusIncrement {
     val bPost = bArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val dfB = bPost.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
     val evalsh = st.table("evalsh")
+    val dfbBks =
+      new java.util.concurrent.atomic.AtomicReference[Seq[Int]](Nil)
     val (relH, relEx, relP, relPd, relDf) = (st.fresh("hidx"),
       st.fresh("exdocs"), st.fresh("post"), st.fresh("postd"), st.fresh("df"))
     // ONE six-way concurrent group (r14; r12 ran it as two batches of
@@ -602,6 +622,7 @@ object CorpusIncrement {
     // manager's per-block locks whichever job gets there first — the
     // explicit bArr.count() rides along so the cache warms even while
     // the hidx/exdocs writes (which don't consume it) hold two slots
+    sx.sparkContext.setJobDescription("icorpus: artifact appends")
     inParallel(Seq(
       () => bxN.select(col("h"), col("doc_id"))
         .coalesce(1).write.parquet(s"$dir/$relH"),
@@ -614,14 +635,19 @@ object CorpusIncrement {
         .write.partitionBy("bucket").parquet(s"$dir/$relPd"),
       // populates the dfB cache the band analysis below consumes
       () => bucketed(dfB, m.nBuckets).repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$dir/$relDf")))
+        .write.partitionBy("bucket").parquet(s"$dir/$relDf"),
+      // the band prune's bucket ids ride the group too (a cache-read
+      // job that was a sequential launch before the r16 fusion)
+      () => dfbBks.set(bucketed(dfB.select("shingle"), m.nBuckets)
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSeq)))
     Seq(relH, relEx, relP, relPd, relDf).foreach(st.register)
 
     // ---- df-band analysis over batch-present shingles (the store
     // view now includes the just-registered parts, so the summed df is
     // already the new state; the old state is new minus the batch's
     // own part)
-    val bands = prunedByShingle(st, "df", dfB.select("shingle"), m.nBuckets)
+    val bands = st.tableBuckets("df", dfbBks.get)
+      .join(broadcast(dfB.select("shingle")), Seq("shingle"), "left_semi")
       .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
       .join(dfB, Seq("shingle"))
       .withColumn("_in_new", col("_dfn").between(2, m.maxDf))
@@ -639,20 +665,39 @@ object CorpusIncrement {
     // even on vocabulary-dense corpora where most shingles are shared:
     // stays-in shingles (the common case) cost only their base×batch
     // cross products, never a base-base re-expansion.
-    val changed = bands.filter(col("_in_new") =!= col("_in_old"))
-      .select("shingle")
-    val cDocs = prunedByShingle(st, "post", changed, m.nBuckets)
+    val changed = localized(sx,
+      bands.filter(col("_in_new") =!= col("_in_old")).select("shingle")
+        .withColumn("_bk",
+          pmod(xxhash64(col("shingle")), lit(m.nBuckets)).cast("int")))
+    // C discovery, collected ONCE with the doc-bucket ids riding in
+    // the same job (r16 — the splice-launch fusion): every downstream
+    // use of C was already a BROADCAST, i.e. a driver materialization
+    // by definition, so the explicit collect is memory-neutral. What
+    // it buys is LAUNCH COUNT: the local relation plans as a
+    // LocalTableScan (no broadcast-exchange sub-job per consumer — the
+    // old plan built four), and the postd bucket prune derives its
+    // bucket ids from the same rows instead of a second collect job.
+    val cRows = st.tableBuckets("post",
+        changed.collect().map(_.getInt(1)).distinct.toSeq)
+      .join(broadcast(changed.select("shingle")), Seq("shingle"), "left_semi")
       .select("doc_id")
-      .union(bxN.select("doc_id")).distinct().persist(lvl)
+      .union(bxN.select("doc_id")).distinct()
+      .withColumn("_bk",
+        pmod(xxhash64(col("doc_id")), lit(m.nBuckets)).cast("int"))
+      .collect()
+    val cIds = cRows.map(_.getLong(0)).toSeq
+    val cLocal = { import sx.implicits._; cIds.toDF("doc_id") }
     // (a) pairs WITHIN C: complete postings of C docs — a manifest-
-    // PRUNED read of the doc-bucketed dual layout (C's bucket ids are
-    // driver-collected, <= nBuckets), true new-state bands for ALL
-    // their shingles (df/ summed for exactly those shingles)
-    val cPost = prunedByDoc(st, "postd", cDocs, m.nBuckets).persist(lvl)
-    val ibC = prunedByShingle(st, "df", cPost.select("shingle").distinct(),
-        m.nBuckets)
-      .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
-      .filter(col("_dfn").between(2, m.maxDf)).select("shingle")
+    // PRUNED read of the doc-bucketed dual layout (C's bucket ids came
+    // with the collect), true new-state bands for ALL their shingles
+    // (df/ summed for exactly those shingles)
+    val cPost = st.tableBuckets("postd", cRows.map(_.getInt(1)).distinct.toSeq)
+      .join(broadcast(cLocal), Seq("doc_id"), "left_semi").persist(lvl)
+    val ibC = localized(sx,
+      prunedByShingle(st, "df", cPost.select("shingle").distinct(),
+          m.nBuckets)
+        .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
+        .filter(col("_dfn").between(2, m.maxDf)).select("shingle"))
     val interA = Postings.coPairs(
         cPost.join(broadcast(ibC), Seq("shingle"), "left_semi"),
         Seq(col("shingle")), col("doc_id"), Long.MaxValue)
@@ -666,7 +711,7 @@ object CorpusIncrement {
     val relIb = bands.filter(col("_in_new")).select("shingle")
     val interB = prunedByShingle(st, "post", relIb, m.nBuckets)
       .withColumn("_b", col("doc_id") > m.maxDocId)
-      .join(broadcast(cDocs.withColumn("_c", lit(1))), Seq("doc_id"), "left")
+      .join(broadcast(cLocal.withColumn("_c", lit(1))), Seq("doc_id"), "left")
       .groupBy("shingle")
       .agg(collect_list(when(!col("_b") && col("_c").isNull,
           col("doc_id"))).as("_bl"),
@@ -686,7 +731,7 @@ object CorpusIncrement {
     // replaced by recomputation (a); (b) adds pairs no old pair could
     // be; every other old pair is provably unchanged and rides through
     val oldPairs = st.table("pairs")
-    val cD = (side: String) => cDocs.toDF(side)
+    val cD = (side: String) => { import sx.implicits._; cIds.toDF(side) }
     val keptOld = oldPairs
       .join(broadcast(cD("d1").withColumn("_a1", lit(1))), Seq("d1"), "left")
       .join(broadcast(cD("d2").withColumn("_a2", lit(1))), Seq("d2"), "left")
@@ -702,83 +747,99 @@ object CorpusIncrement {
     // persisted RDD is populated en route to the subgraph count below
     // (no separate count job), then every later consumer (union-find,
     // the pairs write) scans the cache.
+    sx.sparkContext.setJobDescription("icorpus: pair splice")
     val (fp, fpRdd) = Rounds.materialize(finalPairs, lvl)
-    val pairEnds = cDocs
+    val pairEnds = cLocal
       .union(newPairs.select(col("d1").as("doc_id")))
       .union(newPairs.select(col("d2").as("doc_id"))).distinct()
     val oldLabels = st.table("labels")
-    val touched = oldLabels
-      .join(broadcast(pairEnds.toDF("node")), Seq("node"), "left_semi")
-      .select("component").distinct()
+    // touched components, collected ONCE (again memory-neutral — it
+    // fed two broadcasts before, each a separate exchange job
+    // recomputing the frame): this is also the job that warms the
+    // newPairs cache, so the se materialization below reads caches
+    val touchedLocal = {
+      import sx.implicits._
+      oldLabels
+        .join(broadcast(pairEnds.toDF("node")), Seq("node"), "left_semi")
+        .select("component").distinct().as[Long].collect().toSeq
+        .toDF("component")
+    }
     val subNodes = oldLabels
-      .join(broadcast(touched), Seq("component"), "left_semi")
+      .join(broadcast(touchedLocal), Seq("component"), "left_semi")
       .select("node")
       .union(pairEnds.toDF("node")).distinct()
     val (se, seRdd) = Rounds.materialize(
       fp.join(broadcast(subNodes.toDF("d1")), Seq("d1"), "left_semi"), lvl)
     val nSub = seRdd.count()
-    // solve the touched subgraph where it lives: an increment-grain
-    // splice is usually a few thousand edges, for which the
-    // distributed star rounds cost ~10 job launches of pure overhead —
-    // below an explicit driver-size cap (500k edges ≈ tens of MB) one
-    // collect + a local union-find replaces them, emitting the same
-    // (node, min-id component) labels bit-for-bit; past the cap the
-    // distributed path takes over unchanged
-    val subLabels =
-      if (nSub == 0) {
-        import spark.implicits._
-        Seq.empty[(Long, Long)].toDF("node", "component")
-      } else if (nSub <= 500000L) {
-        import spark.implicits._
-        val es = se.select(col("d1"), col("d2")).as[(Long, Long)].collect()
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(a: Long): Long = {
-          var x = a
-          while (parent.getOrDefault(x, x) != x) {
-            parent.put(x, parent.getOrDefault(parent.get(x), parent.get(x)))
-            x = parent.get(x)
-          }
-          x
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
-        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
-        // root compression gives min-id labels directly: unions always
-        // point the larger root at the smaller, so every chain ends at
-        // its component's minimum id
-        nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
-      } else
-        // size the CC rounds to the subgraph: big graphs get a
-        // partition per ~1M edges
-        ConnectedComponents.run(
-          se.select(col("d1").as("src"), col("d2").as("dst"))
-            .repartition(math.max(1, (nSub / 1000000L).toInt)))
-    val newLabels = oldLabels
-      .join(broadcast(touched), Seq("component"), "left_anti")
-      .unionByName(subLabels)
-
-    // the replacement pair graph and labels land as FRESH part
+    // the replacement pair graph, labels, and meta land as FRESH part
     // subtrees whose lines supersede the old ones in the same
-    // generation — fresh paths, so neither write overwrites a path its
-    // own plan reads, a torn write is invisible (unpublished lines
-    // never reach a manifest), a retry cannot collide (new uuid), and
-    // the two writes are independent given the persisted fp/se, so
-    // they run concurrently
-    val (relPr, relL) = (st.fresh("pairs"), st.fresh("labels"))
+    // generation — fresh paths, so no write overwrites a path its own
+    // plan reads, a torn write is invisible (unpublished lines never
+    // reach a manifest), a retry cannot collide (new uuid). The three
+    // writes are independent given the persisted fp/se and the
+    // driver-held meta row, so they run as ONE concurrent group — and
+    // the LABELS thunk carries its whole pipeline (subgraph collect,
+    // union-find, write), hiding the splice-solve latency behind the
+    // pair write instead of paying it as sequential launches (r16).
+    val (relPr, relL, relM) =
+      (st.fresh("pairs"), st.fresh("labels"), st.fresh("meta"))
+    val m2 = m.copy(maxDocId = bMin.getLong(1))
+    sx.sparkContext.setJobDescription("icorpus: pairs/labels/meta publish")
     inParallel(Seq(
       () => fp.write.parquet(s"$dir/$relPr"),
-      () => newLabels.write.parquet(s"$dir/$relL")))
+      () => {
+        // solve the touched subgraph where it lives: an increment-
+        // grain splice is usually a few thousand edges, for which the
+        // distributed star rounds cost ~10 job launches of pure
+        // overhead — below an explicit driver-size cap (500k edges ≈
+        // tens of MB) one collect + a local union-find replaces them,
+        // emitting the same (node, min-id component) labels
+        // bit-for-bit; past the cap the distributed path takes over
+        // unchanged
+        val subLabels =
+          if (nSub == 0) {
+            import spark.implicits._
+            Seq.empty[(Long, Long)].toDF("node", "component")
+          } else if (nSub <= 500000L) {
+            import spark.implicits._
+            val es = se.select(col("d1"), col("d2")).as[(Long, Long)].collect()
+            val parent = new java.util.HashMap[Long, Long]()
+            def find(a: Long): Long = {
+              var x = a
+              while (parent.getOrDefault(x, x) != x) {
+                parent.put(x,
+                  parent.getOrDefault(parent.get(x), parent.get(x)))
+                x = parent.get(x)
+              }
+              x
+            }
+            es.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+            }
+            val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+            // root compression gives min-id labels directly: unions
+            // always point the larger root at the smaller, so every
+            // chain ends at its component's minimum id
+            nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
+          } else
+            // size the CC rounds to the subgraph: big graphs get a
+            // partition per ~1M edges
+            ConnectedComponents.run(
+              se.select(col("d1").as("src"), col("d2").as("dst"))
+                .repartition(math.max(1, (nSub / 1000000L).toInt)))
+        oldLabels
+          .join(broadcast(touchedLocal), Seq("component"), "left_anti")
+          .unionByName(subLabels)
+          .write.parquet(s"$dir/$relL")
+      },
+      () => metaRow(st, m2).coalesce(1).write.parquet(s"$dir/$relM")))
     st.drop("pairs")
     st.drop("labels")
-    st.register(relPr)
-    st.register(relL)
+    Seq(relPr, relL, relM).foreach(st.register)
     fpRdd.unpersist(blocking = false)
     seRdd.unpersist(blocking = false)
 
-    val m2 = m.copy(maxDocId = bMin.getLong(1))
-    writeMeta(st, m2)
     // ---- the commit point: ONE generation spanning all eight dirs
     st.publish()
     bxRdd.unpersist(blocking = false)
@@ -787,12 +848,12 @@ object CorpusIncrement {
     cPost.unpersist(blocking = false)
     newPairs.unpersist(blocking = false)
     dfB.unpersist(blocking = false)
-    cDocs.unpersist(blocking = false)
     // serve from the view this increment just published — the meta row
     // and the fresh labels are already in hand, so no re-read; back on
     // the CALLER's session, so the corpus-scale assembly plans at the
     // caller's width, not the clone's
     st.useSession(spark)
+    spark.sparkContext.setJobDescription("icorpus: assembly")
     assembleSt(st, m2)
   }
 }
