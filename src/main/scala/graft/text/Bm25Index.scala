@@ -208,9 +208,27 @@ object Bm25Index {
     * corpus. */
   def topK(spark: SparkSession, dir: String,
            queries: Seq[(Int, String)], k: Int = 10,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKFrom(spark, dir,
+      graft.sources.SnapshotStore.currentFiles(spark, dir), queries, k, k1, b)
+
+  /** AS-OF serving (r16 — the manifest's time travel at this store's
+    * grain): [[topK]] against a PINNED generation still inside
+    * [[retire]]'s grace window — the debugging/repro surface for "what
+    * did the index return before that append/compaction?". Same
+    * bucket-line prune, same scoring tail; a generation retirement has
+    * dropped throws. */
+  def topKAsOf(spark: SparkSession, dir: String, asOfGen: Long,
+               queries: Seq[(Int, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKFrom(spark, dir,
+      graft.sources.SnapshotStore.filesAsOf(spark, dir, asOfGen),
+      queries, k, k1, b)
+
+  private def topKFrom(spark: SparkSession, dir: String, lines: Seq[String],
+                       queries: Seq[(Int, String)], k: Int,
+                       k1: Double, b: Double): DataFrame = {
     val store = graft.sources.SnapshotStore
-    val lines = store.currentFiles(spark, dir)
     val metaDf = meta(spark, dir, lines)
     val nBuckets = bucketsOfMeta(metaDf, dir)
     val qTerms = Bm25.queryTerms(spark, queries)

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.text.{Bm25, Bm25Index}
 
 /** Bucket-grain MVCC manifest on the BM25 index (the r15 extension of
-  * the 35b snapshot store to BUCKETED stores): serving is bit-identical
-  * to the journaled index and the direct query through the whole
-  * lifecycle; a live reader overlapping compaction + retirement keeps
+  * the 35b snapshot store to BUCKETED stores; since r16 the ONLY
+  * protocol): serving is bit-identical to the direct query through the
+  * whole lifecycle, AS-OF generation reads pin any un-retired
+  * generation; a live reader overlapping compaction + retirement keeps
   * serving its complete generation (old or new, never a mix); torn
   * maintenance is invisible; retirement reclaims at FILE grain —
   * superseded bucket files inside part dirs that stay live for their
@@ -47,8 +48,37 @@ class Bm25SnapshotSpec extends SparkSpec {
     out.toMap
   }
 
-  test("snapshot serving == journaled serving == the direct query, " +
-      "through build + appends + compaction + retirement") {
+  test("AS-OF serving: a pinned pre-append generation answers as the " +
+      "pre-append index did; a pre-compaction generation answers " +
+      "bit-identically to the compacted one; retired generations throw") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_asof").toString
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    Bm25Index.build(base, col("doc_id"), col("text"), dir, nBuckets = 8)
+    val wantBase = rows(Bm25Index.topK(spark, dir, queries))
+    Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      col("doc_id"), col("text"), dir)
+    val wantFull = rows(Bm25Index.topK(spark, dir, queries))
+    assert(wantFull != wantBase, "the append must change rankings")
+    // generation 1 = the pre-append index, served verbatim
+    assert(graft.sources.SnapshotStore.generations(spark, dir)
+      === Seq(1L, 2L))
+    assert(rows(Bm25Index.topKAsOf(spark, dir, 1L, queries)) === wantBase)
+    // a compaction publishes gen 3; AS OF 2 == the current answer
+    // (rows re-filed, never changed)
+    Bm25Index.compact(spark, dir)
+    assert(rows(Bm25Index.topKAsOf(spark, dir, 2L, queries)) === wantFull)
+    assert(rows(Bm25Index.topK(spark, dir, queries)) === wantFull)
+    // past the grace window the pinned generation is gone
+    Bm25Index.retire(spark, dir, keepGenerations = 1)
+    intercept[Exception] {
+      Bm25Index.topKAsOf(spark, dir, 1L, queries).collect()
+    }
+    assert(rows(Bm25Index.topK(spark, dir, queries)) === wantFull)
+  }
+
+  test("serving == the direct query through build + appends + " +
+      "compaction + retirement (two independently built stores agree)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val dirS = java.nio.file.Files.createTempDirectory("bm25_snap").toString
     val dirJ = java.nio.file.Files.createTempDirectory("bm25_snapj").toString
