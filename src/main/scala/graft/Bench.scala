@@ -197,6 +197,13 @@ object Bench {
     // resolution: SPARK_GRAFT_SCALING_REF, else the highest-numbered
     // SCALING_r*.json in the working directory; no reference (or a
     // non-sf0.1 run) disables the guard rather than misfiring.
+    // REFERENCE HYGIENE (the r15-verdict merge rule, taken in r16):
+    // when a SCALING sweep lands in a contention burst, the artifact
+    // is the per-query MIN over multiple full sweeps of the SAME
+    // final-code commit — contention only inflates, so the min is the
+    // cleanest same-code reference and keeps this guard from
+    // under-flagging against an inflated baseline; merged artifacts
+    // say so in their "protocol" field and carry both cal series.
     val scalingRef: Map[String, Double] =
       if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
       else {
