@@ -147,7 +147,7 @@ object ChangeLogStream {
       .write.parquet(s"$storeDir/$relT")
     store.publishNext(spark, storeDir,
       lines.filterNot(touchedLines.toSet).filterNot(tombLines.toSet) ++
-        newData ++ store.partFiles(spark, storeDir, relT), fence)
+        newData ++ store.partFiles(spark, storeDir, relT), fence, "merge")
     mark()
   }
 
@@ -216,7 +216,8 @@ object ChangeLogStream {
       .coalesce(1).write.parquet(s"$storeDir/$relT")
     store.publishNext(spark, storeDir,
       lines.filterNot(touchedData.toSet).filterNot(tombLines.toSet) ++
-        newData ++ store.partFiles(spark, storeDir, relT), fence)
+        newData ++ store.partFiles(spark, storeDir, relT), fence,
+      "retire-tombstones")
     ()
   }
 

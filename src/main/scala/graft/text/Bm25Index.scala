@@ -87,12 +87,11 @@ object Bm25Index {
     finally { base.unpersist(blocking = false); () }
   }
 
-  /** Write one batch's postings + stats as fresh immutable parts and
-    * publish `keep ++ their files` as the next generation, under the
-    * caller's writer fence (claimed before `keep` was read). */
-  private def publishParts(df: DataFrame, id: Column, text: Column,
-                           dir: String, nBuckets: Int, srcBatch: Long,
-                           keep: Seq[String], fence: Long): Unit = {
+  /** Write one batch's postings + stats as fresh immutable parts;
+    * returns their store-relative files (what the publish commits). */
+  private def writeParts(df: DataFrame, id: Column, text: Column,
+                         dir: String, nBuckets: Int,
+                         srcBatch: Long): Seq[String] = {
     val spark = df.sparkSession
     val uid = java.util.UUID.randomUUID().toString.take(12)
     derive(df, id, text, nBuckets, srcBatch) { (postings, stats) =>
@@ -102,36 +101,43 @@ object Bm25Index {
         .write.partitionBy("bucket").parquet(s"$dir/parts/p_$uid")
       stats.coalesce(1).write.parquet(s"$dir/parts/m_$uid")
     }
-    graft.sources.SnapshotStore.publishNext(spark, dir, keep ++
-      graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/p_$uid") ++
-      graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/m_$uid"),
-      fence)
-    ()
+    graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/p_$uid") ++
+      graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/m_$uid")
   }
 
   /** Build the index (a rebuild publishes a manifest of only the new
     * parts — superseded files await [[retire]], so in-flight readers
-    * of the old corpus keep serving it). */
+    * of the old corpus keep serving it). Read-modify-write shape (it
+    * REPLACES the store), so a lost fence race fails fast. */
   def build(df: DataFrame, id: Column, text: Column, dir: String,
             nBuckets: Int = 64, srcBatch: Long = -1L): Unit = {
     require(nBuckets >= 1)
-    val fence = graft.sources.SnapshotStore.acquireFence(df.sparkSession, dir)
-    publishParts(df, id, text, dir, nBuckets, srcBatch, Nil, fence)
+    val spark = df.sparkSession
+    val fence = graft.sources.SnapshotStore.acquireFence(spark, dir)
+    graft.sources.SnapshotStore.publishNext(spark, dir,
+      writeParts(df, id, text, dir, nBuckets, srcBatch), fence, "build")
+    ()
   }
 
-  /** Append one batch: new parts + the prior generation's lines,
-    * published atomically under a fence claimed BEFORE the lines are
-    * read (a second writer claiming after us makes our publish throw
-    * instead of dropping its lines). Layout truth (bucket count)
-    * comes from the stored meta. Batch doc ids must be disjoint from
-    * indexed ones (re-ingest dedup is 22a's job). */
+  /** Append one batch: new parts + the prior generation's lines, one
+    * atomic publication. Appends COMMUTE (prior lines ride through
+    * untouched, whatever they are), so this takes the store's
+    * optimistic-retry commit (r17): a fence race lost to a concurrent
+    * append re-reads the NEW current generation and re-publishes —
+    * both appenders land, serving equals the sequential result
+    * (Bm25SnapshotSpec's concurrent-append pin). Layout truth (bucket
+    * count) comes from the stored meta — immutable across generations,
+    * so a retry cannot see a different layout. Batch doc ids must be
+    * disjoint from indexed ones (re-ingest dedup is 22a's job). */
   def append(df: DataFrame, id: Column, text: Column, dir: String,
              srcBatch: Long = -1L): Unit = {
     val spark = df.sparkSession
-    val fence = graft.sources.SnapshotStore.acquireFence(spark, dir)
-    val lines = graft.sources.SnapshotStore.currentFiles(spark, dir)
-    publishParts(df, id, text, dir,
-      bucketsOfMeta(meta(spark, dir, lines), dir), srcBatch, lines, fence)
+    val store = graft.sources.SnapshotStore
+    val fence = store.acquireFence(spark, dir)
+    val nb = bucketsOfMeta(meta(spark, dir, store.currentFiles(spark, dir)), dir)
+    store.publishAppend(spark, dir,
+      writeParts(df, id, text, dir, nb, srcBatch), fence, "append")
+    ()
   }
 
   /** The committed max `src_batch` (-1 when the store is empty or
@@ -189,7 +195,7 @@ object Bm25Index {
       next = next.filterNot(metaLines.toSet) ++
         store.partFiles(spark, dir, s"parts/m_$uid")
     }
-    store.publishNext(spark, dir, next, fence)
+    store.publishNext(spark, dir, next, fence, "compact")
     ()
   }
 

@@ -195,9 +195,9 @@ object CorpusIncrement {
       else table(name).limit(0)
     }
 
-    def publish(): Unit = {
+    def publish(op: String = "publish"): Unit = {
       require(mutating, s"read-only store view cannot publish at $dir")
-      graft.sources.SnapshotStore.publishNext(spark, dir, lines, fence)
+      graft.sources.SnapshotStore.publishNext(spark, dir, lines, fence, op)
       ()
     }
   }
@@ -447,7 +447,7 @@ object CorpusIncrement {
     val meta = Meta(shingleK, threshold, maxDf, deconN, nBuckets,
       rates, defaultRate, maxId.getLong(0))
     writeMeta(st, meta)
-    st.publish()
+    st.publish("build")
     ex.unpersist(blocking = false)
     arr.unpersist(blocking = false)
     assembleSt(st, meta)
@@ -529,7 +529,7 @@ object CorpusIncrement {
       writeMeta(st, m)
       changed = true
     }
-    if (changed) st.publish()
+    if (changed) st.publish("compact")
     // reclaim superseded + orphaned files behind the grace window
     graft.sources.SnapshotStore.retireFileGrain(spark, dir, keepGenerations)
   }
@@ -841,7 +841,7 @@ object CorpusIncrement {
     seRdd.unpersist(blocking = false)
 
     // ---- the commit point: ONE generation spanning all eight dirs
-    st.publish()
+    st.publish("increment")
     bxRdd.unpersist(blocking = false)
     bArr.unpersist(blocking = false)
     bands.unpersist(blocking = false)

@@ -52,7 +52,8 @@ object IndexStore {
       w(s"$dir/$rel")
       SnapshotStore.partFiles(spark, dir, rel)
     }
-    SnapshotStore.publishNext(spark, dir, keep ++ added, fence)
+    SnapshotStore.publishNext(spark, dir, keep ++ added, fence,
+      s"save:${names.mkString("+")}")
     ()
   }
 

@@ -77,6 +77,33 @@ class Bm25SnapshotSpec extends SparkSpec {
     assert(rows(Bm25Index.topK(spark, dir, queries)) === wantFull)
   }
 
+  test("optimistic commit: two CONCURRENT appends both land (the lost " +
+      "fence duel retries against the new generation) and serving " +
+      "equals the sequential result") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_cc").toString
+    Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      col("doc_id"), col("text"), dir, nBuckets = 8)
+    // race the two batches loadStore appends sequentially: appends
+    // commute, so the loser of the fence duel must re-read the
+    // winner's generation and land on top of it, not throw
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(0, 5).map { r =>
+      new Thread(() => {
+        try Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === r),
+          col("doc_id"), col("text"), dir)
+        catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must both land: ${errs.peek()}")
+    assert(graft.sources.SnapshotStore.currentGen(spark, dir) === 3L,
+      "each append must publish its own generation")
+    assert(rows(Bm25Index.topK(spark, dir, queries))
+      === rows(Bm25.topK(docs, col("doc_id"), col("text"), queries)),
+      "post-race serving must equal the direct query over the full corpus")
+  }
+
   test("serving == the direct query through build + appends + " +
       "compaction + retirement (two independently built stores agree)") {
     val docs = Tables.load(spark, sfDir, "documents")

@@ -188,6 +188,118 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(SnapshotStore.read(spark, dir, 3L)) === want)
   }
 
+  test("optimistic append retry: two concurrent appenders both land " +
+      "and the store equals the sequential result") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_cc").toString
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    // race N appenders; appends commute, so every lost fence duel must
+    // retry against the new CURRENT instead of throwing or dropping
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until 4).map { t =>
+      new Thread(() => {
+        try SnapshotStore.append(
+          Seq((100L + t, s"w$t")).toDF("id", "s"), dir)
+        catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must all land: ${errs.peek()}")
+    assert(SnapshotStore.currentGen(spark, dir) === 5L,
+      "each append must publish its own generation")
+    assert(rows(SnapshotStore.read(spark, dir))
+      === (1L to 5L).map(i => (i, s"v$i")).toSet ++
+        (0 until 4).map(t => (100L + t, s"w$t")))
+  }
+
+  test("multi-file parts round-trip through read, compact, and retire") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_mf").toString
+    val all = (1L to 40L).map(i => (i, s"v$i"))
+    SnapshotStore.append(all.toDF("id", "s"), dir, numFiles = 3)
+    assert(SnapshotStore.read(spark, dir).inputFiles.length === 3,
+      "numFiles must size the part")
+    assert(rows(SnapshotStore.read(spark, dir)) === all.toSet)
+    SnapshotStore.append(Seq((41L, "v41")).toDF("id", "s"), dir)
+    assert(rows(SnapshotStore.read(spark, dir)) === all.toSet + ((41L, "v41")))
+    SnapshotStore.compact(spark, dir, numFiles = 2)
+    assert(SnapshotStore.read(spark, dir).inputFiles.length === 2)
+    assert(rows(SnapshotStore.read(spark, dir)) === all.toSet + ((41L, "v41")))
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    assert(rows(SnapshotStore.read(spark, dir)) === all.toSet + ((41L, "v41")))
+  }
+
+  test("generation metadata: each publish stamps (op, fence, parent); " +
+      "a compaction's meta names its parent; retirement drops metas " +
+      "with their manifests") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_meta").toString
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    SnapshotStore.append((6L to 9L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    SnapshotStore.compact(spark, dir)
+    def metaOf(g: Long): Map[String, String] =
+      SnapshotStore.generationMeta(spark, dir, g).get
+        .split("\\s+").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    assert(metaOf(1L)("op") === "append")
+    assert(metaOf(1L)("parent") === "0")
+    assert(metaOf(2L)("op") === "append")
+    assert(metaOf(3L)("op") === "compact")
+    assert(metaOf(3L)("parent") === "2",
+      "a compaction's meta must name the generation it folded")
+    assert(metaOf(3L)("fence").toLong > metaOf(2L)("fence").toLong,
+      "fences are claimed in operation order")
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    assert(SnapshotStore.generationMeta(spark, dir, 1L).isEmpty,
+      "retired generations drop their meta stamps")
+    assert(SnapshotStore.generationMeta(spark, dir, 3L).isDefined)
+  }
+
+  test("torn manifests above CURRENT are not a time-travel surface: " +
+      "generations() excludes them and AS-OF reads refuse them") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_torn2").toString
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    // a writer's manifest.2 whose CURRENT swap never ran: a later retry
+    // of generation 2 delete-and-replaces it, so an AS-OF reader pinned
+    // to it could have its manifest swapped underneath — refuse to pin
+    val m = new java.io.File(dir, "_ledger/manifest.2")
+    java.nio.file.Files.write(m.toPath, "parts/b_torn/x.parquet".getBytes)
+    assert(SnapshotStore.generations(spark, dir) === Seq(1L),
+      "an uncommitted manifest is not a generation")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("never committed"))
+    // the torn slot is still recoverable: the next append commits a
+    // REAL generation 2 over it
+    SnapshotStore.append(Seq((6L, "v6")).toDF("id", "s"), dir)
+    assert(SnapshotStore.generations(spark, dir) === Seq(1L, 2L))
+    assert(rows(SnapshotStore.read(spark, dir, 2L))
+      === (1L to 6L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("ledger sweep: streaming batch markers below the newest are " +
+      "reclaimed (the committed-max probe covers them) and aged tmp " +
+      "debris is dropped; the newest marker and live epoch survive") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstore_sweep").toString
+    SnapshotStore.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), dir)
+    val ledger = new java.io.File(dir, "_ledger")
+    Seq(0L, 1L, 2L, 7L).foreach(i =>
+      java.nio.file.Files.write(
+        new java.io.File(ledger, s"batch.$i").toPath, Array.empty[Byte]))
+    val freshTmp = new java.io.File(ledger, "manifest.9.tmp")
+    java.nio.file.Files.write(freshTmp.toPath, "x".getBytes)
+    val agedTmp = new java.io.File(ledger, "mp_dead.tmp")
+    java.nio.file.Files.write(agedTmp.toPath, "x".getBytes)
+    assert(agedTmp.setLastModified(
+      System.currentTimeMillis() - 2 * SnapshotStore.TmpGraceMs))
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    val names = ledger.listFiles().map(_.getName).toSet
+    assert(!names.exists(n => n.startsWith("batch.") && n != "batch.7"),
+      s"markers below the newest must be swept: $names")
+    assert(names.contains("batch.7"), "the newest marker must survive")
+    assert(!names.contains("mp_dead.tmp"), "aged tmp debris must be swept")
+    assert(names.contains("manifest.9.tmp"),
+      "a LIVE writer's in-flight tmp must survive the grace window")
+    assert(names.exists(_.startsWith("fence.")), "the live epoch survives")
+  }
+
   test("a reader resolved between manifest write and CURRENT swap sees " +
       "exactly the old generation") {
     val dir = java.nio.file.Files.createTempDirectory("snapstore_mid").toString
