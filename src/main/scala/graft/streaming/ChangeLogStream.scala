@@ -155,10 +155,26 @@ object ChangeLogStream {
     * `op != 'D'`, the 30s2 reader filter), pinned to one generation
     * for the plan's lifetime. Empty store = empty frame. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
-                   storeDir: String): org.apache.spark.sql.DataFrame = {
+                   storeDir: String): org.apache.spark.sql.DataFrame =
+    snapshotFrom(spark, storeDir,
+      graft.sources.SnapshotStore.currentFiles(spark, storeDir))
+
+  /** AS-OF snapshot (r17): the latest-state table as of a pinned
+    * COMMITTED generation still inside [[retire]]'s grace window —
+    * "what did the table say before batch N merged?" for CDC
+    * debugging and repro; a retired or never-committed generation
+    * throws. Same reader contract as [[readSnapshot]]. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   storeDir: String,
+                   asOfGen: Long): org.apache.spark.sql.DataFrame =
+    snapshotFrom(spark, storeDir,
+      graft.sources.SnapshotStore.filesAsOf(spark, storeDir, asOfGen))
+
+  private def snapshotFrom(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String,
+                           lines: Seq[String]): org.apache.spark.sql.DataFrame = {
     val store = graft.sources.SnapshotStore
-    val dataLines = store.currentFiles(spark, storeDir)
-      .filter(l => bucketOf(l).isDefined)
+    val dataLines = lines.filter(l => bucketOf(l).isDefined)
     if (dataLines.isEmpty) {
       import spark.implicits._
       Seq.empty[(Long, Long, Long, String, String)]

@@ -104,11 +104,17 @@ object CardStore {
     * keep_rate + the token-length percentiles (all SQL-replayable),
     * plus the HLL members (`n_distinct_texts_approx`,
     * `dup_ratio_approx` — estimates, spec-pinned). One parts-grain
-    * aggregate; the corpus is not touched. */
+    * aggregate; the corpus is not touched. `asOf` (r17) pins a
+    * COMMITTED manifest generation still inside [[retire]]'s grace
+    * window — the card as of that publication, for release-over-
+    * release diffs without freezing store maintenance (a retired or
+    * never-committed generation throws). */
   def card(spark: SparkSession, dir: String,
            langs: Seq[String] = DefaultLangs, k: Int = 64,
-           percents: Seq[Int] = Seq(50, 95)): DataFrame = {
-    val ps = parts(spark, dir)
+           percents: Seq[Int] = Seq(50, 95),
+           asOf: Option[Long] = None): DataFrame = {
+    val ps = asOf.map(g => SnapshotStore.read(spark, dir, g))
+      .getOrElse(parts(spark, dir))
     val aggs: Seq[Column] = Seq(
       count(lit(1)).as("n_parts"),
       sum(col("n_docs")).as("n_docs"),

@@ -136,7 +136,10 @@ object CorpusIncrement {
     * rename across all eight artifact dirs. */
   private final class Store(val spark: SparkSession, val dir: String,
                             rebuild: Boolean = false,
-                            mutating: Boolean = false) {
+                            mutating: Boolean = false,
+                            asOf: Long = -1L) {
+    require(asOf < 0 || !mutating,
+      s"an AS-OF view is read-only — cannot mutate $dir at generation $asOf")
     // a mutating view claims its writer fence BEFORE resolving the
     // base lines it will transform: a second writer claiming after us
     // makes OUR publish throw instead of dropping its lines
@@ -145,6 +148,7 @@ object CorpusIncrement {
       else -1L
     private val base: Seq[String] =
       if (rebuild) Nil
+      else if (asOf > 0) graft.sources.SnapshotStore.filesAsOf(spark, dir, asOf)
       else graft.sources.SnapshotStore.currentFiles(spark, dir)
     private val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     private val dropped = scala.collection.mutable.Set.empty[String]
@@ -364,6 +368,17 @@ object CorpusIncrement {
     * sampling — output (doc_id, lang, source), the 31g contract. */
   def assemble(spark: SparkSession, dir: String): DataFrame = {
     val st = new Store(spark, dir)
+    assembleSt(st, readMeta(st))
+  }
+
+  /** AS-OF assembly (r17 — the manifest's time travel at this store's
+    * grain): the corpus sample as of a pinned COMMITTED generation
+    * still inside the grace window — "what did yesterday's increment
+    * ship?" without keeping yesterday's output around. Meta rides the
+    * same generation, so params and max-id are the ones that built it;
+    * a retired (or never-committed) generation throws. */
+  def assemble(spark: SparkSession, dir: String, asOfGen: Long): DataFrame = {
+    val st = new Store(spark, dir, asOf = asOfGen)
     assembleSt(st, readMeta(st))
   }
 

@@ -79,6 +79,16 @@ object LmStore {
   def model(spark: SparkSession, dir: String): graft.functions.BigramModel =
     modelFrom(SnapshotStore.read(spark, dir))
 
+  /** AS-OF model (r17): the LM as of a pinned COMMITTED generation
+    * still inside [[retire]]'s grace window — score today's docs
+    * under LAST release's model for drift attribution, without
+    * keeping a second store. Counts are additive, so the pre-append
+    * generation's model IS the model trained without that batch;
+    * a retired or never-committed generation throws. */
+  def model(spark: SparkSession, dir: String,
+            asOfGen: Long): graft.functions.BigramModel =
+    modelFrom(SnapshotStore.read(spark, dir, asOfGen))
+
   private def modelFrom(parts: DataFrame): graft.functions.BigramModel = {
     val counts = parts
       .groupBy("bg").agg(sum(col("c")).as("c")).collect()

@@ -57,25 +57,33 @@ object IndexStore {
     ()
   }
 
-  private def tableLines(spark: SparkSession, dir: String,
-                         name: String): Seq[String] = {
-    val ls = SnapshotStore.currentFiles(spark, dir)
+  /** The generation's committed lines: CURRENT, or a pinned AS-OF
+    * generation (r17 — a retired or never-committed one throws). */
+  private def linesAt(spark: SparkSession, dir: String,
+                      asOf: Option[Long]): Seq[String] =
+    asOf.map(g => SnapshotStore.filesAsOf(spark, dir, g))
+      .getOrElse(SnapshotStore.currentFiles(spark, dir))
+
+  private def tableLines(spark: SparkSession, dir: String, name: String,
+                         asOf: Option[Long] = None): Seq[String] = {
+    val ls = linesAt(spark, dir, asOf)
       .filter(_.startsWith(s"parts/${name}_"))
     require(ls.nonEmpty, s"no $name table in the index store at $dir")
     ls
   }
 
   /** Manifest-resolved read of one unpartitioned side table. */
-  private def readTable(spark: SparkSession, dir: String,
-                        name: String): DataFrame =
-    SnapshotStore.readFiles(spark, dir, tableLines(spark, dir, name))
+  private def readTable(spark: SparkSession, dir: String, name: String,
+                        asOf: Option[Long] = None): DataFrame =
+    SnapshotStore.readFiles(spark, dir, tableLines(spark, dir, name, asOf))
 
   /** Manifest-resolved read of a CELL-partitioned table: the part
     * subtree is the basePath, so `cell=N` directory values come back
     * as a partition column and cell filters prune the file set. */
   private def readTablePartitioned(spark: SparkSession, dir: String,
-                                   name: String): DataFrame = {
-    val ls = tableLines(spark, dir, name)
+                                   name: String,
+                                   asOf: Option[Long] = None): DataFrame = {
+    val ls = tableLines(spark, dir, name, asOf)
     // a save replaces the whole table, so its lines share one subtree
     val base = ls.head.split("/").take(2).mkString("/")
     spark.read.option("basePath", s"$dir/$base")
@@ -96,11 +104,17 @@ object IndexStore {
   /** Load an IVF index back as (assigned, cents, corpus) — drop-in for
     * [[IvfAnn.topKWith]]'s arguments. Both views read the ONE
     * partitioned vector table, pinned to the CURRENT generation for
-    * their lifetime; a cell filter on either prunes partitions. */
-  def loadIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val vectors = readTablePartitioned(spark, dir, "vectors")
+    * their lifetime; a cell filter on either prunes partitions.
+    * `asOf` (r17) pins a COMMITTED generation still inside
+    * [[retire]]'s grace window instead — serve the PRE-rebuild index
+    * for an A/B or a repro (a retired or never-committed generation
+    * throws); vectors and centroids resolve from the SAME generation,
+    * so the quantizer always matches its cells. */
+  def loadIvf(spark: SparkSession, dir: String,
+              asOf: Option[Long] = None): (DataFrame, DataFrame, DataFrame) = {
+    val vectors = readTablePartitioned(spark, dir, "vectors", asOf)
     (vectors.select(col("vec_id"), col("cell")),
-      readTable(spark, dir, "centroids"),
+      readTable(spark, dir, "centroids", asOf),
       vectors.select(col("vec_id"), col("embedding")))
   }
 
@@ -150,11 +164,15 @@ object IndexStore {
   }
 
   /** Load a K-NN graph and its k, failing fast on a malformed meta
-    * (the IncrementalMinHash loadIndex contract). */
-  def loadKnn(spark: SparkSession, dir: String): (DataFrame, Int) = {
-    val meta = readTable(spark, dir, "knnmeta").collect()
+    * (the IncrementalMinHash loadIndex contract). `asOf` (r17) pins a
+    * COMMITTED generation inside the grace window — the pre-rebuild
+    * graph with ITS build parameters, since meta rides the same
+    * generation. */
+  def loadKnn(spark: SparkSession, dir: String,
+              asOf: Option[Long] = None): (DataFrame, Int) = {
+    val meta = readTable(spark, dir, "knnmeta", asOf).collect()
     require(meta.length == 1, s"knn meta at $dir has ${meta.length} rows, expected 1")
-    (readTable(spark, dir, "knn"), meta(0).getAs[Int]("k"))
+    (readTable(spark, dir, "knn", asOf), meta(0).getAs[Int]("k"))
   }
 
   /** Reclaim superseded saves past the grace window (plus torn saves'

@@ -95,6 +95,43 @@ class CardStoreSpec extends SparkSpec {
     assert(gotE.getAs[Long]("n_tokens") === got.getAs[Long]("n_tokens") + 9)
   }
 
+  test("AS-OF card: the pre-append generation is the card of the " +
+      "batches committed then; pre-compaction == compacted bit-equal; " +
+      "retired and never-committed generations throw") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("card_asof").toString
+    CardStore.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      col("doc_id"), col("text"), col("lang"), dir)
+    val wantPre = CardStore.card(spark, dir).head().toSeq
+    CardStore.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      col("doc_id"), col("text"), col("lang"), dir)
+    val wantFull = CardStore.card(spark, dir).head().toSeq
+    assert(wantFull != wantPre, "the append must change the card")
+    assert(CardStore.card(spark, dir, asOf = Some(1L)).head().toSeq
+      === wantPre, "AS OF 1 must re-assemble exactly the first batch's card")
+    // compaction folds to gen 3; the pre-compaction generation
+    // re-assembles its own two parts verbatim (n_parts included), and
+    // the folded one matches on every DATA member (n_parts is the
+    // part-count diagnostic the fold exists to change)
+    CardStore.compact(spark, dir)
+    assert(CardStore.card(spark, dir, asOf = Some(2L)).head().toSeq
+      === wantFull)
+    def dataCols(r: org.apache.spark.sql.Row): Seq[Any] =
+      r.schema.fieldNames.toSeq.filter(_ != "n_parts").map(r.getAs[Any])
+    val wantFullRow = CardStore.card(spark, dir, asOf = Some(2L)).head()
+    assert(dataCols(CardStore.card(spark, dir).head())
+      === dataCols(wantFullRow))
+    CardStore.retire(spark, dir, keepGenerations = 1)
+    intercept[Exception] {
+      CardStore.card(spark, dir, asOf = Some(1L)).head()
+    }
+    intercept[IllegalArgumentException] {
+      CardStore.card(spark, dir, asOf = Some(99L)).head()
+    }
+    assert(dataCols(CardStore.card(spark, dir).head())
+      === dataCols(wantFullRow))
+  }
+
   test("snapshot isolation and crash faces: a torn fold is invisible " +
       "debris, an in-flight card read survives compaction + retirement, " +
       "and the chain keeps composing") {

@@ -138,6 +138,27 @@ class ChangeLogSnapshotSpec extends SparkSpec {
     assert(live(dir2) == Set((3L, 7L, 1L, "c")))
   }
 
+  test("AS-OF snapshot: the pre-merge generation answers as the table " +
+      "did before that batch; the current generation matches the " +
+      "as-of-CURRENT read; retired and never-committed throw") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcsnap_asof").toString
+    apply(dir, log.take(5), 0L)
+    val wantPre = full(dir)
+    apply(dir, log.drop(5), 1L)
+    val wantFull = full(dir)
+    assert(wantFull != wantPre, "the second merge must change the table")
+    def asOf(g: Long): Set[(Long, Long, Long, String, String)] =
+      ChangeLogStream.readSnapshot(spark, dir, g)
+        .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(asOf(1L) == wantPre,
+      "AS OF 1 must serve the table exactly as batch 0 left it")
+    assert(asOf(2L) == wantFull)
+    ChangeLogStream.retire(spark, dir, keepGenerations = 1)
+    intercept[Exception] { asOf(1L) }
+    intercept[IllegalArgumentException] { asOf(99L) }
+    assert(full(dir) == wantFull)
+  }
+
   test("streaming maintenance end-to-end matches the batch-driven " +
       "handler and the 30s2 batch snapshot") {
     implicit val sql = spark.sqlContext

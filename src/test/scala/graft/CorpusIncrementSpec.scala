@@ -248,4 +248,37 @@ class CorpusIncrementSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(got2 == run(df(base ++ batch ++ batch2), eval))
   }
+
+  test("AS-OF assembly: the pre-increment generation ships exactly " +
+      "yesterday's corpus (meta rides the same generation); retired " +
+      "and never-committed generations throw; mutating AS-OF refused") {
+    val dir = java.nio.file.Files.createTempDirectory("icorpus_asof").toString
+    val eval = df(evalDocs)
+    val built = CorpusIncrement.build(df(base), eval, dir, shingleK = 3,
+        threshold = 0.4, maxDf = 3L, deconN = 8, rates = rates, nBuckets = 8)
+      .as[(Long, String, String)].collect().toSet
+    val gen1 = graft.sources.SnapshotStore.currentGen(spark, dir)
+    val got = CorpusIncrement.increment(df(batch), dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(got != built, "the increment must change the corpus sample")
+    // AS OF the build's generation: the pre-increment sample verbatim —
+    // including 101's pre-resurrection suppression and 105's pre-merge
+    // keep, the two rows the increment retroactively flips
+    assert(CorpusIncrement.assemble(spark, dir, gen1)
+      .as[(Long, String, String)].collect().toSet == built)
+    assert(CorpusIncrement.assemble(spark, dir,
+        graft.sources.SnapshotStore.currentGen(spark, dir))
+      .as[(Long, String, String)].collect().toSet == got)
+    // compaction retires behind its grace window; a tight window drops
+    // the build generation from the time-travel surface
+    CorpusIncrement.compact(spark, dir, keepGenerations = 1)
+    intercept[Exception] {
+      CorpusIncrement.assemble(spark, dir, gen1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      CorpusIncrement.assemble(spark, dir, 99L).collect()
+    }
+    assert(CorpusIncrement.assemble(spark, dir)
+      .as[(Long, String, String)].collect().toSet == got)
+  }
 }

@@ -65,6 +65,42 @@ class IndexStoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == fresh2)
   }
 
+  test("AS-OF loads: a pinned pre-rebuild generation serves the OLD " +
+      "quantizer's answer (vectors + centroids from one generation); " +
+      "retired and never-committed generations throw") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val d = java.nio.file.Files.createTempDirectory("idx_asof").toString
+    val (assigned, cents) = IvfAnn.quantize(emb, nlist = 8)
+    IndexStore.saveIvf(d, emb, assigned, cents)
+    val want = IvfAnn.topKWith(assigned, cents, emb, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    val (assigned2, cents2) = IvfAnn.quantize(emb, nlist = 4)
+    IndexStore.saveIvf(d, emb, assigned2, cents2)
+    // AS OF 1 = the 8-cell index, quantizer and cells in lockstep
+    val (a1, c1, v1) = IndexStore.loadIvf(spark, d, asOf = Some(1L))
+    assert(IvfAnn.topKWith(a1, c1, v1, queries, 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet == want,
+      "the pinned pre-rebuild generation must serve the old answer")
+    // the K-NN tables ride the same store: a re-save with a different
+    // k keeps the pre-rebuild (graph, k) pair resolvable AS OF its gen
+    import spark.implicits._
+    val g1 = Seq((1L, 0, 2L, 0.9)).toDF("vec_id", "rank", "n_id", "sim")
+    IndexStore.saveKnn(d, g1, k = 1)
+    IndexStore.saveKnn(d,
+      g1.unionByName(Seq((1L, 1, 3L, 0.8)).toDF("vec_id", "rank", "n_id", "sim")),
+      k = 2)
+    val (gOld, kOld) = IndexStore.loadKnn(spark, d, asOf = Some(3L))
+    assert(kOld === 1 && gOld.count() === 1L,
+      "AS OF the first save must see its graph AND its k")
+    assert(IndexStore.loadKnn(spark, d)._2 === 2)
+    IndexStore.retire(spark, d, keepGenerations = 1)
+    intercept[Exception] { IndexStore.loadIvf(spark, d, asOf = Some(1L)) }
+    intercept[IllegalArgumentException] {
+      IndexStore.loadIvf(spark, d, asOf = Some(99L))
+    }
+  }
+
   test("PQ round-trip: ADC + re-rank over loaded artifacts equals the fresh pipeline") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

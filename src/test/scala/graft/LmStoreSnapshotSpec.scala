@@ -61,4 +61,31 @@ class LmStoreSnapshotSpec extends SparkSpec {
     assert(gotExt == wantExt,
       "post-compaction appends must keep one-shot parity")
   }
+
+  test("AS-OF model: the pre-append generation IS the model trained " +
+      "without that batch; pre-compaction == compacted bit-equal; " +
+      "retired and never-committed generations throw") {
+    val dir = java.nio.file.Files.createTempDirectory("lmsnap_asof").toString
+    LmStore.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      col("text"), dir)
+    val wantPre = scored(LmStore.model(spark, dir))
+    LmStore.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      col("text"), dir)
+    val wantFull = scored(LmStore.model(spark, dir))
+    assert(wantFull != wantPre, "the append must change the model")
+    // counts are additive, so AS OF 1 == the half-corpus model exactly
+    assert(scored(LmStore.model(spark, dir, asOfGen = 1L)) == wantPre)
+    // a compaction folds to gen 3; AS OF 2 serves bit-identically
+    LmStore.compact(spark, dir)
+    assert(scored(LmStore.model(spark, dir, asOfGen = 2L)) == wantFull)
+    assert(scored(LmStore.model(spark, dir)) == wantFull)
+    // past the grace window the pinned generation is gone; a
+    // generation that never committed is refused outright
+    SnapshotStore.retire(spark, dir, keepGenerations = 1)
+    intercept[Exception] { LmStore.model(spark, dir, asOfGen = 1L) }
+    intercept[IllegalArgumentException] {
+      LmStore.model(spark, dir, asOfGen = 99L)
+    }
+    assert(scored(LmStore.model(spark, dir)) == wantFull)
+  }
 }
