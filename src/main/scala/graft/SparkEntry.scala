@@ -1465,9 +1465,14 @@ object SparkEntry {
         lit(".example.co.uk"), lit(".GitHub.io"),
         lit(".blogspot.com.au"), lit(".edu.CK"), lit(".WWW.ck")),
         (id % 6).cast("int") + 1)
+      // every 11th row's host IS its suffix (no Site label): the
+      // bare-public-suffix edge — github.io / blogspot.com.au roll up
+      // to NO registrable domain, edu.ck hits the wildcard twin,
+      // www.ck stays registrable via the exception rule
       val url = concat(scheme,
         when(id % 2 === 0, "WWW.").otherwise(""),
-        lit("Site"), (id % 23).cast("string"), suffix,
+        when(id % 11 === 0, substring(suffix, 2, 64)).otherwise(
+          concat(lit("Site"), (id % 23).cast("string"), suffix)),
         when(id % 10 === 0, ":80").when(id % 10 === 5, ":443").otherwise(""),
         lit("/Dir"), (id % 7).cast("string"), lit("/Page"), id.cast("string"),
         when(id % 3 === 0, "/").otherwise(""),
@@ -3815,16 +3820,20 @@ object SparkEntry {
     // DuckDB defaults to first-match where Spark replaces all) and
     // the domain-grain rollup joined back to doc grain
     "q_url" ->
-      ("""WITH u AS (
+      ("""WITH sx AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE doc_id % 6 WHEN 0 THEN '.Example.com'
+        |      WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.GitHub.io'
+        |      WHEN 3 THEN '.blogspot.com.au'
+        |      WHEN 4 THEN '.edu.CK' ELSE '.WWW.ck' END) AS sfx
+        |  FROM documents
+        |), u AS (
         |  SELECT doc_id, n_chars,
         |    (CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTP://'
         |      WHEN 2 THEN 'HTTPS://' ELSE 'https://' END)
         |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
-        |    || 'Site' || CAST(doc_id % 23 AS VARCHAR)
-        |    || (CASE doc_id % 6 WHEN 0 THEN '.Example.com'
-        |      WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.GitHub.io'
-        |      WHEN 3 THEN '.blogspot.com.au'
-        |      WHEN 4 THEN '.edu.CK' ELSE '.WWW.ck' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN substr(sfx, 2)
+        |      ELSE 'Site' || CAST(doc_id % 23 AS VARCHAR) || sfx END)
         |    || (CASE WHEN doc_id % 10 = 0 THEN ':80'
         |      WHEN doc_id % 10 = 5 THEN ':443' ELSE '' END)
         |    || '/Dir' || CAST(doc_id % 7 AS VARCHAR)
@@ -3839,7 +3848,7 @@ object SparkEntry {
         |      ELSE '' END)
         |    || (CASE WHEN doc_id % 2 = 1
         |      THEN '#Sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
-        |  FROM documents
+        |  FROM sx
         |), c1 AS (
         |  SELECT doc_id, n_chars,
         |    regexp_replace(url, '#.*$', '', 'g') AS v FROM u
@@ -3879,11 +3888,17 @@ object SparkEntry {
         |        AND array_to_string(hp[-3:], '.') IN (""" +
       graft.text.Psl.sql3 + """)
         |        THEN array_to_string(hp[-4:], '.')
+        |      WHEN len(hp) = 3
+        |        AND array_to_string(hp[-3:], '.') IN (""" +
+      graft.text.Psl.sql3 + """) THEN ''
         |      WHEN len(hp) >= 3
         |        AND (array_to_string(hp[-2:], '.') IN (""" +
       graft.text.Psl.sql2 + """)
         |          OR hp[-1] IN (""" + graft.text.Psl.sqlWild + """))
         |        THEN array_to_string(hp[-3:], '.')
+        |      WHEN len(hp) = 2
+        |        AND array_to_string(hp[-2:], '.') IN (""" +
+      graft.text.Psl.sql2 + """) THEN ''
         |      WHEN len(hp) >= 2 AND hp[-1] IN (""" +
       graft.text.Psl.sqlWild + """) THEN ''
         |      WHEN len(hp) >= 2 THEN array_to_string(hp[-2:], '.')

@@ -82,8 +82,11 @@ object Url {
     * registrable domain — `x.www.ck` and `www.ck` both roll up to
     * `www.ck`); then the longest match — a listed 3-label suffix,
     * then a listed 2-label suffix OR a `*.tld` wildcard (both make
-    * the last three labels registrable); a 2-label host under a
-    * wildcard TLD is itself a public suffix (no registrable domain);
+    * the last three labels registrable); a host that IS a listed
+    * suffix — a 2-label host in the 2-list, a 3-label host in the
+    * 3-list, or a 2-label host under a wildcard TLD — is itself a
+    * public suffix with NO registrable domain (r17 closes the listed
+    * twins of the wildcard case);
     * unlisted hosts take their last two labels; single-label hosts
     * have none. Positive-start slices keep every branch total (short
     * hosts yield short slices, and the label-count guards make the
@@ -96,8 +99,13 @@ object Url {
     val tld = element_at(parts, -1)
     when(n >= 2 && lastK(2).isInCollection(Psl.exceptions2), lastK(2))
       .when(n >= 4 && lastK(3).isInCollection(Psl.suffixes3), lastK(4))
+      // a host that IS a listed suffix has NO registrable domain (r17
+      // — true PSL: registration happens UNDER a public suffix, never
+      // at it; the wildcard twin below always behaved this way)
+      .when(n === 3 && lastK(3).isInCollection(Psl.suffixes3), lit(""))
       .when(n >= 3 && (lastK(2).isInCollection(Psl.suffixes2) ||
         tld.isInCollection(Psl.wildcardTlds)), lastK(3))
+      .when(n === 2 && lastK(2).isInCollection(Psl.suffixes2), lit(""))
       .when(n >= 2 && tld.isInCollection(Psl.wildcardTlds), lit(""))
       .when(n >= 2, lastK(2))
       .otherwise(lit(""))

@@ -81,17 +81,17 @@ class UrlSpec extends SparkSpec {
         "bob.blogspot.com.au", "x.bob.blogspot.com.au",
         // two-label ccTLD entries beyond the old 7-entry set
         "shop.com.sg", "uni.edu.pl", "dept.gob.mx", "a.co.ke",
-        // a host that IS a public suffix has no registrable label —
-        // the default rule keeps its last two (PSL answers null; the
-        // rollup grain here keeps the suffix as its own bucket)
-        "github.io",
+        // a host that IS a public suffix has NO registrable domain
+        // (r17 — true PSL: registration happens under a suffix,
+        // never at it; matches the wildcard twin edu.ck below)
+        "github.io", "blogspot.com.au",
         // unlisted two-label stays the default rule
         "x.unlisted.zz")
       == Seq("alice.github.io", "alice.github.io", "team.netlify.app",
         "blog.blogspot.com",
         "bob.blogspot.com.au", "bob.blogspot.com.au",
         "shop.com.sg", "uni.edu.pl", "dept.gob.mx", "a.co.ke",
-        "github.io",
+        "", "",
         "unlisted.zz"))
   }
 
@@ -125,10 +125,9 @@ class UrlSpec extends SparkSpec {
     assert(dom("bucket.s3.amazonaws.com", "x.bucket.s3.amazonaws.com",
         "s3.amazonaws.com")
       == Seq("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com",
-        // the suffix itself has no registrable label below it; the
-        // default rule keeps its last two (same convention as the
-        // github.io pin above)
-        "amazonaws.com"))
+        // the bare suffix itself has NO registrable domain (r17 —
+        // same rule as the github.io / edu.ck pins)
+        ""))
   }
 
   test("idempotence: canonicalizing a canonical url is a no-op") {
