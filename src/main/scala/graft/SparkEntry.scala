@@ -163,18 +163,22 @@ object SparkEntry {
     // corpus magnitude is a rebuild, and with the synthetic corpus's
     // shared vocabulary a 30% batch drags most of the base into the
     // affected set, measuring a disguised rebuild instead)
-    // one column-pruned pass serves the threshold AND the cache key:
-    // (count, max id, id+size hash sum) detects a regenerated dataset
-    // without re-hashing the text payload the way the r15 key did —
-    // the key scan is cache-plumbing, not increment work
+    // one pass serves the threshold AND the cache key: (count, max id,
+    // per-row hash sum over id + size + a fixed-width TEXT PREFIX).
+    // The prefix is the content signal (r17 — the r16 id+length-only
+    // key silently reused stale artifacts for a regenerated dataset
+    // with identical ids and lengths but different text); hashing 64
+    // chars instead of the whole payload keeps the key scan cheap
+    // relative to the r15 full-text key while making an id/length
+    // collision require identical leading text everywhere
     val kRow = corpus.agg(max(col("doc_id")), count(lit(1)),
-      sum(pmod(xxhash64(col("doc_id"), col("n_chars")),
-        lit(1000000007L)))).head()
+      sum(pmod(xxhash64(col("doc_id"), col("n_chars"),
+        substring(col("text"), 1, 64)), lit(1000000007L)))).head()
     val t = kRow.getLong(0) / 100 * 95
     val base = corpus.filter(col("doc_id") <= t)
     val fp = s"${kRow.getLong(1)}_${kRow.getLong(2)}"
     val dir =
-      s"/tmp/graft_icorpus_v3_${new java.io.File(d).getName}_$fp"
+      s"/tmp/graft_icorpus_v4_${new java.io.File(d).getName}_$fp"
     publishCached(dir, marker = "_ledger/CURRENT") { stage =>
       graft.text.CorpusIncrement.build(base,
         docs.filter(col("doc_id") % 11 === 0), stage,
