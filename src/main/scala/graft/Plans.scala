@@ -80,6 +80,8 @@ object Plans {
       "q_url" -> "URL canonicalization + domain rollup: the six regex rules fuse into ONE map-only whole-stage-codegen select; the domain rollup is one hash aggregate joined back — nothing else exchanges",
       "q_qsk" -> "incremental quantile sketches: the bottom-k Aggregator's partial aggregation collapses every partition MAP-SIDE to <= k entries before each batch's one exchange; the union stage merges per-part ARRAYS (objectHashAggregate, no explode — sibling exact counts never fan out); the estimate is in-row array math",
       "q_bm25c" -> "BM25 serving THROUGH compaction: the same query-term bucket PartitionFilters + broadcast term join as the incremental index, now over one-file buckets — compaction changed the file census, not one operator of the serving plan",
+      "q_bm25i" -> "incremental BM25 index serving (the r16 manifest-store lifecycle): the query terms' buckets select manifest LINES before any scan — the static prune is file-list construction, untouched buckets never reach the plan — then the pruned postings join the broadcast term table and the meta parts fold to the corpus stats; the scoring tail is the direct query's, which is why it reuses that oracle verbatim",
+      "q_cdcm" -> "materialized CDC snapshot read: the committed bucket files resolve from ONE manifest read and scan directly — a merge REPLACES its buckets' lines, so every bucket is exactly one live file and the serve-time plan is a pruned file-list scan + op filter, with zero dedup or version-resolution work left to do",
       "q_rank2" -> "warm-started PageRank refresh: the final iteration's plan — static edges+outdeg equi-joined to the RDD-re-rooted ranks, ONE dst hash aggregate, the dangling mass a broadcast one-row cross join — identical round shape to the cold recurrence, only the seed differs",
       "q_icorpus" -> "incremental corpus ASSEMBLY (the served output after the eager increment folded the batch into the artifacts): a map-side intrinsic filter (dflag) over exdocs, ONE dup-evidence-sized labels join for the canonical keep, and the map-only Lehmer sampling filter — corpus TEXT appears nowhere in the plan, because every text-grain stage was paid at ingest")
     val sb = new StringBuilder

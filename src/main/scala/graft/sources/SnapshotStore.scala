@@ -525,7 +525,7 @@ object SnapshotStore {
   private[graft] def publishAppend(spark: SparkSession, dir: String,
                                    newFiles: Seq[String], fence: Long,
                                    op: String = "append",
-                                   maxRetries: Int = 8): Long = {
+                                   maxRetries: Int = 16): Long = {
     val (fs, root) = fsOf(spark, dir)
     fs.mkdirs(ledger(root))
     var f = fence
@@ -550,7 +550,11 @@ object SnapshotStore {
           // in lockstep under a symmetric delay (each claim voids the
           // others' epochs, livelocking to retry exhaustion); random
           // jitter staggers the wake-ups so one publishes inside
-          // another's sleep and the rest land serially behind it
+          // another's sleep and the rest land serially behind it.
+          // The ceiling (16 tries, ~1 s max sleep) is sized for a
+          // contended box where the claim-to-publish window stretches
+          // — each retry repeats only manifest work, so a high
+          // ceiling costs nothing on the happy path
           Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
             .nextLong(2L, 30L << math.min(attempt, 5)))
           f = acquireFence(spark, dir)
