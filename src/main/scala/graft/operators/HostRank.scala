@@ -99,13 +99,33 @@ object HostRank {
     require(scale >= 100, "scale too small to carry rank mass")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("_odeg"))
+    val outdeg0 = e0.groupBy("src").agg(count(lit(1)).as("_odeg"))
     // static for the loop: per-edge (src, dst, _odeg) so an iteration
     // is ONE join against ranks instead of two
-    val eo = e.join(outdeg, "src").persist(lvl)
+    val eo0 = e0.join(outdeg0, "src").persist(lvl)
+    // materializing eo here (it is the first round's join input either
+    // way) yields the edge count m for the small-loop gate below
+    val m = eo0.count()
+    // ---- small-graph execution profile (r17, the Rounds.narrowSession
+    // pattern): a round's data volume is bounded by the edge list, so
+    // when m fits a handful of partitions, the loop runs on the
+    // narrowed clone — host/domain graphs are typically millions of
+    // nodes even when the corpus is 100 TB, so the per-round fixed
+    // costs (corpus-width exchanges, AQE replans, iters times over)
+    // dominate the actual data movement. Bigger graphs keep the
+    // caller's width; the returned plan re-roots on the caller's
+    // session either way.
+    val callerSpark = edges.sparkSession
+    val narrow = m <= 2000000L
+    val sx = if (narrow) Rounds.narrowSession(callerSpark) else callerSpark
+    def onSx(df: DataFrame): DataFrame =
+      if (narrow) org.apache.spark.sql.GraftBridge.onSession(sx, df) else df
+    val e = onSx(e0)
+    val outdeg = onSx(outdeg0)
+    val eo = onSx(eo0)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist(lvl)
     val dangIds = nodes.join(outdeg, nodes("node") === outdeg("src"),
@@ -149,6 +169,8 @@ object HostRank {
     eo.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     dangIds.unpersist(blocking = false)
-    ranks
+    // re-root on the caller's session so downstream plans at its width
+    org.apache.spark.sql.GraftBridge.internalDF(callerSpark, ranksRdd,
+      ranks.schema)
   }
 }

@@ -19,4 +19,44 @@ private[graft] object Rounds {
     val rdd = df.queryExecution.toRdd.map(_.copy()).persist(lvl)
     (org.apache.spark.sql.GraftBridge.internalDF(df.sparkSession, rdd, df.schema), rdd)
   }
+
+  /** [[materialize]] + an exact row count matching `pred`, in ONE
+    * job (r17): the iterative loops' convergence checks previously
+    * ran a second scheduled job per round (`filter(...).count()` over
+    * the just-persisted blocks) — here the materializing job itself
+    * returns per-partition match counts as its OUTPUT (not an
+    * accumulator, whose transformation-side updates double-count
+    * under task retry/speculation — these counts drive round counts,
+    * which must be bit-deterministic). The mapPartitions pass
+    * computes (and thereby caches) each partition, then counts. */
+  def materializeCount(df: DataFrame, lvl: StorageLevel,
+                       pred: InternalRow => Boolean)
+      : (DataFrame, RDD[InternalRow], Long) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy()).persist(lvl)
+    val matched = rdd
+      .mapPartitions(it => Iterator.single(it.count(pred).toLong),
+        preservesPartitioning = true)
+      .collect().sum
+    (org.apache.spark.sql.GraftBridge.internalDF(df.sparkSession, rdd,
+      df.schema), rdd, matched)
+  }
+
+  /** Small-loop execution profile (r17 — the NnDescent r15 pattern
+    * generalized): a CLONED session (`newSession`: same SparkContext
+    * and caches, its own SQLConf) narrowed to `parts` shuffle
+    * partitions with AQE off, for iterative loops whose per-round data
+    * volume is measured-small — there, corpus-width shuffles and AQE's
+    * per-stage replanning are pure driver latency multiplied by the
+    * round count. Callers gate on a MEASURED size (node/edge/corpus
+    * counts they already take), keep their own session above the gate,
+    * and re-root the returned plan on the caller's session so
+    * downstream consumption plans at full width. Physical knobs only —
+    * results are bit-identical either way. */
+  def narrowSession(spark: org.apache.spark.sql.SparkSession,
+                    parts: Int = 8): org.apache.spark.sql.SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
 }

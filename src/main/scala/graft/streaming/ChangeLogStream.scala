@@ -105,13 +105,16 @@ object ChangeLogStream {
       s"_ledger/batch.$batchId")
     if (fs.exists(marker)) return
     def mark(): Unit = { fs.create(marker, true).close() }
-    if (batch.isEmpty) { mark(); return }
-    val fence = store.acquireFence(spark, storeDir)
-    val lines = store.currentFiles(spark, storeDir)
     def bucketCol = pmod(col("id"), lit(nBuckets)).cast("int")
     val b = batch.withColumn("bucket", bucketCol)
+    // ONE batch scan serves both the emptiness gate and the touched
+    // set (r17 — the separate isEmpty probe was a scheduled job whose
+    // answer this collect already contains)
     val touched: Set[Int] = b.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { mark(); return }
+    val fence = store.acquireFence(spark, storeDir)
+    val lines = store.currentFiles(spark, storeDir)
     val touchedLines = lines.filter(l => bucketOf(l).exists(touched))
     // the touched buckets' committed state (bucket re-derived from id
     // — the partition column does not ride inside the files)
@@ -131,7 +134,11 @@ object ChangeLogStream {
     // the tombstone table: untouched buckets' rows ride through, the
     // touched buckets' rows are re-derived from the state that was
     // just written (exact by construction, and published in the SAME
-    // generation as the data — no sidecar swap window)
+    // generation as the data — no sidecar swap window). An r17
+    // attempt derived them from a persisted copy of the merge instead
+    // of re-reading the written parquet; measured SLOWER at bench
+    // scale (cache write amplification beat the tiny re-scan), so the
+    // re-read stays.
     val tombLines = lines.filter(isTombLine)
     val fresh = store.readFiles(spark, storeDir, newData)
       .withColumn("bucket", bucketCol)

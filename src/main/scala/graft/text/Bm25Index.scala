@@ -55,6 +55,25 @@ object Bm25Index {
     BucketRe.findFirstMatchIn(line).map(_.group(1).toInt)
   private def isMetaLine(l: String): Boolean = l.startsWith("parts/m_")
 
+  /** Layout truth from the manifest lines alone (r17): postings part
+    * dirs carry the bucket count in their name (`parts/p<nb>_<uid>`,
+    * `parts/c<nb>_<uid>`), so append/compact/serve read it with ZERO
+    * Spark jobs — the meta scan this replaces was a per-call scheduled
+    * job whose only payload was one small integer. Pre-r17 stores
+    * (plain `p_`/`c_` names) fall back to the meta read. */
+  private val NbRe = "parts/[pc](\\d+)_".r
+  private def bucketsOf(spark: SparkSession, dir: String,
+                        lines: Seq[String]): Int = {
+    val nbs = lines.flatMap(l =>
+      NbRe.findFirstMatchIn(l).map(_.group(1).toInt)).distinct
+    nbs match {
+      case Seq(nb) => nb
+      case Seq() => bucketsOfMeta(meta(spark, dir, lines), dir)
+      case many => throw new IllegalStateException(
+        s"inconsistent n_buckets in $dir: ${many.mkString(", ")}")
+    }
+  }
+
   /** The stored bucket count, from the committed meta lines. */
   private def bucketsOfMeta(meta: DataFrame, dir: String): Int = {
     val n = meta.select(min(col("n_buckets")), max(col("n_buckets"))).head()
@@ -95,13 +114,26 @@ object Bm25Index {
     val spark = df.sparkSession
     val uid = java.util.UUID.randomUUID().toString.take(12)
     derive(df, id, text, nBuckets, srcBatch) { (postings, stats) =>
+      // the tokenized base is persisted by derive; materialize it with
+      // the (tiny) stats job BEFORE forking, so the overlapped jobs
+      // read the cache instead of racing to compute it
+      val statsRows = stats.collect().toSeq
+      // OVERLAPPED writes (guide §2.6): the postings and stats parts
+      // are independent actions over the same cached base — submitting
+      // both lets the one-row stats write ride the postings write's
+      // scheduling gaps instead of serializing behind it
+      val statsJob = java.util.concurrent.CompletableFuture.runAsync(() =>
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(statsRows, 1), stats.schema)
+          .write.parquet(s"$dir/parts/m_$uid"))
       // one file per bucket (repartition on the partition column) —
       // the artifact's file count grows with BATCHES, not tasks
       postings.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$dir/parts/p_$uid")
-      stats.coalesce(1).write.parquet(s"$dir/parts/m_$uid")
+        .write.partitionBy("bucket").parquet(s"$dir/parts/p${nBuckets}_$uid")
+      statsJob.join()
     }
-    graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/p_$uid") ++
+    graft.sources.SnapshotStore.partFiles(spark, dir,
+      s"parts/p${nBuckets}_$uid") ++
       graft.sources.SnapshotStore.partFiles(spark, dir, s"parts/m_$uid")
   }
 
@@ -134,7 +166,7 @@ object Bm25Index {
     val spark = df.sparkSession
     val store = graft.sources.SnapshotStore
     val fence = store.acquireFence(spark, dir)
-    val nb = bucketsOfMeta(meta(spark, dir, store.currentFiles(spark, dir)), dir)
+    val nb = bucketsOf(spark, dir, store.currentFiles(spark, dir))
     store.publishAppend(spark, dir,
       writeParts(df, id, text, dir, nb, srcBatch), fence, "append")
     ()
@@ -166,7 +198,7 @@ object Bm25Index {
     val metaLines = lines.filter(isMetaLine)
     val metaFold = metaLines.length >= minParts
     if (fragFiles.isEmpty && !metaFold) return
-    val nb = bucketsOfMeta(meta(spark, dir, lines), dir)
+    val nb = bucketsOf(spark, dir, lines)
     val uid = java.util.UUID.randomUUID().toString.take(12)
     var next = lines
     if (fragFiles.nonEmpty) {
@@ -176,9 +208,9 @@ object Bm25Index {
         .withColumn("bucket",
           pmod(xxhash64(col("term")), lit(nb)).cast("int"))
         .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$dir/parts/c_$uid")
+        .write.partitionBy("bucket").parquet(s"$dir/parts/c${nb}_$uid")
       next = next.filterNot(fragFiles.toSet) ++
-        store.partFiles(spark, dir, s"parts/c_$uid")
+        store.partFiles(spark, dir, s"parts/c${nb}_$uid")
     }
     if (metaFold) {
       import spark.implicits._
@@ -236,7 +268,7 @@ object Bm25Index {
                        k1: Double, b: Double): DataFrame = {
     val store = graft.sources.SnapshotStore
     val metaDf = meta(spark, dir, lines)
-    val nBuckets = bucketsOfMeta(metaDf, dir)
+    val nBuckets = bucketsOf(spark, dir, lines)
     val qTerms = Bm25.queryTerms(spark, queries)
     val terms = qTerms.select("term").distinct()
     val bks = terms.withColumn("bucket",

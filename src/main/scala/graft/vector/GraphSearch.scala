@@ -229,20 +229,38 @@ object GraphSearch {
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
     require(maxHops >= 1, "maxHops must be >= 1")
     val lvl = StorageLevel.MEMORY_AND_DISK
+    val callerSpark = graph.sparkSession
 
     // symmetrized adjacency: an edge in either direction is walkable
     val fwd = graph.select(col("vec_id").as("node"), col("n_id"))
-    val adj = fwd.union(
+    val adj0 = fwd.union(
         graph.select(col("n_id").as("node"), col("vec_id").as("n_id")))
       .distinct()
       .persist(lvl)
+    // materializing the adjacency here (every hop joins it anyway)
+    // yields the edge count for the small-loop gate: per-hop candidate
+    // volume is bounded by frontier·degree and the hop stages re-read
+    // this edge list, so when it fits a handful of partitions the walk
+    // runs on the narrowed clone (r17, the Rounds.narrowSession
+    // pattern) — serving walks over small-to-medium graphs otherwise
+    // pay corpus-width exchanges + AQE replanning per hop, times the
+    // hop count. Larger graphs keep the caller's width; the returned
+    // plan re-roots on the caller's session either way.
+    val nEdges = adj0.count()
+    val narrow = nEdges <= 2000000L
+    val sx =
+      if (narrow) graft.operators.Rounds.narrowSession(callerSpark)
+      else callerSpark
+    def onSx(df: DataFrame): DataFrame =
+      if (narrow) org.apache.spark.sql.GraftBridge.onSession(sx, df) else df
+    val adj = onSx(adj0)
 
-    val v = corpus.select(col("vec_id").as("node"), col("embedding"),
+    val v = onSx(corpus.select(col("vec_id").as("node"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
-      .persist(lvl)
-    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      .persist(lvl))
+    val q = broadcast(onSx(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
-      Similarity.norm(col("embedding")).as("q_nrm")))
+      Similarity.norm(col("embedding")).as("q_nrm"))))
 
     // score (q_id, node) proposals exactly; the query's own id never
     // scores (bruteTopK's self-exclusion)
@@ -260,15 +278,21 @@ object GraphSearch {
       .withColumn("_r", row_number().over(beamW))
       .filter(col("_r") <= beam).drop("_r")
 
-    val init = topBeam(score(entryCand(v, q)))
+    // entry candidates may arrive from a caller-session frame (the
+    // layered descent seeds); rebind so the whole walk — init included
+    // — plans on the narrowed clone when the gate chose it
+    val init = topBeam(score(onSx(entryCand(v, q))))
       .withColumn("exp", lit(false))
 
-    var (state, stateRdd) = Rounds.materialize(init, lvl)
+    // the init row count rides the materializing job (r17) — it is
+    // the fallback's emptiness probe, so no separate isEmpty job runs
+    var (state, stateRdd, nInit) =
+      Rounds.materializeCount(init, lvl, _ => true)
     fallback.foreach { fb =>
-      if (state.isEmpty) { // e.g. the coarse layer sampled no nodes
+      if (nInit == 0L) { // e.g. the coarse layer sampled no nodes
         stateRdd.unpersist(blocking = false)
         val (s2, r2) = Rounds.materialize(
-          topBeam(score(fb(v, q))).withColumn("exp", lit(false)), lvl)
+          topBeam(score(onSx(fb(v, q)))).withColumn("exp", lit(false)), lvl)
         state = s2
         stateRdd = r2
       }
@@ -283,14 +307,27 @@ object GraphSearch {
         .distinct()
       // prior rows were all expanded this hop (they were the beam:
       // unexpanded ones formed the frontier) — new entrants arrive
-      // exp=false; a re-proposed surviving node keeps exp=true via max
+      // exp=false; a re-proposed surviving node keeps exp=true via the
+      // buffer's flag-OR. The (q_id, node) dedup and the beam trim run
+      // in ONE groupBy(q_id) via the bounded TopKEdges aggregate
+      // (r17): map-side partials collapse every partition to ≤ beam
+      // entries per query before the exchange — the r16 shape paid a
+      // (q_id, node) dedup exchange plus the beam window's second
+      // exchange per hop (duplicate (q_id, node) rows carry the same
+      // exact sim: re-proposals re-score the identical expression)
       val merged = state.select(col("q_id"), col("node"), col("sim"),
           lit(true).as("exp"))
         .union(score(cand).withColumn("exp", lit(false)))
-        .groupBy(col("q_id"), col("node"))
-        .agg(max(col("sim")).as("sim"), max(col("exp")).as("exp"))
-      val (next, nextRdd) = Rounds.materialize(topBeam(merged), lvl)
-      val entered = next.filter(!col("exp")).count()
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKEdges(beam)(
+          col("node"), col("sim"), col("exp")).as("_top"))
+        .select(col("q_id"), explode(col("_top.es")).as("_t"))
+        .select(col("q_id"), col("_t.nbr").as("node"),
+          col("_t.sim").as("sim"), col("_t.flag").as("exp"))
+      // the new-entrant count rides the materializing job itself
+      // (r17, Rounds.materializeCount) — exp is field 3 of the state
+      val (next, nextRdd, entered) =
+        Rounds.materializeCount(merged, lvl, r => !r.getBoolean(3))
       stateRdd.unpersist(blocking = false)
       state = next
       stateRdd = nextRdd
@@ -299,7 +336,10 @@ object GraphSearch {
     }
     adj.unpersist(blocking = false)
     v.unpersist(blocking = false)
-    val out = state
+    // re-root the final state on the caller's session so the ranking
+    // tail (and everything downstream) plans at the caller's width
+    val out = org.apache.spark.sql.GraftBridge
+      .internalDF(callerSpark, stateRdd, state.schema)
       .withColumn("rank", row_number().over(beamW))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("node").as("n_id"), col("sim"))

@@ -140,25 +140,24 @@ object NnDescent {
       .select(col("id"), col("nbr"), col("sim"))
 
     // top-k neighbor list per node from scored (id, nbr, sim, old)
-    // rows: collect, sort by (sim desc, nbr asc), slice — array_sort
-    // of the collected structs makes the result independent of
-    // collection order, so the state is deterministic. `old` rides
-    // along as aggregate payload (a duplicate (id, nbr) carries the
-    // same exact sim from both sources, so max is a formality and the
-    // (-sim, nbr) sort prefix is unique per group): emitting
+    // rows, in ONE groupBy(id) via the bounded [[TopKEdges]] aggregate
+    // (r17): (id, nbr) dedup and the per-id trim happen inside the
+    // aggregation buffer, with map-side partial aggregation collapsing
+    // every partition to ≤ kb entries per id BEFORE the exchange — the
+    // r16 shape paid a (id, nbr)-keyed dedup exchange plus a second
+    // exchange carrying whole collect_list buffers. A duplicate
+    // (id, nbr) carries the same exact sim from both sources, so the
+    // buffer's max-over-equal-sims dedup is a formality; `old` merges
+    // by OR (the exactness argument is in TopKEdges' doc). Emitting
     // flag = !old HERE is what lets each round skip a join-back
-    // against its previous state — the flag used to cost two more
-    // exchanges per round in a (id, nbr)-keyed left join.
+    // against its previous state.
     def topK(scored: DataFrame): DataFrame = scored
-      .groupBy(col("id"), col("nbr"))
-      .agg(max(col("sim")).as("sim"), max(col("old")).as("old"))
       .groupBy(col("id"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("sim")).as("_ns"), col("nbr"), col("old")))), 1, kb)
-        .as("_top"))
-      .select(col("id"), explode(col("_top")).as("_t"))
-      .select(col("id"), col("_t.nbr").as("nbr"), (-col("_t._ns")).as("sim"),
-        (!col("_t.old")).as("flag"))
+      .agg(graft.functions.TopKEdges(kb)(
+        col("nbr"), col("sim"), col("old")).as("_top"))
+      .select(col("id"), explode(col("_top.es")).as("_t"))
+      .select(col("id"), col("_t.nbr").as("nbr"), col("_t.sim").as("sim"),
+        (!col("_t.flag")).as("flag"))
 
     // init rows all arrive old=false, so topK emits them flag=true
     var (knn, knnRdd) = Rounds.materialize(
@@ -177,20 +176,30 @@ object NnDescent {
       val lists = fwd.union(rev)
         .groupBy(col("id"), col("nbr")).agg(max(col("flag")).as("flag"))
       // local join: every neighbor pair of every node with at least
-      // one NEW member — narrow 8-byte id pairs only
-      val cand = lists.as("a").join(lists.as("b"),
+      // one NEW member — narrow 8-byte id pairs only. Under the
+      // narrow profile the candidate dedup exchange is SKIPPED (r17):
+      // there the scoring joins are broadcast (the cached vector
+      // table is driver-sized by the same gate), so duplicated
+      // candidates cost only map-side re-scores that the bounded
+      // topK aggregate dedups before its one exchange — the
+      // distinct() was the round's dominant shuffle (the sf0.1
+      // measurement: 83 MB of the build's 84 MB total). At full
+      // width the dedup stays: dup pairs there would enter the
+      // score joins' corpus-keyed exchanges once per duplicate.
+      val cand0 = lists.as("a").join(lists.as("b"),
           col("a.id") === col("b.id") && col("a.nbr") < col("b.nbr")
             && (col("a.flag") || col("b.flag")))
         .select(col("a.nbr").as("id"), col("b.nbr").as("nbr"))
-        .distinct()
-      val scored = score(cand)
+      val scored = score(if (narrow) cand0 else cand0.distinct())
       val updates = scored.union(
           scored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
         .withColumn("old", lit(false))
       val merged = topK(knn.select(col("id"), col("nbr"), col("sim"))
         .withColumn("old", lit(true)).union(updates))
-      val (next, nextRdd) = Rounds.materialize(merged, lvl)
-      val changed = next.filter(col("flag")).count()
+      // the convergence count rides the materializing job itself
+      // (r17, Rounds.materializeCount) — flag is field 3 of the state
+      val (next, nextRdd, changed) =
+        Rounds.materializeCount(merged, lvl, _.getBoolean(3))
       knnRdd.unpersist(blocking = false)
       knn = next
       knnRdd = nextRdd
@@ -301,14 +310,17 @@ object NnDescent {
           .select(lit(0L).as("id"), lit(0L).as("nbr"), lit(0.0).as("sim"))
           .limit(0)
 
+    // one groupBy(id) via the bounded TopKEdges aggregate (r17): the
+    // (id, nbr) dedup exchange + per-id window the r16 shape paid
+    // collapse into one k-bounded aggregation; rank = array position
     def rankTopK(edges: DataFrame): DataFrame = edges
-      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("sim").desc, col("nbr"))))
-      .filter(col("rank") <= k)
-      .select(col("id").as("vec_id"), col("rank"), col("nbr").as("n_id"),
-        col("sim"))
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKEdges(k)(
+        col("nbr"), col("sim"), lit(false)).as("_top"))
+      .select(col("id").as("vec_id"),
+        posexplode(col("_top.es")).as(Seq("_p", "_t")))
+      .select(col("vec_id"), (col("_p") + 1).as("rank"),
+        col("_t.nbr").as("n_id"), col("_t.sim").as("sim"))
 
     // (3) new-node lists: best k of cross ∪ internal ∪ reversed
     // internal (x→y within the batch proposes y→x too — sims are

@@ -72,25 +72,52 @@ object SemDedup {
         lit(cell).as("c"))
     }.toIndexedSeq: _*)
     // two-phase candidate pattern (the Interaction/MinHash shape):
-    // phase 1 self-joins the NARROW (cell, vec_id) assignment — the
-    // embeddings never enter the pair-grain exchange, so a pair
-    // sharing several probed cells costs 8-byte id rows, not repeated
-    // 4·dim-byte vector rows (at nprobe = nlist every pair meets in
-    // every cell: an nlist× blowup the wide join would pay in full) —
-    // and phase 2 joins embeddings back to score only the DISTINCT
-    // candidate pairs, each exactly once. Persisted: assignment feeds
-    // both self-join sides (the jaccardPairs persist-shared-subtrees
-    // rule); both caches release after the caller's action.
-    val assigned = base
+    // phase 1 self-joins the NARROW assignment — the embeddings never
+    // enter the pair-grain exchange, so a pair sharing several probed
+    // cells costs slim id rows, not repeated 4·dim-byte vector rows
+    // (at nprobe = nlist every pair meets in every cell: an nlist×
+    // blowup the wide join would pay in full) — and phase 2 joins
+    // embeddings back to score each candidate pair exactly once.
+    //
+    // Pair UNIQUENESS (r17): when nlist fits a 64-bit set, each side
+    // carries its probed cells as a BITMASK and a pair is emitted only
+    // from its MINIMUM shared cell — `shared & (2^cell - 1) == 0`,
+    // three codegen'd integer ops on the join output — so the
+    // duplicate-heavy candidate set never enters a dedup exchange (the
+    // r16 plan shuffled the multiply-witnessed candidates into a
+    // distinct(); at nprobe = nlist that exchange carried every pair
+    // nlist times). An earlier r17 cut expressed the same witness as
+    // array_min(array_intersect(probes_a, probes_b)) — per-row array
+    // allocation on the pair-grain join output, measured 7x SLOWER
+    // than the distinct it replaced; the bitmask form is the same
+    // predicate at integer-op cost. Wider-than-64 nlist deployments
+    // keep the distinct (their duplication factor is nprobe/nlist —
+    // tiny — so the dedup exchange is candidate-sized, not blown up).
+    // Persisted: assignment feeds both self-join sides (the
+    // jaccardPairs persist-shared-subtrees rule); both caches release
+    // after the caller's action.
+    val maskable = nlist <= 62
+    val probed = base
       .withColumn("_probe", slice(array_sort(scored), 1, nprobe))
       .withColumn("cell", explode(transform(col("_probe"), p => p("c"))))
-      .select(col("cell"), col("vec_id"))
+    val assigned = (if (maskable) probed.withColumn("mask",
+        aggregate(col("_probe"), lit(0L), (acc, p) =>
+          acc.bitwiseOR(call_function("shiftleft", lit(1L), p("c")))))
+        .select(col("cell"), col("vec_id"), col("mask"))
+      else probed.select(col("cell"), col("vec_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.functions.CacheRelease.afterNextExecution(assigned)
-    val cand = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
-      .distinct()
+    val joined = assigned.as("a").join(assigned.as("b"),
+      col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+    val cand =
+      if (maskable) joined
+        .filter((col("a.mask").bitwiseAND(col("b.mask"))
+          .bitwiseAND(call_function("shiftleft", lit(1L), col("a.cell")) - 1))
+          === 0L)
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      else joined
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+        .distinct()
     // derived from the persisted base — a map over the cache, so no
     // second persist (the per-row norm recompute is cheap; a second
     // cache of the same embeddings would not be)

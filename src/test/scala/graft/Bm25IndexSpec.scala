@@ -89,7 +89,7 @@ class Bm25IndexSpec extends SparkSpec {
     val scanFiles = Bm25Index.topK(spark, dir, Seq(1 -> "hash"))
       .queryExecution.sparkPlan.collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains("parts/p_")) =>
+          if f.relation.location.rootPaths.exists(_.toString.contains("parts/p")) =>
         f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
           .flatMap(_.files).length
       }
