@@ -34,6 +34,7 @@ object Probe {
     @volatile var stages = 0
     @volatile var shufRead = 0L
     @volatile var shufWrite = 0L
+    val stageDump = sys.env.contains("SPARK_GRAFT_STAGES")
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         synchronized { jobs += 1 }
@@ -42,6 +43,18 @@ object Probe {
           stages += 1
           shufRead += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
           shufWrite += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          if (stageDump) {
+            val i = s.stageInfo
+            val dur = (for {a <- i.completionTime; b <- i.submissionTime}
+              yield a - b).getOrElse(-1L)
+            val cpu = i.taskMetrics.executorRunTime
+            println(f"  STAGE ${i.stageId}%4d dur=${dur}%6dms " +
+              f"taskTime=${cpu}%7dms tasks=${i.numTasks}%3d " +
+              i.name.takeWhile(_ != '(').take(40) + " " +
+              i.details.linesIterator.find(l =>
+                l.contains("graft") && !l.contains("Probe"))
+                .getOrElse("").trim.take(80))
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)

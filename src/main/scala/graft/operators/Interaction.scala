@@ -102,11 +102,21 @@ object Interaction {
       .withColumn("_o", explode(offsets))
       .select(col("u2"), col("f"), col("x2"), col("y2"),
         (col("_cx") + col("_o.ox")).as("cx"), (col("_cy") + col("_o.oy")).as("cy"))
+    // explicit-width repartition on the pair key for the dedup (r17,
+    // the LapLink rule): the candidate-pair exchange is tiny in BYTES,
+    // so AQE's size-based coalescing packs it — and with it the whole
+    // CPU-dense phase 2 downstream (pair×steps expansion + the
+    // correlation aggregate) — onto one thread (measured: a 3.3 s
+    // single-task tail stage of q_interact's 5.6 s). An explicit
+    // partition count is exempt from AQE coalescing; the following
+    // distinct reuses this exchange's (u1, u2) hash partitioning, so
+    // the plan still has exactly one pair-grain exchange.
+    val width = spots.sparkSession.sparkContext.defaultParallelism
     val cand = left.join(right, Seq("f", "cx", "cy"))
       .filter(col("u1") < col("u2"))
       .filter((col("x1") - col("x2")) * (col("x1") - col("x2"))
         + (col("y1") - col("y2")) * (col("y1") - col("y2")) <= maxDist * maxDist)
-      .select("u1", "u2").distinct()
+      .select("u1", "u2").repartition(width, col("u1"), col("u2")).distinct()
     // phase 2: shared step frames of the candidate pairs only
     val a = steps.select(col("t").as("u1"), col("f"), col("x").as("xa"),
       col("y").as("ya"), col("dx").as("dxa"), col("dy").as("dya"))

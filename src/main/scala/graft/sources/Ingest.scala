@@ -23,12 +23,27 @@ object Ingest {
   val PropsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
 
   /** events with the props document parsed once: adds typed `y`
-    * (props.k). Downstream queries never touch the raw string. */
-  def eventsTyped(events: DataFrame): DataFrame =
-    events
+    * (props.k). Downstream queries never touch the raw string.
+    *
+    * INPUT-PARALLELISM FLOOR (r17, guide §2.5 "input skew — one huge
+    * unsplittable file"): a single-row-group parquet file scans as ONE
+    * split no matter the split settings, making this parse — the one
+    * expensive expression every events query pays — single-threaded
+    * (measured: a 1-task 0.5-1.3 s stage heading every events query at
+    * sf0.1). When the scan yields fewer splits than the session's
+    * cores, a round-robin repartition spreads the parse; the tiny raw
+    * rows cross one exchange once, far cheaper than the serial parse.
+    * Many-file corpora (the production shape) already scan wide — the
+    * gate is false and no exchange is added. */
+  def eventsTyped(events: DataFrame): DataFrame = {
+    val cores = events.sparkSession.sparkContext.defaultParallelism
+    val scanParts = events.queryExecution.toRdd.getNumPartitions
+    val src = if (scanParts * 2 <= cores) events.repartition(cores) else events
+    src
       .withColumn("_props", from_json(col("props"), PropsSchema))
       .withColumn("y", col("_props").getField("k"))
       .drop("_props")
+  }
 
   /** Spots/edges builder — the parse_xml.py:68-113 analogue for the
     * driver's events table: each user's frame-ordered events become a

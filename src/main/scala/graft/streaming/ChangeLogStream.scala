@@ -128,7 +128,7 @@ object ChangeLogStream {
         existing.unionByName(b), Seq("id"), Seq("ver1", "ver2"))
       .select(col("id"), col("ver1"), col("ver2"), col("op"),
         col("payload"), col("bucket"))
-      .repartition(col("bucket"))
+      .transform(store.repartitionByBucket(_, nBuckets))
       .write.partitionBy("bucket").parquet(s"$storeDir/$relD")
     val newData = store.partFiles(spark, storeDir, relD)
     // the tombstone table: untouched buckets' rows ride through, the
@@ -219,7 +219,7 @@ object ChangeLogStream {
     store.readFiles(spark, storeDir, touchedData)
       .filter(!retirable)
       .withColumn("bucket", bucketCol)
-      .repartition(col("bucket"))
+      .transform(store.repartitionByBucket(_, nBuckets))
       .write.partitionBy("bucket").parquet(s"$storeDir/$relD")
     val newData = store.partFiles(spark, storeDir, relD)
     val survivors =

@@ -128,7 +128,7 @@ object Bm25Index {
           .write.parquet(s"$dir/parts/m_$uid"))
       // one file per bucket (repartition on the partition column) —
       // the artifact's file count grows with BATCHES, not tasks
-      postings.repartition(col("bucket"))
+      graft.sources.SnapshotStore.repartitionByBucket(postings, nBuckets)
         .write.partitionBy("bucket").parquet(s"$dir/parts/p${nBuckets}_$uid")
       statsJob.join()
     }
@@ -207,7 +207,7 @@ object Bm25Index {
       store.readFiles(spark, dir, fragFiles)
         .withColumn("bucket",
           pmod(xxhash64(col("term")), lit(nb)).cast("int"))
-        .repartition(col("bucket"))
+        .transform(store.repartitionByBucket(_, nb))
         .write.partitionBy("bucket").parquet(s"$dir/parts/c${nb}_$uid")
       next = next.filterNot(fragFiles.toSet) ++
         store.partFiles(spark, dir, s"parts/c${nb}_$uid")

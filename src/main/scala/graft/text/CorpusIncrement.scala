@@ -423,7 +423,8 @@ object CorpusIncrement {
     // buckets small files) and all later artifact scans pay the
     // listing/footer cost (one file per bucket per write)
     val relP = st.fresh("post")
-    bucketed(post, nBuckets).repartition(col("bucket"))
+    graft.sources.SnapshotStore.repartitionByBucket(
+      bucketed(post, nBuckets), nBuckets)
       .write.partitionBy("bucket").parquet(s"$dir/$relP")
     st.register(relP)
     // the DUAL doc-bucketed copy: shingle-keyed probes (df lookups,
@@ -432,12 +433,14 @@ object CorpusIncrement {
     // access patterns are manifest-line prunes, at 2x linear storage
     // (the standard dual-index trade)
     val relPd = st.fresh("postd")
-    docBucketed(post, nBuckets).repartition(col("bucket"))
+    graft.sources.SnapshotStore.repartitionByBucket(
+      docBucketed(post, nBuckets), nBuckets)
       .write.partitionBy("bucket").parquet(s"$dir/$relPd")
     st.register(relPd)
     val relDf = st.fresh("df")
-    bucketed(post.groupBy("shingle").agg(count(lit(1)).as("df")), nBuckets)
-      .repartition(col("bucket"))
+    graft.sources.SnapshotStore.repartitionByBucket(
+      bucketed(post.groupBy("shingle").agg(count(lit(1)).as("df")), nBuckets),
+      nBuckets)
       .write.partitionBy("bucket").parquet(s"$dir/$relDf")
     st.register(relDf)
     val relEv = st.fresh("evalsh")
@@ -497,6 +500,7 @@ object CorpusIncrement {
   def compact(spark: SparkSession, dir: String, minParts: Int = 2,
               targetFiles: Int = 1, keepGenerations: Int = 2): Unit = {
     val st = new Store(spark, dir, mutating = true)
+    val nBuckets = readMeta(st).nBuckets
     var changed = false
     // bucketed artifacts: fold each fragmented bucket's lines into one
     // file inside a fresh part; bucket is re-derived from the very
@@ -509,16 +513,15 @@ object CorpusIncrement {
         .filter(_.length >= minParts).flatten.toSeq
       if (fragLines.nonEmpty) {
         val rel = st.fresh(name)
-        rebucket(fold(
-            graft.sources.SnapshotStore.readFiles(spark, dir, fragLines)))
-          .repartition(col("bucket"))
+        graft.sources.SnapshotStore.repartitionByBucket(rebucket(fold(
+            graft.sources.SnapshotStore.readFiles(spark, dir, fragLines))),
+          nBuckets)
           .write.partitionBy("bucket").parquet(s"$dir/$rel")
         st.dropLines(fragLines)
         st.register(rel)
         changed = true
       }
     }
-    val nBuckets = readMeta(st).nBuckets
     foldBuckets("df", bucketed(_, nBuckets),
       _.groupBy("shingle").agg(sum(col("df")).as("df")))
     foldBuckets("post", bucketed(_, nBuckets), identity)
@@ -644,12 +647,15 @@ object CorpusIncrement {
       () => intrinsics(bxN, evalsh, m.deconN, m.k)
         .coalesce(1).write.parquet(s"$dir/$relEx"),
       () => { bArr.count(); () },
-      () => bucketed(bPost, m.nBuckets).repartition(col("bucket"))
+      () => graft.sources.SnapshotStore.repartitionByBucket(
+        bucketed(bPost, m.nBuckets), m.nBuckets)
         .write.partitionBy("bucket").parquet(s"$dir/$relP"),
-      () => docBucketed(bPost, m.nBuckets).repartition(col("bucket"))
+      () => graft.sources.SnapshotStore.repartitionByBucket(
+        docBucketed(bPost, m.nBuckets), m.nBuckets)
         .write.partitionBy("bucket").parquet(s"$dir/$relPd"),
       // populates the dfB cache the band analysis below consumes
-      () => bucketed(dfB, m.nBuckets).repartition(col("bucket"))
+      () => graft.sources.SnapshotStore.repartitionByBucket(
+        bucketed(dfB, m.nBuckets), m.nBuckets)
         .write.partitionBy("bucket").parquet(s"$dir/$relDf"),
       // the band prune's bucket ids ride the group too (a cache-read
       // job that was a sequential launch before the r16 fusion)

@@ -258,9 +258,17 @@ object GraphSearch {
     val v = onSx(corpus.select(col("vec_id").as("node"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       .persist(lvl))
-    val q = broadcast(onSx(queries.select(col("vec_id").as("q_id"),
+    // the query batch is driver-sized by contract and its broadcast is
+    // rebuilt by EVERY hop's plan — collect it ONCE into a
+    // LocalRelation (r17), so each hop's broadcast build is a
+    // driver-side copy instead of a scheduled job over the cluster
+    // (measured: 2-3 of the ~4 jobs per hop were broadcast builds)
+    val qProj = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
-      Similarity.norm(col("embedding")).as("q_nrm"))))
+      Similarity.norm(col("embedding")).as("q_nrm"))
+    val qLocal = callerSpark.createDataFrame(
+      java.util.Arrays.asList(qProj.collect(): _*), qProj.schema)
+    val q = broadcast(onSx(qLocal))
 
     // score (q_id, node) proposals exactly; the query's own id never
     // scores (bruteTopK's self-exclusion)
