@@ -192,7 +192,13 @@ object SparkEntry {
     * each invocation works on a fresh copy of the cached base). The
     * top level fans out on a parallel collection — the stores copied
     * here are hundreds of small files, driver-side and IO-bound, so
-    * the sequential walk was pure latency. */
+    * the sequential walk was pure latency. Files HARD-LINK instead of
+    * byte-copying (r17): every store file is immutable once written —
+    * a mutating increment only ADDS parts, and ledger updates land as
+    * fresh tmp files renamed over the old name, which repoints the
+    * directory entry without touching the linked original — so the
+    * link-share is invisible to both trees and skips the data IO
+    * (falls back to a byte copy across filesystems). */
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
       dst.mkdirs()
@@ -201,8 +207,11 @@ object SparkEntry {
         java.util.Arrays.stream(cs).parallel().forEach(c =>
           copyTree(c, new java.io.File(dst, c.getName)))
     } else {
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       ()
     }
   }

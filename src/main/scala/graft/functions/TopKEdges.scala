@@ -49,12 +49,28 @@ object TopKEdges {
 
   private def prune(s: Seq[Entry], k: Int): Seq[Entry] = {
     // dedup by nbr FIRST (flag-OR over equal sims), then trim — the
-    // dedup-before-trim order is what the exactness argument needs
-    val grouped = s.groupBy(_.nbr).valuesIterator.map { copies =>
-      Entry(copies.head.nbr, copies.map(_.sim).max(
-        Ordering.Double.TotalOrdering), copies.exists(_.flag))
-    }.toSeq.sorted(ord)
-    if (grouped.length > k) grouped.take(k) else grouped
+    // dedup-before-trim order is what the exactness argument needs.
+    // Duplicates carry equal sims, so after the (sim desc, nbr) sort
+    // same-nbr copies are ADJACENT: dedup is one linear merge pass
+    // over the sorted array, no hash map (this prune runs once per
+    // ~k reduce calls on the build's hot path — the groupBy form's
+    // per-prune map allocation was measurable at sf0.1)
+    val arr = s.toArray
+    java.util.Arrays.sort(arr, ord)
+    val out = new scala.collection.mutable.ArrayBuffer[Entry](
+      math.min(arr.length, k))
+    var i = 0
+    while (i < arr.length && out.length < k) {
+      var e = arr(i)
+      var j = i + 1
+      while (j < arr.length && arr(j).nbr == e.nbr) {
+        if (arr(j).flag && !e.flag) e = e.copy(flag = true)
+        j += 1
+      }
+      out += e
+      i = j
+    }
+    out.toSeq
   }
 
   private class TopK(k: Int)

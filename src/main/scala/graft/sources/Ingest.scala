@@ -35,14 +35,22 @@ object Ingest {
     * rows cross one exchange once, far cheaper than the serial parse.
     * Many-file corpora (the production shape) already scan wide — the
     * gate is false and no exchange is added. */
-  def eventsTyped(events: DataFrame): DataFrame = {
-    val cores = events.sparkSession.sparkContext.defaultParallelism
-    val scanParts = events.queryExecution.toRdd.getNumPartitions
-    val src = if (scanParts * 2 <= cores) events.repartition(cores) else events
-    src
+  def eventsTyped(events: DataFrame): DataFrame =
+    parallelismFloor(events)
       .withColumn("_props", from_json(col("props"), PropsSchema))
       .withColumn("y", col("_props").getField("k"))
       .drop("_props")
+
+  /** The parallelism floor itself, shared by every expensive kernel
+    * pass whose input may plan narrower than the session's cores (the
+    * events parse above, the LM count kernels): when `df`'s physical
+    * plan yields fewer than half the session's partitions, spread it
+    * with a round-robin repartition; otherwise return it unchanged —
+    * wide (production-shaped) inputs never gain the exchange. */
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts * 2 <= cores) df.repartition(cores) else df
   }
 
   /** Spots/edges builder — the parse_xml.py:68-113 analogue for the

@@ -82,9 +82,10 @@ object Dsir {
                      isTarget: Column,
                      cacheKey: Option[String]): DataFrame = {
     val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
-    val grams = df
-      .select(id.as("doc_id"), isTarget.as("_tgt"), norm.as("_t"))
-      .filter(length(col("_t")) >= 2)
+    // parallelism floor (r17) — see Ingest.parallelismFloor
+    val grams = graft.sources.Ingest.parallelismFloor(df
+        .select(id.as("doc_id"), isTarget.as("_tgt"), norm.as("_t"))
+        .filter(length(col("_t")) >= 2))
       .select(col("doc_id"), col("_tgt"), BigramCounts(col("_t")).as("_a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val diff = TextFeatures.lmCached(df.sparkSession, cacheKey, 20) {

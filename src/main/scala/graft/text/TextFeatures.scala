@@ -220,8 +220,12 @@ object TextFeatures {
   def charBigramEntropy(df: DataFrame, id: Column, text: Column,
                         cacheKey: Option[String] = None): DataFrame = {
     val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
-    val grams = df.select(id.as("doc_id"), norm.as("_t"))
-      .filter(length(col("_t")) >= 2)
+    // parallelism floor (r17): the count-kernel pass below is the
+    // expensive per-row work, and a single-row-group input plans it
+    // onto one task — see Ingest.parallelismFloor
+    val grams = graft.sources.Ingest.parallelismFloor(
+        df.select(id.as("doc_id"), norm.as("_t"))
+          .filter(length(col("_t")) >= 2))
       .select(col("doc_id"), graft.functions.BigramCounts(col("_t")).as("_a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = lmCached(df.sparkSession, cacheKey, 2) {
@@ -264,8 +268,9 @@ object TextFeatures {
                                cacheKey: Option[String] = None): DataFrame = {
     def norm(c: Column) = regexp_replace(lower(c), "[^a-z0-9 ]", "#")
     val model = lmCached(df.sparkSession, cacheKey, 4) {
-      val counts = ref.select(norm(refText).as("_t"))
-        .filter(length(col("_t")) >= 2)
+      val counts = graft.sources.Ingest.parallelismFloor(
+          ref.select(norm(refText).as("_t"))
+            .filter(length(col("_t")) >= 2))
         .select(explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
         .groupBy(col("_e.bg").as("bg")).agg(sum(col("_e.k")).as("_c"))
         .collect()
@@ -301,8 +306,10 @@ object TextFeatures {
   def charTrigramEntropy(df: DataFrame, id: Column, text: Column,
                          cacheKey: Option[String] = None): DataFrame = {
     val norm = regexp_replace(lower(text), "[^a-z0-9 ]", "#")
-    val grams = df.select(id.as("doc_id"), norm.as("_t"))
-      .filter(length(col("_t")) >= 3)
+    // parallelism floor (r17) — see the bigram sibling above
+    val grams = graft.sources.Ingest.parallelismFloor(
+        df.select(id.as("doc_id"), norm.as("_t"))
+          .filter(length(col("_t")) >= 3))
       .select(col("doc_id"), graft.functions.TrigramCounts(col("_t")).as("_a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = lmCached(df.sparkSession, cacheKey, 3) {
