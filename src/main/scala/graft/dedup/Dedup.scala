@@ -45,7 +45,8 @@ object Dedup {
     // sizes are a map-side size() and the exploded postings need no
     // dedup shuffle; the compact per-doc arrays (not the exploded
     // postings) are what persists for the two consumers.
-    val arr = df.select(id.as("doc_id"), graft.functions.Winnow(text, k, w).as("fps"))
+    val arr = graft.sources.Ingest.parallelismFloor(df)
+      .select(id.as("doc_id"), graft.functions.Winnow(text, k, w).as("fps"))
       .filter(size(col("fps")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     arr.count() // materialize once; sizes + postings both read it
@@ -103,7 +104,7 @@ object Dedup {
     // arrays persist (sizes + postings read them — without persist the
     // corpus would be re-shingled per consumer, two full passes at
     // 100 TB).
-    val arr = df.select(id.as("doc_id"),
+    val arr = graft.sources.Ingest.parallelismFloor(df).select(id.as("doc_id"),
         graft.functions.WordShingles(text, k).as("shs"))
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

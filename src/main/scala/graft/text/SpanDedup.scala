@@ -40,7 +40,8 @@ object SpanDedup {
     * token positions (overlapping/adjacent duplicate n-grams merge). */
   def dedupSpans(df: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
     require(n >= 2, s"span gate must be >= 2 tokens, got $n")
-    val toks = df.select(id.as("doc_id"), split(text, "\\s+").as("_tk"))
+    val toks = graft.sources.Ingest.parallelismFloor(df)
+      .select(id.as("doc_id"), split(text, "\\s+").as("_tk"))
     val grams = toks
       .filter(size(col("_tk")) >= n)
       .select(col("doc_id"), explode(transform(

@@ -42,7 +42,11 @@ object RandomProjection {
     val sign = (lit(1) - lit(2) * pmod(
       Mix64(lit(seed) + col("i").cast("long") * outDim + col("j")),
       lit(2))).cast("double")
-    df.select(id.as("vec_id"), posexplode(emb).as(Seq("i", "_v")))
+    // parallelism floor (r17): the Mix64-sign expansion below is the
+    // expensive per-row work and plans single-task off a single-split
+    // input -- see Ingest.parallelismFloor
+    graft.sources.Ingest.parallelismFloor(
+        df.select(id.as("vec_id"), posexplode(emb).as(Seq("i", "_v"))))
       .crossJoin(broadcast(js))
       .groupBy(col("vec_id"), col("j"))
       .agg(Numeric.cround(
