@@ -49,9 +49,14 @@ case class AssetProfile(doc_id: Long, phash: Long, n_cuts: Long,
 object Binary {
 
   /** Attach a binary payload column (test harness: text bytes stand in
-    * for encoded media). */
+    * for encoded media). Every multimodal decode kernel (frame GLCM,
+    * blur, PCM features, asset profiles) flows through here, so the
+    * input-parallelism floor lives here too (r17): a single-split
+    * input would otherwise run the whole batched decode pass on one
+    * task — see Ingest.parallelismFloor (wide inputs are unchanged). */
   def withPayload(df: DataFrame): DataFrame =
-    df.withColumn("payload", col("text").cast("binary"))
+    graft.sources.Ingest.parallelismFloor(df)
+      .withColumn("payload", col("text").cast("binary"))
       .withColumn("kind", lit("image/fake"))
 
   /** Batched decode over partitions. Real decoders amortise codec init

@@ -49,7 +49,10 @@ object EditJoin {
     require(d >= 1, s"d must be >= 1, got $d")
     val k = d + 1
     // left: one row per segment — (la, seg_idx, substring)
-    val aExpl = a.select(aId.as("a_id"), aName.as("an"))
+    // parallelism floor (r17): the segment/probe explodes below are
+    // the expensive per-row work -- see Ingest.parallelismFloor
+    val aExpl = graft.sources.Ingest.parallelismFloor(
+        a.select(aId.as("a_id"), aName.as("an")))
       .filter(col("an").isNotNull && length(col("an")) >= k)
       .withColumn("_la", length(col("an")))
       .withColumn("_seg", explode(expr(
@@ -63,7 +66,8 @@ object EditJoin {
       .filter(length(col("sub")) > 0)
 
     // right: probe substrings against left lengths la in [lb-d, lb+d]
-    val bProbe = b.select(bId.as("b_id"), bName.as("bn"))
+    val bProbe = graft.sources.Ingest.parallelismFloor(
+        b.select(bId.as("b_id"), bName.as("bn")))
       .filter(col("bn").isNotNull && length(col("bn")) > 0)
       .withColumn("_lb", length(col("bn")))
       .withColumn("_p", explode(expr(
