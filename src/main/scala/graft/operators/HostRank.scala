@@ -60,6 +60,8 @@ import org.apache.spark.sql.functions._
   * are refreshed per cycle, not run to numeric fixpoint). */
 object HostRank {
 
+  private[graft] var narrowCap: Long = 2000000L // test seam: profile-parity specs
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                scale: Long = 1000000000L): DataFrame =
     solve(edges, iters, dampingPct, scale, warm = None)
@@ -119,7 +121,7 @@ object HostRank {
     // caller's width; the returned plan re-roots on the caller's
     // session either way.
     val callerSpark = edges.sparkSession
-    val narrow = m <= 2000000L
+    val narrow = m <= narrowCap
     val sx = if (narrow) Rounds.narrowSession(callerSpark) else callerSpark
     def onSx(df: DataFrame): DataFrame =
       if (narrow) org.apache.spark.sql.GraftBridge.onSession(sx, df) else df

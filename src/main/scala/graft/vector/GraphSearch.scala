@@ -220,6 +220,8 @@ object GraphSearch {
     * scored entries at all (checked on the already-materialized init
     * state — no extra scan). Returns (ranked top-k, hops the loop
     * ran). */
+  private[graft] var narrowCap: Long = 2000000L // test seam: profile-parity specs
+
   private def walk(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
                    k: Int, beam: Int, maxHops: Int,
                    entryCand: (DataFrame, DataFrame) => DataFrame,
@@ -247,7 +249,7 @@ object GraphSearch {
     // hop count. Larger graphs keep the caller's width; the returned
     // plan re-roots on the caller's session either way.
     val nEdges = adj0.count()
-    val narrow = nEdges <= 2000000L
+    val narrow = nEdges <= narrowCap
     val sx =
       if (narrow) graft.operators.Rounds.narrowSession(callerSpark)
       else callerSpark

@@ -59,7 +59,8 @@ object NnDescent {
     * seen, which is k for any corpus with > k vectors). */
   def build(corpus: DataFrame, k: Int, maxRounds: Int = 10,
             convergedFrac: Double = 0.001, seed: Long = 42L,
-            overbuild: Int = 2): DataFrame = {
+            overbuild: Int = 2,
+            narrowCap: Long = 50000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     require(overbuild >= 1, "overbuild must be >= 1")
@@ -98,7 +99,7 @@ object NnDescent {
     // corpora keep the caller session's own width and skew handling,
     // and the RETURNED plan is re-rooted on the caller's session
     // either way, so downstream consumption runs at full width.
-    val narrow = n * (2L * kb) * (2L * kb) <= 50000000L
+    val narrow = n * (2L * kb) * (2L * kb) <= narrowCap
     val sx = if (narrow) {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HostRank
+import graft.vector.{GraphSearch, NnDescent}
+
+/** r17 pins for the dual execution profiles of the iterative
+  * operators: the size-gated narrowed-session loop (small inputs) and
+  * the caller-width loop (large inputs) must produce BIT-IDENTICAL
+  * results — the gate is a physical-execution knob only. Each test
+  * runs the same small input through both profiles by overriding the
+  * gate, and compares exact row sets. */
+class ProfileParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int) = (0 until n).map { i =>
+    (i.toLong, Array.tabulate(8)(j =>
+      (((i * 31 + j * 17) % 97) / 97.0f) - 0.5f))
+  }.toDF("vec_id", "embedding")
+
+  test("NnDescent.build: narrow and wide profiles are bit-identical") {
+    val v = vecs(120)
+    val narrow = NnDescent.build(v, k = 4, maxRounds = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val wide = NnDescent.build(v, k = 4, maxRounds = 3, narrowCap = 0L)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(wide == narrow)
+    assert(narrow.nonEmpty)
+  }
+
+  test("GraphSearch.topK: narrow and wide profiles are bit-identical") {
+    val v = vecs(120)
+    val g = NnDescent.build(v, k = 4, maxRounds = 3)
+    val q = v.filter(col("vec_id") < 5)
+    val narrow = GraphSearch.topK(g, v, q, k = 3, beam = 6)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val saved = GraphSearch.narrowCap
+    val wide =
+      try { GraphSearch.narrowCap = 0L
+        GraphSearch.topK(g, v, q, k = 3, beam = 6)
+          .as[(Long, Int, Long, Double)].collect().toSet }
+      finally GraphSearch.narrowCap = saved
+    assert(wide == narrow)
+    assert(narrow.nonEmpty)
+  }
+
+  test("HostRank.pageRank: narrow and wide profiles are bit-identical") {
+    val edges = (0 until 400).map(i =>
+      ((i % 37).toLong, ((i * 13 + 5) % 37).toLong)).toDF("src", "dst")
+    val narrow = HostRank.pageRank(edges, iters = 3)
+      .as[(Long, Long)].collect().toSet
+    val saved = HostRank.narrowCap
+    val wide =
+      try { HostRank.narrowCap = 0L
+        HostRank.pageRank(edges, iters = 3)
+          .as[(Long, Long)].collect().toSet }
+      finally HostRank.narrowCap = saved
+    assert(wide == narrow)
+    assert(narrow.nonEmpty)
+  }
+}
