@@ -88,6 +88,22 @@ object SparkEntry {
     graft.vector.IndexStore.loadKnn(s, dir)._1
   }
 
+
+  /** Run independent store appends as CONCURRENT jobs (r17): the
+    * snapshot stores' append path commutes under the optimistic-retry
+    * commit (two concurrent appenders both land, equal to the
+    * sequential result — SnapshotStoreSpec/Bm25SnapshotSpec pins), so
+    * the lifecycle queries run their independent arrival batches in
+    * parallel instead of serializing three full append latencies. */
+  private def inParallel(actions: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = actions.map(a => new Thread(() =>
+      try a() catch { case t: Throwable => errs.add(t); () }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
     f.delete(); ()
@@ -1112,9 +1128,9 @@ object SparkEntry {
       val dir = s"/tmp/graft_icard_${new java.io.File(d).getName}_" +
         java.lang.ProcessHandle.current().pid()
       rmTree(new java.io.File(dir))
-      Seq(0, 1, 2).foreach(i => graft.text.CardStore.append(
+      inParallel(Seq(0, 1, 2).map(i => () => graft.text.CardStore.append(
         docs.filter(pmod(col("doc_id"), lit(3)) === i),
-        col("doc_id"), col("text"), col("lang"), dir))
+        col("doc_id"), col("text"), col("lang"), dir)))
       graft.text.CardStore.card(s, dir)
         .select("n_parts", "n_docs", "n_tokens", "n_chars", "keep_rate",
           "en_tokens", "zh_tokens", "de_tokens", "es_tokens", "fr_tokens",
@@ -1248,8 +1264,8 @@ object SparkEntry {
       val dir = s"/tmp/graft_ilm_${new java.io.File(d).getName}_" +
         java.lang.ProcessHandle.current().pid()
       rmTree(new java.io.File(dir))
-      Seq(0, 1, 2).foreach(i => graft.text.LmStore.append(
-        docs.filter(pmod(col("doc_id"), lit(3)) === i), col("text"), dir))
+      inParallel(Seq(0, 1, 2).map(i => () => graft.text.LmStore.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), col("text"), dir)))
       graft.text.LmStore.compact(s, dir)
       graft.text.LmStore.score(docs, col("doc_id"), col("text"),
         graft.text.LmStore.model(s, dir))
@@ -1374,10 +1390,9 @@ object SparkEntry {
         java.lang.ProcessHandle.current().pid()
       text.Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         col("doc_id"), col("text"), dir)
-      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-        col("doc_id"), col("text"), dir)
-      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
-        col("doc_id"), col("text"), dir)
+      inParallel(Seq(0, 5).map(r => () =>
+        text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === r),
+          col("doc_id"), col("text"), dir)))
       text.Bm25Index.compact(s, dir)
       text.Bm25Index.topK(s, dir,
         Seq(1 -> "hash join", 2 -> "window agg", 3 -> "customer table scan"))
@@ -1398,10 +1413,9 @@ object SparkEntry {
         .delete(new org.apache.hadoop.fs.Path(dir), true)
       text.Bm25Index.build(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         col("doc_id"), col("text"), dir)
-      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-        col("doc_id"), col("text"), dir)
-      text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === 5),
-        col("doc_id"), col("text"), dir)
+      inParallel(Seq(0, 5).map(r => () =>
+        text.Bm25Index.append(docs.filter(pmod(col("doc_id"), lit(10)) === r),
+          col("doc_id"), col("text"), dir)))
       text.Bm25Index.compact(s, dir)
       text.Bm25Index.retire(s, dir)
       text.Bm25Index.topK(s, dir,
