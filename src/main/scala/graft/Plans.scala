@@ -25,12 +25,12 @@ object Plans {
     val picks = Seq(
       "q06_filter_agg" -> "filter pushdown + column pruning at the scan",
       "q05_local_supplier" -> "multi-way join, dimensions broadcast",
-      "q_movement" -> "per-track window pipeline sharing ONE shuffle",
+      "q_movement" -> "per-track window pipeline sharing ONE hash shuffle (plus the r17 input-parallelism floor's round-robin spread of the single-split events parse)",
       "q_ts_wavelet" -> "wavelet energies: one scan, one shuffle, one aggregate",
       "q_asof_join" -> "as-of join as a single-shuffle union+window",
       "q_jaccard_pairs" -> "inverted-index near-dup: per-doc shingle arrays persisted (sizes map-side), ONE posting shuffle into bucket groups, generator pair expansion",
       "q_cos_dedup" -> "embedding near-dup: map-only LSH buckets, id-only candidate dedup, embeddings joined back once, codegen'd dot product",
-      "q_minhash_pairs" -> "MinHash near-dup: map-only signature scan (no shuffle), band buckets through the single-shuffle posting kernel",
+      "q_minhash_pairs" -> "MinHash near-dup: one signature-kernel pass (spread by the r17 input-parallelism floor when the input scans narrower than the cores), band buckets through the single-shuffle posting kernel",
       "q_simhash_pairs" -> "SimHash near-dup: bucket groups + first-agreeing-band filter — pair uniqueness is structural, no distinct shuffle",
       "q_gap_fill" -> "gap interpolation: segment explode from lead window — two shuffles, no dense-axis join",
       "q_track_split" -> "division-aware track assignment: spots/edges cogrouped by video (one shuffle each), sequential per-video local choices — no iterative rounds",
@@ -47,7 +47,7 @@ object Plans {
       "q_pack" -> "sequence packing: two-level distributed scan — range partition, per-partition window cumsums in PARALLEL (keyed by partition id, not one global single-task window), width-bounded totals collect, broadcast partition-offset add",
       "q_ldedup" -> "corpus-wide boilerplate-line removal: exploded lines persisted once, map-side partial aggregates, output-sized hot set broadcast by AQE, hot-mark join + ONE per-doc aggregate rebuilding text and counts together",
       "q_rjr" -> "range join written NAIVELY (inequality-only condition — stock Spark: BroadcastNestedLoopJoin) and rewritten by the injected RangeJoinRule to the binned equi-join: point-bin vs sequence-exploded interval bins, original predicate re-applied",
-      "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, NARROW (cell, id) candidate self-join — embeddings never enter the pair-grain exchange — then embeddings join back to score each distinct pair once, component closure over the pair evidence",
+      "q_semdedup" -> "SemDeDup keep-list: centroids scored as literal-array dot products MAP-SIDE (no assignment shuffle), multi-probe explode, NARROW (cell, id, probe-bitmask) candidate self-join — embeddings never enter the pair-grain exchange, and pair uniqueness is the r17 minimum-shared-cell bitmask witness filter (integer ops on the join output) instead of a distinct exchange — then embeddings join back to score each pair once, component closure over the pair evidence",
       "q_span" -> "ExactSubstr span dedup: map-side gram materialization from the token array, ONE corpus shuffle electing canonical occurrences via packed-long min (HASH aggregate), output-sized dup-start join-back, island merge + rebuild as map-side array folds",
       "q_dsir" -> "DSIR data selection: one cached BigramCounts kernel pass feeds BOTH corpus LMs in a single bounded aggregate (≤39² rows collected), scoring is the fused map-only BigramScore kernel on the cached arrays — no second corpus scan",
       "q_attrs" -> "fused attribute pass: every per-doc quality/repetition/lang-ID signal in ONE map-only whole-stage-codegen select over ONE corpus scan — at 100 TB this replaces five separate scans",
@@ -62,12 +62,12 @@ object Plans {
       "q_drift" -> "corpus drift: two token-grain map-side-combined aggregates (the only corpus-sized shuffles), a vocabulary-grain full outer join, totals as an in-plan broadcast one-row aggregate, TakeOrdered top-k",
       "q_editjoin" -> "exact edit-distance fuzzy join: codegen'd array-transform segment/probe generation (no UDF), an EQUI-join on (length, segment, substring) — no cartesian, no BroadcastNestedLoopJoin — and the bounded-threshold levenshtein gate BEFORE the pair dedup",
       "q_manifest" -> "release manifest: the shuffle layout's one range exchange + rank, a doc_id join back to the payload, and ONE map-side-combined bit_xor aggregate per shard — checksums are membership functions, so no sort appears anywhere",
-      "q_corpus2" -> "corpus build v2 (the registry's most expensive genuine query): the provenance gate is ONE extra source-grain aggregate + a broadcast-semi doc filter prepended as stage 0 — the corpus itself never shuffles for the gate; downstream, each stage's survivor id-set persists and re-enters as the next stage's semi-join side, exact dedup shuffles 8-byte hashes, the jaccard stage reuses the shingle-posting kernel, and the final keep-list is the log-round CC closure — no stage rescans the raw corpus",
+      "q_corpus2" -> "corpus build v2 (the registry's most expensive genuine query): the r17 parallelism floor spreads the chain head once, the provenance gate is ONE extra source-grain aggregate + a broadcast-semi doc filter prepended as stage 0 — the corpus never re-shuffles for the gate; downstream, each stage's survivor id-set persists and re-enters as the next stage's semi-join side, exact dedup shuffles 8-byte hashes, the jaccard stage reuses the shingle-posting kernel, and the final keep-list is the log-round CC closure — no stage rescans the raw corpus",
       "q_incnear" -> "incremental near-dup against the corpus band index: ONE map-only signature pass per side, candidates from an EQUI-join on the 8-byte (band, bh) bucket key — only bucket collisions shuffle, corpus text never re-shingled — estimate as a codegen'd zip_with/aggregate over the carried signatures, dup_of by packed min_by",
       "q_profile" -> "one-pass data profiling: the stacked (column, value) explode feeds ONE map-side-combined value-grain count — the only full-data exchange; distincts, null mass, min/max and the top-k heads all aggregate that small table at column grain",
-      "q_interact" -> "track interaction: grid-binned same-frame proximity join (equi-keys (f, cx, cy), 3x3 probe explode — no track-pair cross join), candidate pairs distinct, then ONLY the candidate sliver joins back to the persisted step series; decimal-quantized correlation sums aggregate map-side; the density fail-fast rides a broadcast join against the normally-empty overflow cells",
-      "q_nnd" -> "NN-descent K-NN graph: every round is equi-joins/aggs on node id only — reverse-capped adjacency self-join moves 8-byte id pairs, embeddings join back for DISTINCT new candidates, state re-rooted on a persisted RDD per round (constant-size plan)",
-      "q_walk" -> "graph-ANN serving: beam search over the PERSISTED K-NN graph — per hop the frontier equi-joins the symmetrized 8-byte adjacency, embeddings join in for DISTINCT proposals only, queries broadcast, state re-rooted per hop; the registry plan reads the /tmp-persisted index, never rebuilds",
+      "q_interact" -> "track interaction: grid-binned same-frame proximity join (equi-keys (f, cx, cy), 3x3 probe explode — no track-pair cross join), candidate pairs deduped on an EXPLICIT-width pair exchange (r17 — AQE's size-based coalescing packed the byte-tiny pair set and the whole CPU-dense phase 2 behind it onto one task), then ONLY the candidate sliver joins back to the persisted step series; decimal-quantized correlation sums aggregate map-side; the density fail-fast rides a broadcast join against the normally-empty overflow cells",
+      "q_nnd" -> "NN-descent K-NN graph: every round is equi-joins/aggs on node id only — reverse-capped adjacency self-join moves 8-byte id pairs, the per-round state trim is ONE bounded top-k aggregate (r17 TopKEdges: map-side partials collapse to k entries per node before the exchange; under the narrow profile the candidate dedup exchange is skipped — broadcast re-scores are cheaper, and at full width the distinct stays), state re-rooted on a persisted RDD per round, convergence counted by the materializing job itself",
+      "q_walk" -> "graph-ANN serving: beam search over the PERSISTED K-NN graph — per hop the frontier equi-joins the symmetrized 8-byte adjacency, embeddings join in for DISTINCT proposals only, queries collected once into a LocalRelation and broadcast, the per-hop beam re-selection is ONE bounded top-k aggregate (r17 — dedup + trim fused, map-side partials bound the exchange), state re-rooted per hop with the new-entrant count riding the materializing job; the registry plan reads the /tmp-persisted index, never rebuilds",
       "q_rrf" -> "hybrid RRF retrieval: BM25's broadcast-filtered postings + bruteTopK's broadcast-query corpus scan each emit a |queries|*k ranked sliver; fusion is a union + one (query, doc) aggregate + one per-query window on slivers — corpus-independent",
       "q_gsplit" -> "leakage-safe grouped split: MAP-ONLY — the group key hashes per-row (PolyFingerprint mod 100), no group table, no join, no exchange anywhere in the plan",
       "q_gdedup" -> "K-NN-graph dedup: a map filter over the persisted graph's n*k 8-byte edge rows, then the log-round CC closure on the surviving sliver — the corpus embeddings are never rescanned, no pair generation anywhere",
