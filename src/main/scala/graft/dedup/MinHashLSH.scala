@@ -22,9 +22,7 @@ object MinHashLSH {
   /** (doc_id, minhash signature of length k) — map-only. Docs with no
     * shingles (fewer than shingleK words) produce no row. */
   def signatures(df: DataFrame, id: Column, text: Column, shingleK: Int, k: Int): DataFrame =
-    // parallelism floor (r17): k hash passes per shingle -- the corpus
-    // kernel cost -- see Ingest.parallelismFloor
-    graft.sources.Ingest.parallelismFloor(df).select(id.as("doc_id"),
+    df.select(id.as("doc_id"),
         graft.functions.MinHashSignature(text, shingleK, k).as("sig"))
       .filter(col("sig").isNotNull)
 

@@ -14,9 +14,7 @@ object SimHashDedup {
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 3, bits: Int = 30): DataFrame =
     bandedHammingPairs(
-      // parallelism floor (r17): the SimHash kernel is the expensive
-      // per-row work -- see Ingest.parallelismFloor
-      graft.sources.Ingest.parallelismFloor(df).select(id.as("doc_id"), SimHash(text, bits).as("fp")),
+      df.select(id.as("doc_id"), SimHash(text, bits).as("fp")),
       maxHamming, bits)
 
   /** Generic banded-Hamming pair search over ANY long fingerprint

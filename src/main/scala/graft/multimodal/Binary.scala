@@ -49,14 +49,13 @@ case class AssetProfile(doc_id: Long, phash: Long, n_cuts: Long,
 object Binary {
 
   /** Attach a binary payload column (test harness: text bytes stand in
-    * for encoded media). Every multimodal decode kernel (frame GLCM,
-    * blur, PCM features, asset profiles) flows through here, so the
-    * input-parallelism floor lives here too (r17): a single-split
-    * input would otherwise run the whole batched decode pass on one
-    * task — see Ingest.parallelismFloor (wide inputs are unchanged). */
+    * for encoded media). The input-parallelism floor lives at the
+    * HEAVY kernels downstream (frame GLCM, asset profiles, perceptual
+    * hashes — r17), not here: a blanket floor at this seam measurably
+    * taxed the cheap decodes (scene-cut, blur, PCM) with an exchange
+    * their kernels never amortize. */
   def withPayload(df: DataFrame): DataFrame =
-    graft.sources.Ingest.parallelismFloor(df)
-      .withColumn("payload", col("text").cast("binary"))
+    df.withColumn("payload", col("text").cast("binary"))
       .withColumn("kind", lit("image/fake"))
 
   /** Batched decode over partitions. Real decoders amortise codec init
@@ -139,7 +138,10 @@ object Binary {
                       batchSize: Int = 64, levels: Int = 8): Dataset[GlcmFrame] = {
     import spark.implicits._
     require(everyK >= 1)
-    df.select(col("doc_id"), col("payload"))
+    // parallelism floor (r17): the per-frame GLCM kernel below is the
+    // expensive per-row work — see Ingest.parallelismFloor
+    graft.sources.Ingest.parallelismFloor(
+        df.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
@@ -167,7 +169,10 @@ object Binary {
   def perceptualHashes(spark: SparkSession, df: DataFrame,
                        batchSize: Int = 64): Dataset[AssetHash] = {
     import spark.implicits._
-    df.select(col("doc_id"), col("payload"))
+    // parallelism floor (r17): the DCT/gradient hash kernels are the
+    // expensive per-row work — see Ingest.parallelismFloor
+    graft.sources.Ingest.parallelismFloor(
+        df.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
@@ -197,7 +202,10 @@ object Binary {
                     batchSize: Int = 64): Dataset[AssetProfile] = {
     import spark.implicits._
     require(everyK >= 1 && frameLen >= 2 && hop >= 1)
-    df.select(col("doc_id"), col("payload"))
+    // parallelism floor (r17): the fused per-asset decode+hash kernel
+    // is the expensive per-row work — see Ingest.parallelismFloor
+    graft.sources.Ingest.parallelismFloor(
+        df.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>

@@ -574,8 +574,13 @@ object SnapshotStore {
     * parallelism ceiling — and at the session's cores. */
   private[graft] def repartitionByBucket(df: DataFrame,
                                          nBuckets: Int): DataFrame =
+    // width caps at the SESSION's shuffle width, not raw cores: the
+    // narrowed-clone callers (corpus increment) deliberately run 8
+    // partitions with AQE off, and pinning past that re-added the
+    // task-scheduling overhead the clone exists to avoid (measured on
+    // q_icorpus)
     df.repartition(math.max(1, math.min(nBuckets,
-      df.sparkSession.sparkContext.defaultParallelism)),
+      df.sparkSession.sessionState.conf.numShufflePartitions)),
       org.apache.spark.sql.functions.col("bucket"))
 
   /** Data files (recursive, store-relative) under a freshly written

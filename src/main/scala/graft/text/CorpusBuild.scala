@@ -40,14 +40,10 @@ object CorpusBuild {
     // BEFORE any per-doc stage (r8: the C4/RefinedWeb ordering — a junk
     // domain's borderline members must not leak through the doc gate);
     // SourceGate shares qualityKeep, so the two grains cannot drift
-    // parallelism floor at the chain head (r17): the quality gate,
-    // text hash and shingle kernels below all plan single-task off a
-    // single-split input -- see Ingest.parallelismFloor
-    val corpus0 = graft.sources.Ingest.parallelismFloor(corpus)
     val gated = sourceGate match {
-      case None => corpus0
+      case None => corpus
       case Some((minDocs, minKeepRate, maxDupRatio)) =>
-        SourceGate.filterDocs(corpus0, col("doc_id"), col("text"),
+        SourceGate.filterDocs(corpus, col("doc_id"), col("text"),
           col("source"), minDocs, minKeepRate, maxDupRatio)
     }
     // 1. quality gate (map-only; the same rule TextFeatures.quality reports)
