@@ -43,11 +43,17 @@ object TopKEdges {
   case class Entry(nbr: Long, sim: Double, flag: Boolean)
   case class Entries(es: Seq[Entry])
 
-  private val ord: Ordering[Entry] = Ordering.by((e: Entry) =>
+  /** (sim desc, nbr asc) — the aggregator's entry order; shared with
+    * GraphSearch's driver-local walk (r18) so both paths rank
+    * identically. */
+  private[graft] val ord: Ordering[Entry] = Ordering.by((e: Entry) =>
     (e.sim, e.nbr))(Ordering.Tuple2(
     Ordering.Double.TotalOrdering.reverse, Ordering.Long))
 
-  private def prune(s: Seq[Entry], k: Int): Seq[Entry] = {
+  /** Dedup-then-trim — private to the aggregator until r18: the
+    * driver-local walk calls it directly so its beam re-selection is
+    * THE aggregator's semantics, not a reimplementation. */
+  private[graft] def prune(s: Seq[Entry], k: Int): Seq[Entry] = {
     // dedup by nbr FIRST (flag-OR over equal sims), then trim — the
     // dedup-before-trim order is what the exactness argument needs.
     // Duplicates carry equal sims, so after the (sim desc, nbr) sort

@@ -60,11 +60,25 @@ import org.apache.spark.sql.functions._
   * are refreshed per cycle, not run to numeric fixpoint). */
 object HostRank {
 
-  private[graft] var narrowCap: Long = 2000000L // test seam: profile-parity specs
-
+  /** `narrowCap`: edge-count gate for the narrowed-session loop
+    * profile — a default parameter (r18, the NnDescent.build
+    * convention; the r17 mutable-var test seam was racy global state
+    * if operators ever run concurrently in one JVM). `driverCap`:
+    * edge-count gate below which the recurrence runs as ONE local
+    * loop on the driver (r18 — the CorpusIncrement local-union-find
+    * precedent): a sub-cap graph is a few MB of longs, and the
+    * distributed loop's cost there is pure job-launch latency
+    * (~3 scheduled jobs per iteration). The local loop executes the
+    * SAME integer fixed-point recurrence — long sums are exact and
+    * order-independent, so the result is bit-identical
+    * (ProfileParitySpec pins all three profiles against each other);
+    * larger graphs take the narrowed-session or full-width loop
+    * unchanged. */
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
-               scale: Long = 1000000000L): DataFrame =
-    solve(edges, iters, dampingPct, scale, warm = None)
+               scale: Long = 1000000000L,
+               narrowCap: Long = 2000000L,
+               driverCap: Long = 500000L): DataFrame =
+    solve(edges, iters, dampingPct, scale, warm = None, narrowCap, driverCap)
 
   /** REFRESH-CYCLE warm start — the honest incremental form of a
     * GLOBAL recurrence. Exact increments do not compose here, and
@@ -91,11 +105,15 @@ object HostRank {
     * seed's total mass is bounded by the previous cycle's node count,
     * hence the max(n, nPrev) require). */
   def refresh(edges: DataFrame, prevRanks: DataFrame, iters: Int,
-              dampingPct: Int = 85, scale: Long = 1000000000L): DataFrame =
-    solve(edges, iters, dampingPct, scale, warm = Some(prevRanks))
+              dampingPct: Int = 85, scale: Long = 1000000000L,
+              narrowCap: Long = 2000000L,
+              driverCap: Long = 500000L): DataFrame =
+    solve(edges, iters, dampingPct, scale, warm = Some(prevRanks), narrowCap,
+      driverCap)
 
   private def solve(edges: DataFrame, iters: Int, dampingPct: Int,
-                    scale: Long, warm: Option[DataFrame]): DataFrame = {
+                    scale: Long, warm: Option[DataFrame],
+                    narrowCap: Long, driverCap: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 100, "scale too small to carry rank mass")
@@ -109,8 +127,20 @@ object HostRank {
     // is ONE join against ranks instead of two
     val eo0 = e0.join(outdeg0, "src").persist(lvl)
     // materializing eo here (it is the first round's join input either
-    // way) yields the edge count m for the small-loop gate below
+    // way) yields the edge count m for the small-loop gates below
     val m = eo0.count()
+    // the warm seed's row count bounds its total mass (see nBound); it
+    // also gates the local path — a corpus-scale seed never collects
+    val warmN = warm.map(_.count()).getOrElse(0L)
+    if (m <= driverCap && warmN <= driverCap) {
+      val eo = eo0.collect()
+      eo0.unpersist(blocking = false)
+      val seed = new java.util.HashMap[Long, Long]()
+      warm.foreach(_.select(col("node").cast("long"), col("rank").cast("long"))
+        .collect().foreach(r => seed.put(r.getLong(0), r.getLong(1))))
+      return solveLocal(edges.sparkSession, eo, seed, iters, dampingPct,
+        scale, warmN)
+    }
     // ---- small-graph execution profile (r17, the Rounds.narrowSession
     // pattern): a round's data volume is bounded by the edge list, so
     // when m fits a handful of partitions, the loop runs on the
@@ -137,7 +167,7 @@ object HostRank {
     // the mass bound covers the warm seed too: its total is at most
     // the previous cycle's node count times scale (mass conservation
     // of the run that produced it)
-    val nBound = math.max(n, warm.map(_.count()).getOrElse(0L))
+    val nBound = math.max(n, warmN)
     require(nBound <= Long.MaxValue / 100L / scale,
       s"100*N*scale must stay under 2^63 for exact integer arithmetic " +
         s"(n=$nBound, scale=$scale): pass a smaller scale")
@@ -174,5 +204,54 @@ object HostRank {
     // re-root on the caller's session so downstream plans at its width
     org.apache.spark.sql.GraftBridge.internalDF(callerSpark, ranksRdd,
       ranks.schema)
+  }
+
+  /** The driver-local exact loop (r18): the identical recurrence on
+    * the collected deduped edge list. Every operation mirrors the
+    * distributed plan's BIGINT expression bit for bit — `div` on
+    * non-negative longs is Java `/`, sums of longs are exact in any
+    * order — so the emitted (node, rank) rows equal the distributed
+    * loop's exactly (ProfileParitySpec). Gated by the caller on edge
+    * and warm-seed counts, so memory is bounded by `driverCap` rows
+    * of three longs. */
+  private def solveLocal(spark: org.apache.spark.sql.SparkSession,
+                         eo: Array[org.apache.spark.sql.Row],
+                         seed: java.util.HashMap[Long, Long],
+                         iters: Int, dampingPct: Int, scale: Long,
+                         warmN: Long): DataFrame = {
+    val odeg = new java.util.HashMap[Long, Long]()
+    val nodes = scala.collection.mutable.TreeSet[Long]()
+    eo.foreach { r =>
+      nodes += r.getLong(0)
+      nodes += r.getLong(1)
+      odeg.put(r.getLong(0), r.getLong(2))
+      ()
+    }
+    val n = nodes.size.toLong
+    require(n >= 1, "empty graph after self-loop removal")
+    val nBound = math.max(n, warmN)
+    require(nBound <= Long.MaxValue / 100L / scale,
+      s"100*N*scale must stay under 2^63 for exact integer arithmetic " +
+        s"(n=$nBound, scale=$scale): pass a smaller scale")
+    val base = ((100L - dampingPct) * scale) / 100L
+    var ranks = new java.util.HashMap[Long, Long]()
+    nodes.foreach(v => ranks.put(v, seed.getOrDefault(v, scale)))
+    for (_ <- 1 to iters) {
+      var dmass = 0L
+      nodes.foreach(v => if (!odeg.containsKey(v)) dmass += ranks.get(v))
+      val dShare = dmass / n
+      val insum = new java.util.HashMap[Long, Long]()
+      eo.foreach { r =>
+        val share = ranks.get(r.getLong(0)) / r.getLong(2)
+        insum.put(r.getLong(1), insum.getOrDefault(r.getLong(1), 0L) + share)
+        ()
+      }
+      val next = new java.util.HashMap[Long, Long]()
+      nodes.foreach(v => next.put(v,
+        base + (dampingPct * (insum.getOrDefault(v, 0L) + dShare)) / 100L))
+      ranks = next
+    }
+    import spark.implicits._
+    nodes.toSeq.map(v => (v, ranks.get(v).longValue())).toDF("node", "rank")
   }
 }

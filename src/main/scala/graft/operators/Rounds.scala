@@ -57,6 +57,13 @@ private[graft] object Rounds {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
     s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // broadcast builds over LOCALIZED relations still run one scheduled
+    // job (SparkPlan.executeCollectIterator is an RDD collect even for
+    // LocalTableScan), and a LocalRelation splits into
+    // defaultParallelism slices — on the narrow clone that was 32 tiny
+    // tasks per per-round build job (r18 measurement). One slice makes
+    // those unavoidable jobs single-task driver round-trips.
+    s2.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
     s2
   }
 }

@@ -46,11 +46,37 @@ object Ingest {
     * events parse above, the LM count kernels): when `df`'s physical
     * plan yields fewer than half the session's partitions, spread it
     * with a round-robin repartition; otherwise return it unchanged —
-    * wide (production-shaped) inputs never gain the exchange. */
+    * wide (production-shaped) inputs never gain the exchange.
+    *
+    * The gate inspects the NON-adaptive physical plan STRUCTURALLY
+    * (r18): the r17 cut read `queryExecution.toRdd.getNumPartitions`,
+    * which under AQE eagerly materializes every upstream exchange and
+    * broadcast stage (`getFinalPhysicalPlan`) — work then re-executed
+    * when the caller's real query runs under its own QueryExecution.
+    * Here nothing executes: a plan carrying any shuffle exchange is
+    * already session-width (post-shuffle partitions = the session's
+    * shuffle.partitions), so the floor applies only to shuffle-free
+    * plans, whose output width is their leaf scans' split count — read
+    * off the scan node without launching a job. Leaves other than file
+    * scans and local relations (persisted caches, re-rooted RDDs) are
+    * materialized-input shapes whose width the producer already chose:
+    * the floor skips them. */
   def parallelismFloor(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.queryExecution.toRdd.getNumPartitions
-    if (parts * 2 <= cores) df.repartition(cores) else df
+    val plan = df.queryExecution.sparkPlan
+    val hasShuffle = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    if (hasShuffle) return df
+    val leafParts = plan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Some(f.inputRDD.getNumPartitions)
+      // a LocalTableScan (collected frame) is driver-sized: one split
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => Some(1)
+      case _ => None
+    }
+    if (leafParts.isEmpty || leafParts.exists(_.isEmpty)) df
+    else if (leafParts.flatten.max * 2 <= cores) df.repartition(cores)
+    else df
   }
 
   /** Spots/edges builder — the parse_xml.py:68-113 analogue for the

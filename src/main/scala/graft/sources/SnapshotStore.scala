@@ -12,7 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - data lives in immutable part directories under `parts/` — a
   *    writer only ever CREATES new ones, never mutates or deletes a
-  *    published file;
+  *    published file. IMMUTABILITY IS THE STORE CONTRACT, stated here
+  *    because more than readers depends on it (r18, the r17 advisor's
+  *    finding): every write path in every store on this protocol must
+  *    stay strictly create-new (data/marker files) or tmp+rename
+  *    (ledger files — the rename repoints the directory entry, never
+  *    writing through an existing inode). That is what makes
+  *    HARD-LINK CLONES of a store safe (the bench's copyTree shares
+  *    inodes between base and work tree): any future
+  *    `fs.create(path, overwrite=true)` of an EXISTING store file
+  *    would truncate through the shared inode and silently corrupt
+  *    every clone. HardLinkCloneSpec pins it end-to-end: a mutated
+  *    hard-link clone leaves its base byte-identical;
   *  - the committed file set is a MANIFEST LIST (r16 — iceberg's
   *    manifest/manifest-list split at this grain): `_ledger/mp_<id>`
   *    files are immutable manifest PARTS, each listing a batch of

@@ -71,10 +71,15 @@ object Bm25 {
   }
 
   /** (doc_id, _tk, dl) — the one corpus tokenization, shared with the
-    * index build so index serving is bit-equal to direct scoring. */
+    * index build so index serving is bit-equal to direct scoring.
+    * Tokenization is the expensive per-row kernel of every BM25 path
+    * and plans single-task off a single-split scan — see
+    * Ingest.parallelismFloor (r18: q_rrf's 0.4-0.5 s 1-task broadcast
+    * builds and q_bm25's stats/tf map sides were all this pass). */
   private[text] def tokenized(df: DataFrame, id: Column,
                               text: Column): DataFrame =
-    df.select(id.as("doc_id"), split(lower(text), "\\s+").as("_tk"))
+    graft.sources.Ingest.parallelismFloor(df)
+      .select(id.as("doc_id"), split(lower(text), "\\s+").as("_tk"))
       .select(col("doc_id"), col("_tk"),
         size(filter(col("_tk"), t => length(t) > 0)).cast("long").as("dl"))
 

@@ -127,10 +127,25 @@ object Bm25Index {
             spark.sparkContext.parallelize(statsRows, 1), stats.schema)
           .write.parquet(s"$dir/parts/m_$uid"))
       // one file per bucket (repartition on the partition column) —
-      // the artifact's file count grows with BATCHES, not tasks
-      graft.sources.SnapshotStore.repartitionByBucket(postings, nBuckets)
-        .write.partitionBy("bucket").parquet(s"$dir/parts/p${nBuckets}_$uid")
-      statsJob.join()
+      // the artifact's file count grows with BATCHES, not tasks.
+      // The stats future is ALWAYS awaited (r18, the r17 advisor's
+      // finding): a postings-write failure no longer leaves the stats
+      // job racing store teardown, and a stats failure surfaces as its
+      // underlying exception, not the CompletionException wrapper —
+      // unless the postings write failed first, which wins.
+      var ok = false
+      try {
+        graft.sources.SnapshotStore.repartitionByBucket(postings, nBuckets)
+          .write.partitionBy("bucket").parquet(s"$dir/parts/p${nBuckets}_$uid")
+        ok = true
+      } finally {
+        try statsJob.join()
+        catch {
+          case e: java.util.concurrent.CompletionException if ok =>
+            throw Option(e.getCause).getOrElse(e)
+          case _: Throwable if !ok => // postings failure propagates
+        }
+      }
     }
     graft.sources.SnapshotStore.partFiles(spark, dir,
       s"parts/p${nBuckets}_$uid") ++

@@ -601,9 +601,7 @@ object CorpusIncrement {
     // handling intact).
     val narrow = nBatch <= 200000L
     val sx = if (narrow) {
-      val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val s2 = Rounds.narrowSession(spark)
       // the clone's file-status cache starts cold and every pruned
       // read lists explicit leaf files; above the default 32-path
       // threshold Spark runs each listing as a distributed JOB —

@@ -56,16 +56,21 @@ object GraphSearch {
     */
   def topK(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
            k: Int, beam: Int, maxHops: Int = 10,
-           seed: Long = 42L): DataFrame =
-    topKWithHops(graph, corpus, queries, k, beam, maxHops, seed)._1
+           seed: Long = 42L, narrowCap: Long = 2000000L,
+           driverCap: Long = 1000000L): DataFrame =
+    topKWithHops(graph, corpus, queries, k, beam, maxHops, seed,
+      narrowCap, driverCap)._1
 
   /** [[topK]] plus the number of hops the walk ran — the spec's
     * measurement surface. */
   private[graft] def topKWithHops(graph: DataFrame, corpus: DataFrame,
                                   queries: DataFrame, k: Int, beam: Int,
-                                  maxHops: Int = 10,
-                                  seed: Long = 42L): (DataFrame, Int) =
-    walk(graph, corpus, queries, k, beam, maxHops, (v, q) => {
+                                  maxHops: Int = 10, seed: Long = 42L,
+                                  narrowCap: Long = 2000000L,
+                                  driverCap: Long = 1000000L)
+      : (DataFrame, Int) =
+    walk(graph, corpus, queries, k, beam, maxHops, narrowCap,
+      driverCap = driverCap, entryCand = (v, q) => {
       // deterministic global entry set, shared by every query
       val entries = v.select(col("node"))
         .orderBy(xxhash64(lit(seed), col("node")), col("node"))
@@ -93,17 +98,22 @@ object GraphSearch {
     * nothing (tiny corpora). Bit-deterministic either way. */
   def topKHier(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
                k: Int, beam: Int, fanout: Int = 32, maxHops: Int = 10,
-               seed: Long = 42L): DataFrame =
+               seed: Long = 42L, narrowCap: Long = 2000000L,
+               driverCap: Long = 1000000L): DataFrame =
     topKHierWithHops(graph, corpus, queries, k, beam, fanout, maxHops,
-      seed)._1
+      seed, narrowCap, driverCap)._1
 
   /** [[topKHier]] plus the hop count, for the spec's measurement. */
   private[graft] def topKHierWithHops(graph: DataFrame, corpus: DataFrame,
                                       queries: DataFrame, k: Int, beam: Int,
                                       fanout: Int = 32, maxHops: Int = 10,
-                                      seed: Long = 42L): (DataFrame, Int) = {
+                                      seed: Long = 42L,
+                                      narrowCap: Long = 2000000L,
+                                      driverCap: Long = 1000000L)
+      : (DataFrame, Int) = {
     require(fanout >= 1, "fanout must be >= 1")
-    walk(graph, corpus, queries, k, beam, maxHops, (v, q) => {
+    walk(graph, corpus, queries, k, beam, maxHops, narrowCap,
+      driverCap = driverCap, entryCand = (v, q) => {
       val layer = v.select(col("node"))
         .filter(pmod(xxhash64(lit(seed + 1), col("node")), lit(fanout))
           === 0)
@@ -169,9 +179,10 @@ object GraphSearch {
   def topKLayered(graph: DataFrame, layerGraphs: Seq[DataFrame],
                   corpus: DataFrame, queries: DataFrame, k: Int, beam: Int,
                   fanout: Int, entryBeam: Int = 4, maxHops: Int = 10,
-                  seed: Long = 42L): DataFrame =
+                  seed: Long = 42L, narrowCap: Long = 2000000L,
+                  driverCap: Long = 1000000L): DataFrame =
     topKLayeredWithHops(graph, layerGraphs, corpus, queries, k, beam,
-      fanout, entryBeam, maxHops, seed)._1
+      fanout, entryBeam, maxHops, seed, narrowCap, driverCap)._1
 
   /** [[topKLayered]] plus per-phase hop counts (top-down, layer 0
     * last) — the spec's measurement surface. `entryBeam` is the
@@ -184,7 +195,9 @@ object GraphSearch {
                                          corpus: DataFrame, queries: DataFrame,
                                          k: Int, beam: Int, fanout: Int,
                                          entryBeam: Int = 4,
-                                         maxHops: Int = 10, seed: Long = 42L)
+                                         maxHops: Int = 10, seed: Long = 42L,
+                                         narrowCap: Long = 2000000L,
+                                         driverCap: Long = 1000000L)
       : (DataFrame, Seq[Int]) = {
     require(layerGraphs.nonEmpty, "need at least one layer graph")
     require(entryBeam >= 1, "entryBeam must be >= 1")
@@ -193,7 +206,8 @@ object GraphSearch {
     // top layer: exhaustive scan (it is built to be scan-cheap)
     var (entries, h0) = walk(layerGraphs.last,
       corpus.filter(member(top, fanout, seed)(col("vec_id"))), queries,
-      k = entryBeam, beam = entryBeam, maxHops = 1, (v, q) =>
+      k = entryBeam, beam = entryBeam, maxHops = 1, narrowCap,
+      driverCap = driverCap, entryCand = (v, q) =>
         q.select(col("q_id")).crossJoin(v.select(col("node"))))
     hops += h0
     // descend: each layer's walk is seeded by the layer above
@@ -201,14 +215,14 @@ object GraphSearch {
       val seedEntries = entries.select(col("q_id"), col("n_id").as("node"))
       val (e2, h) = walk(layerGraphs(l - 1),
         corpus.filter(member(l, fanout, seed)(col("vec_id"))), queries,
-        k = entryBeam, beam = entryBeam, maxHops = maxHops,
-        (_, _) => seedEntries)
+        k = entryBeam, beam = entryBeam, maxHops = maxHops, narrowCap,
+        driverCap = driverCap, entryCand = (_, _) => seedEntries)
       entries = e2
       hops += h
     }
     val seedEntries = entries.select(col("q_id"), col("n_id").as("node"))
-    val (out, hL) = walk(graph, corpus, queries, k, beam, maxHops,
-      (_, _) => seedEntries)
+    val (out, hL) = walk(graph, corpus, queries, k, beam, maxHops, narrowCap,
+      driverCap = driverCap, entryCand = (_, _) => seedEntries)
     hops += hL
     (out, hops.result())
   }
@@ -220,12 +234,11 @@ object GraphSearch {
     * scored entries at all (checked on the already-materialized init
     * state — no extra scan). Returns (ranked top-k, hops the loop
     * ran). */
-  private[graft] var narrowCap: Long = 2000000L // test seam: profile-parity specs
-
   private def walk(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
-                   k: Int, beam: Int, maxHops: Int,
+                   k: Int, beam: Int, maxHops: Int, narrowCap: Long,
                    entryCand: (DataFrame, DataFrame) => DataFrame,
-                   fallback: Option[(DataFrame, DataFrame) => DataFrame] = None)
+                   fallback: Option[(DataFrame, DataFrame) => DataFrame] = None,
+                   driverCap: Long = 1000000L)
       : (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
@@ -257,9 +270,10 @@ object GraphSearch {
       if (narrow) org.apache.spark.sql.GraftBridge.onSession(sx, df) else df
     val adj = onSx(adj0)
 
-    val v = onSx(corpus.select(col("vec_id").as("node"), col("embedding"),
+    val vc = corpus.select(col("vec_id").as("node"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
-      .persist(lvl))
+      .persist(lvl)
+    val v = onSx(vc)
     // the query batch is driver-sized by contract and its broadcast is
     // rebuilt by EVERY hop's plan — collect it ONCE into a
     // LocalRelation (r17), so each hop's broadcast build is a
@@ -268,9 +282,36 @@ object GraphSearch {
     val qProj = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       Similarity.norm(col("embedding")).as("q_nrm"))
+    val qRows = qProj.collect()
     val qLocal = callerSpark.createDataFrame(
-      java.util.Arrays.asList(qProj.collect(): _*), qProj.schema)
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
     val q = broadcast(onSx(qLocal))
+
+    // ---- DRIVER-LOCAL hop loop (r18 — the HostRank/CorpusIncrement
+    // local-solve precedent at this operator's grain): below the
+    // driver caps the whole walk state is a few MB — the vector table
+    // is ALREADY the broadcast build side of every hop's score join
+    // (driver-materialized each hop by definition) and the per-hop
+    // state is |queries|·beam rows — while the distributed loop costs
+    // ~4 scheduled jobs per hop of pure launch latency (measured:
+    // q_walk spent <2 s of its 3.9 s in stages). The local loop runs
+    // the identical recurrence with the identical kernels: entry
+    // candidates come from the UNCHANGED entryCand/fallback plans
+    // (collected — they are |queries|·entries slivers), sims call the
+    // same left-to-right double accumulation as [[DotProduct.compute]]
+    // on the same Spark-computed norms, and the beam re-selection IS
+    // [[graft.functions.TopKEdges.prune]] — so the emitted rows are
+    // bit-identical (ProfileParitySpec pins local == narrow == wide).
+    // Above the caps the distributed loop below runs unchanged.
+    if (nEdges <= driverCap && vc.count() <= 200000L) {
+      val entries = entryCand(v, q).collect()
+      val fb = fallback.map(f => () => f(v, q).collect())
+      val out = walkLocal(callerSpark, adj0.collect(), vc.collect(), qRows,
+        entries, fb, k, beam, maxHops)
+      adj0.unpersist(blocking = false)
+      vc.unpersist(blocking = false)
+      return out
+    }
 
     // score (q_id, node) proposals exactly; the query's own id never
     // scores (bruteTopK's self-exclusion)
@@ -344,8 +385,8 @@ object GraphSearch {
       done = entered == 0
       hop += 1
     }
-    adj.unpersist(blocking = false)
-    v.unpersist(blocking = false)
+    adj0.unpersist(blocking = false)
+    vc.unpersist(blocking = false)
     // re-root the final state on the caller's session so the ranking
     // tail (and everything downstream) plans at the caller's width
     val out = org.apache.spark.sql.GraftBridge
@@ -354,5 +395,138 @@ object GraphSearch {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("node").as("n_id"), col("sim"))
     (out, hop)
+  }
+
+  /** The driver-local hop loop (r18). Inputs are the collected
+    * adjacency (node, n_id), vector table (node, embedding, nrm — the
+    * norms are the SPARK-computed doubles, collected, not recomputed),
+    * query batch (q_id, q_emb, q_nrm), and the UNSCORED entry
+    * candidate pairs from the entry plan. Every step mirrors the
+    * distributed loop operation for operation:
+    *  - sims are `DotProduct.compute`'s left-to-right double
+    *    accumulation over float arrays, divided by the collected
+    *    norms' product — the identical IEEE op sequence;
+    *  - the per-hop beam re-selection calls
+    *    [[graft.functions.TopKEdges.prune]] itself (dedup by nbr with
+    *    flag-OR over equal sims, trim to beam by (sim desc, nbr));
+    *  - per-hop candidates are the distinct adjacency expansion of the
+    *    unexpanded beam (the distributed `distinct()`), self-ids and
+    *    non-corpus nodes drop exactly where the joins dropped them;
+    *  - the loop stops when a hop admits no flag=false entry
+    *    (`entered == 0`) or at maxHops — the same convergence the
+    *    materializing count drove. */
+  private def walkLocal(spark: org.apache.spark.sql.SparkSession,
+                        adjRows: Array[org.apache.spark.sql.Row],
+                        vRows: Array[org.apache.spark.sql.Row],
+                        qRows: Array[org.apache.spark.sql.Row],
+                        initCand: Array[org.apache.spark.sql.Row],
+                        fallbackCand: Option[() => Array[org.apache.spark.sql.Row]],
+                        k: Int, beam: Int, maxHops: Int): (DataFrame, Int) = {
+    import graft.functions.TopKEdges
+    val vEmb = new java.util.HashMap[Long, Array[Float]]()
+    val vNrm = new java.util.HashMap[Long, Double]()
+    vRows.foreach { r =>
+      vEmb.put(r.getLong(0), r.getSeq[Float](1).toArray)
+      vNrm.put(r.getLong(0), r.getDouble(2))
+      ()
+    }
+    val adjM = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    adjRows.foreach { r =>
+      adjM.computeIfAbsent(r.getLong(0),
+        _ => scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(1)
+      ()
+    }
+    val qEmb = new java.util.HashMap[Long, Array[Float]]()
+    val qNrm = new java.util.HashMap[Long, Double]()
+    qRows.foreach { r =>
+      qEmb.put(r.getLong(0), r.getSeq[Float](1).toArray)
+      qNrm.put(r.getLong(0), r.getDouble(2))
+      ()
+    }
+    // DotProduct.compute's exact loop: double accumulation, left to
+    // right, over min-length
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // the score joins' row semantics: self-id filtered, inner joins
+    // drop nodes/queries absent from their tables
+    def score(qid: Long, node: Long): Option[TopKEdges.Entry] =
+      if (node == qid) None
+      else {
+        val e = vEmb.get(node)
+        val qe = qEmb.get(qid)
+        if (e == null || qe == null) None
+        else Some(TopKEdges.Entry(node,
+          dot(qe, e) / (qNrm.get(qid) * vNrm.get(node)), flag = false))
+      }
+
+    // init: score the entry pairs, rank by (sim desc, node), keep beam
+    // (the distributed topBeam window — entry pairs are distinct by
+    // construction, so no dedup pass exists there either)
+    def initFrom(cand: Array[org.apache.spark.sql.Row])
+        : java.util.HashMap[Long, Seq[TopKEdges.Entry]] = {
+      val st = new java.util.HashMap[Long, Seq[TopKEdges.Entry]]()
+      cand.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        val scored = rows.toSeq.flatMap(r => score(qid, r.getLong(1)))
+        if (scored.nonEmpty)
+          st.put(qid, scored.sorted(TopKEdges.ord).take(beam))
+        ()
+      }
+      st
+    }
+    var state = initFrom(initCand)
+    fallbackCand.foreach { fb => if (state.isEmpty) state = initFrom(fb()) }
+
+    var hop = 0
+    var done = false
+    while (!done && hop < maxHops) {
+      var entered = 0L
+      val next = new java.util.HashMap[Long, Seq[TopKEdges.Entry]]()
+      state.forEach { (qid, es) =>
+        val candSet = new java.util.LinkedHashSet[Long]()
+        es.foreach { e =>
+          if (!e.flag) {
+            val ns = adjM.get(e.nbr)
+            if (ns != null) ns.foreach { n => candSet.add(n); () }
+          }
+        }
+        val scored = scala.collection.mutable.ArrayBuffer[TopKEdges.Entry]()
+        candSet.forEach { n => score(qid, n).foreach(scored += _); () }
+        val merged = TopKEdges.prune(
+          es.map(_.copy(flag = true)) ++ scored, beam)
+        entered += merged.count(!_.flag)
+        if (merged.nonEmpty) next.put(qid, merged)
+        ()
+      }
+      state = next
+      done = entered == 0
+      hop += 1
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    import scala.jdk.CollectionConverters._
+    state.entrySet().asScala.toSeq.sortBy(_.getKey.longValue()).foreach { ent =>
+      // the state is prune-ordered by (sim desc, nbr) already — the
+      // distributed tail's row_number over the same ordering
+      ent.getValue.take(k).zipWithIndex.foreach { case (e, i) =>
+        rows.add(org.apache.spark.sql.Row(ent.getKey.longValue(), i + 1,
+          e.nbr, e.sim))
+        ()
+      }
+    }
+    (spark.createDataFrame(rows, schema), hop)
   }
 }

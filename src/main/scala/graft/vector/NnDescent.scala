@@ -100,12 +100,14 @@ object NnDescent {
     // and the RETURNED plan is re-rooted on the caller's session
     // either way, so downstream consumption runs at full width.
     val narrow = n * (2L * kb) * (2L * kb) <= narrowCap
-    val sx = if (narrow) {
-      val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
-      s2
-    } else spark
+    // MEASURED NEGATIVE (r18, left for the record): widening the
+    // narrow profile proportionally to candidate volume (8 → ~21
+    // partitions at sf0.1's 3.2M-pair rounds) read 9.1 s vs 6.4 s and
+    // grew the build shuffle 52 → 74 MB — TopKEdges' map-side partial
+    // aggregation weakens with width (more ≤ kb partial buffers per id
+    // cross the exchange), exactly the effect the r17 fixed-8 profile
+    // exploits. The fixed width stays.
+    val sx = if (narrow) Rounds.narrowSession(spark) else spark
     val v =
       if (narrow) org.apache.spark.sql.GraftBridge.onSession(sx, v0) else v0
 

@@ -29,34 +29,66 @@ class ProfileParitySpec extends SparkSpec {
     assert(narrow.nonEmpty)
   }
 
-  test("GraphSearch.topK: narrow and wide profiles are bit-identical") {
+  test("GraphSearch.topK: local, narrow and wide profiles are " +
+    "bit-identical") {
     val v = vecs(120)
     val g = NnDescent.build(v, k = 4, maxRounds = 3)
     val q = v.filter(col("vec_id") < 5)
-    val narrow = GraphSearch.topK(g, v, q, k = 3, beam = 6)
+    val local = GraphSearch.topK(g, v, q, k = 3, beam = 6)
       .as[(Long, Int, Long, Double)].collect().toSet
-    val saved = GraphSearch.narrowCap
-    val wide =
-      try { GraphSearch.narrowCap = 0L
-        GraphSearch.topK(g, v, q, k = 3, beam = 6)
-          .as[(Long, Int, Long, Double)].collect().toSet }
-      finally GraphSearch.narrowCap = saved
-    assert(wide == narrow)
-    assert(narrow.nonEmpty)
+    val narrow = GraphSearch.topK(g, v, q, k = 3, beam = 6, driverCap = 0L)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val wide = GraphSearch.topK(g, v, q, k = 3, beam = 6, narrowCap = 0L,
+        driverCap = 0L)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(narrow == local)
+    assert(wide == local)
+    assert(local.nonEmpty)
   }
 
-  test("HostRank.pageRank: narrow and wide profiles are bit-identical") {
+  test("GraphSearch.topKHier: local and distributed profiles are " +
+    "bit-identical (incl. the tiny-corpus fallback)") {
+    val v = vecs(120)
+    val g = NnDescent.build(v, k = 4, maxRounds = 3)
+    val q = v.filter(col("vec_id") < 5)
+    val local = GraphSearch.topKHier(g, v, q, k = 3, beam = 6)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val wide = GraphSearch.topKHier(g, v, q, k = 3, beam = 6,
+        narrowCap = 0L, driverCap = 0L)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(wide == local)
+    assert(local.nonEmpty)
+  }
+
+  test("HostRank.pageRank: local, narrow and wide profiles are " +
+    "bit-identical") {
     val edges = (0 until 400).map(i =>
       ((i % 37).toLong, ((i * 13 + 5) % 37).toLong)).toDF("src", "dst")
-    val narrow = HostRank.pageRank(edges, iters = 3)
+    val local = HostRank.pageRank(edges, iters = 3)
       .as[(Long, Long)].collect().toSet
-    val saved = HostRank.narrowCap
-    val wide =
-      try { HostRank.narrowCap = 0L
-        HostRank.pageRank(edges, iters = 3)
-          .as[(Long, Long)].collect().toSet }
-      finally HostRank.narrowCap = saved
-    assert(wide == narrow)
-    assert(narrow.nonEmpty)
+    val narrow = HostRank.pageRank(edges, iters = 3, driverCap = 0L)
+      .as[(Long, Long)].collect().toSet
+    val wide = HostRank.pageRank(edges, iters = 3, narrowCap = 0L,
+        driverCap = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(narrow == local)
+    assert(wide == local)
+    assert(local.nonEmpty)
+  }
+
+  test("HostRank.refresh: local and distributed profiles are " +
+    "bit-identical (warm seed collected)") {
+    val base = (0 until 300).map(i =>
+      ((i % 29).toLong, ((i * 11 + 3) % 29).toLong)).toDF("src", "dst")
+    val full = (0 until 400).map(i =>
+      ((i % 37).toLong, ((i * 13 + 5) % 37).toLong)).toDF("src", "dst")
+    val prev = HostRank.pageRank(base, iters = 3)
+    val local = HostRank.refresh(full, prev, iters = 2)
+      .as[(Long, Long)].collect().toSet
+    val wide = HostRank.refresh(full, prev, iters = 2, narrowCap = 0L,
+        driverCap = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(wide == local)
+    assert(local.nonEmpty)
   }
 }
