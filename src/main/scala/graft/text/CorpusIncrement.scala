@@ -628,11 +628,11 @@ object CorpusIncrement {
     val bPost = bArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val dfB = bPost.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
     val evalsh = st.table("evalsh")
-    val dfbBks =
-      new java.util.concurrent.atomic.AtomicReference[Seq[Int]](Nil)
+    val bandsRef =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val (relH, relEx, relP, relPd, relDf) = (st.fresh("hidx"),
       st.fresh("exdocs"), st.fresh("post"), st.fresh("postd"), st.fresh("df"))
-    // ONE six-way concurrent group (r14; r12 ran it as two batches of
+    // ONE seven-way concurrent group (r14; r12 ran it as two batches of
     // three): every append is independent given bx, and the shared
     // bArr/dfB caches are computed exactly once under the block
     // manager's per-block locks whichever job gets there first — the
@@ -651,27 +651,37 @@ object CorpusIncrement {
       () => graft.sources.SnapshotStore.repartitionByBucket(
         docBucketed(bPost, m.nBuckets), m.nBuckets)
         .write.partitionBy("bucket").parquet(s"$dir/$relPd"),
-      // populates the dfB cache the band analysis below consumes
+      // populates the dfB cache the band analysis consumes
       () => graft.sources.SnapshotStore.repartitionByBucket(
         bucketed(dfB, m.nBuckets), m.nBuckets)
         .write.partitionBy("bucket").parquet(s"$dir/$relDf"),
-      // the band prune's bucket ids ride the group too (a cache-read
-      // job that was a sequential launch before the r16 fusion)
-      () => dfbBks.set(bucketed(dfB.select("shingle"), m.nBuckets)
-        .select("bucket").distinct().collect().map(_.getInt(0)).toSeq)))
+      // ---- df-band analysis over batch-present shingles, FUSED into
+      // the append group (r18): reading the COMMITTED df lines only
+      // (the batch's own part is the in-memory dfB), the new-state sum
+      // is _dfo + df and the old state is _dfo — exact integer
+      // identities with the r17 read-back formulation (_dfn and
+      // _dfn − df), so the bands are bit-identical while their whole
+      // pipeline (bucket-id collect, pruned read, aggregate, persist)
+      // hides behind the five artifact writes instead of running as
+      // sequential jobs after the group.
+      () => {
+        val bks = bucketed(dfB.select("shingle"), m.nBuckets)
+          .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+        val dfo = st.tableBuckets("df", bks)
+          .join(broadcast(dfB.select("shingle")), Seq("shingle"), "left_semi")
+          .groupBy("shingle").agg(sum(col("df")).as("_dfo"))
+        val b = dfB
+          .join(dfo, Seq("shingle"), "left")
+          .withColumn("_dfn", coalesce(col("_dfo"), lit(0L)) + col("df"))
+          .withColumn("_in_new", col("_dfn").between(2, m.maxDf))
+          .withColumn("_in_old",
+            coalesce(col("_dfo"), lit(0L)).between(2, m.maxDf))
+          .persist(lvl)
+        b.count()
+        bandsRef.set(b)
+      }))
     Seq(relH, relEx, relP, relPd, relDf).foreach(st.register)
-
-    // ---- df-band analysis over batch-present shingles (the store
-    // view now includes the just-registered parts, so the summed df is
-    // already the new state; the old state is new minus the batch's
-    // own part)
-    val bands = st.tableBuckets("df", dfbBks.get)
-      .join(broadcast(dfB.select("shingle")), Seq("shingle"), "left_semi")
-      .groupBy("shingle").agg(sum(col("df")).as("_dfn"))
-      .join(dfB, Seq("shingle"))
-      .withColumn("_in_new", col("_dfn").between(2, m.maxDf))
-      .withColumn("_in_old", (col("_dfn") - col("df")).between(2, m.maxDf))
-      .persist(lvl)
+    val bands = bandsRef.get
 
     // ---- exact pair recomputation, split by what CAN change.
     // Band-CROSSING shingles (in-band status flipped by the batch) are

@@ -301,6 +301,11 @@ object NnDescent {
     // stage costs until ~bruteFloor² pairs, and strictly BETTER
     // recall since the internal edges are exact), the descent over
     // the batch alone above it
+    // NOT persisted (r18, measured): the internal edges feed newLists
+    // twice (forward + reversed union), but persisting them read
+    // 13-14 s vs 3.5 s at sf0.1 — the cache fill under concurrent
+    // broadcast-future builds serializes on block locks and blocks
+    // AQE's own exchange reuse across the two subtrees.
     val internal: DataFrame =
       if (nBatch > math.max(bruteFloor.toLong, overbuild.toLong * k + 1))
         build(batch, k, maxRounds, convergedFrac, seed, overbuild)
@@ -325,25 +330,52 @@ object NnDescent {
       .select(col("vec_id"), (col("_p") + 1).as("rank"),
         col("_t.nbr").as("n_id"), col("_t.sim").as("sim"))
 
+    // ---- batch-grain tail profile (r18, the Rounds.narrowSession
+    // pattern): steps (3)-(4) below carry batch- and sliver-grain data
+    // only (newLists ≤ batch·(beam+2k) rows, touchedLists ≤ 2·batch·k),
+    // so at caller width their ~20 AQE stage-jobs were pure launch
+    // latency. Under the bounded-batch gate the two sliver plans bind
+    // to the narrowed clone and materialize on persisted RDDs
+    // (lazily — the caller's one action computes them), re-rooted on
+    // the caller's session; the corpus-scale untouched passthrough
+    // NEVER binds to the clone — it stays a caller-width map-only
+    // anti join. The touched set gets an explicit broadcast hint on
+    // the clone (AQE is off there; it is ≤ batch·k rows by the
+    // micro-batch contract — the wide path keeps AQE's own choice).
+    val narrow = nBatch <= 200000L
+    val sx =
+      if (narrow) graft.operators.Rounds.narrowSession(spark) else spark
+    def onSx(df: DataFrame): DataFrame =
+      if (narrow) org.apache.spark.sql.GraftBridge.onSession(sx, df) else df
+    def reroot(df: DataFrame): DataFrame =
+      if (narrow) {
+        val (_, rdd) = graft.operators.Rounds.materialize(df, lvl)
+        org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, df.schema)
+      } else df
+
     // (3) new-node lists: best k of cross ∪ internal ∪ reversed
     // internal (x→y within the batch proposes y→x too — sims are
     // symmetric and exact, the trim keeps whichever k win)
-    val newLists = rankTopK(searched
+    val newLists = reroot(rankTopK(onSx(searched
       .union(internal)
       .union(internal.select(col("nbr").as("id"), col("id").as("nbr"),
-        col("sim"))))
+        col("sim"))))))
 
     // (4) touched base nodes: merge the reverse proposals b→x into
     // b's existing list and re-trim — a sliver of ≤ batch·k nodes
     val revProps = searched.select(col("nbr").as("id"), col("id").as("nbr"),
       col("sim"))
     val touched = revProps.select(col("id")).distinct()
-    val touchedOld = graph.join(touched,
-        graph("vec_id") === touched("id"))
+    val touchedB = if (narrow) broadcast(touched) else touched
+    val touchedOld = graph.join(touchedB,
+        graph("vec_id") === touchedB("id"))
       .select(col("vec_id").as("id"), col("n_id").as("nbr"), col("sim"))
-    val touchedLists = rankTopK(touchedOld.union(revProps))
+    val touchedLists = reroot(rankTopK(onSx(touchedOld.union(revProps))))
 
     // untouched base rows ride through unchanged (rank and sim kept)
+    // — on the CALLER's session: the passthrough is the corpus-scale
+    // half, and its analyzed plan carrying `searched` is also what
+    // lets the cache-release matcher see the caller's action
     val untouched = graph.join(touched,
         graph("vec_id") === touched("id"), "left_anti")
       .select(col("vec_id"), col("rank"), col("n_id"), col("sim"))
