@@ -72,14 +72,17 @@ object Bm25 {
 
   /** (doc_id, _tk, dl) — the one corpus tokenization, shared with the
     * index build so index serving is bit-equal to direct scoring.
-    * Tokenization is the expensive per-row kernel of every BM25 path
-    * and plans single-task off a single-split scan — see
-    * Ingest.parallelismFloor (r18: q_rrf's 0.4-0.5 s 1-task broadcast
-    * builds and q_bm25's stats/tf map sides were all this pass). */
+    * NO parallelism floor here (r18, measured negative): spreading the
+    * single-split doc scan before tokenizing shipped the raw text
+    * payload through the floor's exchange — whose WRITE side is still
+    * the one input split — for a kernel that is cheap per byte
+    * (q_bm25 1.5 → 2.4 s, shuffle 0.9 → 3.7 MB; q_rrf and q_ilm
+    * regressed the same way). The floor pays off only where the
+    * per-row kernel dwarfs the payload shuffle (media decode,
+    * shingles/minhash) — the r17 placement rule, reconfirmed. */
   private[text] def tokenized(df: DataFrame, id: Column,
                               text: Column): DataFrame =
-    graft.sources.Ingest.parallelismFloor(df)
-      .select(id.as("doc_id"), split(lower(text), "\\s+").as("_tk"))
+    df.select(id.as("doc_id"), split(lower(text), "\\s+").as("_tk"))
       .select(col("doc_id"), col("_tk"),
         size(filter(col("_tk"), t => length(t) > 0)).cast("long").as("dl"))
 

@@ -42,14 +42,9 @@ object LmStore {
   private def normed(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9 ]", "#")
 
-  /** One batch's additive part: (bg, c), ≤ 39² rows. The bigram count
-    * kernel is the expensive per-row work and plans single-task off a
-    * single-split scan — see Ingest.parallelismFloor (r18: each of
-    * q_ilm's three appends ran its count as a measured ~460 ms 1-task
-    * stage). The floor spreads the kernel; the count aggregate's
-    * exchange already isolates the part write's coalesce(1). */
+  /** One batch's additive part: (bg, c), ≤ 39² rows. */
   private def countPart(df: DataFrame, text: Column): DataFrame =
-    graft.sources.Ingest.parallelismFloor(df).select(normed(text).as("_t"))
+    df.select(normed(text).as("_t"))
       .filter(length(col("_t")) >= 2)
       .select(explode(graft.functions.BigramCounts(col("_t"))).as("_e"))
       .groupBy(col("_e.bg").as("bg")).agg(sum(col("_e.k")).as("c"))
@@ -114,10 +109,7 @@ object LmStore {
     * cross_entropy), one fused map-only kernel pass. */
   def score(df: DataFrame, id: Column, text: Column,
             m: graft.functions.BigramModel): DataFrame =
-    // same single-split cause as countPart: the fused score kernel is
-    // the expensive per-row pass — floor it (r18)
-    graft.sources.Ingest.parallelismFloor(df)
-      .select(id.as("doc_id"), normed(text).as("_t"))
+    df.select(id.as("doc_id"), normed(text).as("_t"))
       .filter(length(col("_t")) >= 2)
       .select(col("doc_id"), graft.functions.BigramCounts(col("_t")).as("_a"))
       .select(col("doc_id"),
