@@ -69,36 +69,36 @@ object Bench {
     // ROTATES per round so every registry query gets a driver timing
     // at least every other round (the r7 verdict's blind-spot fix):
     // BENCH_r(N) ∪ BENCH_r(N+1) always covers the full registry.
-    // THIS round (r17, rotation B): rest exactly the rows BENCH_r16
-    // measured (97) EXCEPT the never-rested heavies (q_nnd,
+    // THIS round (r18, rotation A): rest exactly the rows BENCH_r17
+    // measured (93) EXCEPT the never-rested heavies (q_nnd,
     // q_knn_ins, q_interact, q_semdedup, q_corpus2, q_corpus,
     // q_dedup_clusters, q_rank, q_icorpus, q_bm25c — heavies bench
-    // every round), i.e. 87 rested; the 83 rows r16 rested all bench
-    // this round (no r17 debuts — the registry is unchanged at 180),
-    // so BENCH_r16 ∪ BENCH_r17 = the full registry (the skip set was
-    // derived mechanically from BENCH_r16.json's query map).
+    // every round), i.e. 83 rested; the 87 rows r17 rested all bench
+    // this round (no r18 debuts — the registry is unchanged at 180),
+    // so BENCH_r17 ∪ BENCH_r18 = the full registry (the skip set was
+    // derived mechanically from BENCH_r17.json's query map).
     val lineSkip = Set(
-      "q08_market_share", "q09_product_profit", "q21_last_shipper",
-      "q_afp", "q_ann_ivf", "q_asof_join", "q_attrs", "q_audio",
-      "q_bm25", "q_card", "q_cdc", "q_clip", "q_comp", "q_cos_dedup",
-      "q_cube", "q_curr", "q_density_grid", "q_drift", "q_dsirs",
-      "q_ebin", "q_fingerprint", "q_gap_fill", "q_gc", "q_gct",
-      "q_gdedup", "q_gsplit", "q_hardneg", "q_hh_tokens", "q_html",
-      "q_ilm", "q_img_dedup", "q_incdedup", "q_lang_id", "q_ldedup",
-      "q_link_nn", "q_link_track", "q_manifest", "q_ml_classify",
-      "q_ml_cluster", "q_mm_frames", "q_movement", "q_oov",
-      "q_padbatch", "q_pca", "q_pii", "q_pipeline_e2e", "q_pool",
-      "q_qc_cells_per_frame", "q_qc_frame_dist", "q_qc_track_hist",
-      "q_qcls", "q_qsk", "q_quant", "q_ragc", "q_range_join",
-      "q_rank2", "q_roi_stats", "q_roi_tm", "q_rrf", "q_shuf",
-      "q_simhash", "q_simhash_pairs", "q_sketch_stats", "q_snapdiff",
-      "q_span", "q_srcgate", "q_stream_window", "q_text_lines",
-      "q_text_quality", "q_text_repetition", "q_text_scrub",
-      "q_text_tokens", "q_tlm", "q_tmix", "q_track_split",
-      "q_ts_autocorr", "q_ts_elev_multi", "q_ts_elevation",
-      "q_ts_median", "q_ts_moments", "q_ts_trend", "q_ts_wavelet",
-      "q_vad", "q_walk", "q_winnow", "q_winnow_containment",
-      "q_xent")
+      "q01_pricing_summary", "q02_min_per_group",
+      "q02_regional_cheapest", "q03_topk_revenue", "q04_late_priority",
+      "q05_local_supplier", "q06_filter_agg", "q07_nation_volume",
+      "q10_returned_items", "q11_important_parts", "q12_late_counts",
+      "q13_order_histogram", "q14_promo_revenue", "q15_top_supplier",
+      "q16_distinct_suppliers", "q17_small_qty", "q18_large_orders",
+      "q19_disjunctive", "q20_excess_suppliers", "q22_idle_customers",
+      "q_ann_cosine", "q_ann_lsh", "q_anti_join", "q_blur", "q_bm25i",
+      "q_bm25s", "q_bpe", "q_cdcm", "q_chunk",
+      "q_connected_components", "q_csamp", "q_decon", "q_dedup_exact",
+      "q_dsir", "q_editjoin", "q_enc", "q_entropy", "q_entropy3",
+      "q_fdecon", "q_filter_min_obs", "q_frame_stats",
+      "q_frame_stats_multi", "q_gcf", "q_glcm", "q_hll", "q_icard",
+      "q_inccc", "q_incnear", "q_jaccard_pairs", "q_kf", "q_kf2",
+      "q_ksamp", "q_link_iou", "q_link_lap", "q_link_mutual",
+      "q_minhash_pairs", "q_mix", "q_mm_corpus", "q_mm_decode",
+      "q_norm", "q_pack", "q_pivot", "q_pq", "q_profile",
+      "q_qc_duplicates", "q_qc_track_summary", "q_rjr", "q_roi_shape",
+      "q_roiname", "q_rollup", "q_rp", "q_sample_stratified", "q_scut",
+      "q_sdecon", "q_sessionize", "q_set_except", "q_shard", "q_tfidf",
+      "q_ulm", "q_upsert", "q_url", "q_window_rank", "q_wp")
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!lineSkip(name)) }

@@ -60,6 +60,23 @@ class ProfileParitySpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("GraphSearch.topKLayered: local and distributed profiles are " +
+    "bit-identical (seeded descent walks)") {
+    val v = vecs(240)
+    val g = NnDescent.build(v, k = 4, maxRounds = 3)
+    val layers = GraphSearch.buildLayers(v, k = 3, fanout = 4, levels = 1)
+    assume(layers.nonEmpty)
+    val q = v.filter(col("vec_id") < 5)
+    val local = GraphSearch.topKLayered(g, layers, v, q, k = 3, beam = 6,
+        fanout = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val wide = GraphSearch.topKLayered(g, layers, v, q, k = 3, beam = 6,
+        fanout = 4, narrowCap = 0L, driverCap = 0L)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(wide == local)
+    assert(local.nonEmpty)
+  }
+
   test("HostRank.pageRank: local, narrow and wide profiles are " +
     "bit-identical") {
     val edges = (0 until 400).map(i =>
