@@ -64,6 +64,12 @@ private[graft] object Rounds {
     // tasks per per-round build job (r18 measurement). One slice makes
     // those unavoidable jobs single-task driver round-trips.
     s2.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
+    // guide §3.1: let the planner pick shuffled-hash joins — on the
+    // clone every per-partition build side is gate-bounded small, and
+    // sort-merge's per-round sorts of candidate-pair streams are pure
+    // CPU (r18: the NnDescent local join + score joins sort millions
+    // of 8-byte pairs per round at width 8)
+    s2.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     s2
   }
 }
